@@ -1,0 +1,226 @@
+"""MERGE-semantics keyed table (reference O5/O6).
+
+The reference executes user-supplied ``INSERT … ON CONFLICT (pk) DO
+UPDATE`` (upsert.rs:271-303, example statement lib.rs:111) and a single
+soft-delete statement (delete.rs:251-285, logs call it "data soft
+deleter").  End-state contract (SURVEY.md §2 "Query semantics note"):
+after any sequence of batches the table holds one row per key, carrying
+the values of that key's winning record; soft-deleted keys keep their row
+with ``row_active = false``.
+
+This module implements those semantics on a **bucket-partitioned parquet
+table** (Delta Lake is not available in this environment; the interface
+is the same MERGE contract, so a Delta/Iceberg backend can be swapped in
+behind ``KeyedTable`` unchanged).
+
+Scale design (100 TB posture):
+  - The table is hash-bucketed on the key columns into ``num_buckets``
+    partition directories.  A merge touches only the buckets present in
+    the incoming batch: we read *only* those partitions (partition
+    pruning on the bucket column) and rewrite *only* those partitions
+    (dynamic partition overwrite).  An incremental batch of B rows costs
+    O(B + size-of-touched-buckets), never a full-table rewrite.
+  - ``num_buckets`` should scale with table size (buckets of ~1 GB are a
+    good target); at 100 TB use ~100k buckets so a micro-batch touches a
+    small fraction.
+  - The union+window merge shuffles once on the key columns.  Both sides
+    are already bucketed by key hash, so with a Delta/Iceberg backend or
+    bucketed catalog tables this becomes a co-located merge; on plain
+    parquet AQE coalesces the shuffle.
+  - No ``collect()`` of data — only the touched-bucket id list (bounded
+    by ``num_buckets``, not by data volume) crosses to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__qss_bucket"
+_SRC = "__qss_src"
+_RN = "__qss_rn"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p, jvm
+
+
+class KeyedTable:
+    """A parquet-backed table with one row per key and MERGE semantics.
+
+    Parameters
+    ----------
+    keys: primary-key columns (reference requires a single ``i64`` pkey,
+        upsert.rs:32; we generalize to composite keys).
+    version_col: the version timestamp (``modified_date``, upsert.rs:31).
+    arrival_col / tie_break: deterministic tie-break for equal versions,
+        see :mod:`quick_stream_spark.operators.dedup`.
+    soft_delete_col: boolean liveness flag (the reference's target tables
+        carry ``row_active``, lib.rs:111; FIXTURES.md A3).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str] = ("pkey",),
+        version_col: str = "modified_date",
+        arrival_col: str | None = None,
+        tie_break: str = "first_arrival",
+        num_buckets: int = 16,
+        soft_delete_col: str = "row_active",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.version_col = version_col
+        self.arrival_col = arrival_col
+        self.tie_break = tie_break
+        self.num_buckets = int(num_buckets)
+        self.soft_delete_col = soft_delete_col
+
+    # ---------------------------------------------------------------- io
+
+    def exists(self) -> bool:
+        fs, p, _ = _hadoop_fs(self.spark, self.path)
+        return fs.exists(p)
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets)).cast(
+            "int"
+        )
+
+    def read(self, active_only: bool = False, with_bucket: bool = False) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        if active_only:
+            df = df.filter(F.col(self.soft_delete_col))
+        if not with_bucket:
+            df = df.drop(BUCKET_COL)
+        return df
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        (
+            df.repartition(F.col(BUCKET_COL))
+            .write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
+
+    def _drop_bucket_dirs(self, bucket_ids: list[int]) -> None:
+        """Remove partition directories that became empty (dynamic
+        overwrite only replaces partitions present in the written data)."""
+        fs, _, jvm = _hadoop_fs(self.spark, self.path)
+        for b in bucket_ids:
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, f"{BUCKET_COL}={b}"))
+            if fs.exists(p):
+                fs.delete(p, True)
+
+    # ------------------------------------------------------------- dedup
+
+    def _dedup(self, df: DataFrame) -> DataFrame:
+        from quick_stream_spark.operators.dedup import latest_per_key
+
+        return latest_per_key(
+            df,
+            keys=self.keys,
+            version_col=self.version_col,
+            arrival_col=self.arrival_col,
+            tie_break=self.tie_break,
+        )
+
+    def _prepare_updates(self, updates: DataFrame) -> DataFrame:
+        if self.soft_delete_col not in updates.columns:
+            updates = updates.withColumn(self.soft_delete_col, F.lit(True))
+        return self._dedup(updates).withColumn(BUCKET_COL, self._bucket_expr())
+
+    def _touched(self, updates_b: DataFrame) -> list[int]:
+        # bounded by num_buckets, never by data volume
+        return [r[0] for r in updates_b.select(BUCKET_COL).distinct().collect()]
+
+    def _current_in(self, bucket_ids: list[int]) -> DataFrame:
+        # partition-pruned scan: only the touched bucket directories are read
+        return self.read(with_bucket=True).filter(F.col(BUCKET_COL).isin(bucket_ids))
+
+    def _merge_window(self, newer_wins: bool) -> Window:
+        order = []
+        if newer_wins:
+            # guard: updates apply only if strictly newer (current wins ties)
+            order = [F.col(self.version_col).desc_nulls_last(), F.col(_SRC).asc()]
+        else:
+            # faithful ON CONFLICT DO UPDATE: the incoming batch always wins
+            order = [F.col(_SRC).desc()]
+        return Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*order)
+
+    # -------------------------------------------------------------- merge
+
+    def upsert(self, updates: DataFrame, newer_wins: bool = False) -> None:
+        """MERGE the batch in: insert new keys, update existing ones.
+
+        ``newer_wins=False`` (default) reproduces the reference's
+        unconditional ``DO UPDATE`` — the last processed batch wins even
+        if it carries an older ``modified_date`` (SURVEY.md §7 risk list).
+        ``newer_wins=True`` adds the idempotency guard
+        ``updates.version > target.version``.
+        """
+        up = self._prepare_updates(updates)
+        if not self.exists():
+            self._write(up, "overwrite")
+            return
+        touched = self._touched(up)
+        if not touched:
+            return
+        current = self._current_in(touched)
+        merged = (
+            current.withColumn(_SRC, F.lit(0))
+            .unionByName(up.withColumn(_SRC, F.lit(1)))
+            .withColumn(_RN, F.row_number().over(self._merge_window(newer_wins)))
+            .filter(F.col(_RN) == 1)
+            .drop(_RN, _SRC)
+        )
+        self._write(merged, "overwrite")
+
+    def soft_delete(self, deletes: DataFrame) -> None:
+        """Mark matching keys inactive, keeping their row (reference's
+        "data soft deleter", delete.rs:252-285).  Non-matching delete keys
+        are no-ops, like an UPDATE that matches nothing."""
+        dk = self._dedup(deletes).select(*self.keys).withColumn(BUCKET_COL, self._bucket_expr())
+        if not self.exists():
+            return
+        touched = self._touched(dk)
+        if not touched:
+            return
+        current = self._current_in(touched)
+        flagged = current.join(
+            dk.withColumn("__qss_del", F.lit(True)).drop(BUCKET_COL),
+            on=self.keys,
+            how="left",
+        )
+        merged = flagged.withColumn(
+            self.soft_delete_col,
+            F.when(F.col("__qss_del"), F.lit(False)).otherwise(F.col(self.soft_delete_col)),
+        ).drop("__qss_del")
+        self._write(merged, "overwrite")
+
+    def hard_delete(self, deletes: DataFrame) -> None:
+        """Physically remove matching keys (WHEN MATCHED THEN DELETE)."""
+        dk = self._dedup(deletes).select(*self.keys).withColumn(BUCKET_COL, self._bucket_expr())
+        if not self.exists():
+            return
+        touched = self._touched(dk)
+        if not touched:
+            return
+        current = self._current_in(touched)
+        remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")
+        kept = [r[0] for r in remaining.select(BUCKET_COL).distinct().collect()]
+        emptied = [b for b in touched if b not in kept]
+        if kept:
+            self._write(remaining, "overwrite")
+        if emptied:
+            self._drop_bucket_dirs(emptied)

@@ -1,0 +1,74 @@
+"""Sources (reference O15) and the test-data loaders.
+
+The reference's only source is a tokio mpsc channel of record batches
+(upsert.rs:77); the Spark equivalent is any Structured Streaming source.
+For deterministic offline tests we use the file source: each "channel
+delivery" is one parquet file, replayed with ``maxFilesPerTrigger=1`` and
+an ``availableNow`` trigger.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> None:
+    """Register the driver tables as temp views so ``spark.sql`` queries
+    (grouping sets etc.) can name them like the DuckDB oracle does."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_batches_as_files(batches: Sequence[DataFrame], directory: str) -> list[str]:
+    """Materialize each batch DataFrame as a single parquet file in
+    ``directory`` (named in batch order) — the offline stand-in for the
+    reference's sequence of channel deliveries (lib.rs:158-176)."""
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    for i, b in enumerate(batches):
+        p = os.path.join(directory, f"batch-{i:05d}")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return paths
+
+
+def stream_parquet_dir(
+    spark: SparkSession,
+    directory: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a directory of batch files; one file per
+    micro-batch by default, mirroring one channel delivery per cycle."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("recursiveFileLookup", "true")
+        .parquet(directory)
+    )

@@ -1,0 +1,148 @@
+"""Streaming façades (reference O4/O5/O6/O9/O10/O15/O17).
+
+``UpsertQuickStream::run(rx)`` (upsert.rs:77-141) becomes::
+
+    UpsertQuickStream(config, target).run(stream_df)
+
+i.e. ``writeStream.trigger(processingTime=lag).foreachBatch(merge)``.
+Everything the reference hand-rolls per cycle — accumulation under a
+time/size policy (upsert.rs:158-204), dedup, dispatch to an elastic
+worker pool (upsert.rs:382-513) — is the micro-batch loop: the trigger
+interval is the lag window, the source rate limit is the size policy,
+and the Spark scheduler is the pool.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from quick_stream_spark.config import QuickStreamConfig
+from quick_stream_spark.operators.merge import KeyedTable
+from quick_stream_spark.operators.router import MultiTableRouter
+
+
+class _StreamBase:
+    def __init__(self, config: QuickStreamConfig | None = None) -> None:
+        self.config = (config or QuickStreamConfig()).validate()
+
+    def _foreach_batch(self):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = False,
+        await_termination: bool = False,
+    ) -> StreamingQuery:
+        """Start the ingestion query.  ``available_now=True`` drains all
+        currently-available input then stops — the deterministic offline
+        replay mode used by tests and the correctness oracle."""
+        ckpt = self.config.checkpoint_dir or tempfile.mkdtemp(prefix="qss-ckpt-")
+        writer = (
+            stream_df.writeStream.queryName(self.config.name)
+            .foreachBatch(self._foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .trigger(**self.config.trigger_kwargs(available_now=available_now))
+        )
+        query = writer.start()
+        if await_termination or available_now:
+            query.awaitTermination()
+        return query
+
+
+class UpsertQuickStream(_StreamBase):
+    """Single-table upsert pipeline (reference upsert.rs:77-207)."""
+
+    def __init__(
+        self,
+        target: KeyedTable,
+        config: QuickStreamConfig | None = None,
+        newer_wins: bool = False,
+    ) -> None:
+        super().__init__(config)
+        self.target = target
+        self.newer_wins = newer_wins
+
+    def _foreach_batch(self):
+        target, newer_wins = self.target, self.newer_wins
+
+        def apply(batch: DataFrame, batch_id: int) -> None:
+            target.upsert(batch, newer_wins=newer_wins)
+
+        return apply
+
+
+class DeleteQuickStream(_StreamBase):
+    """Single-table delete pipeline (reference delete.rs:71-187).
+    ``soft=True`` (default) matches the reference's soft-delete intent."""
+
+    def __init__(
+        self,
+        target: KeyedTable,
+        config: QuickStreamConfig | None = None,
+        soft: bool = True,
+    ) -> None:
+        super().__init__(config)
+        self.target = target
+        self.soft = soft
+
+    def _foreach_batch(self):
+        target, soft = self.target, self.soft
+
+        def apply(batch: DataFrame, batch_id: int) -> None:
+            if soft:
+                target.soft_delete(batch)
+            else:
+                target.hard_delete(batch)
+
+        return apply
+
+
+class MultiTableUpsertQuickStream(_StreamBase):
+    """Table-routed upsert (reference multi_table_upsert.rs:72-198)."""
+
+    def __init__(
+        self,
+        router: MultiTableRouter,
+        config: QuickStreamConfig | None = None,
+        newer_wins: bool = False,
+    ) -> None:
+        super().__init__(config)
+        self.router = router
+        self.newer_wins = newer_wins
+
+    def _foreach_batch(self):
+        router, newer_wins = self.router, self.newer_wins
+
+        def apply(batch: DataFrame, batch_id: int) -> None:
+            router.upsert_batch(batch, newer_wins=newer_wins)
+
+        return apply
+
+
+class MultiTableDeleteQuickStream(_StreamBase):
+    """Table-routed delete (reference multi_table_delete.rs:323-448)."""
+
+    def __init__(
+        self,
+        router: MultiTableRouter,
+        config: QuickStreamConfig | None = None,
+        soft: bool = True,
+    ) -> None:
+        super().__init__(config)
+        self.router = router
+        self.soft = soft
+
+    def _foreach_batch(self):
+        router, soft = self.router, self.soft
+
+        def apply(batch: DataFrame, batch_id: int) -> None:
+            if soft:
+                router.soft_delete_batch(batch)
+            else:
+                router.hard_delete_batch(batch)
+
+        return apply

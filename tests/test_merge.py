@@ -1,0 +1,155 @@
+"""End-state contract tests for KeyedTable (SURVEY.md §2 query-semantics
+note): after any batch sequence, one row per key with the winning
+record's values; soft-deleted keys keep their row with row_active=false."""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from quick_stream_spark.operators.merge import BUCKET_COL, KeyedTable
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+@pytest.fixture()
+def table(spark, tmp_table_dir):
+    return KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+    )
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def state(table):
+    return {r.pkey: (r.payload, r.row_active) for r in table.read().collect()}
+
+
+def test_upsert_creates_then_updates(spark, table):
+    table.upsert(
+        df(
+            spark,
+            [
+                (1, datetime(2024, 1, 1), 1, "a"),
+                (1, datetime(2024, 1, 1, 0, 0, 1), 2, "b"),
+                (2, datetime(2024, 1, 1, 0, 0, 2), 3, "c"),
+            ],
+        )
+    )
+    assert state(table) == {1: ("b", True), 2: ("c", True)}
+    table.upsert(df(spark, [(2, datetime(2024, 1, 2), 4, "c2"), (3, datetime(2024, 1, 2), 5, "d")]))
+    assert state(table) == {1: ("b", True), 2: ("c2", True), 3: ("d", True)}
+
+
+def test_batch_wins_reproduces_on_conflict_do_update(spark, table):
+    """Faithful mode: an older record in a later batch still overwrites
+    (the reference's SQL updates unconditionally on conflict)."""
+    table.upsert(df(spark, [(1, datetime(2024, 1, 5), 1, "new")]))
+    table.upsert(df(spark, [(1, datetime(2024, 1, 1), 2, "old")]))
+    assert state(table) == {1: ("old", True)}
+
+
+def test_newer_wins_guard(spark, table):
+    table.upsert(df(spark, [(1, datetime(2024, 1, 5), 1, "new")]), newer_wins=True)
+    table.upsert(df(spark, [(1, datetime(2024, 1, 1), 2, "old")]), newer_wins=True)
+    assert state(table) == {1: ("new", True)}
+    # equal version: current wins (strict > guard)
+    table.upsert(df(spark, [(1, datetime(2024, 1, 5), 3, "tie")]), newer_wins=True)
+    assert state(table) == {1: ("new", True)}
+
+
+def test_soft_delete_keeps_row_marks_inactive(spark, table):
+    table.upsert(df(spark, [(1, datetime(2024, 1, 1), 1, "a"), (2, datetime(2024, 1, 1), 2, "b")]))
+    table.soft_delete(df(spark, [(2, datetime(2024, 1, 2), 3, None)]))
+    assert state(table) == {1: ("a", True), 2: ("b", False)}
+    # re-upsert reactivates with new values (DO UPDATE sets all columns)
+    table.upsert(df(spark, [(2, datetime(2024, 1, 3), 4, "b2")]))
+    assert state(table) == {1: ("a", True), 2: ("b2", True)}
+
+
+def test_soft_delete_nonexistent_key_is_noop(spark, table):
+    table.upsert(df(spark, [(1, datetime(2024, 1, 1), 1, "a")]))
+    table.soft_delete(df(spark, [(99, datetime(2024, 1, 2), 2, None)]))
+    assert state(table) == {1: ("a", True)}
+
+
+def test_hard_delete_removes_rows(spark, table):
+    table.upsert(
+        df(
+            spark,
+            [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(10)],
+        )
+    )
+    table.hard_delete(df(spark, [(k, datetime(2024, 1, 2), 100 + k, None) for k in range(5)]))
+    assert set(state(table)) == {5, 6, 7, 8, 9}
+
+
+def test_hard_delete_all_rows_empties_table(spark, table):
+    table.upsert(df(spark, [(1, datetime(2024, 1, 1), 1, "a")]))
+    table.hard_delete(df(spark, [(1, datetime(2024, 1, 2), 2, None)]))
+    # table dir may still exist but hold no rows in any bucket
+    remaining = [
+        f
+        for f in (os.listdir(table.path) if os.path.exists(table.path) else [])
+        if f.startswith(BUCKET_COL)
+    ]
+    assert remaining == []
+
+
+def test_merge_touches_only_affected_buckets(spark, table):
+    """Scale contract: a batch rewrites only the bucket partitions its
+    keys hash into — untouched partition files must be byte-identical."""
+    table.upsert(df(spark, [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(64)]))
+    before = _partition_mtimes(table.path)
+    assert len(before) == 4  # all buckets populated
+
+    one_key = df(spark, [(0, datetime(2024, 1, 2), 999, "upd")])
+    bucket_of_0 = one_key.select(
+        F.pmod(F.xxhash64(F.col("pkey")), F.lit(4)).cast("int")
+    ).collect()[0][0]
+    table.upsert(one_key)
+
+    after = _partition_mtimes(table.path)
+    for part, files in before.items():
+        if part == f"{BUCKET_COL}={bucket_of_0}":
+            continue
+        assert after[part] == files, f"untouched partition {part} was rewritten"
+
+
+def _partition_mtimes(path):
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith(BUCKET_COL):
+            continue
+        full = os.path.join(path, d)
+        out[d] = sorted(
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_composite_keys(spark, tmp_table_dir):
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "ck"),
+        keys=("k1", "k2"),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    schema = "k1 long, k2 string, modified_date timestamp, arrival long, v string"
+    t.upsert(spark.createDataFrame([(1, "x", datetime(2024, 1, 1), 1, "a")], schema))
+    t.upsert(spark.createDataFrame([(1, "y", datetime(2024, 1, 1), 2, "b")], schema))
+    t.upsert(spark.createDataFrame([(1, "x", datetime(2024, 1, 2), 3, "a2")], schema))
+    got = {(r.k1, r.k2): r.v for r in t.read().collect()}
+    assert got == {(1, "x"): "a2", (1, "y"): "b"}

@@ -1,0 +1,148 @@
+"""Streaming pipeline tests: file-source micro-batch replay with an
+availableNow trigger (the deterministic offline analog of the
+reference's channel deliveries, lib.rs:158-176)."""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from quick_stream_spark.config import QuickStreamConfig
+from quick_stream_spark.operators.merge import KeyedTable
+from quick_stream_spark.operators.router import MultiTableRouter
+from quick_stream_spark.sources.readers import stream_parquet_dir, write_batches_as_files
+from quick_stream_spark.streaming.stream import (
+    DeleteQuickStream,
+    MultiTableUpsertQuickStream,
+    UpsertQuickStream,
+)
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _cfg(tmp_path, name):
+    return QuickStreamConfig(
+        name=name,
+        checkpoint_dir=str(tmp_path / f"ckpt-{name}"),
+        introduced_lag_in_millies=10,
+        introduced_lag_cycles=1,
+    )
+
+
+def test_streaming_upsert_endstate(spark, tmp_path):
+    """Replay three deliveries; end state must equal newest-per-key with
+    the newer_wins guard (batch-order independent, hence deterministic
+    regardless of file listing order)."""
+    batches = [
+        df(spark, [(1, datetime(2024, 1, 1), 1, "a"), (2, datetime(2024, 1, 1), 2, "b")]),
+        df(spark, [(1, datetime(2024, 1, 2), 3, "a2"), (3, datetime(2024, 1, 1), 4, "c")]),
+        df(spark, [(2, datetime(2023, 12, 1), 5, "stale"), (3, datetime(2024, 1, 3), 6, "c2")]),
+    ]
+    src_dir = str(tmp_path / "src")
+    write_batches_as_files(batches, src_dir)
+
+    target = KeyedTable(
+        spark,
+        str(tmp_path / "target"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    stream = stream_parquet_dir(spark, src_dir, batches[0].schema, max_files_per_trigger=1)
+    q = UpsertQuickStream(target, config=_cfg(tmp_path, "up"), newer_wins=True).run(
+        stream, available_now=True
+    )
+    assert not q.isActive
+    got = {r.pkey: r.payload for r in target.read().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c2"}
+
+
+def test_streaming_soft_delete(spark, tmp_path):
+    target = KeyedTable(
+        spark,
+        str(tmp_path / "target"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    target.upsert(df(spark, [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(4)]))
+
+    deletes = [df(spark, [(0, datetime(2024, 1, 2), 10, None), (2, datetime(2024, 1, 2), 11, None)])]
+    src_dir = str(tmp_path / "del-src")
+    write_batches_as_files(deletes, src_dir)
+    stream = stream_parquet_dir(spark, src_dir, deletes[0].schema)
+    DeleteQuickStream(target, config=_cfg(tmp_path, "del"), soft=True).run(
+        stream, available_now=True
+    )
+    got = {r.pkey: r.row_active for r in target.read().collect()}
+    assert got == {0: False, 1: True, 2: False, 3: True}
+
+
+def test_streaming_multi_table_upsert(spark, tmp_path):
+    schema = "pkey long, modified_date timestamp, arrival long, table string, comment string"
+    batches = [
+        spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1), 1, "t1", "a"),
+                (1, datetime(2024, 1, 1), 2, "t2", "b"),
+            ],
+            schema,
+        ),
+        spark.createDataFrame([(1, datetime(2024, 1, 2), 3, "t1", "a2")], schema),
+    ]
+    src_dir = str(tmp_path / "mt-src")
+    write_batches_as_files(batches, src_dir)
+    router = MultiTableRouter(
+        spark,
+        str(tmp_path / "mt"),
+        table_col="table",
+        tables=["t1", "t2"],
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    stream = stream_parquet_dir(spark, src_dir, batches[0].schema)
+    MultiTableUpsertQuickStream(router, config=_cfg(tmp_path, "mt"), newer_wins=True).run(
+        stream, available_now=True
+    )
+    got = {(r.table, r.pkey): r.comment for r in router.read_union().collect()}
+    assert got == {("t1", 1): "a2", ("t2", 1): "b"}
+
+
+def test_processing_time_trigger_and_graceful_stop(spark, tmp_path):
+    """Continuous-trigger mode: start, wait for progress, stop gracefully
+    (reference O17 shutdown: every run loop selects on cancellation)."""
+    batches = [df(spark, [(1, datetime(2024, 1, 1), 1, "a")])]
+    src_dir = str(tmp_path / "ct-src")
+    write_batches_as_files(batches, src_dir)
+    target = KeyedTable(
+        spark,
+        str(tmp_path / "ct-target"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    stream = stream_parquet_dir(spark, src_dir, batches[0].schema)
+    q = UpsertQuickStream(target, config=_cfg(tmp_path, "ct")).run(stream)
+    try:
+        # wait until the first micro-batch lands
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not target.exists():
+            time.sleep(0.2)
+        assert target.exists()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert not q.isActive
+    assert {r.pkey for r in target.read().collect()} == {1}
