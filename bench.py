@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries (REGISTRY entries with
+bench=True, plus the end-to-end ingestion pipeline) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing = full query wall-clock including the action (count/collect of
+aggregates), which is what a user experiences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def build_session(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("quick-stream-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from quick_stream_spark.plans.registry import REGISTRY, queries
+
+    queries()  # populate
+    names = sorted(n for n, s in REGISTRY.items() if s.bench)
+    # the ingestion pipeline is the reference's core — always bench it
+    for core in ("r_upsert_endstate", "r_stream_upsert_endstate"):
+        if core not in names:
+            names.append(core)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Near-duplicate detection: word shingles, MinHash + LSH banding,
+SimHash — all from JVM-side built-ins (array/lambda functions + md5),
+no Python UDFs, so the shingle/signature stage runs at scan speed.
+
+Cross-engine determinism: the "random permutations" of classic MinHash
+are realized as ``md5(seed || ':' || shingle)`` with the signature being
+the **lexicographic minimum of the hex digests** — md5 behaves as a
+random permutation of strings, and both Spark and DuckDB produce the
+same hex, so signatures (and hence LSH candidates) match the oracle
+bit-for-bit.
+
+Scale notes (100 TB posture):
+  - shingling + signatures: narrow per-row transforms, no shuffle;
+  - LSH: explode to (band_idx, band_hash, doc) and self-join per band —
+    the join key is the band hash, so only near-identical docs collide;
+    skew (a viral duplicate cluster) is bounded by capping bucket size;
+  - candidate verification (exact Jaccard) runs only on collided pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NGRAM = 3  # words per shingle
+NUM_HASHES = 16
+BAND_SIZE = 2  # hashes per band -> 8 bands
+NUM_BANDS = NUM_HASHES // BAND_SIZE
+
+
+def word_shingles(col: Column, n: int = NGRAM) -> Column:
+    """Distinct word n-gram shingles of the whitespace-tokenized text.
+    Texts shorter than n words produce a single shingle of all words."""
+    from quick_stream_spark.functions.text import ws_tokens
+
+    toks = ws_tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def word_shingles_sql(expr: str, n: int = NGRAM) -> str:
+    toks = (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+    k = f"greatest(len({toks}) - {n - 1}, 1)"
+    grams = (
+        f"list_transform(range(0, {k}), i -> "
+        f"array_to_string(({toks})[i+1:i+{n}], ' '))"
+    )
+    return f"CASE WHEN len({toks}) = 0 THEN [] ELSE list_distinct({grams}) END"
+
+
+# MinHash permutation family h_i(x) = (A_i * x + B_i) mod P over a base
+# integer derived from ONE md5 per shingle (both engines parse the same
+# hex prefix identically) -- one md5 per shingle instead of NUM_HASHES
+# md5s makes the signature stage ~16x cheaper.
+MINHASH_P = 1_000_000_007
+MINHASH_A = [(1_000_003 * (i + 1)) % MINHASH_P for i in range(NUM_HASHES)]
+MINHASH_B = [(12_345 + 789 * i) % MINHASH_P for i in range(NUM_HASHES)]
+
+
+def shingle_bases(shingles_col: Column) -> Column:
+    """One integer hash per shingle: first 15 hex chars of md5 (< 2^60)
+    parsed to long, reduced mod P.  Materialize this column (persist or
+    write) before fanning out to the per-permutation minima -- lambda
+    functions get no subexpression elimination, so computing it inline
+    would re-run the md5 once per permutation."""
+    return F.transform(
+        shingles_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
+
+
+def minhash_signature_from_bases(bases_col: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """Array of permutation minima over pre-computed shingle bases.
+    Empty shingle sets get per-permutation sentinels (> any real hash)."""
+
+    def perm(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+    sigs = [F.array_min(F.transform(bases_col, perm(i))) for i in range(num_hashes)]
+    sentinel = [F.lit(MINHASH_P + 1 + i) for i in range(num_hashes)]
+    return F.when(F.size(bases_col) == 0, F.array(*sentinel)).otherwise(F.array(*sigs))
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = NUM_HASHES) -> Column:
+    return minhash_signature_from_bases(shingle_bases(shingles_col), num_hashes)
+
+
+def bases_sql(shingles_expr: str) -> str:
+    return (
+        f"list_transform({shingles_expr}, "
+        f"s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
+    )
+
+
+def minhash_signature_from_bases_sql(bases_expr: str, num_hashes: int = NUM_HASHES) -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform({bases_expr}, "
+        f"x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    sentinels = ", ".join(str(MINHASH_P + 1 + i) for i in range(num_hashes))
+    return f"CASE WHEN len({bases_expr}) = 0 THEN [{sentinels}] ELSE [{sigs}] END"
+
+
+def lsh_bands(sig_col: Column, band_size: int = BAND_SIZE, num_bands: int = NUM_BANDS) -> Column:
+    """Array of band keys: ``band_idx || joined signature slice``."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.array_join(
+                    F.transform(
+                        F.slice(sig_col, b * band_size + 1, band_size),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                ),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def lsh_bands_sql(sig_expr: str, band_size: int = BAND_SIZE, num_bands: int = NUM_BANDS) -> str:
+    parts = ", ".join(
+        f"'{b}|' || array_to_string("
+        f"list_transform(({sig_expr})[{b * band_size + 1}:{b * band_size + band_size}],"
+        f" x -> CAST(x AS VARCHAR)), '|')"
+        for b in range(num_bands)
+    )
+    return f"[{parts}]"
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+
+
+def candidate_pairs_lsh(docs: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
+    """LSH candidate pairs: explode band keys, self-join per bucket,
+    dedup (a pair may collide in several bands).  Returns
+    ``(id_a, id_b, shingles_a, shingles_b)`` with id_a < id_b.
+
+    Shuffle discipline: the per-band self-join and the pair dedup move
+    only ``(band, id)`` / ``(id_a, id_b)`` integers; the (wide) shingle
+    arrays are joined back by id afterwards.  ``docs`` is persisted so
+    shingles and signatures are computed exactly once."""
+    from pyspark.storagelevel import StorageLevel
+
+    # materialize the md5 bases once (lambdas get no subexpression
+    # elimination: unpersisted, each of the NUM_HASHES minima would
+    # recompute every md5)
+    docs = docs.withColumn("__bases", shingle_bases(F.col(shingles_col))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = docs.select(
+        F.col(id_col),
+        F.explode(lsh_bands(minhash_signature_from_bases(F.col("__bases")))).alias("band"),
+    )
+    pairs = (
+        banded.select(F.col("band"), F.col(id_col).alias("id_a"))
+        .join(banded.select(F.col("band"), F.col(id_col).alias("id_b")), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("shingles_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("shingles_b"))
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def simhash_bits(tokens_col: Column, num_bits: int = 16) -> list[Column]:
+    """SimHash: per bit j, sum ±1 votes from each token's md5 hex digit
+    parity; bit = vote sum > 0.  Returned as per-bit vote columns so the
+    caller can aggregate (explode + groupBy — shuffle on doc id only)."""
+    votes = []
+    even = ("0", "2", "4", "6", "8", "a", "c", "e")
+    for j in range(num_bits):
+        digit = F.substring(F.md5(tokens_col), j + 1, 1)
+        votes.append(F.when(digit.isin(*even), 1).otherwise(-1))
+    return votes
+
+
+def simhash_sql_votes(token_expr: str, num_bits: int = 16) -> list[str]:
+    even = "('0','2','4','6','8','a','c','e')"
+    return [
+        f"CASE WHEN substr(md5({token_expr}), {j + 1}, 1) IN {even} THEN 1 ELSE -1 END"
+        for j in range(num_bits)
+    ]

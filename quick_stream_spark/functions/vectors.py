@@ -1,0 +1,101 @@
+"""Vector similarity over embedding columns (``array<float>``).
+
+Brute-force cosine is the verified baseline; hyperplane-LSH bucketing is
+the approximate scale path.  All math is JVM-side (``zip_with`` +
+``aggregate``): element-wise ops fold left-to-right, so the doubles are
+bit-identical to the DuckDB oracle's ``list_transform``/``list_sum``
+twins (same IEEE operation sequence).
+
+Scale notes (100 TB posture):
+  - brute-force top-k broadcasts the (small) query set against the
+    corpus: one scan, no shuffle except the final per-query top-k;
+  - the LSH variant buckets by hyperplane-sign signature so candidate
+    generation is a bucket-equi-join (same pattern as minhash LSH);
+    recall/latency tunes via number of planes;
+  - for real ANN at cluster scale, partition the corpus into IVF cells
+    (k-means centroids trained offline) and prune cells by centroid
+    distance — same top-k code per cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NUM_PLANES = 12  # hyperplanes for sign-LSH
+
+
+def to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> ({a})[i] * ({b})[i]))"
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def norm_sql(a: str, dim: int = 64) -> str:
+    return f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> ({a})[i] * ({a})[i])))"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs must already be double arrays."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    return f"{dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)})"
+
+
+def plane_weights(num_planes: int = NUM_PLANES, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes: weight[p][j] from the
+    parity of the first hex digit of md5('p<p>:<j>').  Computed once in
+    Python and embedded as literals on BOTH the Spark and SQL sides, so
+    signatures match the oracle bit-for-bit and cost nothing per row."""
+    import hashlib
+
+    even = set("02468ace")
+    return [
+        [
+            1.0 if hashlib.md5(f"p{p}:{j}".encode()).hexdigest()[0] in even else -1.0
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_signature(vec: Column, num_planes: int = NUM_PLANES, dim: int = 64) -> Column:
+    """Sign-LSH signature: bit per hyperplane = (Σ_j w[p,j]·v[j]) > 0,
+    rendered as a '0'/'1' string usable as a bucket join key."""
+    weights = plane_weights(num_planes, dim)
+    bits = []
+    for p in range(num_planes):
+        warr = F.array(*[F.lit(w) for w in weights[p]])
+        s = F.aggregate(
+            F.zip_with(vec, warr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_signature_sql(v: str, num_planes: int = NUM_PLANES, dim: int = 64) -> str:
+    """DuckDB twin of :func:`hyperplane_signature` from the same
+    literal weights (same left-to-right accumulation order)."""
+    weights = plane_weights(num_planes, dim)
+    bits = []
+    for p in range(num_planes):
+        warr = "[" + ", ".join(str(w) for w in weights[p]) + "]"
+        s = f"list_sum(list_transform(range(1, {dim + 1}), j -> ({v})[j] * ({warr})[j]))"
+        bits.append(f"CASE WHEN {s} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)

@@ -97,7 +97,15 @@ class KeyedTable:
         )
 
     def read(self, active_only: bool = False, with_bucket: bool = False) -> DataFrame:
-        df = self.spark.read.parquet(self.path)
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            # a table whose every row was hard-deleted has no data files
+            # left; fall back to the schema sidecar for an empty frame
+            schema = self._read_schema_sidecar()
+            if schema is None:
+                raise
+            df = self.spark.createDataFrame([], schema)
         if active_only:
             df = df.filter(F.col(self.soft_delete_col))
         if not with_bucket:
@@ -112,6 +120,33 @@ class KeyedTable:
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
         )
+        self._write_schema_sidecar(df.schema)
+
+    # underscore-prefixed => invisible to Spark's file listing
+    _SCHEMA_SIDECAR = "_qss_schema.json"
+
+    def _write_schema_sidecar(self, schema) -> None:
+        fs, _, jvm = _hadoop_fs(self.spark, self.path)
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._SCHEMA_SIDECAR))
+        out = fs.create(p, True)
+        out.write(bytearray(schema.json().encode("utf-8")))
+        out.close()
+
+    def _read_schema_sidecar(self):
+        from pyspark.sql.types import StructType
+
+        fs, _, jvm = _hadoop_fs(self.spark, self.path)
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._SCHEMA_SIDECAR))
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return StructType.fromJson(__import__("json").loads(data.decode("utf-8")))
 
     def _drop_bucket_dirs(self, bucket_ids: list[int]) -> None:
         """Remove partition directories that became empty (dynamic

@@ -1,0 +1,65 @@
+"""Cross-engine determinism helpers for the oracle-matched query corpus.
+
+Rules that make a Spark result hash-match the DuckDB oracle:
+
+1. **Money math in decimals.**  Floating-point SUM is order-dependent and
+   Spark's partial aggregation order differs from DuckDB's, so sums of
+   doubles can differ in final ulps.  Casting each operand to
+   ``DECIMAL(18,2)`` first makes every product/sum exact and associative
+   — identical in any engine and any partitioning.  The final value is
+   cast back to DOUBLE (exact: our magnitudes stay far below 2^53).
+2. **Averages** = exact decimal SUM cast to double, divided by COUNT —
+   a single IEEE division of identical operands, then ``round(.., 6)``.
+3. **Alias everything** — the driver sorts columns by name before
+   hashing (task brief), so both sides must agree on names.
+4. **Timestamps** — the session timezone is pinned to UTC so Spark's
+   timestamp rendering matches DuckDB's naive timestamps.
+5. **No nondeterministic tie-breaks** — every row_number/top-k order
+   ends with a unique key column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Pin the session settings the oracle comparison relies on."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def money(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Exact decimal sum, surfaced as double."""
+    return F.sum(money(col)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str) -> Column:
+    """Deterministic average: exact decimal sum / count, rounded."""
+    return F.round(F.sum(money(col)).cast("double") / F.count(F.lit(1)), 6).alias(alias)
+
+
+# SQL-side twins (DuckDB)
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS {alias}"
+
+
+def revenue_col(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """Exact decimal revenue: price * (1 - discount)."""
+    return money(price) * (F.lit(1).cast("decimal(18,2)") - money(disc))
+
+
+SQL_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)

@@ -1,0 +1,277 @@
+"""Reference-semantics queries (SURVEY.md §2.1 O1-O10, O15-O17).
+
+These replay the reference's end-state contract on the ``events`` table
+(FIXTURES.md fixture roles: ``user_id`` is the pkey, ``ts`` the
+``modified_date``, ``event_id`` the arrival order).  Each query drives
+the REAL operators — actual merges into a temp managed table, actual
+Structured Streaming replay — and the oracle states the end-state
+contract in plain SQL, so the comparison checks semantics, not plumbing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_stream_spark.config import QuickStreamConfig
+from quick_stream_spark.operators.dedup import latest_per_key
+from quick_stream_spark.operators.merge import KeyedTable
+from quick_stream_spark.operators.router import MultiTableRouter
+from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans.registry import register
+from quick_stream_spark.sources.readers import load_table, stream_parquet_dir, write_batches_as_files
+from quick_stream_spark.streaming.stream import UpsertQuickStream
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _table(spark: SparkSession, **kw) -> KeyedTable:
+    return KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/t",
+        keys=("user_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=8,
+        **kw,
+    )
+
+
+# --------------------------------------------------------------------------
+# O1/O2 — last-writer-wins dedup
+
+
+@register(
+    "r_dedup_latest_per_key",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "dedup"),
+)
+def r_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 (lib.rs:12-16): one row per key, newest ``ts`` wins, equal-ts
+    ties go to the earliest arrival."""
+    return latest_per_key(
+        _events(spark, sf_dir), keys=("user_id",), version_col="ts", arrival_col="event_id"
+    ).select(*EVENT_COLS)
+
+
+# --------------------------------------------------------------------------
+# O5 — upsert end state (two-batch replay, faithful ON CONFLICT DO UPDATE)
+
+
+@register(
+    "r_upsert_endstate",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY (event_id % 2) DESC, ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "merge"),
+)
+def r_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (upsert.rs:271-303): replay two batches (even event_ids, then
+    odd) through real merges.  Batch-wins semantics: the second batch's
+    record overwrites even when its ``ts`` is older — exactly the
+    reference's unconditional ``DO UPDATE`` (lib.rs:111)."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark)
+    target.upsert(ev.filter(F.col("event_id") % 2 == 0))
+    target.upsert(ev.filter(F.col("event_id") % 2 == 1))
+    return target.read().select(*EVENT_COLS, "row_active")
+
+
+@register(
+    "r_upsert_endstate_guarded",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "merge"),
+)
+def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 with the newer-wins idempotency guard: end state is the global
+    argmax per key, independent of batch order."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark)
+    target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+    target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+    return target.read().select(*EVENT_COLS, "row_active")
+
+
+# --------------------------------------------------------------------------
+# O6 — soft / hard delete end state
+
+
+@register(
+    "r_soft_delete_endstate",
+    oracle="""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_id, ts, user_id, event_type, value, props,
+           user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+             AS row_active
+    FROM latest
+    """,
+    tags=("reference", "delete"),
+)
+def r_soft_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (delete.rs:251-285, "data soft deleter"): upsert everything,
+    then soft-delete every key that ever produced an 'error' event.
+    Deleted keys keep their row with ``row_active = false``."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark)
+    target.upsert(ev, newer_wins=True)
+    target.soft_delete(ev.filter(F.col("event_type") == "error"))
+    return target.read().select(*EVENT_COLS, "row_active")
+
+
+@register(
+    "r_hard_delete_endstate",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+      AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+    tags=("reference", "delete"),
+)
+def r_hard_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-delete variant (WHEN MATCHED THEN DELETE): rows physically
+    removed."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark)
+    target.upsert(ev, newer_wins=True)
+    target.hard_delete(ev.filter(F.col("event_type") == "error"))
+    return target.read().select(*EVENT_COLS, "row_active")
+
+
+# --------------------------------------------------------------------------
+# O7-O10 — multi-table routing
+
+
+@register(
+    "r_multi_table_routing",
+    oracle="""
+    SELECT event_type AS dest_table, event_id, ts, user_id, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type, user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "routing"),
+)
+def r_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/O9 (multi_table_upsert.rs:138-198): records routed to one
+    destination table per ``event_type``, deduped per (table, key) —
+    the same key may live in several tables independently
+    (support.rs:8-59)."""
+    ev = _events(spark, sf_dir).withColumnRenamed("event_type", "dest_table")
+    types = sorted(r[0] for r in ev.select("dest_table").distinct().collect())
+    router = MultiTableRouter(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/multi",
+        table_col="dest_table",
+        tables=types,
+        keys=("user_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=4,
+    )
+    router.upsert_batch(ev, newer_wins=True)
+    return router.read_union().select("dest_table", "event_id", "ts", "user_id", "value")
+
+
+# --------------------------------------------------------------------------
+# O3 — size-class split (logical parity check)
+
+
+@register(
+    "r_split_size_classes",
+    oracle="""
+    SELECT CAST(COUNT(*) // 100 AS BIGINT) AS hundreds,
+           CAST((COUNT(*) % 100) // 10 AS BIGINT) AS tens,
+           CAST(COUNT(*) % 10 AS BIGINT) AS singles,
+           CAST(COUNT(*) // 100 + (COUNT(*) % 100) // 10
+                + CASE WHEN COUNT(*) % 10 > 0 THEN 1 ELSE 0 END AS BIGINT) AS chunks
+    FROM events
+    """,
+    tags=("reference",),
+)
+def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (lib.rs:24-58): the 100/10/1 size-class split is physically
+    unnecessary on Spark (set-oriented MERGE), so parity is declared
+    logically: the chunk arithmetic the reference would produce."""
+    n = F.count(F.lit(1))
+    return _events(spark, sf_dir).agg(
+        (n / 100).cast("long").alias("hundreds"),
+        ((n % 100) / 10).cast("long").alias("tens"),
+        (n % 10).cast("long").alias("singles"),
+        (
+            (n / 100).cast("long")
+            + ((n % 100) / 10).cast("long")
+            + F.when(n % 10 > 0, 1).otherwise(0)
+        ).alias("chunks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O4/O15/O17 — streaming replay end-to-end
+
+
+@register(
+    "r_stream_upsert_endstate",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "streaming"),
+)
+def r_stream_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+O5+O15+O17 end-to-end: events split into four delivery files,
+    replayed through a real Structured Streaming query (file source,
+    one file per micro-batch, availableNow) into the managed table.
+    The newer-wins guard makes the end state independent of micro-batch
+    order, so it is deterministic and SQL-expressible."""
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="qss-q-")
+    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    write_batches_as_files(batches, work + "/in")
+    target = _table(spark)
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema, max_files_per_trigger=1)
+    cfg = QuickStreamConfig(name="r-stream-upsert", checkpoint_dir=work + "/ckpt")
+    UpsertQuickStream(target, config=cfg, newer_wins=True).run(stream, available_now=True)
+    return target.read().select(*EVENT_COLS, "row_active")

@@ -1,0 +1,74 @@
+"""Query registry: the single source of truth behind
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each entry pairs a Spark DataFrame program with the DuckDB-runnable SQL
+stating the same contract.  Entries without SQL (genuinely
+non-SQL-expressible ops) get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    """Decorator: add a query to the corpus."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=" ".join(oracle.split()) if oracle else None,
+            tags=tuple(tags),
+            bench=bench,
+        )
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every plans module so decorators populate REGISTRY."""
+    import quick_stream_spark.plans.reference_ops  # noqa: F401
+    import quick_stream_spark.plans.relational  # noqa: F401
+    import quick_stream_spark.plans.similarity  # noqa: F401
+    import quick_stream_spark.plans.text  # noqa: F401
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.bench}

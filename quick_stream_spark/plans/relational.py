@@ -1,0 +1,610 @@
+"""Relational batch-query corpus (SURVEY.md §2.2).
+
+The reference has **no** relational operators — no projection/filter,
+joins, aggregations, windows, sorts, set ops or scalar functions
+(SURVEY.md §2.2 table).  Our engine provides them entirely through
+Spark built-ins, declared here so the DuckDB oracle verifies each
+category at sf0.01 and the bench times the headline ones at sf0.1.
+
+Determinism rules are in ``plans/_util.py`` (decimal money math,
+rounded averages, UTC timestamps, unique-key tie-breaks).
+
+Scale notes baked into the plans:
+  - filters and projections sit directly on the parquet scan so Catalyst
+    pushes them down (verified by tests/test_plans_explain.py);
+  - small dimensions (region, nation) are explicitly ``broadcast()``;
+    fact-to-fact joins stay shuffle joins for AQE to re-plan;
+  - top-k = window over a bounded partition or global
+    ``orderBy().limit()`` (TakeOrderedAndProject — no full sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_stream_spark.plans._util import (
+    SQL_REVENUE,
+    davg,
+    dsum,
+    money,
+    pin_session,
+    revenue_col,
+    sql_davg,
+    sql_dsum,
+)
+from quick_stream_spark.plans.registry import register
+from quick_stream_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation over a pushed-down filter scan (TPC-H Q1 shape)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "scan"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(revenue_col()).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join + agg + top-k (TPC-H Q3 shape)
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("2000-03-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Six-way join with broadcast dims (TPC-H Q5 shape)
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume: revenue from lineitems whose supplier sits
+    in the customer's own nation.  region/nation are broadcast — they
+    stay tiny at any scale factor."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Join varieties
+
+
+@register(
+    "join_semi_parts_shipped",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                  AND l_quantity >= 40)
+    """,
+    tags=("join",),
+)
+def join_semi_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@register(
+    "join_anti_idle_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(customers, 0) AS customers,
+           COALESCE(suppliers, 0) AS suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("join", "agg"),
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("customers", F.lit(0)).alias("customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
+
+
+@register(
+    "join_range_events_orders",
+    oracle="""
+    SELECT o_orderkey, COUNT(e.event_id) AS events_that_day
+    FROM orders o
+    LEFT JOIN events e
+      ON e.ts >= o_orderdate AND e.ts < o_orderdate + INTERVAL 1 DAY
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: events occurring within a day of the
+    order date.  At scale: bucket both sides by coarse time bucket and
+    join on bucket + range to avoid the cartesian blow-up."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01 00:00:00").cast("timestamp")
+    )
+    e = _t(spark, sf_dir, "events")
+    cond = (e.ts >= o.o_orderdate) & (e.ts < F.date_add(o.o_orderdate, 1).cast("timestamp"))
+    return (
+        o.join(e, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.col("event_id")).alias("events_that_day"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping extensions
+
+
+@register(
+    "agg_rollup_returns",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared through the SQL front end (spark.sql) to exercise it."""
+    pin_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("distinct_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct_users",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++).  No oracle: sketch values
+    are engine-specific by construction; the exact twin above is the
+    verified one."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+
+
+@register(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "window_lag_event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+    FROM (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ) WHERE prev_ts IS NOT NULL
+    """,
+    tags=("window",),
+)
+def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_seconds"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops
+
+
+@register(
+    "sort_top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    a per-partition heap + driver merge, not a full sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_union_trading_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union_trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_customer_only_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (set semantics, like the SQL twin)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (string / date / math / json / null handling)
+
+
+@register(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           p_brand || '/' || p_type AS brand_type,
+           round(p_retailprice * 1.1, 2) AS price_bumped,
+           CAST(p_size % 5 AS INT) AS size_mod,
+           abs(p_size - 25) AS size_dist,
+           CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_bumped"),
+        (F.col("p_size") % 5).cast("int").alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+    )
+
+
+@register(
+    "scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(dayofweek(o_orderdate) AS INT) AS order_dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+             AS days_to_2002
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+@register(
+    "scalar_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS prop_k_mod
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("prop_k"), (k % 10).alias("prop_k_mod"))
+
+
+@register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
+           (value IS NULL) AS value_missing,
+           COALESCE(value, 0.0) AS value_filled
+    FROM events
+    """,
+    tags=("scalar", "null"),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("n/a")).alias("type_or_na"),
+        F.isnull("value").alias("value_missing"),
+        F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+    )

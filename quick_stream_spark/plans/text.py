@@ -1,0 +1,346 @@
+"""Text-analysis and deduplication queries over ``documents`` —
+the LLM-training-data pipeline operators (BASELINE.json north star).
+
+Near-dup queries build a **duplicate corpus**: the documents unioned
+with a deterministically perturbed copy (every 7th word dropped,
+ids offset by 1,000,000).  Measured on the driver data this yields
+true-pair Jaccard 0.40-0.60 versus ~0 for random pairs, so a 0.35
+threshold separates cleanly; both engines construct the corpus
+identically so the oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_stream_spark.functions import minhash as mh
+from quick_stream_spark.functions import text as tx
+from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans.registry import register
+from quick_stream_spark.sources.readers import load_table
+
+PERTURB_OFFSET = 1_000_000
+JACCARD_THRESHOLD = 0.35
+MAX_SHINGLE_DF = 100  # stop-shingle cap for the exact all-pairs join
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- analysis
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.token_count_ws_sql('text')} AS n_tokens_ws,
+           {tx.token_count_bpe_sql('text')} AS n_tokens_bpe
+    FROM documents
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        tx.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.punct_ratio_sql('text')} AS punct_ratio,
+           {tx.stopword_ratio_sql('text')} AS stopword_ratio,
+           {tx.quality_score_sql('text')} AS quality_score
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.punct_ratio(F.col("text")).alias("punct_ratio"),
+        tx.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        tx.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {tx.lang_id_sql('text')} AS lang_pred,
+           lang = {tx.lang_id_sql('text')} AS lang_match
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pred = tx.lang_id(F.col("text"))
+    return d.select(
+        "doc_id", "lang", pred.alias("lang_pred"), (F.col("lang") == pred).alias("lang_match")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id, {tx.fingerprint_sql('text')} AS fingerprint FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ------------------------------------------------------------- dup corpus
+
+# every 7th word dropped (0-indexed), rejoined with single spaces
+_PERTURB_SQL_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+_PERTURBED_TEXT_SQL = (
+    f"array_to_string(list_filter(list_transform(range(0, len({_PERTURB_SQL_TOKS})), "
+    f"i -> CASE WHEN i % 7 <> 0 THEN ({_PERTURB_SQL_TOKS})[i+1] END), "
+    f"x -> x IS NOT NULL), ' ')"
+)
+DUP_CORPUS_SQL = f"""
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PERTURB_OFFSET} AS id, {_PERTURBED_TEXT_SQL} AS text FROM documents
+"""
+
+
+def _perturbed_text(col) -> F.Column:
+    toks = tx.ws_tokens(col)
+    kept = F.filter(toks, lambda t, i: i % 7 != 0)
+    return F.array_join(kept, " ")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    orig = d.select(F.col("doc_id").alias("id"), "text")
+    pert = d.select(
+        (F.col("doc_id") + PERTURB_OFFSET).alias("id"),
+        _perturbed_text(F.col("text")).alias("text"),
+    )
+    # the shingle/signature stages are CPU-bound: spread them over every
+    # core even when the source is a single small file (at real scale
+    # the file count provides this for free)
+    return orig.unionByName(pert).repartition(spark.sparkContext.defaultParallelism * 2)
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PERTURB_OFFSET} AS id, text FROM documents
+    )
+    SELECT md5({tx.normalize_text_sql('text')}) AS fingerprint,
+           min(id) AS canonical_id, count(*) AS n_copies
+    FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """,
+    tags=("text", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint
+    over a corpus where every doc appears twice (identical copy with
+    offset id).  One shuffle on the fingerprint; at 100 TB this is the
+    cheapest dedup pass and runs first in the pipeline."""
+    d = _docs(spark, sf_dir)
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select((F.col("doc_id") + PERTURB_OFFSET).alias("id"), "text")
+    )
+    return (
+        corpus.select(tx.fingerprint(F.col("text")).alias("fingerprint"), "id")
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _jaccard_sql(a: str, b: str) -> str:
+    return (
+        f"round(len(list_intersect({a}, {b})) * 1.0 / "
+        f"greatest(len(list_distinct(list_concat({a}, {b}))), 1), 6)"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    sh AS (SELECT id, {mh.word_shingles_sql('text')} AS sh FROM corpus),
+    based AS (SELECT id, sh, {mh.bases_sql('sh')} AS bases FROM sh),
+    sig AS (SELECT id, sh, {mh.minhash_signature_from_bases_sql('bases')} AS sig FROM based),
+    banded AS (SELECT id, sh, unnest({mh.lsh_bands_sql('sig')}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b USING (band)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, {_jaccard_sql('sh_a', 'sh_b')} AS jaccard
+    FROM cand
+    WHERE {_jaccard_sql('sh_a', 'sh_b')} >= {JACCARD_THRESHOLD}
+    """,
+    tags=("text", "dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle -> 16 md5-minima -> 8 bands of 2 ->
+    bucket self-join -> exact-Jaccard verify on candidates only.
+    Candidate recall at the observed true-pair Jaccard (~0.47) is ~0.86;
+    the verify step removes false positives, so precision is exact."""
+    corpus = _dup_corpus(spark, sf_dir).select(
+        "id", mh.word_shingles(F.col("text")).alias("sh")
+    )
+    cand = mh.candidate_pairs_lsh(corpus, "id", "sh")
+    j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
+    return (
+        cand.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    sh AS (SELECT id, {mh.word_shingles_sql('text')} AS sh FROM corpus),
+    sizes AS (SELECT id, len(sh) AS n FROM sh),
+    ex AS (SELECT id, unnest(sh) AS s FROM sh),
+    rare AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    exf AS (SELECT ex.id, ex.s FROM ex JOIN rare USING (s)),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM exf a JOIN exf b USING (s)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / greatest(na.n + nb.n - inter, 1), 6) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.id = id_a
+    JOIN sizes nb ON nb.id = id_b
+    WHERE round(inter * 1.0 / greatest(na.n + nb.n - inter, 1), 6) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("text", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard dedup (full recall, unlike LSH): explode
+    distinct shingles, drop stop-shingles (document frequency above
+    {MAX_SHINGLE_DF} — the skew guard that keeps the self-join from
+    exploding on boilerplate at scale), equi-join on shingle, count
+    intersections, Jaccard from inclusion-exclusion."""
+    corpus = _dup_corpus(spark, sf_dir).select(
+        "id", mh.word_shingles(F.col("text")).alias("sh")
+    )
+    sizes = corpus.select("id", F.size("sh").alias("n"))
+    ex = corpus.select("id", F.explode("sh").alias("s"))
+    rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    exf = ex.join(rare.select("s"), "s")
+    shared = (
+        exf.alias("a")
+        .join(exf.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("inter") / F.greatest(F.col("na") + F.col("nb") - F.col("inter"), F.lit(1)), 6
+    )
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # set below — generated SQL needs the vote expressions
+    tags=("text", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per-token md5-parity votes summed
+    per document; 16-bit signature.  Explode+groupBy keeps the vote
+    aggregation distributed (shuffle on doc id only)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tx.ws_tokens(F.col("text"))).alias("tok"))
+    votes = mh.simhash_bits(F.col("tok"))
+    agg = toks.groupBy("doc_id").agg(
+        *[F.sum(v).alias(f"v{j}") for j, v in enumerate(votes)]
+    )
+    bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(16)]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    votes = mh.simhash_sql_votes("tok")
+    sums = ", ".join(f"sum({v}) AS v{j}" for j, v in enumerate(votes))
+    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
+    toks = "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+    v AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash FROM v
+    """
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_simhash"].oracle = " ".join(_simhash_oracle().split())
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           md5(text) AS content_md5,
+           substring(text, 1, 16) AS head
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque payload column — the pattern for
+    multimodal (image/audio) binary columns: cheap metadata extraction
+    stays JVM-side; heavy decode goes through mapInPandas
+    (functions.multimodal)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.substring("text", 1, 16).alias("head"),
+    )

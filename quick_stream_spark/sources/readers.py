@@ -13,6 +13,7 @@ import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,6 +34,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table.  ``events.ts`` is parquet TIMESTAMP(NANOS),
+    which Spark rejects by default; we read it as long nanos and
+    truncate to microseconds (integer division — the values exceed
+    2^53, so float math would corrupt them), matching DuckDB's own
+    ns->us truncation."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

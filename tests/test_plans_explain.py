@@ -1,0 +1,68 @@
+"""Plan-quality gates (100 TB posture): pushdown reaches the scan,
+dims are broadcast, no Python UDFs in JVM-expressible paths, top-k
+compiles to TakeOrderedAndProject."""
+
+from quick_stream_spark.plans.registry import REGISTRY, queries
+from tests.conftest import SF_SMOKE
+
+queries()  # populate
+
+
+def _formatted(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = _formatted(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side combine before the shuffle (partial aggregation)
+    assert "partial_sum" in plan
+    assert "BatchScan" in plan or "Scan parquet" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _formatted(spark, "q1_pricing_summary")
+    # ReadSchema must not include unused columns like l_comment/l_partkey
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read, "no ReadSchema in plan"
+    assert "l_partkey" not in read[0]
+    assert "l_orderkey" not in read[0]
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _formatted(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _formatted(spark, "sort_top10_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udf_in_jvm_paths(spark):
+    """Text/similarity/relational queries must stay JVM-side (built-ins
+    only) — BatchEvalPython/ArrowEvalPython in a plan means a row-level
+    Python UDF crept into a hot path."""
+    for name, spec in REGISTRY.items():
+        plan = _formatted(spark, name)
+        assert "EvalPython" not in plan, f"{name} contains a Python UDF stage"
+
+
+def test_dedup_single_shuffle_with_partial_limit(spark):
+    """The LWW dedup must shuffle exactly once (on the key), and Spark 4
+    should pre-reduce map-side via partial WindowGroupLimit (top-1 per
+    key before the exchange) — the shuffle carries at most one row per
+    (key, input partition)."""
+    import re
+
+    plan = _formatted(spark, "r_dedup_latest_per_key")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert "WindowGroupLimit" in plan
