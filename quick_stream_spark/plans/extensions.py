@@ -1,0 +1,206 @@
+"""Extension operators beyond the reference surface: as-of join,
+alternate dedup strategy, CSV/JSON source connectors, percentiles,
+array algebra.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_stream_spark.operators.dedup import latest_per_key_agg
+from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans.registry import register
+from quick_stream_spark.sources.readers import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register(
+    "join_asof_last_event_before_order",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT o_orderkey, ev.event_id AS asof_event_id, ev.ts AS asof_ts
+    FROM orders ASOF LEFT JOIN ev
+      ON orders.o_custkey = ev.user_id AND ev.ts <= orders.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event of that user at or
+    before the order date.  Implemented with the distributed union+window
+    pattern (tag both sides, sort by time within the key, carry the last
+    event forward) — one shuffle on the key, no range-join blow-up, the
+    standard 100 TB-safe as-of strategy.  Events are pre-deduped per
+    (user, ts) so ties are well-defined on both engines."""
+    pin_session(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    e_side = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+    )
+    o_side = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    u = e_side.unionByName(o_side)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t").asc(), F.col("is_order").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = u.select(
+        "is_order",
+        "o_orderkey",
+        F.last("event_id", ignorenulls=True).over(w).alias("asof_event_id"),
+        F.last(F.when(F.col("is_order") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    return enriched.filter(F.col("is_order") == 1).select(
+        "o_orderkey", "asof_event_id", "asof_ts"
+    )
+
+
+@register(
+    "r_dedup_latest_per_key_agg",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "dedup"),
+)
+def r_dedup_latest_per_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation-based LWW dedup (max_by over a struct): identical
+    result to the window variant, but with map-side partial aggregation
+    — the shuffle-light choice when keys repeat within partitions."""
+    pin_session(spark)
+    out = latest_per_key_agg(
+        load_table(spark, sf_dir, "events"),
+        keys=("user_id",),
+        version_col="ts",
+        arrival_col="event_id",
+    )
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+_CONNECTOR_ORACLE = """
+    SELECT event_type, COUNT(*) AS n, max(ts) AS max_ts,
+           CAST(min(event_id) AS BIGINT) AS min_event_id
+    FROM events GROUP BY event_type
+"""
+
+
+def _connector_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts").alias("max_ts"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
+@register("source_csv_roundtrip", oracle=_CONNECTOR_ORACLE, tags=("source", "csv"))
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector: write the events table as CSV (explicit µs
+    timestamp format), read it back with an explicit schema, aggregate.
+    Matching the parquet-based oracle proves lossless round-tripping."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="qss-csv-")
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", TS_FMT)
+        .csv(work)
+    )
+    back = (
+        spark.read.schema(ev.schema)
+        .option("header", "true")
+        .option("timestampFormat", TS_FMT)
+        .csv(work)
+    )
+    return _connector_agg(back)
+
+
+@register("source_json_roundtrip", oracle=_CONNECTOR_ORACLE, tags=("source", "json"))
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round-trip, same contract as the CSV one."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="qss-json-")
+    ev.write.mode("overwrite").option("timestampFormat", TS_FMT).json(work)
+    back = (
+        spark.read.schema(ev.schema).option("timestampFormat", TS_FMT).json(work)
+    )
+    return _connector_agg(back)
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (both engines use the same
+    definition).  The approximate sketch twin at scale is
+    ``approx_percentile`` — engine-specific, hence not oracle-checked."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@register(
+    "scalar_arrays",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS reversed_name
+    FROM part
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        words.getItem(0).alias("first_word"),
+        F.array_join(F.array_sort(words), "-").alias("sorted_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.array_join(F.reverse(words), " ").alias("reversed_name"),
+    )

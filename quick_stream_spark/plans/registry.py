@@ -53,9 +53,11 @@ def register(
 
 def _load_all() -> None:
     """Import every plans module so decorators populate REGISTRY."""
+    import quick_stream_spark.plans.extensions  # noqa: F401
     import quick_stream_spark.plans.reference_ops  # noqa: F401
     import quick_stream_spark.plans.relational  # noqa: F401
     import quick_stream_spark.plans.similarity  # noqa: F401
+    import quick_stream_spark.plans.streaming_ext  # noqa: F401
     import quick_stream_spark.plans.text  # noqa: F401
 
 

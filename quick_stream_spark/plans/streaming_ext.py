@@ -1,0 +1,150 @@
+"""Streaming-semantics queries (SURVEY.md §2.2 streaming row): event-time
+tumbling windows, session windows, watermarked late-data handling — each
+executed through a REAL Structured Streaming query (file source,
+availableNow) whose emitted result is compared to a batch-SQL oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_stream_spark.plans._util import dsum, pin_session, sql_dsum
+from quick_stream_spark.plans.registry import register
+from quick_stream_spark.sources.readers import load_table, stream_parquet_dir, write_batches_as_files
+
+SESSION_GAP = "30 minutes"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
+    """Events replayed as a file-source stream (n_files micro-batch
+    files, split by event_id parity so content is deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="qss-stream-")
+    batches = [ev.filter(F.col("event_id") % n_files == i) for i in range(n_files)]
+    write_batches_as_files(batches, work + "/in")
+    return stream_parquet_dir(spark, work + "/in", ev.schema), work
+
+
+def _run_to_memory(spark: SparkSession, streaming_df, name: str, work: str, mode: str) -> DataFrame:
+    q = (
+        streaming_df.writeStream.queryName(name)
+        .format("memory")
+        .outputMode(mode)
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_window_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows with a watermark, computed by an
+    actual streaming query (complete mode so every window is emitted
+    on the availableNow drain).  Spark's window() aligns to the epoch,
+    exactly like DuckDB's time_bucket."""
+    pin_session(spark)
+    stream, work = _events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+    out = _run_to_memory(spark, windowed, f"win_counts_{abs(hash(work)) % 10**8}", work, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '{SESSION_GAP}'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           {sql_dsum("value", "sum_value")}
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap {SESSION_GAP}) per user through a real
+    streaming query.  The oracle rebuilds sessions with the classic
+    gap-and-cumsum window SQL — session semantics are order-independent,
+    so the streaming result is deterministic."""
+    pin_session(spark)
+    stream, work = _events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+    out = _run_to_memory(spark, sessions, f"sessions_{abs(hash(work)) % 10**8}", work, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_late_data_watermark",
+    oracle=None,  # behavioral: late-row dropping depends on batch order
+    tags=("streaming", "watermark"),
+)
+def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics demo (rows-only check): batch 1 carries the
+    newest half of events, batch 2 replays the *oldest* quarter.  The
+    watermark governs append-mode emission and state eviction: after the
+    drain, every emitted window closed at or below the final watermark,
+    and the incomplete tail windows are withheld.  Note (measured on
+    this Spark build): late rows below the watermark are NOT input-
+    filtered (numRowsDroppedByWatermark = 0) — they re-emit as late
+    windows.  The engine's late-data answer is therefore the MERGE
+    idempotency guard (newer-wins upsert), not the watermark filter:
+    redelivered windows merge idempotently downstream."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cutoffs = ev.select(
+        F.expr("percentile(cast(ts as double), 0.5)").alias("mid"),
+        F.expr("percentile(cast(ts as double), 0.25)").alias("q1"),
+    ).collect()[0]
+    work = tempfile.mkdtemp(prefix="qss-late-")
+    new_half = ev.filter(F.col("ts").cast("double") >= cutoffs.mid)
+    old_quarter = ev.filter(F.col("ts").cast("double") <= cutoffs.q1)
+    write_batches_as_files([new_half, old_quarter], work + "/in")
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(spark, windowed, f"late_{abs(hash(work)) % 10**8}", work, "append")
+    return out.select(F.col("window.start").alias("window_start"), "n")

