@@ -56,6 +56,7 @@ def _load_all() -> None:
     import quick_stream_spark.plans.extensions  # noqa: F401
     import quick_stream_spark.plans.reference_ops  # noqa: F401
     import quick_stream_spark.plans.relational  # noqa: F401
+    import quick_stream_spark.plans.scale_ops  # noqa: F401
     import quick_stream_spark.plans.similarity  # noqa: F401
     import quick_stream_spark.plans.streaming_ext  # noqa: F401
     import quick_stream_spark.plans.text  # noqa: F401

@@ -55,6 +55,26 @@ def test_no_python_udf_in_jvm_paths(spark):
         assert "EvalPython" not in plan, f"{name} contains a Python UDF stage"
 
 
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """Catalog-bucketed fact-fact join must plan without an Exchange on
+    the join inputs (co-located buckets): the ONLY Exchange in the whole
+    plan is the post-join aggregation shuffle.  Broadcast is disabled so
+    the tiny test tables exercise the sort-merge path a 100 TB join
+    would take."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted(spark, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+
+
 def test_dedup_single_shuffle_with_partial_limit(spark):
     """The LWW dedup must shuffle exactly once (on the key), and Spark 4
     should pre-reduce map-side via partial WindowGroupLimit (top-1 per
