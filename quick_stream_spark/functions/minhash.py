@@ -57,6 +57,76 @@ def word_shingles_sql(expr: str, n: int = NGRAM) -> str:
     return f"CASE WHEN len({toks}) = 0 THEN [] ELSE list_distinct({grams}) END"
 
 
+# ---------------------------------------------------------------------
+# Hashed shingles: the fast path.  Hash each TOKEN once (md5 -> int),
+# then combine each rolling n-window arithmetically into an integer
+# shingle — no gram strings are ever built and md5 runs once per token,
+# not once per (gram, permutation).  Jaccard then runs on int arrays.
+# Collision space is ~1e9; at ~1e6 distinct shingles the expected
+# collision contribution to a Jaccard score is < 1e-3 — far below the
+# decision threshold.
+GRAM_B = 1_000_033
+
+
+def token_hash_array(col: Column) -> Column:
+    """Whitespace tokens -> md5-derived ints in [0, P)."""
+    from quick_stream_spark.functions.text import ws_tokens
+
+    return F.transform(
+        ws_tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % 1_000_000_007,
+    )
+
+
+def hashed_shingles(token_hashes: Column, n: int = NGRAM) -> Column:
+    """Distinct integer n-gram shingles via a modular polynomial over
+    the token hashes (n=3 unrolled; missing tail tokens count as 0, so
+    texts shorter than n words still produce one shingle, matching
+    :func:`word_shingles` semantics)."""
+    if n != 3:
+        raise ValueError("hashed_shingles is unrolled for NGRAM=3")
+    P = 1_000_000_007
+    th = token_hashes
+    k = F.greatest(F.size(th) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: (
+            (
+                (F.get(th, i) * GRAM_B + F.coalesce(F.get(th, i + 1), F.lit(0))) % P
+            )
+            * GRAM_B
+            + F.coalesce(F.get(th, i + 2), F.lit(0))
+        )
+        % P,
+    )
+    return F.when(F.size(th) == 0, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def hashed_shingles_sql(expr: str, n: int = NGRAM) -> str:
+    """DuckDB twin of token_hash_array + hashed_shingles over a text
+    expression (1-based list indexing; out-of-range -> NULL -> 0)."""
+    if n != 3:
+        raise ValueError("hashed_shingles_sql is unrolled for NGRAM=3")
+    P = 1_000_000_007
+    toks = (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+    th = (
+        f"list_transform({toks}, "
+        f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {P})"
+    )
+    k = f"greatest(len({th}) - {n - 1}, 1)"
+    grams = (
+        f"list_transform(range(0, {k}), i -> "
+        f"((({th})[i+1] * {GRAM_B} + coalesce(({th})[i+2], 0)) % {P}"
+        f" * {GRAM_B} + coalesce(({th})[i+3], 0)) % {P})"
+    )
+    return f"CASE WHEN len({th}) = 0 THEN [] ELSE list_distinct({grams}) END"
+
+
 # MinHash permutation family h_i(x) = (A_i * x + B_i) mod P over a base
 # integer derived from ONE md5 per shingle (both engines parse the same
 # hex prefix identically) -- one md5 per shingle instead of NUM_HASHES
@@ -113,21 +183,25 @@ def minhash_signature_from_bases_sql(bases_expr: str, num_hashes: int = NUM_HASH
 
 
 def lsh_bands(sig_col: Column, band_size: int = BAND_SIZE, num_bands: int = NUM_BANDS) -> Column:
-    """Array of band keys: ``band_idx || joined signature slice``."""
-    return F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}|"),
-                F.array_join(
-                    F.transform(
-                        F.slice(sig_col, b * band_size + 1, band_size),
-                        lambda x: x.cast("string"),
-                    ),
-                    "|",
+    """Array of band keys: ``band_idx || joined signature slice``.
+
+    Built as ONE ``transform`` over the band indices so ``sig_col``
+    appears once in the expression tree — an unrolled per-band array
+    would inline the whole signature expression ``num_bands`` times and
+    blow up one-time plan compilation (measured: ~12s -> ~1s)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit("|"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig_col, b * band_size + 1, band_size),
+                    lambda x: x.cast("string"),
                 ),
-            )
-            for b in range(num_bands)
-        ]
+                "|",
+            ),
+        ),
     )
 
 
@@ -148,7 +222,9 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
 
 
-def candidate_pairs_lsh(docs: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
+def candidate_pairs_lsh(
+    docs: DataFrame, id_col: str, shingles_col: str, prehashed: bool = False
+) -> DataFrame:
     """LSH candidate pairs: explode band keys, self-join per bucket,
     dedup (a pair may collide in several bands).  Returns
     ``(id_a, id_b, shingles_a, shingles_b)`` with id_a < id_b.
@@ -161,14 +237,13 @@ def candidate_pairs_lsh(docs: DataFrame, id_col: str, shingles_col: str) -> Data
 
     # materialize the md5 bases once (lambdas get no subexpression
     # elimination: unpersisted, each of the NUM_HASHES minima would
-    # recompute every md5)
-    docs = docs.withColumn("__bases", shingle_bases(F.col(shingles_col))).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # recompute every md5); prehashed shingles ARE the bases
+    bases = F.col(shingles_col) if prehashed else shingle_bases(F.col(shingles_col))
+    docs = docs.withColumn("__bases", bases).persist(StorageLevel.MEMORY_AND_DISK)
     banded = docs.select(
         F.col(id_col),
         F.explode(lsh_bands(minhash_signature_from_bases(F.col("__bases")))).alias("band"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         banded.select(F.col("band"), F.col(id_col).alias("id_a"))
         .join(banded.select(F.col("band"), F.col(id_col).alias("id_b")), "band")

@@ -590,6 +590,29 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '[A-Z]+') AS first_upper_run,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_brand, 'Brand#1[0-9]') AS is_brand_1x,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_lower_runs
+    FROM part
+    """,
+    tags=("scalar", "regex"),
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "[A-Z]+", 0).alias("first_upper_run"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_brand").rlike("Brand#1[0-9]").alias("is_brand_1x"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))).alias("n_lower_runs"),
+    )
+
+
+@register(
     "scalar_null_handling",
     oracle="""
     SELECT event_id,

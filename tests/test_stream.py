@@ -117,6 +117,41 @@ def test_streaming_multi_table_upsert(spark, tmp_path):
     assert got == {("t1", 1): "a2", ("t2", 1): "b"}
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once resume: drain batch 1 with availableNow, then add
+    batch 2 and restart with the SAME checkpoint.  In batch-wins mode a
+    re-processing of batch 1 after batch 2 would corrupt the end state
+    (older record would win again), so the final state proves the resume
+    processed only the new file."""
+    src_dir = str(tmp_path / "src")
+    cfg = QuickStreamConfig(name="resume", checkpoint_dir=str(tmp_path / "ckpt"))
+    target = KeyedTable(
+        spark,
+        str(tmp_path / "target"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    b1 = df(spark, [(1, datetime(2024, 1, 5), 1, "from-b1")])
+    write_batches_as_files([b1], src_dir)
+    stream = stream_parquet_dir(spark, src_dir, b1.schema)
+    UpsertQuickStream(target, config=cfg).run(stream, available_now=True)
+    assert {r.payload for r in target.read().collect()} == {"from-b1"}
+
+    # add a second delivery with an OLDER timestamp for the same key
+    b2 = df(spark, [(1, datetime(2024, 1, 1), 2, "from-b2-older")])
+    import os
+
+    os.makedirs(src_dir + "/batch-00001", exist_ok=True)
+    b2.coalesce(1).write.mode("overwrite").parquet(src_dir + "/batch-00001")
+    stream2 = stream_parquet_dir(spark, src_dir, b1.schema)
+    UpsertQuickStream(target, config=cfg).run(stream2, available_now=True)
+    # batch-wins: b2 (newer batch) wins despite older modified_date.
+    # If b1 had been re-processed after b2, payload would be "from-b1".
+    assert {r.payload for r in target.read().collect()} == {"from-b2-older"}
+
+
 def test_watermark_governs_emission(spark):
     """stream_late_data_watermark replays the oldest quarter of events
     AFTER the newest half.  Guarantees to hold: (a) append-mode output
