@@ -156,6 +156,67 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pandas_zscore_per_user",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS ss
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, n,
+             CAST(s AS DOUBLE) / (100.0 * n) AS mean,
+             (CAST(ss AS DOUBLE) / 10000.0
+              - n * (CAST(s AS DOUBLE) / (100.0 * n)) * (CAST(s AS DOUBLE) / (100.0 * n)))
+               / (n - 1) AS var
+      FROM stats WHERE n > 1
+    )
+    SELECT e.event_id, e.user_id,
+           round((e.value - m.mean) / sqrt(m.var), 6) AS zscore
+    FROM events e JOIN m ON e.user_id = m.user_id
+    WHERE m.var > 0
+    """,
+    tags=("pandas", "grouped-map"),
+)
+def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-user z-score of event
+    values.  The Arrow-batched grouped-map path is the supported seam
+    for per-group logic Spark built-ins can't express; here the math is
+    deliberately built from exact scaled-integer sums so the Python
+    result is bit-identical to the SQL oracle (naive float means would
+    differ in final ulps between engines/summation orders)."""
+    import pandas as pd
+
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame(columns=["event_id", "user_id", "zscore"])
+        scaled = [int(math.floor(v * 100 + 0.5)) for v in pdf["value"]]
+        s = sum(scaled)
+        ss = sum(x * x for x in scaled)
+        mean = float(s) / (100.0 * n)
+        var = (float(ss) / 10000.0 - n * mean * mean) / (n - 1)
+        if not var > 0:
+            return pd.DataFrame(columns=["event_id", "user_id", "zscore"])
+        z = [round((v - mean) / math.sqrt(var), 6) for v in pdf["value"]]
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, zscore double"
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
     SELECT o_orderpriority,

@@ -119,6 +119,146 @@ def _sig_sql(v: str) -> str:
     return vec.hyperplane_signature_sql(v, vec.NUM_PLANES, DIM)
 
 
+# ------------------------------------------------------------------- IVF
+
+N_PROBE = 2  # cells probed per query
+
+# exact order-independent centroids, shared by the IVF Spark query and
+# its SQL oracle (same scaled-integer construction as
+# emb_centroid_by_label, pivoted to one row per cell)
+_CENTROIDS_CTE = f"""
+    cent_rows AS (
+      SELECT label AS cell, pos,
+             round(CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1000000, 6) AS cv
+      FROM (
+        SELECT label, unnest(range(0, {DIM})) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings
+      ) GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT cell, list(cv ORDER BY pos) AS c FROM cent_rows GROUP BY cell
+    )
+"""
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"j -> (({a})[j] - ({b})[j]) * (({a})[j] - ({b})[j])))"
+    )
+
+
+def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Collect the (bounded: one per label) exact centroids to the
+    driver — a model artifact, not data; at scale this is the k-means
+    codebook trained offline."""
+    rows = emb_centroid_by_label(spark, sf_dir).collect()
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r.label, {})[r.pos] = r.centroid
+    return [
+        (cell, [by_cell[cell][p] for p in range(DIM)]) for cell in sorted(by_cell)
+    ]
+
+
+@register(
+    "emb_ivf_ann_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    {_CENTROIDS_CTE},
+    dists AS (
+      SELECT e.vec_id, e.v, cents.cell, {_sqdist_sql('e.v', 'cents.c')} AS d
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM dists
+      ) WHERE rn <= {N_PROBE} AND vec_id < {NUM_QUERIES}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {vec.cosine_sql('q.v', 'c.v', DIM)} AS cos_sim
+      FROM probes q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM (SELECT DISTINCT query_id, neighbor_id, cos_sim FROM scored) s
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ivf", "approx"),
+)
+def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors are inverted-file-indexed by their nearest
+    coarse centroid (the label centroids as the codebook); each query
+    probes its {N_PROBE} nearest cells and runs exact cosine top-k only
+    inside them.  At 100 TB: partition the corpus BY cell so a probe
+    reads only its cells' partitions; the codebook is a broadcast-sized
+    model artifact.  Distances to all cells are one `transform` over a
+    literal centroid array (one small expression tree, no per-cell
+    expansion)."""
+    e = _emb(spark, sf_dir)
+    cents = _centroid_literals(spark, sf_dir)
+    cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
+    cell_ids = [cell for cell, _ in cents]
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dist_arr = F.transform(cells_lit, sqdist)
+    # first argmin (ties -> lowest cell id, like the oracle's rn=1)
+    best = F.array_position(dist_arr, F.array_min(dist_arr)).cast("int") - 1
+    assigned = e.select(
+        F.col("vec_id"), F.col("v"), F.element_at(F.array(*map(F.lit, cell_ids)), best + 1).alias("cell")
+    )
+    # queries probe their N_PROBE nearest cells
+    qd = (
+        e.filter(F.col("vec_id") < NUM_QUERIES)
+        .select("vec_id", "v", F.posexplode(dist_arr).alias("pos", "d"))
+        .select(
+            "vec_id",
+            "v",
+            F.element_at(F.array(*map(F.lit, cell_ids)), F.col("pos") + 1).alias("cell"),
+            "d",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
+    scored = (
+        probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec.cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 @register(
     "emb_lsh_signatures",
     oracle=f"""
