@@ -73,6 +73,133 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew", "scale"),
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT DISTINCT — the skew-mitigation pattern for
+    heavy grouping keys (here: 5 event types over 100k+ rows each at
+    scale).  Phase 1 counts distinct keys within (group, salt) shards so
+    no single reducer sees a whole heavy group; phase 2 sums the shard
+    counts, which is exact because the salt partitions the key space
+    disjointly (salt = key hash, so one user lands in one shard).
+    Same contract as the direct COUNT(DISTINCT), different physical
+    plan."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("user_id"), F.lit(32)))
+    phase1 = salted.groupBy("event_type", "__salt").agg(
+        F.count_distinct("user_id").alias("part")
+    )
+    return phase1.groupBy("event_type").agg(F.sum("part").alias("distinct_users"))
+
+
+@register(
+    "pipeline_training_data",
+    oracle=None,  # set below: assembled from the same function twins
+    tags=("text", "pipeline"),
+    bench=True,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data pipeline over the duplicated corpus:
+    exact-dedup (fingerprint, keep lowest id) -> near-dup removal (drop
+    the higher id of every verified MinHash-LSH pair) -> quality filter
+    (score >= 0.5) -> language tag + token count -> per-language corpus
+    stats.  Every stage is one of the engine's declared operators; the
+    composition is one Catalyst plan per stage boundary with no driver
+    loops."""
+    from quick_stream_spark.functions import text as tx
+    from quick_stream_spark.plans.registry import REGISTRY
+    from quick_stream_spark.plans.text import _dup_corpus
+
+    pin_session(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    # exact dedup: keep the lowest id per normalized fingerprint
+    keep = (
+        corpus.select("id", tx.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    survivors = corpus.join(keep, "id")
+    # near-dup removal: drop the higher id of each verified pair
+    near_pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    drop = near_pairs.select(F.col("id_b").alias("id")).distinct()
+    survivors = survivors.join(drop, "id", "left_anti")
+    # quality + language + token count
+    enriched = survivors.select(
+        "id",
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.5)
+    return enriched.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        # round BEFORE the long cast: quality*1e6 sits a float-ulp off an
+        # integer and Spark's cast truncates while DuckDB's rounds
+        F.round(F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).cast("double")
+                / F.count(F.lit(1)) / 1_000_000, 6).alias("avg_quality"),
+    )
+
+
+def _pipeline_oracle() -> str:
+    from quick_stream_spark.functions import minhash as mh
+    from quick_stream_spark.functions import text as tx
+    from quick_stream_spark.plans.text import DUP_CORPUS_SQL, JACCARD_THRESHOLD
+
+    jac = (
+        "round(len(list_intersect(sh_a, sh_b)) * 1.0 / "
+        "greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)"
+    )
+    return f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    keep AS (
+      SELECT min(id) AS id FROM (
+        SELECT id, md5({tx.normalize_text_sql('text')}) AS fp FROM corpus
+      ) GROUP BY fp
+    ),
+    sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
+    sig AS (SELECT id, sh, {mh.minhash_signature_from_bases_sql('sh')} AS sig FROM sh),
+    banded AS (SELECT id, sh, unnest({mh.lsh_bands_sql('sig')}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b USING (band) WHERE a.id < b.id
+    ),
+    drop_ids AS (
+      SELECT DISTINCT id_b AS id FROM cand WHERE {jac} >= {JACCARD_THRESHOLD}
+    ),
+    survivors AS (
+      SELECT c.id, c.text FROM corpus c
+      JOIN keep ON c.id = keep.id
+      WHERE c.id NOT IN (SELECT id FROM drop_ids)
+    ),
+    enriched AS (
+      SELECT id,
+             {tx.lang_id_sql('text')} AS lang_pred,
+             {tx.quality_score_sql('text')} AS quality,
+             {tx.token_count_ws_sql('text')} AS n_tokens
+      FROM survivors
+    )
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000, 6) AS avg_quality
+    FROM enriched WHERE quality >= 0.5
+    GROUP BY lang_pred
+    """
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _SREG  # noqa: E402
+
+_SREG["pipeline_training_data"].oracle = " ".join(_pipeline_oracle().split())
+
+
+@register(
     "stream_stateful_user_counter",
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
