@@ -265,6 +265,65 @@ def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q10_returned_item_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@register(
+    "subquery_orders_above_customer_avg",
+    oracle=_ABOVE_AVG_SQL,
+    tags=("subquery", "sql"),
+)
+def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front end — Catalyst
+    decorrelates it into an aggregate + join (no per-row re-execution;
+    SURVEY §4 lists decorrelation among the optimizations the reference
+    lacks and Spark provides).  The average uses the exact decimal-sum
+    construction so both engines compare against bit-identical
+    thresholds."""
+    pin_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
 # --------------------------------------------------------------------------
 # Grouping extensions
 

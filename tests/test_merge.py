@@ -124,6 +124,27 @@ def test_merge_touches_only_affected_buckets(spark, table):
         assert after[part] == files, f"untouched partition {part} was rewritten"
 
 
+def test_merge_read_is_partition_pruned(spark, table):
+    """The touched-bucket read must prune at the partition level — the
+    scan's PartitionFilters must carry the bucket predicate, so a merge
+    never lists or reads untouched bucket directories."""
+    import contextlib
+    import io
+    from datetime import datetime as dt
+
+    table.upsert(df(spark, [(k, dt(2024, 1, 1), k, f"p{k}") for k in range(64)]))
+    pruned = table._current_in([1])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "__qss_bucket" in pf and "1" in pf, plan
+
+
 def _partition_mtimes(path):
     out = {}
     for d in os.listdir(path):
