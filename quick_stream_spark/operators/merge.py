@@ -170,10 +170,16 @@ class KeyedTable:
             tie_break=self.tie_break,
         )
 
-    def _prepare_updates(self, updates: DataFrame) -> DataFrame:
+    def _prepare_updates(self, updates: DataFrame, dedup: bool = True) -> DataFrame:
+        """Bucket (and by default dedup) an incoming batch.  The upsert
+        path passes ``dedup=False``: its merge window already totally
+        orders (source, version, arrival), so folding the LWW dedup into
+        the merge saves one full shuffle of the batch."""
         if self.soft_delete_col not in updates.columns:
             updates = updates.withColumn(self.soft_delete_col, F.lit(True))
-        return self._dedup(updates).withColumn(BUCKET_COL, self._bucket_expr())
+        if dedup:
+            updates = self._dedup(updates)
+        return updates.withColumn(BUCKET_COL, self._bucket_expr())
 
     def _touched(self, updates_b: DataFrame) -> list[int]:
         # bounded by num_buckets, never by data volume
@@ -184,13 +190,19 @@ class KeyedTable:
         return self.read(with_bucket=True).filter(F.col(BUCKET_COL).isin(bucket_ids))
 
     def _merge_window(self, newer_wins: bool) -> Window:
-        order = []
+        """Total order picking the surviving row per key across
+        current ∪ updates.  Includes the intra-batch LWW order
+        (version desc + arrival tie-break), so updates need no separate
+        dedup pass — one shuffle does both."""
+        from quick_stream_spark.operators.dedup import _order_cols
+
+        lww = _order_cols(self.version_col, self.arrival_col, self.tie_break)
         if newer_wins:
             # guard: updates apply only if strictly newer (current wins ties)
-            order = [F.col(self.version_col).desc_nulls_last(), F.col(_SRC).asc()]
+            order = [F.col(self.version_col).desc_nulls_last(), F.col(_SRC).asc(), *lww[1:]]
         else:
             # faithful ON CONFLICT DO UPDATE: the incoming batch always wins
-            order = [F.col(_SRC).desc()]
+            order = [F.col(_SRC).desc(), *lww]
         return Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*order)
 
     # -------------------------------------------------------------- merge
@@ -204,9 +216,9 @@ class KeyedTable:
         ``newer_wins=True`` adds the idempotency guard
         ``updates.version > target.version``.
         """
-        up = self._prepare_updates(updates)
+        up = self._prepare_updates(updates, dedup=False)
         if not self.exists():
-            self._write(up, "overwrite")
+            self._write(self._dedup(up), "overwrite")
             return
         touched = self._touched(up)
         if not touched:

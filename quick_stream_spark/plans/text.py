@@ -345,6 +345,106 @@ from quick_stream_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 _REG["dedup_simhash"].oracle = " ".join(_simhash_oracle().split())
 
 
+SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4  # 16 bits / 4 bands: hamming<=3 => >=1 band equal
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # set below (built from the simhash CTE)
+    tags=("text", "dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the duplicated corpus: 16-bit document
+    signatures, banded into 4 nibbles — by pigeonhole, any pair within
+    Hamming distance {SIMHASH_MAX_HAMMING} shares at least one exact
+    nibble, so candidate generation is a nibble equi-join (never the
+    O(n^2) scan); candidates are then filtered by exact Hamming
+    distance."""
+    corpus = _dup_corpus(spark, sf_dir)
+    toks = corpus.select("id", F.explode(tx.ws_tokens(F.col("text"))).alias("tok"))
+    votes = mh.simhash_bits(F.col("tok"))
+    agg = toks.groupBy("id").agg(
+        *[F.sum(v).alias(f"v{j}") for j, v in enumerate(votes)]
+    )
+    bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(16)]
+    sigs = agg.select("id", F.concat(*bits).alias("simhash"))
+
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}|"), F.substring("simhash", b * 4 + 1, 4))
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    pairs = (
+        banded.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+        .join(
+            banded.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")),
+            "band",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    votes = mh.simhash_sql_votes("tok")
+    sums = ", ".join(f"sum({v}) AS v{j}" for j, v in enumerate(votes))
+    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
+    toks = (
+        "CASE WHEN length(trim(text)) = 0 THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+    bands = ", ".join(
+        f"'{b}|' || substr(simhash, {b * 4 + 1}, 4)" for b in range(_SIMHASH_BANDS)
+    )
+    hamming = (
+        "len(list_filter(range(1, 17), "
+        "i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1)))"
+    )
+    return f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    t AS (SELECT id, unnest({toks}) AS tok FROM corpus),
+    v AS (SELECT id, {sums} FROM t GROUP BY id),
+    s AS (SELECT id, {bits} AS simhash FROM v),
+    banded AS (SELECT id, simhash, unnest([{bands}]) AS band FROM s),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b USING (band)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, CAST({hamming} AS INT) AS hamming
+    FROM pairs WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["dedup_simhash_pairs"].oracle = " ".join(_simhash_pairs_oracle().split())
+
+
 # -------------------------------------------------------------- multimodal
 
 

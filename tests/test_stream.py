@@ -200,7 +200,7 @@ def test_processing_time_trigger_and_graceful_stop(spark, tmp_path):
         # wait until the first micro-batch lands
         import time
 
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline and not target.exists():
             time.sleep(0.2)
         assert target.exists()
