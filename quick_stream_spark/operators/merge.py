@@ -112,10 +112,17 @@ class KeyedTable:
             df = df.drop(BUCKET_COL)
         return df
 
-    def _write(self, df: DataFrame, mode: str) -> None:
+    def _write(self, df: DataFrame, mode: str, repartition: bool = True) -> None:
+        """``repartition=False`` skips the bucket repartition: the merge
+        path's window already hash-partitioned the data by key, and
+        bucket = hash(key) % N, so every task's rows land in coherent
+        buckets — re-shuffling the whole merged set again just to get
+        one file per bucket is a second full shuffle for cosmetics.
+        First writes keep it for a clean initial layout."""
+        if repartition:
+            df = df.repartition(F.col(BUCKET_COL))
         (
-            df.repartition(F.col(BUCKET_COL))
-            .write.mode(mode)
+            df.write.mode(mode)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
@@ -175,11 +182,31 @@ class KeyedTable:
         path passes ``dedup=False``: its merge window already totally
         orders (source, version, arrival), so folding the LWW dedup into
         the merge saves one full shuffle of the batch."""
+        self._check_schema(updates)
         if self.soft_delete_col not in updates.columns:
             updates = updates.withColumn(self.soft_delete_col, F.lit(True))
         if dedup:
             updates = self._dedup(updates)
         return updates.withColumn(BUCKET_COL, self._bucket_expr())
+
+
+    def _check_schema(self, updates: DataFrame) -> None:
+        """Fail fast with a readable error when a batch is missing table
+        columns (instead of an internal-column AnalysisException from
+        deep inside the merge plan)."""
+        expected = self._read_schema_sidecar() if self.exists() else None
+        if expected is None:
+            return
+        internal = {BUCKET_COL, _SRC, _RN}
+        table_cols = [f.name for f in expected.fields if f.name not in internal]
+        missing = [
+            c for c in table_cols if c != self.soft_delete_col and c not in updates.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"update batch is missing table columns {missing}; "
+                f"table {self.path} has columns {table_cols}"
+            )
 
     def _touched(self, updates_b: DataFrame) -> list[int]:
         # bounded by num_buckets, never by data volume
@@ -231,7 +258,7 @@ class KeyedTable:
             .filter(F.col(_RN) == 1)
             .drop(_RN, _SRC)
         )
-        self._write(merged, "overwrite")
+        self._write(merged, "overwrite", repartition=False)
 
     def soft_delete(self, deletes: DataFrame) -> None:
         """Mark matching keys inactive, keeping their row (reference's
