@@ -211,6 +211,54 @@ def r_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return router.read_union().select("dest_table", "event_id", "ts", "user_id", "value")
 
 
+@register(
+    "r_multi_table_delete_endstate",
+    oracle="""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type, user_id ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_type AS dest_table, event_id, ts, user_id, value,
+           NOT (event_type = 'purchase'
+                AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error'))
+             AS row_active
+    FROM latest
+    """,
+    tags=("reference", "routing", "delete"),
+)
+def r_multi_table_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8/O10 (multi_table_delete.rs:323-448): route by table, upsert
+    everything, then soft-delete — only in the 'purchase' table — every
+    user that ever errored.  End state shows per-table isolation: the
+    same key stays active in all other tables."""
+    ev = _events(spark, sf_dir).withColumnRenamed("event_type", "dest_table")
+    types = sorted(r[0] for r in ev.select("dest_table").distinct().collect())
+    router = MultiTableRouter(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/multi",
+        table_col="dest_table",
+        tables=types,
+        keys=("user_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=4,
+    )
+    router.upsert_batch(ev, newer_wins=True)
+    err_users = ev.filter(F.col("dest_table") == "error").select("user_id").distinct()
+    deletes = (
+        ev.join(err_users, "user_id")
+        .filter(F.col("dest_table") == "purchase")
+        .select("user_id", "ts", "event_id", F.lit("purchase").alias("dest_table"))
+    )
+    router.soft_delete_batch(deletes)
+    return router.read_union().select(
+        "dest_table", "event_id", "ts", "user_id", "value", "row_active"
+    )
+
+
 # --------------------------------------------------------------------------
 # O3 — size-class split (logical parity check)
 

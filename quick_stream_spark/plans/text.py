@@ -345,6 +345,108 @@ from quick_stream_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 _REG["dedup_simhash"].oracle = " ".join(_simhash_oracle().split())
 
 
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(greatest(len(t) - {CHUNK_SIZE - CHUNK_STRIDE}, 1)
+                                       * 1.0 / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx,
+             t
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                             chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk_text,
+           CAST(least(len(t) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS INT) AS n_tokens
+    FROM chunks
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM training: overlapping windows of
+    {CHUNK_SIZE} tokens with stride {CHUNK_STRIDE}.  Chunk count =
+    ceil(max(n_tokens - overlap, 1) / stride), so every token is in at
+    least one chunk and the tail chunk may be short.  Pure built-ins
+    (sequence + transform + explode) — the fan-out is row-local with no
+    shuffle, so chunking 100 TB is a map-only pass."""
+    d = _docs(spark, sf_dir)
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    n_chunks = F.ceil(
+        F.greatest(F.size(F.col("t")) - F.lit(overlap), F.lit(1)) / F.lit(CHUNK_STRIDE)
+    ).cast("long")
+    return (
+        d.select("doc_id", tx.ws_tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("t"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("t") - F.col("chunk_idx") * CHUNK_STRIDE, F.lit(CHUNK_SIZE)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+VOCAB_TOP_K = 50
+
+
+@register(
+    "text_vocabulary_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+      FROM documents
+    )
+    SELECT tok, freq, rank FROM (
+      SELECT tok, COUNT(*) AS freq,
+             row_number() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rank
+      FROM toks GROUP BY tok
+    ) WHERE rank <= {VOCAB_TOP_K}
+    """,
+    tags=("text", "vocab"),
+)
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: token frequencies with a
+    deterministic top-{VOCAB_TOP_K} (count desc, token asc) — the first
+    step of tokenizer training.  Explode + count aggregates with
+    map-side partials; the final rank runs on the (tiny) aggregated
+    vocabulary, not the corpus."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(tx.ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("tok", "freq", "rank")
+    )
+
+
 SIMHASH_MAX_HAMMING = 3
 _SIMHASH_BANDS = 4  # 16 bits / 4 bands: hamming<=3 => >=1 band equal
 
