@@ -119,6 +119,66 @@ def _sig_sql(v: str) -> str:
     return vec.hyperplane_signature_sql(v, vec.NUM_PLANES, DIM)
 
 
+@register(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> greatest(least(round(x * scale), 127.0), -127.0)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           round(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                 j -> (v[j] - qv[j] / scale) * (v[j] - qv[j] / scale)))), 6) AS l2_error
+    FROM q
+    """,
+    tags=("similarity", "quantize"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (the 4x storage
+    compression step of a vector pipeline): per-vector scale 127/max|x|,
+    clamped rounding, plus reconstruction L2 error.  All element math is
+    the same left-to-right fold in both engines; round() is
+    half-away-from-zero in both."""
+    e = _emb(spark, sf_dir)
+    absmax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    s = e.filter(absmax > 0).withColumn("scale", F.lit(127.0) / absmax)
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(F.least(F.round(x * F.col("scale")), F.lit(127.0)), F.lit(-127.0)),
+    )
+    q = s.withColumn("qv", qv)
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("qv"),
+                lambda x, qx: (x - qx / F.col("scale")) * (x - qx / F.col("scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x).cast("long").alias("q_checksum"),
+        F.array_min("qv").cast("int").alias("q_min"),
+        F.array_max("qv").cast("int").alias("q_max"),
+        F.round(err, 6).alias("l2_error"),
+    )
+
+
 # ------------------------------------------------------------------- IVF
 
 N_PROBE = 2  # cells probed per query

@@ -547,6 +547,92 @@ from quick_stream_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
 _REG2["dedup_simhash_pairs"].oracle = " ".join(_simhash_pairs_oracle().split())
 
 
+@register(
+    "dedup_connected_components",
+    oracle=None,  # set below: recursive-CTE oracle over the minhash pairs
+    tags=("text", "dedup", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    verified near-dup pairs, labeling every clustered doc with the
+    minimum id in its component (the canonical survivor).  Implemented
+    as iterative min-label propagation — join labels to edges, take the
+    min over neighbors, repeat until a fixpoint the driver detects; the
+    standard distributed CC loop (GraphFrames/Pregel at cluster scale,
+    O(diameter) rounds — near-dup clusters are shallow).  The oracle is
+    a recursive CTE computing min-reachable-id, so this declares the
+    *iterative algorithm* class with a full value check."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(20):  # bound >> expected diameter; loop exits at fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "component")
+
+
+def _cc_oracle() -> str:
+    minhash_sql = _REG2["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({minhash_sql}) mh),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+      )
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
+_REG2["dedup_connected_components"].oracle = " ".join(_cc_oracle().split())
+
+
 # -------------------------------------------------------------- multimodal
 
 
