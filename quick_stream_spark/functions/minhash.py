@@ -150,15 +150,29 @@ def shingle_bases(shingles_col: Column) -> Column:
 
 def minhash_signature_from_bases(bases_col: Column, num_hashes: int = NUM_HASHES) -> Column:
     """Array of permutation minima over pre-computed shingle bases.
-    Empty shingle sets get per-permutation sentinels (> any real hash)."""
+    Empty shingle sets get per-permutation sentinels (> any real hash).
 
-    def perm(i: int):
-        a, b = MINHASH_A[i], MINHASH_B[i]
-        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
-
-    sigs = [F.array_min(F.transform(bases_col, perm(i))) for i in range(num_hashes)]
-    sentinel = [F.lit(MINHASH_P + 1 + i) for i in range(num_hashes)]
-    return F.when(F.size(bases_col) == 0, F.array(*sentinel)).otherwise(F.array(*sigs))
+    Built as ONE nested transform over a literal (A, B) coefficient
+    array — an unrolled 16-expression version repeats ``bases_col`` in
+    every permutation and inflates one-time plan compilation (same
+    hazard as lsh_bands)."""
+    coeffs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.struct(
+            F.element_at(F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]]), i + 1).alias("a"),
+            F.element_at(F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]]), i + 1).alias("b"),
+            (i + 1 + MINHASH_P).alias("sentinel"),
+        ),
+    )
+    return F.transform(
+        coeffs,
+        lambda c: F.coalesce(
+            F.array_min(
+                F.transform(bases_col, lambda x: (c["a"] * x + c["b"]) % MINHASH_P)
+            ),
+            c["sentinel"],
+        ),
+    )
 
 
 def minhash_signature(shingles_col: Column, num_hashes: int = NUM_HASHES) -> Column:
