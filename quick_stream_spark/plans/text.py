@@ -565,7 +565,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     from pyspark.storagelevel import StorageLevel
 
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    # the pair graph is far smaller than the corpus: shrink partitioning
+    # so each fixpoint iteration is a handful of tasks, not a full-width
+    # shuffle (at cluster scale the edge count dictates this instead)
+    pairs = pairs.repartition(4).persist(StorageLevel.MEMORY_AND_DISK)
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -578,7 +581,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(20):  # bound >> expected diameter; loop exits at fixpoint
+    for it in range(20):  # bound >> expected diameter; loop exits at fixpoint
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy(F.col("u").alias("id"))
@@ -594,6 +597,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if it == 0:
+            labels = new_labels  # first round always changes; skip the check
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
