@@ -179,6 +179,123 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- k-means
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _exact_mean_sql(val: str) -> str:
+    """Exact order-independent mean via scaled integers (same
+    construction as the centroid query)."""
+    return (
+        f"round(CAST(SUM(CAST(round({val} * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / COUNT(*) / 1000000, 6)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations: assign to nearest centroid (ties ->
+    lowest cell), recompute exact means; init = the first K vectors."""
+    sq = _sqdist_sql("e.v", "c.c")
+    parts = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""cents_0 AS (
+          SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < {KMEANS_K}
+        )""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""asg_{i} AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {sq} ASC, c.cell ASC) AS rn
+                FROM e CROSS JOIN cents_{i - 1} c
+              ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""cr_{i} AS (
+              SELECT cell, pos, {_exact_mean_sql('val')} AS cv
+              FROM (
+                SELECT cell, unnest(range(0, {DIM})) AS pos, unnest(v) AS val
+                FROM asg_{i}
+              ) GROUP BY cell, pos
+            )"""
+        )
+        if i < KMEANS_ITERS:
+            parts.append(
+                f"""cents_{i} AS (
+                  SELECT cell, list(cv ORDER BY pos) AS c FROM cr_{i} GROUP BY cell
+                )"""
+            )
+    ctes = ",\n".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT cell, CAST(pos AS BIGINT) AS pos, cv AS centroid FROM cr_{KMEANS_ITERS}
+    """
+
+
+@register(
+    "emb_kmeans_train",
+    oracle=None,  # set below (generated, unrolled iterations)
+    tags=("similarity", "ivf", "iterative", "ml"),
+)
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means codebook training (K={KMEANS_K}, {KMEANS_ITERS} Lloyd
+    iterations, deterministic first-K init) — the offline step that
+    produces a real IVF codebook.  Iterative ML on Spark: each round
+    assigns vectors to their nearest centroid (one transform over the
+    broadcast-sized literal centroid array — the model crosses the
+    driver, never the data) and recomputes exact scaled-integer means.
+    Fixed iteration count keeps it SQL-expressible: the oracle unrolls
+    the same three rounds as CTE layers."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    init = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"), F.posexplode("v").alias("pos", "cv")
+    )
+    cent_rows = init.collect()
+
+    def to_lists(rows):
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, {})[r.pos] = float(r.cv)
+        return [(cell, [by_cell[cell][p] for p in range(DIM)]) for cell in sorted(by_cell)]
+
+    cents = to_lists(cent_rows)
+    cr = None
+    for _ in range(KMEANS_ITERS):
+        cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
+        cell_ids_lit = F.array(*[F.lit(cid) for cid, _ in cents])
+
+        def sqdist(c):
+            return F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        dist_arr = F.transform(cells_lit, sqdist)
+        best = F.array_position(dist_arr, F.array_min(dist_arr)).cast("int")
+        assigned = e.select(
+            "vec_id", "v", F.element_at(cell_ids_lit, best).alias("cell")
+        )
+        scaled = F.round(F.col("val") * 1_000_000).cast("long")
+        cr = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell",
+                F.col("pos").cast("long").alias("pos"),
+                F.round(F.col("s").cast("double") / F.col("n") / 1_000_000, 6).alias("cv"),
+            )
+        )
+        cents = to_lists(cr.collect())
+    return cr.select("cell", "pos", F.col("cv").alias("centroid"))
+
+
 # ------------------------------------------------------------------- IVF
 
 N_PROBE = 2  # cells probed per query
@@ -376,3 +493,10 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _SIMREG  # noqa: E402
+
+# assigned at module end: _kmeans_oracle needs _sqdist_sql (defined in the
+# IVF section below the k-means block)
+_SIMREG["emb_kmeans_train"].oracle = " ".join(_kmeans_oracle().split())
