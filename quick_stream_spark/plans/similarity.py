@@ -194,9 +194,9 @@ def _exact_mean_sql(val: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd's iterations: assign to nearest centroid (ties ->
-    lowest cell), recompute exact means; init = the first K vectors."""
+def _kmeans_ctes() -> list:
+    """CTE layers of the unrolled Lloyd's iterations (shared by the
+    k-means oracle and the trained-codebook IVF oracle)."""
     sq = _sqdist_sql("e.v", "c.c")
     parts = [
         f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -230,7 +230,11 @@ def _kmeans_oracle() -> str:
                   SELECT cell, list(cv ORDER BY pos) AS c FROM cr_{i} GROUP BY cell
                 )"""
             )
-    ctes = ",\n".join(parts)
+    return parts
+
+
+def _kmeans_oracle() -> str:
+    ctes = ",\n".join(_kmeans_ctes())
     return f"""
     WITH {ctes}
     SELECT cell, CAST(pos AS BIGINT) AS pos, cv AS centroid FROM cr_{KMEANS_ITERS}
@@ -495,8 +499,122 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_IVF_TAIL_SQL = f"""
+    dists AS (
+      SELECT e.vec_id, e.v, cents.cell, {_sqdist_sql('e.v', 'cents.c')} AS d
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM dists
+      ) WHERE rn <= {N_PROBE} AND vec_id < {NUM_QUERIES}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {vec.cosine_sql('q.v', 'c.v', DIM)} AS cos_sim
+      FROM probes q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM (SELECT DISTINCT query_id, neighbor_id, cos_sim FROM scored) s
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+def _ivf_probe_topk(e: DataFrame, cents: list) -> DataFrame:
+    """Shared IVF probe: assign corpus to nearest cell, probe N_PROBE
+    nearest cells per query, exact cosine top-k within them."""
+    cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
+    cell_ids = [cell for cell, _ in cents]
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dist_arr = F.transform(cells_lit, sqdist)
+    best = F.array_position(dist_arr, F.array_min(dist_arr)).cast("int")
+    assigned = e.select(
+        "vec_id", "v", F.element_at(F.array(*map(F.lit, cell_ids)), best).alias("cell")
+    )
+    qd = (
+        e.filter(F.col("vec_id") < NUM_QUERIES)
+        .select("vec_id", "v", F.posexplode(dist_arr).alias("pos", "d"))
+        .select(
+            "vec_id",
+            "v",
+            F.element_at(F.array(*map(F.lit, cell_ids)), F.col("pos") + 1).alias("cell"),
+            "d",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
+    scored = (
+        probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec.cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def _trained_ivf_oracle() -> str:
+    ctes = ",\n".join(_kmeans_ctes())
+    return f"""
+    WITH {ctes},
+    cents AS (SELECT cell, list(cv ORDER BY pos) AS c
+              FROM cr_{KMEANS_ITERS} GROUP BY cell),
+    {_IVF_TAIL_SQL}
+    """
+
+
+@register(
+    "emb_ivf_trained_topk",
+    oracle=None,  # assigned below from the generated CTE stack
+    tags=("similarity", "ivf", "approx", "ml"),
+)
+def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ANN story end-to-end: TRAIN the coarse codebook
+    (k-means, emb_kmeans_train) -> INDEX the corpus by nearest trained
+    centroid -> PROBE the nearest cells per query with exact cosine
+    top-k.  Same probe machinery as emb_ivf_ann_topk but with the
+    trained codebook instead of label centroids."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    km = emb_kmeans_train(spark, sf_dir)
+    by_cell = {}
+    for r in km.collect():
+        by_cell.setdefault(r.cell, {})[r.pos] = float(r.centroid)
+    cents = [(cell, [by_cell[cell][p] for p in range(DIM)]) for cell in sorted(by_cell)]
+    return _ivf_probe_topk(e, cents)
+
+
 from quick_stream_spark.plans.registry import REGISTRY as _SIMREG  # noqa: E402
 
 # assigned at module end: _kmeans_oracle needs _sqdist_sql (defined in the
 # IVF section below the k-means block)
 _SIMREG["emb_kmeans_train"].oracle = " ".join(_kmeans_oracle().split())
+_SIMREG["emb_ivf_trained_topk"].oracle = " ".join(_trained_ivf_oracle().split())
