@@ -260,6 +260,37 @@ class KeyedTable:
         )
         self._write(merged, "overwrite", repartition=False)
 
+    def compact(self, target_files_per_bucket: int = 1) -> None:
+        """Rewrite every bucket partition down to
+        ``target_files_per_bucket`` files.  Merges skip the write-side
+        repartition (each merge appends task-aligned files to the
+        touched buckets), so file counts grow with merge frequency;
+        this is the periodic maintenance pass that restores scan
+        efficiency — the parquet analog of Delta OPTIMIZE.  Values are
+        untouched; only layout changes."""
+        if not self.exists():
+            return
+        current = self.read(with_bucket=True)
+        if target_files_per_bucket == 1:
+            compacted = current.repartition(F.col(BUCKET_COL))
+        else:
+            salt = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(target_files_per_bucket))
+            compacted = current.repartition(F.col(BUCKET_COL), salt)
+        self._write(compacted, "overwrite", repartition=False)
+
+    def file_count(self) -> int:
+        """Parquet data files currently in the table (all buckets)."""
+        fs, root, jvm = _hadoop_fs(self.spark, self.path)
+        count = 0
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not status.isDirectory() or not name.startswith(BUCKET_COL):
+                continue
+            for f in fs.listStatus(status.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    count += 1
+        return count
+
     def soft_delete(self, deletes: DataFrame) -> None:
         """Mark matching keys inactive, keeping their row (reference's
         "data soft deleter", delete.rs:252-285).  Non-matching delete keys

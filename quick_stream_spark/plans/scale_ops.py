@@ -104,6 +104,58 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phase1.groupBy("event_type").agg(F.sum("part").alias("distinct_users"))
 
 
+_SPLIT_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+@register(
+    "sample_deterministic_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_HASH} < 90 THEN 'train'
+                WHEN {_SPLIT_HASH} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test assignment (90/5/5): the split
+    is a pure function of the id's md5, so it is reproducible across
+    runs, engines and cluster sizes — unlike RNG sampling, a document
+    never migrates between splits when the corpus grows.  This is the
+    standard leak-proof split for training-data pipelines."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "sample_hash_percent",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents WHERE {_SPLIT_HASH} < 10
+    """,
+    tags=("sampling",),
+)
+def sample_hash_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by id hash — the reproducible
+    alternative to RNG sampling for corpus subsetting; composable with
+    the split above because both condition on the same hash."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+    return d.filter(h < 10).select("doc_id", "n_chars")
+
+
 @register(
     "pipeline_training_data",
     oracle=None,  # set below: assembled from the same function twins

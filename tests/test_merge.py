@@ -159,6 +159,31 @@ def _partition_mtimes(path):
     return out
 
 
+def test_compact_restores_one_file_per_bucket(spark, table):
+    """Merges append files to touched buckets; compact() must rewrite
+    each bucket to one file with values untouched."""
+    # AQE coalesces tiny merges to one task per bucket, so force the
+    # multi-file state a high-frequency merge stream produces at scale
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for b in range(4):
+            table.upsert(
+                df(
+                    spark,
+                    [(k, datetime(2024, 1, 1 + b), 100 * b + k, f"v{b}-{k}") for k in range(16)],
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    before_rows = {(r.pkey, r.payload) for r in table.read().collect()}
+    assert table.file_count() > 4  # merge growth happened
+    table.compact()
+    assert table.file_count() == 4  # one file per bucket
+    after_rows = {(r.pkey, r.payload) for r in table.read().collect()}
+    assert after_rows == before_rows
+
+
 def test_composite_keys(spark, tmp_table_dir):
     t = KeyedTable(
         spark,
