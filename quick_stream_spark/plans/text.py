@@ -345,6 +345,69 @@ from quick_stream_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 _REG["dedup_simhash"].oracle = " ".join(_simhash_oracle().split())
 
 
+# deterministically inject synthetic PII into every 5th document so the
+# redaction pass has observable work (the synthetic corpus contains none)
+_PII_TEXT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id "
+    "|| '@example.com or +1-555-01' || doc_id % 100 "
+    "|| ' see https://example.org/u/' || doc_id END"
+)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^\\s]+"
+_PHONE_RE = "\\+[0-9][0-9-]{7,}"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, COALESCE({_PII_TEXT_SQL}, text) AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           substring(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_URL_RE}', '<URL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'), 1, 80) AS redacted_head
+    FROM c
+    """,
+    tags=("text", "pii"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails,
+    URLs and phone numbers with placeholder tokens — pure regexp
+    built-ins, a map-only pass at any scale.  Synthetic PII is injected
+    into every 5th doc so the redaction is observable on the driver's
+    corpus."""
+    d = _docs(spark, sf_dir)
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" see https://example.org/u/"), F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    c = d.select("doc_id", injected.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return c.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.substring(redacted, 1, 80).alias("redacted_head"),
+    )
+
+
 CHUNK_SIZE = 32  # tokens per chunk
 CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
 
@@ -547,6 +610,65 @@ from quick_stream_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
 _REG2["dedup_simhash_pairs"].oracle = " ".join(_simhash_pairs_oracle().split())
 
 
+_SPLIT_HASH_ID = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+@register(
+    "pipeline_decontamination",
+    oracle=None,  # set below (composes the minhash oracle with splits)
+    tags=("text", "dedup", "pipeline", "contamination"),
+)
+def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: near-dup pairs that STRADDLE the
+    deterministic train/test split — each one is a held-out document
+    leaking from the training set.  Composes the MinHash-LSH pairs with
+    the content-addressed split (both deterministic), the standard
+    pre-training hygiene pass; at scale the pair side is the LSH bucket
+    join, so decontamination costs the same as near-dup detection."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+
+    def split_of(col):
+        h = (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long") % 100
+        )
+        return F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+
+    tagged = pairs.select(
+        "id_a", "id_b", "jaccard",
+        split_of(F.col("id_a")).alias("split_a"),
+        split_of(F.col("id_b")).alias("split_b"),
+    )
+    leaks = tagged.filter(
+        ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+        | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+    )
+    return leaks.select(
+        F.when(F.col("split_a") == "test", F.col("id_a")).otherwise(F.col("id_b")).alias("test_id"),
+        F.when(F.col("split_a") == "train", F.col("id_a")).otherwise(F.col("id_b")).alias("train_id"),
+        "jaccard",
+    )
+
+
+def _decontamination_oracle() -> str:
+    minhash_sql = _REG2["dedup_minhash_lsh"].oracle
+    ha = _SPLIT_HASH_ID.format(col="id_a")
+    hb = _SPLIT_HASH_ID.format(col="id_b")
+    sa = f"CASE WHEN {ha} < 90 THEN 'train' WHEN {ha} < 95 THEN 'val' ELSE 'test' END"
+    sb = f"CASE WHEN {hb} < 90 THEN 'train' WHEN {hb} < 95 THEN 'val' ELSE 'test' END"
+    return f"""
+    WITH pairs AS (SELECT * FROM ({minhash_sql}) mh),
+    tagged AS (
+      SELECT id_a, id_b, jaccard, {sa} AS split_a, {sb} AS split_b FROM pairs
+    )
+    SELECT CASE WHEN split_a = 'test' THEN id_a ELSE id_b END AS test_id,
+           CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_id,
+           jaccard
+    FROM tagged
+    WHERE (split_a = 'train' AND split_b = 'test')
+       OR (split_a = 'test' AND split_b = 'train')
+    """
+
+
 @register(
     "dedup_connected_components",
     oracle=None,  # set below: recursive-CTE oracle over the minhash pairs
@@ -637,6 +759,7 @@ def _cc_oracle() -> str:
 
 
 _REG2["dedup_connected_components"].oracle = " ".join(_cc_oracle().split())
+_REG2["pipeline_decontamination"].oracle = " ".join(_decontamination_oracle().split())
 
 
 # -------------------------------------------------------------- multimodal
