@@ -500,6 +500,39 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_rank_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           rank() OVER w2 AS status_rank,
+           dense_rank() OVER w2 AS status_dense_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family window functions: ntile/percent_rank/cume_dist
+    over a global order plus rank/dense_rank per status partition —
+    every order fully tie-broken by the unique key so both engines
+    agree exactly."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    w2 = Window.partitionBy("o_orderstatus").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w2).alias("status_rank"),
+        F.dense_rank().over(w2).alias("status_dense_rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits / set ops
 

@@ -717,10 +717,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component"), F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # localCheckpoint truncates lineage: without it every
+            # iteration's plan contains all previous iterations and
+            # analysis/compile time grows superlinearly with rounds
+            .localCheckpoint(eager=True)
         )
-        if it == 0:
-            labels = new_labels  # first round always changes; skip the check
+        if it % 2 == 0:
+            labels = new_labels  # check convergence every other round
             continue
         changed = (
             new_labels.alias("n")
