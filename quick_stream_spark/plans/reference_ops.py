@@ -21,7 +21,12 @@ from quick_stream_spark.operators.merge import KeyedTable
 from quick_stream_spark.operators.router import MultiTableRouter
 from quick_stream_spark.plans._util import pin_session
 from quick_stream_spark.plans.registry import register
-from quick_stream_spark.sources.readers import load_table, stream_parquet_dir, write_batches_as_files
+from quick_stream_spark.sources.readers import (
+    load_table,
+    stream_parquet_dir,
+    write_batches_as_files,
+    write_split_as_files,
+)
 from quick_stream_spark.streaming.stream import UpsertQuickStream
 
 EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -316,8 +321,9 @@ def r_stream_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so it is deterministic and SQL-expressible."""
     ev = _events(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="qss-q-")
-    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
-    write_batches_as_files(batches, work + "/in")
+    # one job writes all four delivery files; batch order is arbitrary,
+    # which the newer-wins guard makes irrelevant
+    write_split_as_files(ev, F.col("event_id") % 4, 4, work + "/in")
     target = _table(spark)
     stream = stream_parquet_dir(spark, work + "/in", ev.schema, max_files_per_trigger=1)
     cfg = QuickStreamConfig(name="r-stream-upsert", checkpoint_dir=work + "/ckpt")

@@ -286,10 +286,11 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pin_session(spark)
+    from quick_stream_spark.sources.readers import write_split_as_files
+
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="qss-state-")
-    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
-    write_batches_as_files(batches, work + "/in")
+    write_split_as_files(ev, F.col("event_id") % 3, 3, work + "/in")
     stream = stream_parquet_dir(spark, work + "/in", ev.schema)
 
     out_schema = StructType(

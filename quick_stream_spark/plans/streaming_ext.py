@@ -20,11 +20,14 @@ SESSION_GAP = "30 minutes"
 
 def _events_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
     """Events replayed as a file-source stream (n_files micro-batch
-    files, split by event_id parity so content is deterministic)."""
+    files, split by event_id parity so content is deterministic; one
+    Spark job writes every delivery file — valid because all consumers
+    here are batch-order independent)."""
+    from quick_stream_spark.sources.readers import write_split_as_files
+
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="qss-stream-")
-    batches = [ev.filter(F.col("event_id") % n_files == i) for i in range(n_files)]
-    write_batches_as_files(batches, work + "/in")
+    write_split_as_files(ev, F.col("event_id") % n_files, n_files, work + "/in")
     return stream_parquet_dir(spark, work + "/in", ev.schema), work
 
 

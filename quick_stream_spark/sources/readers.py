@@ -70,6 +70,22 @@ def write_batches_as_files(batches: Sequence[DataFrame], directory: str) -> list
     return paths
 
 
+def write_split_as_files(df: DataFrame, batch_expr, n_batches: int, directory: str) -> None:
+    """Materialize ``n_batches`` delivery files in ONE Spark job:
+    partition the frame by a batch expression and write one file per
+    partition value (vs one job per batch with
+    :func:`write_batches_as_files`).  Only valid when the consumer's
+    semantics are batch-order independent — the file source may pick
+    any order for same-mtime files."""
+    (
+        df.withColumn("__batch", batch_expr)
+        .repartition(F.col("__batch"))
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(directory)
+    )
+
+
 def stream_parquet_dir(
     spark: SparkSession,
     directory: str,
