@@ -682,6 +682,42 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_struct_map",
+    oracle="""
+    SELECT p_partkey,
+           map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)])['price'][1]
+             AS price_from_map,
+           map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)])['size'][1]
+             AS size_from_map,
+           cardinality(map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)]))
+             AS map_size,
+           struct_pack(brand := p_brand, sz := p_size).brand AS brand_from_struct,
+           struct_pack(brand := p_brand, sz := p_size).sz + 1 AS size_plus_one
+    FROM part
+    """,
+    tags=("scalar", "map", "struct"),
+)
+def scalar_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType and StructType construction + field access, surfaced as
+    scalars (map/struct columns themselves don't hash portably across
+    engines; their lookups do)."""
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("price"), F.col("p_retailprice"),
+        F.lit("size"), F.col("p_size").cast("double"),
+    )
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "price").alias("price_from_map"),
+        F.element_at(m, "size").alias("size_from_map"),
+        F.size(m).alias("map_size"),
+        s.getField("brand").alias("brand_from_struct"),
+        (s.getField("sz") + 1).alias("size_plus_one"),
+    )
+
+
+@register(
     "scalar_regex",
     oracle="""
     SELECT p_partkey,
