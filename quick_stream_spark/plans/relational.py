@@ -406,6 +406,64 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_argminmax",
+    oracle="""
+    SELECT event_type,
+           max_by(user_id, event_id) AS user_of_last_event,
+           min_by(user_id, event_id) AS user_of_first_event,
+           CAST(max_by(event_id, ts || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                AS BIGINT) AS latest_event_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min/arg-max aggregates (the building block under the LWW
+    dedup): ordering keys are unique (event_id, or ts||event_id for the
+    time-ordered variant) so ties cannot diverge between engines."""
+    e = _t(spark, sf_dir, "events")
+    time_key = F.concat(
+        F.col("ts").cast("string"), F.lit("|"), F.lpad(F.col("event_id").cast("string"), 12, "0")
+    )
+    return e.groupBy("event_type").agg(
+        F.max_by("user_id", "event_id").alias("user_of_last_event"),
+        F.min_by("user_id", "event_id").alias("user_of_first_event"),
+        F.max_by("event_id", time_key).alias("latest_event_id"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over the full partition frame with a unique
+    order — each customer's first, last and second order."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
     "agg_approx_distinct_users",
     oracle=None,  # HLL sketches are engine-specific; rows-only check
     tags=("agg", "approx"),
