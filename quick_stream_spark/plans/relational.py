@@ -740,6 +740,35 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS xored,
+           event_id << 2 AS shifted_left,
+           event_id >> 3 AS shifted_right,
+           CAST(bit_count(event_id) AS INT) AS popcount
+    FROM events
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator coverage (exact integer semantics — identical
+    in any engine)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(F.col("event_id"), 2).alias("shifted_left"),
+        F.shiftright(F.col("event_id"), 3).alias("shifted_right"),
+        F.bit_count(F.col("event_id")).alias("popcount"),
+    )
+
+
+@register(
     "scalar_struct_map",
     oracle="""
     SELECT p_partkey,
