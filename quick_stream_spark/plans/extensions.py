@@ -10,7 +10,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quick_stream_spark.operators.dedup import latest_per_key_agg
 from quick_stream_spark.plans._util import pin_session
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
@@ -78,81 +77,53 @@ def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register(
-    "r_dedup_latest_per_key_agg",
-    oracle="""
-    SELECT event_id, ts, user_id, event_type, value, props
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-    tags=("reference", "dedup"),
-)
-def r_dedup_latest_per_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The aggregation-based LWW dedup (max_by over a struct): identical
-    result to the window variant, but with map-side partial aggregation
-    — the shuffle-light choice when keys repeat within partitions."""
-    pin_session(spark)
-    out = latest_per_key_agg(
-        load_table(spark, sf_dir, "events"),
-        keys=("user_id",),
-        version_col="ts",
-        arrival_col="event_id",
-    )
-    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
-
-
 _CONNECTOR_ORACLE = """
     SELECT event_type, COUNT(*) AS n, max(ts) AS max_ts,
            CAST(min(event_id) AS BIGINT) AS min_event_id
     FROM events GROUP BY event_type
 """
 
+_CONNECTOR_ORACLE_BOTH = f"""
+    SELECT 'csv' AS fmt, * FROM ({_CONNECTOR_ORACLE})
+    UNION ALL
+    SELECT 'json' AS fmt, * FROM ({_CONNECTOR_ORACLE})
+"""
 
-def _connector_agg(df: DataFrame) -> DataFrame:
+
+def _connector_agg(df: DataFrame, fmt: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.max("ts").alias("max_ts"),
         F.min("event_id").alias("min_event_id"),
-    )
+    ).select(F.lit(fmt).alias("fmt"), "event_type", "n", "max_ts", "min_event_id")
 
 
-@register("source_csv_roundtrip", oracle=_CONNECTOR_ORACLE, tags=("source", "csv"))
-def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV connector: write the events table as CSV (explicit µs
-    timestamp format), read it back with an explicit schema, aggregate.
-    Matching the parquet-based oracle proves lossless round-tripping."""
+@register("source_roundtrips", oracle=_CONNECTOR_ORACLE_BOTH, tags=("source", "csv", "json"))
+def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON-lines connectors in one tagged result: write the
+    events table in each format (explicit µs timestamp format), read it
+    back with an explicit schema, aggregate.  Matching the parquet-based
+    oracle proves both round-trips are lossless."""
     pin_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="qss-csv-")
+    work = tempfile.mkdtemp(prefix="qss-rt-")
+    ev.write.mode("overwrite").option("timestampFormat", TS_FMT).json(work + "/json")
+    json_back = (
+        spark.read.schema(ev.schema).option("timestampFormat", TS_FMT).json(work + "/json")
+    )
     (
         ev.write.mode("overwrite")
         .option("header", "true")
         .option("timestampFormat", TS_FMT)
-        .csv(work)
+        .csv(work + "/csv")
     )
-    back = (
+    csv_back = (
         spark.read.schema(ev.schema)
         .option("header", "true")
         .option("timestampFormat", TS_FMT)
-        .csv(work)
+        .csv(work + "/csv")
     )
-    return _connector_agg(back)
-
-
-@register("source_json_roundtrip", oracle=_CONNECTOR_ORACLE, tags=("source", "json"))
-def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines connector round-trip, same contract as the CSV one."""
-    pin_session(spark)
-    ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="qss-json-")
-    ev.write.mode("overwrite").option("timestampFormat", TS_FMT).json(work)
-    back = (
-        spark.read.schema(ev.schema).option("timestampFormat", TS_FMT).json(work)
-    )
-    return _connector_agg(back)
+    return _connector_agg(csv_back, "csv").unionByName(_connector_agg(json_back, "json"))
 
 
 @register(
@@ -240,28 +211,3 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scalar_arrays",
-    oracle="""
-    SELECT p_partkey,
-           len(string_split(p_name, ' ')) AS n_words,
-           string_split(p_name, ' ')[1] AS first_word,
-           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_words,
-           list_contains(string_split(p_name, ' '), 'red') AS has_red,
-           array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS reversed_name
-    FROM part
-    """,
-    tags=("scalar", "array"),
-)
-def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pin_session(spark)
-    p = load_table(spark, sf_dir, "part")
-    words = F.split(F.col("p_name"), " ")
-    return p.select(
-        "p_partkey",
-        F.size(words).alias("n_words"),
-        words.getItem(0).alias("first_word"),
-        F.array_join(F.array_sort(words), "-").alias("sorted_words"),
-        F.array_contains(words, "red").alias("has_red"),
-        F.array_join(F.reverse(words), " ").alias("reversed_name"),
-    )

@@ -53,24 +53,43 @@ def _table(spark: SparkSession, **kw) -> KeyedTable:
 # O1/O2 — last-writer-wins dedup
 
 
-@register(
-    "r_dedup_latest_per_key",
-    oracle="""
+_LATEST_PER_KEY_SQL = """
     SELECT event_id, ts, user_id, event_type, value, props
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
       FROM events
     ) WHERE rn = 1
+"""
+
+
+@register(
+    "r_dedup_latest_per_key",
+    oracle=f"""
+    SELECT 'window' AS impl, * FROM ({_LATEST_PER_KEY_SQL})
+    UNION ALL
+    SELECT 'agg' AS impl, * FROM ({_LATEST_PER_KEY_SQL})
     """,
     tags=("reference", "dedup"),
 )
 def r_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 (lib.rs:12-16): one row per key, newest ``ts`` wins, equal-ts
-    ties go to the earliest arrival."""
-    return latest_per_key(
-        _events(spark, sf_dir), keys=("user_id",), version_col="ts", arrival_col="event_id"
-    ).select(*EVENT_COLS)
+    ties go to the earliest arrival — computed by BOTH physical
+    strategies, tagged: the window variant (row_number, map-side
+    WindowGroupLimit pre-reduction) and the aggregation variant (max_by
+    over a struct, map-side partial aggregation — the shuffle-light
+    choice when keys repeat within partitions).  Identical results by
+    construction; the oracle states the contract once for each tag."""
+    from quick_stream_spark.operators.dedup import latest_per_key_agg
+
+    ev = _events(spark, sf_dir)
+    win = latest_per_key(
+        ev, keys=("user_id",), version_col="ts", arrival_col="event_id"
+    ).select(F.lit("window").alias("impl"), *EVENT_COLS)
+    agg = latest_per_key_agg(
+        ev, keys=("user_id",), version_col="ts", arrival_col="event_id"
+    ).select(F.lit("agg").alias("impl"), *EVENT_COLS)
+    return win.unionByName(agg)
 
 
 # --------------------------------------------------------------------------
@@ -129,7 +148,7 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "r_soft_delete_endstate",
+    "r_delete_endstate",
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -138,71 +157,50 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
       ) WHERE rn = 1
     )
-    SELECT event_id, ts, user_id, event_type, value, props,
+    SELECT 'soft' AS mode, event_id, ts, user_id, event_type, value, props,
            user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
              AS row_active
     FROM latest
+    UNION ALL
+    SELECT 'hard' AS mode, event_id, ts, user_id, event_type, value, props,
+           TRUE AS row_active
+    FROM latest
+    WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
     """,
     tags=("reference", "delete"),
 )
-def r_soft_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O6 (delete.rs:251-285, "data soft deleter"): upsert everything,
-    then soft-delete every key that ever produced an 'error' event.
-    Deleted keys keep their row with ``row_active = false``."""
-    ev = _events(spark, sf_dir)
-    target = _table(spark)
-    target.upsert(ev, newer_wins=True)
-    target.soft_delete(ev.filter(F.col("event_type") == "error"))
-    return target.read().select(*EVENT_COLS, "row_active")
+def r_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (delete.rs:251-285): upsert everything, then delete every key
+    that ever produced an 'error' event — both delete executors, tagged:
 
-
-@register(
-    "r_hard_delete_endstate",
-    oracle="""
-    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
-      FROM events
-    ) WHERE rn = 1
-      AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
-    """,
-    tags=("reference", "delete"),
-)
-def r_hard_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-delete variant (WHEN MATCHED THEN DELETE): rows physically
-    removed."""
+    - ``soft`` — deleted keys keep their row with ``row_active=false``
+      (the reference's "data soft deleter");
+    - ``hard`` — WHEN MATCHED THEN DELETE: rows physically removed.
+    """
     ev = _events(spark, sf_dir)
-    target = _table(spark)
-    target.upsert(ev, newer_wins=True)
-    target.hard_delete(ev.filter(F.col("event_type") == "error"))
-    return target.read().select(*EVENT_COLS, "row_active")
+    deletes = ev.filter(F.col("event_type") == "error")
+    soft = _table(spark)
+    soft.upsert(ev, newer_wins=True)
+    soft.soft_delete(deletes)
+    hard = _table(spark)
+    hard.upsert(ev, newer_wins=True)
+    hard.hard_delete(deletes)
+    return (
+        soft.read()
+        .select(F.lit("soft").alias("mode"), *EVENT_COLS, "row_active")
+        .unionByName(
+            hard.read().select(F.lit("hard").alias("mode"), *EVENT_COLS, "row_active")
+        )
+    )
 
 
 # --------------------------------------------------------------------------
 # O7-O10 — multi-table routing
 
 
-@register(
-    "r_multi_table_routing",
-    oracle="""
-    SELECT event_type AS dest_table, event_id, ts, user_id, value
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY event_type, user_id ORDER BY ts DESC, event_id ASC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-    tags=("reference", "routing"),
-)
-def r_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O7/O9 (multi_table_upsert.rs:138-198): records routed to one
-    destination table per ``event_type``, deduped per (table, key) —
-    the same key may live in several tables independently
-    (support.rs:8-59)."""
-    ev = _events(spark, sf_dir).withColumnRenamed("event_type", "dest_table")
+def _build_router(spark: SparkSession, ev: DataFrame) -> MultiTableRouter:
     types = sorted(r[0] for r in ev.select("dest_table").distinct().collect())
-    router = MultiTableRouter(
+    return MultiTableRouter(
         spark,
         tempfile.mkdtemp(prefix="qss-q-") + "/multi",
         table_col="dest_table",
@@ -212,12 +210,10 @@ def r_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrival_col="event_id",
         num_buckets=4,
     )
-    router.upsert_batch(ev, newer_wins=True)
-    return router.read_union().select("dest_table", "event_id", "ts", "user_id", "value")
 
 
 @register(
-    "r_multi_table_delete_endstate",
+    "r_multi_table_endstate",
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -226,7 +222,11 @@ def r_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
       ) WHERE rn = 1
     )
-    SELECT event_type AS dest_table, event_id, ts, user_id, value,
+    SELECT 'upserted' AS phase, event_type AS dest_table, event_id, ts, user_id, value,
+           TRUE AS row_active
+    FROM latest
+    UNION ALL
+    SELECT 'after_delete' AS phase, event_type AS dest_table, event_id, ts, user_id, value,
            NOT (event_type = 'purchase'
                 AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error'))
              AS row_active
@@ -234,33 +234,40 @@ def r_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("reference", "routing", "delete"),
 )
-def r_multi_table_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O8/O10 (multi_table_delete.rs:323-448): route by table, upsert
-    everything, then soft-delete — only in the 'purchase' table — every
-    user that ever errored.  End state shows per-table isolation: the
-    same key stays active in all other tables."""
+def r_multi_table_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7-O10 (multi_table_upsert.rs:138-198, multi_table_delete.rs:
+    323-448): records routed to one destination table per
+    ``event_type``, deduped per (table, key) — the same key may live in
+    several tables independently (support.rs:8-59).  Two tagged phases:
+
+    - ``upserted`` — end state after routing + upsert (all rows active);
+    - ``after_delete`` — after additionally soft-deleting, only in the
+      'purchase' table, every user that ever errored: per-table
+      isolation, the same key stays active in all other tables.
+
+    Two independent router instances because KeyedTable reads are live
+    views of the backing path — the phase-1 snapshot must not observe
+    the phase-2 delete.
+    """
     ev = _events(spark, sf_dir).withColumnRenamed("event_type", "dest_table")
-    types = sorted(r[0] for r in ev.select("dest_table").distinct().collect())
-    router = MultiTableRouter(
-        spark,
-        tempfile.mkdtemp(prefix="qss-q-") + "/multi",
-        table_col="dest_table",
-        tables=types,
-        keys=("user_id",),
-        version_col="ts",
-        arrival_col="event_id",
-        num_buckets=4,
-    )
-    router.upsert_batch(ev, newer_wins=True)
+    upserted = _build_router(spark, ev)
+    upserted.upsert_batch(ev, newer_wins=True)
+
+    deleted = _build_router(spark, ev)
+    deleted.upsert_batch(ev, newer_wins=True)
     err_users = ev.filter(F.col("dest_table") == "error").select("user_id").distinct()
     deletes = (
         ev.join(err_users, "user_id")
         .filter(F.col("dest_table") == "purchase")
         .select("user_id", "ts", "event_id", F.lit("purchase").alias("dest_table"))
     )
-    router.soft_delete_batch(deletes)
-    return router.read_union().select(
-        "dest_table", "event_id", "ts", "user_id", "value", "row_active"
+    deleted.soft_delete_batch(deletes)
+
+    cols = ["dest_table", "event_id", "ts", "user_id", "value", "row_active"]
+    return (
+        upserted.read_union()
+        .select(F.lit("upserted").alias("phase"), *cols)
+        .unionByName(deleted.read_union().select(F.lit("after_delete").alias("phase"), *cols))
     )
 
 

@@ -173,36 +173,43 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_parts_shipped",
+    "join_semi_anti",
     oracle="""
-    SELECT p_partkey, p_name, p_brand FROM part
+    SELECT 'semi_part' AS kind, p_partkey AS key, p_name AS name FROM part
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
                   AND l_quantity >= 40)
-    """,
-    tags=("join",),
-)
-def join_semi_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
-    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
-        "p_partkey", "p_name", "p_brand"
-    )
-
-
-@register(
-    "join_anti_idle_customers",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti_customer' AS kind, c_custkey AS key, c_name AS name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    tags=("join",),
+    tags=("join", "semi", "anti"),
 )
-def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (parts with a heavy shipment) and LEFT ANTI (customers
+    with no orders) in one tagged result.  Both compile to their
+    dedicated join operators — semi/anti never materialize the probe
+    side, which is what makes existence checks affordable at scale."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    semi = (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select(
+            F.lit("semi_part").alias("kind"),
+            F.col("p_partkey").alias("key"),
+            F.col("p_name").alias("name"),
+        )
+    )
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            F.lit("anti_customer").alias("kind"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+        )
     )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -329,6 +336,40 @@ def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "agg_grouping_analytics",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "sql", "grouping"),
+)
+def agg_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping analytics through the SQL front end: the full
+    GROUPING SETS lattice over (returnflag, linestatus) — the union of
+    ROLLUP and CUBE semantics in one pass (Spark expands it to a single
+    Expand + one aggregation, not one scan per set).  The DataFrame-API
+    ``rollup``/``cube`` twins are pytest-gated below; group columns are
+    non-null in the data, so NULL in the output unambiguously marks the
+    rolled-up level."""
+    pin_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
     "agg_rollup_returns",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
@@ -336,8 +377,10 @@ def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> Data
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     tags=("agg",),
+    pytest_only=True,
 )
 def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API ROLLUP twin of agg_grouping_analytics."""
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -353,8 +396,10 @@ def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     tags=("agg",),
+    pytest_only=True,
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API CUBE twin of agg_grouping_analytics."""
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -363,103 +408,61 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_grouping_sets",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus, {sql_dsum("l_extendedprice", "sum_price")}
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    tags=("agg", "sql"),
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared through the SQL front end (spark.sql) to exercise it."""
-    pin_session(spark)
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-@register(
-    "agg_distinct_users",
-    oracle="""
-    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users,
-           COUNT(*) AS n
-    FROM events GROUP BY event_type
-    """,
-    tags=("agg",),
-)
-def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count_distinct(F.col("user_id")).alias("distinct_users"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-@register(
-    "agg_argminmax",
+    "agg_events_by_type",
     oracle="""
     SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(DISTINCT user_id) AS distinct_users_salted,
            max_by(user_id, event_id) AS user_of_last_event,
            min_by(user_id, event_id) AS user_of_first_event,
            CAST(max_by(event_id, ts || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
                 AS BIGINT) AS latest_event_id
     FROM events GROUP BY event_type
     """,
-    tags=("agg", "argmax"),
+    tags=("agg", "argmax", "distinct", "skew", "scale"),
 )
-def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arg-min/arg-max aggregates (the building block under the LWW
-    dedup): ordering keys are unique (event_id, or ts||event_id for the
-    time-ordered variant) so ties cannot diverge between engines."""
+def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event profile combining three aggregation families:
+
+    - exact COUNT DISTINCT (``distinct_users``) — the direct plan;
+    - two-phase **salted** COUNT DISTINCT (``distinct_users_salted``) —
+      the skew-mitigation pattern for heavy grouping keys: phase 1
+      counts distinct users within (type, salt) shards so no single
+      reducer sees a whole heavy group, phase 2 sums the shard counts
+      (exact: the salt is a hash of the key, so each user lands in
+      exactly one shard).  Same contract, different physical plan —
+      the oracle states it as the plain COUNT DISTINCT;
+    - arg-min/arg-max (``max_by``/``min_by`` — the building block under
+      the LWW dedup), ordered by unique keys (event_id; ts||event_id
+      for the time-ordered variant) so ties cannot diverge.
+    """
     e = _t(spark, sf_dir, "events")
     time_key = F.concat(
         F.col("ts").cast("string"), F.lit("|"), F.lpad(F.col("event_id").cast("string"), 12, "0")
     )
-    return e.groupBy("event_type").agg(
+    direct = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).alias("distinct_users"),
         F.max_by("user_id", "event_id").alias("user_of_last_event"),
         F.min_by("user_id", "event_id").alias("user_of_first_event"),
         F.max_by("event_id", time_key).alias("latest_event_id"),
     )
-
-
-@register(
-    "window_first_last",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           first_value(o_orderkey) OVER w AS first_order,
-           last_value(o_orderkey) OVER w AS last_order,
-           nth_value(o_orderkey, 2) OVER w AS second_order
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    tags=("window",),
-)
-def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last/nth_value over the full partition frame with a unique
-    order — each customer's first, last and second order."""
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    salted = (
+        e.withColumn("__salt", F.pmod(F.xxhash64("user_id"), F.lit(32)))
+        .groupBy("event_type", "__salt")
+        .agg(F.count_distinct("user_id").alias("part"))
+        .groupBy("event_type")
+        .agg(F.sum("part").alias("distinct_users_salted"))
     )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.first("o_orderkey").over(w).alias("first_order"),
-        F.last("o_orderkey").over(w).alias("last_order"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    return direct.join(salted, "event_type").select(
+        "event_type",
+        "n",
+        "distinct_users",
+        "distinct_users_salted",
+        "user_of_last_event",
+        "user_of_first_event",
+        "latest_event_id",
     )
 
 
@@ -467,11 +470,13 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct_users",
     oracle=None,  # HLL sketches are engine-specific; rows-only check
     tags=("agg", "approx"),
+    pytest_only=True,
 )
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++).  No oracle: sketch values
-    are engine-specific by construction; the exact twin above is the
-    verified one."""
+    are engine-specific by construction; the exact twin
+    (agg_events_by_type) is the verified one, so this stays out of the
+    driver window."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -484,51 +489,121 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_spend",
+    "window_order_analytics",
     oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_spend
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wrun AS DOUBLE)
+             AS running_spend,
+           first_value(o_orderkey) OVER wfull AS first_order,
+           last_value(o_orderkey) OVER wfull AS last_order,
+           nth_value(o_orderkey, 2) OVER wfull AS second_order,
+           ntile(4) OVER wg AS price_quartile,
+           round(percent_rank() OVER wg, 6) AS pct_rank,
+           round(cume_dist() OVER wg, 6) AS cume,
+           rank() OVER ws AS status_rank,
+           dense_rank() OVER ws AS status_dense_rank
     FROM orders
+    WINDOW
+      wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      wg AS (ORDER BY o_totalprice ASC, o_orderkey ASC),
+      ws AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
-    tags=("window",),
+    tags=("window", "rank"),
 )
-def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
+def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function families in one pass over orders: running
+    frame aggregate (cumulative spend), full-partition value picks
+    (first/last/nth), global distribution ranks (ntile / percent_rank /
+    cume_dist) and per-partition ranking (rank / dense_rank).  Every
+    ordering ends in the unique o_orderkey so both engines agree
+    exactly; Spark plans one Window operator per distinct
+    partitioning/frame, not one per function."""
+    o = _t(spark, sf_dir, "orders")
+    wrun = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return _t(spark, sf_dir, "orders").select(
-        "o_custkey",
+    wfull = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wg = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ws = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return o.select(
         "o_orderkey",
-        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        "o_custkey",
+        F.sum(money("o_totalprice")).over(wrun).cast("double").alias("running_spend"),
+        F.first("o_orderkey").over(wfull).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+        F.ntile(4).over(wg).alias("price_quartile"),
+        F.round(F.percent_rank().over(wg), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wg), 6).alias("cume"),
+        F.rank().over(ws).alias("status_rank"),
+        F.dense_rank().over(ws).alias("status_dense_rank"),
     )
 
 
 @register(
-    "window_top3_orders_per_customer",
+    "topk_orders",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+    SELECT 'per_customer' AS scope, o_custkey, o_orderkey, o_totalprice, rank FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
       FROM orders
     ) WHERE rank <= 3
+    UNION ALL
+    SELECT 'global' AS scope, CAST(NULL AS BIGINT) AS o_custkey,
+           o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders
+    ) WHERE rank <= 10
     """,
-    tags=("window", "topk"),
+    tags=("window", "topk", "sort"),
     bench=True,
 )
-def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k both ways: per-customer top-3 (row_number window + filter —
+    Spark 4 pre-reduces map-side via WindowGroupLimit) and global top-10
+    (orderBy+limit — compiles to TakeOrderedAndProject: per-partition
+    heap + driver merge, no full sort; pinned by
+    tests/test_plans_explain.py on the sort_top10_orders twin)."""
+    o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        _t(spark, sf_dir, "orders")
-        .withColumn("rank", F.row_number().over(w))
+    per_cust = (
+        o.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .select(
+            F.lit("per_customer").alias("scope"),
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "rank",
+        )
     )
+    wg = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    top10 = (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(wg))
+        .select(
+            F.lit("global").alias("scope"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "rank",
+        )
+    )
+    return per_cust.unionByName(top10)
 
 
 @register(
@@ -558,39 +633,6 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_rank_distribution",
-    oracle="""
-    SELECT o_orderkey,
-           ntile(4) OVER w AS price_quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
-           rank() OVER w2 AS status_rank,
-           dense_rank() OVER w2 AS status_dense_rank
-    FROM orders
-    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC),
-           w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC)
-    """,
-    tags=("window", "rank"),
-)
-def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-family window functions: ntile/percent_rank/cume_dist
-    over a global order plus rank/dense_rank per status partition —
-    every order fully tie-broken by the unique key so both engines
-    agree exactly."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    w2 = Window.partitionBy("o_orderstatus").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.rank().over(w2).alias("status_rank"),
-        F.dense_rank().over(w2).alias("status_dense_rank"),
-    )
-
-
 # --------------------------------------------------------------------------
 # Sorts / limits / set ops
 
@@ -602,6 +644,7 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,
     tags=("sort", "topk"),
+    pytest_only=True,
 )
 def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
@@ -615,48 +658,40 @@ def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_union_trading_nations",
+    "set_ops",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
     """,
     tags=("setop",),
 )
-def set_union_trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operators (set semantics, like the SQL twins) over
+    the customer/supplier nation keys, tagged by operator.  UNION
+    DISTINCT / INTERSECT / EXCEPT each compile to their dedicated
+    hash-based physical operators (one shuffle on the compared
+    columns)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@register(
-    "set_intersect_nations",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-    tags=("setop",),
-)
-def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "set_except_customer_only_nations",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-    tags=("setop",),
-)
-def set_except_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (set semantics, like the SQL twin)
+    tagged = [
+        ("union", c.union(s).distinct()),
+        ("intersect", c.intersect(s)),
+        ("except", c.subtract(s)),
+    ]
+    out = None
+    for op, df in tagged:
+        part = df.select(F.lit(op).alias("op"), "nationkey")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -664,7 +699,7 @@ def set_except_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
-    "scalar_string_math",
+    "scalar_part_funcs",
     oracle="""
     SELECT p_partkey,
            upper(p_brand) AS brand_upper,
@@ -674,13 +709,41 @@ def set_except_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFr
            round(p_retailprice * 1.1, 2) AS price_bumped,
            CAST(p_size % 5 AS INT) AS size_mod,
            abs(p_size - 25) AS size_dist,
-           CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+           CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+           regexp_extract(p_type, '[A-Z]+') AS first_upper_run,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_brand, 'Brand#1[0-9]') AS is_brand_1x,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_lower_runs,
+           map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)])['price'][1]
+             AS price_from_map,
+           cardinality(map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)]))
+             AS map_size,
+           struct_pack(brand := p_brand, sz := p_size).brand AS brand_from_struct,
+           struct_pack(brand := p_brand, sz := p_size).sz + 1 AS size_plus_one,
+           len(string_split(p_name, ' ')) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS reversed_name
     FROM part
     """,
-    tags=("scalar",),
+    tags=("scalar", "string", "math", "regex", "map", "struct", "array"),
 )
-def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function families over ``part`` in one wide projection:
+    string ops, arithmetic, CASE, regex (extract/replace/match/
+    extract_all), MapType/StructType construction + field access
+    (surfaced as scalars — map/struct columns themselves don't hash
+    portably across engines; their lookups do), and array algebra
+    (split/sort/contains/reverse/join).  All JVM built-ins inside one
+    whole-stage-codegen span — a map-only pass at any scale."""
     p = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("price"), F.col("p_retailprice"),
+        F.lit("size"), F.col("p_size").cast("double"),
+    )
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
+    words = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
@@ -691,158 +754,73 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") % 5).cast("int").alias("size_mod"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
         F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+        F.regexp_extract("p_type", "[A-Z]+", 0).alias("first_upper_run"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_brand").rlike("Brand#1[0-9]").alias("is_brand_1x"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))).alias("n_lower_runs"),
+        F.element_at(m, "price").alias("price_from_map"),
+        F.size(m).alias("map_size"),
+        s.getField("brand").alias("brand_from_struct"),
+        (s.getField("sz") + 1).alias("size_plus_one"),
+        F.size(words).alias("n_words"),
+        words.getItem(0).alias("first_word"),
+        F.array_join(F.array_sort(words), "-").alias("sorted_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.array_join(F.reverse(words), " ").alias("reversed_name"),
     )
 
 
 @register(
-    "scalar_dates",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INT) AS order_year,
-           CAST(month(o_orderdate) AS INT) AS order_month,
-           CAST(dayofweek(o_orderdate) AS INT) AS order_dow,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
-             AS days_to_2002
-    FROM orders
-    """,
-    tags=("scalar", "date"),
-)
-def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
-        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
-            "days_to_2002"
-        ),
-    )
-
-
-@register(
-    "scalar_json_props",
+    "scalar_event_funcs",
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
-           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS prop_k_mod
-    FROM events
-    """,
-    tags=("scalar", "json"),
-)
-def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return e.select("event_id", k.alias("prop_k"), (k % 10).alias("prop_k_mod"))
-
-
-@register(
-    "scalar_bitwise",
-    oracle="""
-    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS prop_k_mod,
            event_id & 255 AS low_byte,
            event_id | 4096 AS with_flag,
            xor(event_id, user_id) AS xored,
            event_id << 2 AS shifted_left,
            event_id >> 3 AS shifted_right,
-           CAST(bit_count(event_id) AS INT) AS popcount
+           CAST(bit_count(event_id) AS INT) AS popcount,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
+           (value IS NULL) AS value_missing,
+           COALESCE(value, 0.0) AS value_filled,
+           CAST(year(ts) AS INT) AS event_year,
+           CAST(month(ts) AS INT) AS event_month,
+           CAST(dayofweek(ts) AS INT) AS event_dow,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', CAST(ts AS DATE), DATE '2002-01-01') AS INT)
+             AS days_to_2002
     FROM events
     """,
-    tags=("scalar", "bitwise"),
+    tags=("scalar", "json", "bitwise", "null", "date"),
 )
-def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise operator coverage (exact integer semantics — identical
-    in any engine)."""
+def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function families over ``events`` in one wide projection:
+    JSON path extraction, bitwise ops (exact integer semantics), NULL
+    handling (NULLIF/COALESCE/IS NULL), and date/time parts over the
+    event timestamp.  DuckDB dayofweek is Sunday=0 vs Spark's Sunday=1,
+    hence the -1."""
     e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
     return e.select(
         "event_id",
+        k.alias("prop_k"),
+        (k % 10).alias("prop_k_mod"),
         F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
         F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
         F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
         F.shiftleft(F.col("event_id"), 2).alias("shifted_left"),
         F.shiftright(F.col("event_id"), 3).alias("shifted_right"),
         F.bit_count(F.col("event_id")).alias("popcount"),
-    )
-
-
-@register(
-    "scalar_struct_map",
-    oracle="""
-    SELECT p_partkey,
-           map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)])['price'][1]
-             AS price_from_map,
-           map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)])['size'][1]
-             AS size_from_map,
-           cardinality(map(['price', 'size'], [p_retailprice, CAST(p_size AS DOUBLE)]))
-             AS map_size,
-           struct_pack(brand := p_brand, sz := p_size).brand AS brand_from_struct,
-           struct_pack(brand := p_brand, sz := p_size).sz + 1 AS size_plus_one
-    FROM part
-    """,
-    tags=("scalar", "map", "struct"),
-)
-def scalar_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType and StructType construction + field access, surfaced as
-    scalars (map/struct columns themselves don't hash portably across
-    engines; their lookups do)."""
-    p = _t(spark, sf_dir, "part")
-    m = F.create_map(
-        F.lit("price"), F.col("p_retailprice"),
-        F.lit("size"), F.col("p_size").cast("double"),
-    )
-    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
-    return p.select(
-        "p_partkey",
-        F.element_at(m, "price").alias("price_from_map"),
-        F.element_at(m, "size").alias("size_from_map"),
-        F.size(m).alias("map_size"),
-        s.getField("brand").alias("brand_from_struct"),
-        (s.getField("sz") + 1).alias("size_plus_one"),
-    )
-
-
-@register(
-    "scalar_regex",
-    oracle="""
-    SELECT p_partkey,
-           regexp_extract(p_type, '[A-Z]+') AS first_upper_run,
-           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-           regexp_matches(p_brand, 'Brand#1[0-9]') AS is_brand_1x,
-           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_lower_runs
-    FROM part
-    """,
-    tags=("scalar", "regex"),
-)
-def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_type", "[A-Z]+", 0).alias("first_upper_run"),
-        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        F.col("p_brand").rlike("Brand#1[0-9]").alias("is_brand_1x"),
-        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))).alias("n_lower_runs"),
-    )
-
-
-@register(
-    "scalar_null_handling",
-    oracle="""
-    SELECT event_id,
-           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
-           (value IS NULL) AS value_missing,
-           COALESCE(value, 0.0) AS value_filled
-    FROM events
-    """,
-    tags=("scalar", "null"),
-)
-def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("n/a")).alias("type_or_na"),
         F.isnull("value").alias("value_missing"),
         F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+        F.year("ts").alias("event_year"),
+        F.month("ts").alias("event_month"),
+        (F.dayofweek("ts") - 1).alias("event_dow"),
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("ts").cast("date")).alias(
+            "days_to_2002"
+        ),
     )

@@ -78,52 +78,29 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_salted_distinct",
-    oracle="""
-    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
-    FROM events GROUP BY event_type
-    """,
-    tags=("agg", "skew", "scale"),
-)
-def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted COUNT DISTINCT — the skew-mitigation pattern for
-    heavy grouping keys (here: 5 event types over 100k+ rows each at
-    scale).  Phase 1 counts distinct keys within (group, salt) shards so
-    no single reducer sees a whole heavy group; phase 2 sums the shard
-    counts, which is exact because the salt partitions the key space
-    disjointly (salt = key hash, so one user lands in one shard).
-    Same contract as the direct COUNT(DISTINCT), different physical
-    plan."""
-    pin_session(spark)
-    ev = load_table(spark, sf_dir, "events")
-    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("user_id"), F.lit(32)))
-    phase1 = salted.groupBy("event_type", "__salt").agg(
-        F.count_distinct("user_id").alias("part")
-    )
-    return phase1.groupBy("event_type").agg(F.sum("part").alias("distinct_users"))
-
-
 _SPLIT_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
 
 
 @register(
-    "sample_deterministic_split",
+    "sample_splits",
     oracle=f"""
     SELECT doc_id,
            CASE WHEN {_SPLIT_HASH} < 90 THEN 'train'
                 WHEN {_SPLIT_HASH} < 95 THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS split,
+           {_SPLIT_HASH} < 10 AS in_10pct_sample
     FROM documents
     """,
     tags=("sampling", "pipeline"),
 )
-def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-addressed train/val/test assignment (90/5/5): the split
-    is a pure function of the id's md5, so it is reproducible across
-    runs, engines and cluster sizes — unlike RNG sampling, a document
-    never migrates between splits when the corpus grows.  This is the
-    standard leak-proof split for training-data pipelines."""
+def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed sampling, both shapes in one pass: the
+    train/val/test assignment (90/5/5) and a deterministic ~10% sample
+    flag, each a pure function of the id's md5 — reproducible across
+    runs, engines and cluster sizes.  Unlike RNG sampling, a document
+    never migrates between splits when the corpus grows, and the two
+    are composable because both condition on the same hash.  This is
+    the standard leak-proof split for training-data pipelines."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
     h = (
@@ -133,27 +110,8 @@ def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
+        (h < 10).alias("in_10pct_sample"),
     )
-
-
-@register(
-    "sample_hash_percent",
-    oracle=f"""
-    SELECT doc_id, n_chars FROM documents WHERE {_SPLIT_HASH} < 10
-    """,
-    tags=("sampling",),
-)
-def sample_hash_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~10% sample by id hash — the reproducible
-    alternative to RNG sampling for corpus subsetting; composable with
-    the split above because both condition on the same hash."""
-    pin_session(spark)
-    d = load_table(spark, sf_dir, "documents")
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
-        % 100
-    )
-    return d.filter(h < 10).select("doc_id", "n_chars")
 
 
 @register(
@@ -343,16 +301,19 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_drop_duplicates_watermark",
-    oracle=None,  # "first seen" is arrival-order dependent across partitions
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
     tags=("streaming", "dedup"),
 )
 def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on the event key: keeps the first
     arrival per event_id within the watermark horizon — the built-in
     streaming dedup (state auto-expires with the watermark, unlike plain
-    dropDuplicates whose state grows forever).  Rows-only check: 'first
-    seen' depends on partition race, though with unique event_ids the
-    kept ROW COUNT is deterministic."""
+    dropDuplicates whose state grows forever).  'First seen' is an
+    arrival-order race across partitions, but the input doubles each
+    event with an IDENTICAL copy, so whichever copy wins, the kept
+    content is exactly the distinct event set — which is the oracle."""
     pin_session(spark)
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="qss-ddw-")

@@ -80,22 +80,6 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "emb_centroid_by_label",
-    oracle=f"""
-    WITH ex AS (
-      SELECT label,
-             unnest(range(0, {DIM})) AS pos,
-             unnest(CAST(embedding AS DOUBLE[])) AS val
-      FROM embeddings
-    )
-    SELECT label, pos,
-           round(CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)
-                 / COUNT(*) / 1000000, 6) AS centroid
-    FROM ex GROUP BY label, pos
-    """,
-    tags=("similarity", "agg"),
-)
 def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids (the building block for IVF cells).
     Components are scaled to integers before summing so the aggregation
@@ -241,11 +225,6 @@ def _kmeans_oracle() -> str:
     """
 
 
-@register(
-    "emb_kmeans_train",
-    oracle=None,  # set below (generated, unrolled iterations)
-    tags=("similarity", "ivf", "iterative", "ml"),
-)
 def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means codebook training (K={KMEANS_K}, {KMEANS_ITERS} Lloyd
     iterations, deterministic first-K init) — the offline step that
@@ -298,6 +277,39 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cents = to_lists(cr.collect())
     return cr.select("cell", "pos", F.col("cv").alias("centroid"))
+
+
+@register(
+    "emb_centroids",
+    oracle=None,  # set at module end (kmeans side is generated, unrolled)
+    tags=("similarity", "agg", "ivf", "iterative", "ml"),
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both codebook constructions, tagged by method:
+
+    - ``label`` — per-label centroids (the supervised building block
+      for IVF cells), exact scaled-integer means so the aggregation is
+      order-independent;
+    - ``kmeans`` — the trained codebook: K={KMEANS_K} Lloyd iterations
+      ({KMEANS_ITERS} rounds, deterministic first-K init).  Iterative ML
+      on Spark: each round assigns vectors to their nearest centroid via
+      one transform over a broadcast-sized literal centroid array (the
+      model crosses the driver, never the data) and recomputes exact
+      means; the oracle unrolls the same rounds as CTE layers.
+    """
+    lab = emb_centroid_by_label(spark, sf_dir).select(
+        F.lit("label").alias("method"),
+        F.col("label").cast("long").alias("cell"),
+        "pos",
+        "centroid",
+    )
+    km = emb_kmeans_train(spark, sf_dir).select(
+        F.lit("kmeans").alias("method"),
+        F.col("cell").cast("long").alias("cell"),
+        "pos",
+        "centroid",
+    )
+    return lab.unionByName(km)
 
 
 # ------------------------------------------------------------------- IVF
@@ -377,6 +389,8 @@ def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list
     ) WHERE rank <= {TOP_K}
     """,
     tags=("similarity", "ivf", "approx"),
+    pytest_only=True,  # label-cell codebook variant; emb_ivf_trained_topk
+    # (trained codebook, better recall) is the driver-checked one
 )
 def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: vectors are inverted-file-indexed by their nearest
@@ -447,6 +461,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, {_sig_sql('v')} AS sig FROM e
     """,
     tags=("similarity", "lsh"),
+    pytest_only=True,  # subsumed by emb_lsh_ann_topk (same signatures)
 )
 def emb_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane sign-LSH signatures ({vec.NUM_PLANES} deterministic
@@ -612,9 +627,29 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_topk(e, cents)
 
 
+def _centroids_oracle() -> str:
+    """Label-centroid rows UNION the unrolled-k-means rows, tagged."""
+    ctes = ",\n".join(_kmeans_ctes())
+    return f"""
+    WITH {ctes},
+    label_ex AS (
+      SELECT label, unnest(range(0, {DIM})) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    )
+    SELECT 'label' AS method, CAST(label AS BIGINT) AS cell,
+           CAST(pos AS BIGINT) AS pos, {_exact_mean_sql('val')} AS centroid
+    FROM label_ex GROUP BY label, pos
+    UNION ALL
+    SELECT 'kmeans' AS method, CAST(cell AS BIGINT) AS cell,
+           CAST(pos AS BIGINT) AS pos, cv AS centroid
+    FROM cr_{KMEANS_ITERS}
+    """
+
+
 from quick_stream_spark.plans.registry import REGISTRY as _SIMREG  # noqa: E402
 
-# assigned at module end: _kmeans_oracle needs _sqdist_sql (defined in the
+# assigned at module end: _kmeans_ctes needs _sqdist_sql (defined in the
 # IVF section below the k-means block)
-_SIMREG["emb_kmeans_train"].oracle = " ".join(_kmeans_oracle().split())
+_SIMREG["emb_centroids"].oracle = " ".join(_centroids_oracle().split())
 _SIMREG["emb_ivf_trained_topk"].oracle = " ".join(_trained_ivf_oracle().split())

@@ -45,21 +45,50 @@ def _run_to_memory(spark: SparkSession, streaming_df, name: str, work: str, mode
 
 
 @register(
-    "stream_window_counts",
+    "stream_windows",
     oracle=f"""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
+    SELECT 'tumbling' AS kind,
+           event_type AS grp,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
            COUNT(*) AS n,
            {sql_dsum("value", "sum_value")}
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session' AS kind, grp, window_start, n, sum_value FROM (
+      WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '{SESSION_GAP}'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+      ),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      )
+      SELECT CAST(user_id AS VARCHAR) AS grp, min(ts) AS window_start,
+             count(*) AS n, {sql_dsum("value", "sum_value")}
+      FROM sess GROUP BY user_id, session_id
+    )
     """,
-    tags=("streaming", "window"),
+    tags=("streaming", "window", "session"),
 )
-def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time windows with a watermark, computed by an
-    actual streaming query (complete mode so every window is emitted
-    on the availableNow drain).  Spark's window() aligns to the epoch,
-    exactly like DuckDB's time_bucket."""
+def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation through REAL streaming queries,
+    both window kinds tagged in one result:
+
+    - ``tumbling`` — 1-hour epoch-aligned windows per event_type with a
+      watermark (complete mode so every window is emitted on the
+      availableNow drain); Spark's window() aligns to the epoch exactly
+      like DuckDB's time_bucket;
+    - ``session`` — gap-based session windows ({SESSION_GAP}) per user;
+      the oracle rebuilds sessions with the classic gap-and-cumsum
+      window SQL.  Session semantics are order-independent, so the
+      streaming result is deterministic.
+    """
     pin_session(spark)
     stream, work = _events_stream(spark, sf_dir)
     windowed = (
@@ -68,59 +97,39 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
     out = _run_to_memory(spark, windowed, f"win_counts_{abs(hash(work)) % 10**8}", work, "complete")
-    return out.select(
-        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
-    )
-
-
-@register(
-    "stream_session_windows",
-    oracle=f"""
-    WITH gaps AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL '{SESSION_GAP}'
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    sess AS (
-      SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM gaps
-    )
-    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-           {sql_dsum("value", "sum_value")}
-    FROM sess GROUP BY user_id, session_id
-    """,
-    tags=("streaming", "window", "session"),
-)
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (gap {SESSION_GAP}) per user through a real
-    streaming query.  The oracle rebuilds sessions with the classic
-    gap-and-cumsum window SQL — session semantics are order-independent,
-    so the streaming result is deterministic."""
-    pin_session(spark)
-    stream, work = _events_stream(spark, sf_dir)
-    sessions = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
-    )
-    out = _run_to_memory(spark, sessions, f"sessions_{abs(hash(work)) % 10**8}", work, "complete")
-    return out.select(
-        "user_id",
-        F.col("session_window.start").alias("session_start"),
-        "n_events",
+    tumbling = out.select(
+        F.lit("tumbling").alias("kind"),
+        F.col("event_type").alias("grp"),
+        F.col("window.start").alias("window_start"),
+        "n",
         "sum_value",
     )
+
+    stream2, work2 = _events_stream(spark, sf_dir)
+    sessions = (
+        stream2.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+    out2 = _run_to_memory(
+        spark, sessions, f"sessions_{abs(hash(work2)) % 10**8}", work2, "complete"
+    )
+    session = out2.select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("session_window.start").alias("window_start"),
+        "n",
+        "sum_value",
+    )
+    return tumbling.unionByName(session)
 
 
 @register(
     "stream_late_data_watermark",
     oracle=None,  # behavioral: late-row dropping depends on batch order
     tags=("streaming", "watermark"),
+    pytest_only=True,  # rows-only check: keep it out of the driver's
+    # hash-checked window (every exported slot should carry an oracle)
 )
 def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics demo (rows-only check): batch 1 carries the

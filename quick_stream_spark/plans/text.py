@@ -33,75 +33,91 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- analysis
 
 
+# synthetic PII template shared by text_metrics (redaction columns);
+# deterministically injected into every 5th document so the redaction
+# pass has observable work (the synthetic corpus contains none)
+_PII_TEXT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id "
+    "|| '@example.com or +1-555-01' || doc_id % 100 "
+    "|| ' see https://example.org/u/' || doc_id END"
+)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^\\s]+"
+_PHONE_RE = "\\+[0-9][0-9-]{7,}"
+
+
 @register(
-    "text_token_counts",
+    "text_metrics",
     oracle=f"""
-    SELECT doc_id,
-           {tx.token_count_ws_sql('text')} AS n_tokens_ws,
-           {tx.token_count_bpe_sql('text')} AS n_tokens_bpe
-    FROM documents
+    WITH pii AS (
+      SELECT doc_id, COALESCE({_PII_TEXT_SQL}, text) AS ptext FROM documents
+    )
+    SELECT d.doc_id,
+           {tx.token_count_ws_sql('d.text')} AS n_tokens_ws,
+           {tx.token_count_bpe_sql('d.text')} AS n_tokens_bpe,
+           {tx.punct_ratio_sql('d.text')} AS punct_ratio,
+           {tx.stopword_ratio_sql('d.text')} AS stopword_ratio,
+           {tx.quality_score_sql('d.text')} AS quality_score,
+           d.lang,
+           {tx.lang_id_sql('d.text')} AS lang_pred,
+           d.lang = {tx.lang_id_sql('d.text')} AS lang_match,
+           {tx.fingerprint_sql('d.text')} AS fingerprint,
+           CAST(len(regexp_extract_all(p.ptext, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(p.ptext, '{_URL_RE}')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(p.ptext, '{_PHONE_RE}')) AS INT) AS n_phones,
+           substring(regexp_replace(regexp_replace(regexp_replace(p.ptext,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_URL_RE}', '<URL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'), 1, 80) AS redacted_head
+    FROM documents d JOIN pii p ON d.doc_id = p.doc_id
     """,
-    tags=("text",),
+    tags=("text", "quality", "langid", "pii", "dedup"),
     bench=True,
 )
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in one wide map-only projection:
+    token counts (whitespace + BPE-ish regex), quality signals
+    (punctuation/stopword ratios, composite score), n-gram-heuristic
+    language ID vs the labeled ``lang``, the normalized-content
+    fingerprint (exact-dedup key), and PII scrubbing — counts and
+    redaction of emails/URLs/phone numbers over a corpus with synthetic
+    PII injected into every 5th doc so the redaction is observable.
+    All regexp/array built-ins: one whole-stage-codegen pass, no
+    shuffle, at any scale."""
     d = _docs(spark, sf_dir)
+    pred = tx.lang_id(F.col("text"))
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" see https://example.org/u/"), F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
     return d.select(
         "doc_id",
         tx.token_count_ws(F.col("text")).alias("n_tokens_ws"),
         tx.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
-    )
-
-
-@register(
-    "text_quality_scores",
-    oracle=f"""
-    SELECT doc_id,
-           {tx.punct_ratio_sql('text')} AS punct_ratio,
-           {tx.stopword_ratio_sql('text')} AS stopword_ratio,
-           {tx.quality_score_sql('text')} AS quality_score
-    FROM documents
-    """,
-    tags=("text",),
-)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
         tx.punct_ratio(F.col("text")).alias("punct_ratio"),
         tx.stopword_ratio(F.col("text")).alias("stopword_ratio"),
         tx.quality_score(F.col("text")).alias("quality_score"),
+        "lang",
+        pred.alias("lang_pred"),
+        (F.col("lang") == pred).alias("lang_match"),
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(F.regexp_extract_all(injected, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(injected, F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(injected, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.substring(redacted, 1, 80).alias("redacted_head"),
     )
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-    SELECT doc_id, lang,
-           {tx.lang_id_sql('text')} AS lang_pred,
-           lang = {tx.lang_id_sql('text')} AS lang_match
-    FROM documents
-    """,
-    tags=("text",),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    pred = tx.lang_id(F.col("text"))
-    return d.select(
-        "doc_id", "lang", pred.alias("lang_pred"), (F.col("lang") == pred).alias("lang_match")
-    )
-
-
-@register(
-    "text_fingerprints",
-    oracle=f"""
-    SELECT doc_id, {tx.fingerprint_sql('text')} AS fingerprint FROM documents
-    """,
-    tags=("text", "dedup"),
-)
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 # ------------------------------------------------------------- dup corpus
@@ -313,6 +329,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # set below — generated SQL needs the vote expressions
     tags=("text", "dedup"),
+    pytest_only=True,  # subsumed by dedup_simhash_pairs (same signatures)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprints: per-token md5-parity votes summed
@@ -343,69 +360,6 @@ def _simhash_oracle() -> str:
 from quick_stream_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["dedup_simhash"].oracle = " ".join(_simhash_oracle().split())
-
-
-# deterministically inject synthetic PII into every 5th document so the
-# redaction pass has observable work (the synthetic corpus contains none)
-_PII_TEXT_SQL = (
-    "CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id "
-    "|| '@example.com or +1-555-01' || doc_id % 100 "
-    "|| ' see https://example.org/u/' || doc_id END"
-)
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_URL_RE = "https?://[^\\s]+"
-_PHONE_RE = "\\+[0-9][0-9-]{7,}"
-
-
-@register(
-    "text_redact_pii",
-    oracle=f"""
-    WITH c AS (
-      SELECT doc_id, COALESCE({_PII_TEXT_SQL}, text) AS text FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INT) AS n_urls,
-           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
-           substring(regexp_replace(regexp_replace(regexp_replace(text,
-             '{_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{_URL_RE}', '<URL>', 'g'),
-             '{_PHONE_RE}', '<PHONE>', 'g'), 1, 80) AS redacted_head
-    FROM c
-    """,
-    tags=("text", "pii"),
-)
-def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing for training corpora: count and redact emails,
-    URLs and phone numbers with placeholder tokens — pure regexp
-    built-ins, a map-only pass at any scale.  Synthetic PII is injected
-    into every 5th doc so the redaction is observable on the driver's
-    corpus."""
-    d = _docs(spark, sf_dir)
-    injected = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"), F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1-555-01"), (F.col("doc_id") % 100).cast("string"),
-            F.lit(" see https://example.org/u/"), F.col("doc_id").cast("string"),
-        ),
-    ).otherwise(F.col("text"))
-    c = d.select("doc_id", injected.alias("text"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
-        ),
-        _PHONE_RE,
-        "<PHONE>",
-    )
-    return c.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
-        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
-        F.substring(redacted, 1, 80).alias("redacted_head"),
-    )
 
 
 CHUNK_SIZE = 32  # tokens per chunk

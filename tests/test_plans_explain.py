@@ -79,13 +79,29 @@ def test_bucketed_join_has_no_join_shuffle(spark):
 
 
 def test_dedup_single_shuffle_with_partial_limit(spark):
-    """The LWW dedup must shuffle exactly once (on the key), and Spark 4
-    should pre-reduce map-side via partial WindowGroupLimit (top-1 per
-    key before the exchange) — the shuffle carries at most one row per
-    (key, input partition)."""
+    """The LWW dedup (window variant) must shuffle exactly once (on the
+    key), and Spark 4 should pre-reduce map-side via partial
+    WindowGroupLimit (top-1 per key before the exchange) — the shuffle
+    carries at most one row per (key, input partition).  Plan built from
+    the operator directly: the registered r_dedup_latest_per_key query
+    unions both physical variants, which would double-count exchanges."""
+    import contextlib
+    import io
     import re
 
-    plan = _formatted(spark, "r_dedup_latest_per_key")
+    from quick_stream_spark.operators.dedup import latest_per_key
+    from quick_stream_spark.sources.readers import load_table
+
+    df = latest_per_key(
+        load_table(spark, SF_SMOKE, "events"),
+        keys=("user_id",),
+        version_col="ts",
+        arrival_col="event_id",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
     assert "WindowGroupLimit" in plan
