@@ -40,6 +40,21 @@ def main() -> None:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F  # noqa: E402
+
+    # Session warmup (untimed): first-job executor spin-up, JIT and the
+    # janino/Arrow code paths cost ~3s that would otherwise land on
+    # whichever query runs first — that's harness noise, not query cost.
+    (
+        spark.range(20_000)
+        .withColumn("s", F.md5(F.col("id").cast("string")))
+        .withColumn("a", F.transform(F.split(F.col("s"), ""), lambda x: F.conv(x, 16, 10)))
+        .repartition(8, "id")
+        .groupBy((F.col("id") % 7).alias("g"))
+        .count()
+        .count()
+    )
+
     from quick_stream_spark.plans.registry import REGISTRY, queries
 
     queries()  # populate

@@ -236,33 +236,77 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
 
 
+# Skew guard: a band bucket holding a viral duplicate cluster generates
+# O(bucket^2) candidate pairs; buckets above this size are dropped
+# entirely (deterministic, replayed identically by the SQL oracle).
+# Recall trade: members of a > MAX_BUCKET_SIZE cluster only pair up if
+# they also collide in a smaller bucket of another band — acceptable,
+# because such clusters are exactly the ones exact-dedup and the
+# verified pairs from the other 7 bands already blanket.
+MAX_BUCKET_SIZE = 64
+
+
+def lsh_bucket_filter_sql(banded: str, max_bucket_size: int = MAX_BUCKET_SIZE) -> str:
+    """DuckDB twin of the bucket-size cap: the set of admissible bands."""
+    return (
+        f"SELECT band FROM {banded} GROUP BY band "
+        f"HAVING count(*) BETWEEN 2 AND {max_bucket_size}"
+    )
+
+
 def candidate_pairs_lsh(
-    docs: DataFrame, id_col: str, shingles_col: str, prehashed: bool = False
+    docs: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    prehashed: bool = False,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
-    """LSH candidate pairs: explode band keys, self-join per bucket,
-    dedup (a pair may collide in several bands).  Returns
-    ``(id_a, id_b, shingles_a, shingles_b)`` with id_a < id_b.
+    """LSH candidate pairs: explode band keys, collect each bucket's id
+    list, generate in-bucket pairs, dedup (a pair may collide in several
+    bands).  Returns ``(id_a, id_b, shingles_a, shingles_b)`` with
+    id_a < id_b.
 
-    Shuffle discipline: the per-band self-join and the pair dedup move
-    only ``(band, id)`` / ``(id_a, id_b)`` integers; the (wide) shingle
-    arrays are joined back by id afterwards.  ``docs`` is persisted so
-    shingles and signatures are computed exactly once."""
-    from pyspark.storagelevel import StorageLevel
+    Shuffle discipline: TWO shuffles total — the bucket groupBy moves
+    only ``(band, id)`` integers and the pair dedup only ``(id_a,
+    id_b)``; the (wide) shingle arrays are joined back by id afterwards.
+    (A band self-join would cost a third exchange and materialize the
+    joined row per collision; the grouped id list is at most
+    ``max_bucket_size`` longs per bucket.)
 
-    # materialize the md5 bases once (lambdas get no subexpression
-    # elimination: unpersisted, each of the NUM_HASHES minima would
-    # recompute every md5); prehashed shingles ARE the bases
+    Skew guard: buckets larger than ``max_bucket_size`` are dropped
+    before pair generation, so a viral duplicate cluster cannot go
+    quadratic (see MAX_BUCKET_SIZE).  The collect_list itself stays
+    bounded: it gathers ids (8 bytes each), not documents, and the cap
+    drops oversized lists before any pair exists.
+
+    The caller is expected to hold ``docs`` persisted: it is consumed
+    three times (banding + both shingle join-backs); ``_shingled_corpus``
+    in plans/text.py is that persisted frame.  Nothing is persisted
+    here, so there is no cache to leak."""
     bases = F.col(shingles_col) if prehashed else shingle_bases(F.col(shingles_col))
-    docs = docs.withColumn("__bases", bases).persist(StorageLevel.MEMORY_AND_DISK)
     banded = docs.select(
         F.col(id_col),
-        F.explode(lsh_bands(minhash_signature_from_bases(F.col("__bases")))).alias("band"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        F.explode(lsh_bands(minhash_signature_from_bases(bases))).alias("band"),
+    )
+    buckets = (
+        banded.groupBy("band")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        banded.select(F.col("band"), F.col(id_col).alias("id_a"))
-        .join(banded.select(F.col("band"), F.col(id_col).alias("id_b")), "band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("shingles_a"))

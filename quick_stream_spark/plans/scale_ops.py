@@ -182,9 +182,11 @@ def _pipeline_oracle() -> str:
     sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
     sig AS (SELECT id, sh, {mh.minhash_signature_from_bases_sql('sh')} AS sig FROM sh),
     banded AS (SELECT id, sh, unnest({mh.lsh_bands_sql('sig')}) AS band FROM sig),
+    ok_bands AS ({mh.lsh_bucket_filter_sql('banded')}),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-      FROM banded a JOIN banded b USING (band) WHERE a.id < b.id
+      FROM banded a JOIN banded b USING (band)
+      WHERE a.id < b.id AND band IN (SELECT band FROM ok_bands)
     ),
     drop_ids AS (
       SELECT DISTINCT id_b AS id FROM cand WHERE {jac} >= {JACCARD_THRESHOLD}

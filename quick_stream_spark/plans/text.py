@@ -232,10 +232,11 @@ def _jaccard_sql(a: str, b: str) -> str:
     sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
     sig AS (SELECT id, sh, {mh.minhash_signature_from_bases_sql('sh')} AS sig FROM sh),
     banded AS (SELECT id, sh, unnest({mh.lsh_bands_sql('sig')}) AS band FROM sig),
+    ok_bands AS ({mh.lsh_bucket_filter_sql('banded')}),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
       FROM banded a JOIN banded b USING (band)
-      WHERE a.id < b.id
+      WHERE a.id < b.id AND band IN (SELECT band FROM ok_bands)
     )
     SELECT id_a, id_b, {_jaccard_sql('sh_a', 'sh_b')} AS jaccard
     FROM cand
@@ -247,10 +248,12 @@ def _jaccard_sql(a: str, b: str) -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: hashed integer shingles (one md5 per TOKEN,
     rolling-polynomial n-grams — no gram strings) -> 16 arithmetic
-    permutation minima -> 8 bands of 2 -> bucket self-join -> exact
-    Jaccard verify on candidates only.  Candidate recall at the observed
-    true-pair Jaccard (~0.47) is ~0.86; the verify step removes false
-    positives, so precision is exact."""
+    permutation minima -> 8 bands of 2 -> capped bucket pair generation
+    (skew guard: buckets over minhash.MAX_BUCKET_SIZE are dropped, so a
+    viral duplicate cluster cannot go quadratic) -> exact Jaccard verify
+    on candidates only.  Candidate recall at the observed true-pair
+    Jaccard (~0.47) is ~0.86; the verify step removes false positives,
+    so precision is exact."""
     corpus = _shingled_corpus(spark, sf_dir)
     cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
     j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
@@ -627,6 +630,7 @@ def _decontamination_oracle() -> str:
     "dedup_connected_components",
     oracle=None,  # set below: recursive-CTE oracle over the minhash pairs
     tags=("text", "dedup", "iterative"),
+    bench=True,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over the
@@ -657,28 +661,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for it in range(20):  # bound >> expected diameter; loop exits at fixpoint
+    for _ in range(12):  # bound >> expected rounds; loop exits at fixpoint
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("nmin"))
         )
+        updated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nmin", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: shortcut each label to its label's label
+        # (component ids ARE node ids, so the self-join always resolves)
+        # — path lengths halve per round, so convergence is O(log
+        # diameter) rounds instead of O(diameter)
+        lbl = updated.select(
+            F.col("id").alias("component"), F.col("component").alias("comp2")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
-            )
+            updated.join(lbl, "component", "left")
+            .select("id", F.coalesce("comp2", F.col("component")).alias("component"))
             # localCheckpoint truncates lineage: without it every
             # iteration's plan contains all previous iterations and
             # analysis/compile time grows superlinearly with rounds
             .localCheckpoint(eager=True)
         )
-        if it % 2 == 0:
-            labels = new_labels  # check convergence every other round
-            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
