@@ -86,13 +86,18 @@ class QuickStreamConfig:
         return self.introduced_lag_cycles * self.introduced_lag_in_millies
 
     def trigger_kwargs(self, available_now: bool = False) -> dict:
-        """kwargs for ``DataStreamWriter.trigger``."""
+        """kwargs for ``DataStreamWriter.trigger``.
+
+        Zero introduced lag means *no delay between cycles* in the
+        reference (the accumulation loop spins immediately), so it maps
+        to a 0-interval processingTime trigger — continuous micro-
+        batches — NOT to availableNow, which would terminate the query
+        once current input drains.  Drain-and-stop is only the explicit
+        ``available_now=True`` replay mode."""
         if available_now:
             return {"availableNow": True}
         ms = self.trigger_interval_ms
-        if ms <= 0:
-            return {"availableNow": True}
-        return {"processingTime": f"{ms} milliseconds"}
+        return {"processingTime": f"{max(ms, 0)} milliseconds"}
 
     def source_options(self) -> dict:
         """Rate-limit options for file sources (backpressure analog)."""

@@ -84,12 +84,26 @@ class KeyedTable:
         self.tie_break = tie_break
         self.num_buckets = int(num_buckets)
         self.soft_delete_col = soft_delete_col
+        # Single-writer caches: a KeyedTable instance assumes it is the
+        # only writer (the reference holds the same assumption — one
+        # QuickStream owns its target table).  Existence flips to True
+        # at the first write and the sidecar schema changes only through
+        # this instance, so neither needs a per-batch filesystem
+        # round-trip; a streaming merge otherwise pays 2 FS calls +
+        # a sidecar read per micro-batch.
+        self._exists_cache: bool | None = None
+        self._schema_cache = None
 
     # ---------------------------------------------------------------- io
 
     def exists(self) -> bool:
+        if self._exists_cache:
+            return True
         fs, p, _ = _hadoop_fs(self.spark, self.path)
-        return fs.exists(p)
+        found = fs.exists(p)
+        if found:
+            self._exists_cache = True
+        return found
 
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets)).cast(
@@ -118,7 +132,19 @@ class KeyedTable:
         bucket = hash(key) % N, so every task's rows land in coherent
         buckets — re-shuffling the whole merged set again just to get
         one file per bucket is a second full shuffle for cosmetics.
-        First writes keep it for a clean initial layout."""
+        First writes keep it for a clean initial layout.
+
+        Crash consistency (documented limitation): dynamic partition
+        overwrite on plain parquet is NOT atomic across buckets — a
+        crash mid-write can leave some touched buckets rewritten and
+        others stale, with no rollback (and ``hard_delete``'s write +
+        directory cleanup are two separate steps).  The reference has
+        the same exposure per statement batch (no transaction around a
+        cycle's statements).  The recovery story here is the streaming
+        checkpoint: foreachBatch re-delivers the interrupted batch and
+        the merge is idempotent under ``newer_wins``; for stronger
+        guarantees swap the backend for Delta/Iceberg behind this same
+        interface (their commit protocol makes the overwrite atomic)."""
         if repartition:
             df = df.repartition(F.col(BUCKET_COL))
         (
@@ -127,21 +153,27 @@ class KeyedTable:
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
         )
+        self._exists_cache = True
         self._write_schema_sidecar(df.schema)
 
     # underscore-prefixed => invisible to Spark's file listing
     _SCHEMA_SIDECAR = "_qss_schema.json"
 
     def _write_schema_sidecar(self, schema) -> None:
+        if self._schema_cache is not None and self._schema_cache.json() == schema.json():
+            return  # unchanged since we last wrote it — skip the FS round-trip
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
         p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._SCHEMA_SIDECAR))
         out = fs.create(p, True)
         out.write(bytearray(schema.json().encode("utf-8")))
         out.close()
+        self._schema_cache = schema
 
     def _read_schema_sidecar(self):
         from pyspark.sql.types import StructType
 
+        if self._schema_cache is not None:
+            return self._schema_cache
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
         p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._SCHEMA_SIDECAR))
         if not fs.exists(p):
@@ -153,7 +185,9 @@ class KeyedTable:
             )
         finally:
             stream.close()
-        return StructType.fromJson(__import__("json").loads(data.decode("utf-8")))
+        schema = StructType.fromJson(__import__("json").loads(data.decode("utf-8")))
+        self._schema_cache = schema
+        return schema
 
     def _drop_bucket_dirs(self, bucket_ids: list[int]) -> None:
         """Remove partition directories that became empty (dynamic
@@ -216,6 +250,19 @@ class KeyedTable:
         # partition-pruned scan: only the touched bucket directories are read
         return self.read(with_bucket=True).filter(F.col(BUCKET_COL).isin(bucket_ids))
 
+    def _pruned_current(self, updates_b: DataFrame) -> DataFrame:
+        """Current rows in the batch's touched buckets, pruned by
+        **dynamic partition pruning**: the semi-join against the
+        broadcast of the batch's distinct buckets becomes a
+        ``dynamicpruningexpression`` partition filter on the scan
+        (verified by tests/test_merge.py), so only touched bucket
+        directories are read — with no driver round-trip and no separate
+        job, unlike the collect-then-isin variant (kept for hard_delete,
+        which needs the literal id list to clean emptied dirs)."""
+        return self.read(with_bucket=True).join(
+            F.broadcast(updates_b.select(BUCKET_COL).distinct()), BUCKET_COL, "left_semi"
+        )
+
     def _merge_window(self, newer_wins: bool) -> Window:
         """Total order picking the surviving row per key across
         current ∪ updates.  Includes the intra-batch LWW order
@@ -225,8 +272,15 @@ class KeyedTable:
 
         lww = _order_cols(self.version_col, self.arrival_col, self.tie_break)
         if newer_wins:
-            # guard: updates apply only if strictly newer (current wins ties)
-            order = [F.col(self.version_col).desc_nulls_last(), F.col(_SRC).asc(), *lww[1:]]
+            # guard: updates apply only if newer.  The arrival tie-break
+            # sorts AHEAD of the batch marker so equal-version ties
+            # resolve by arrival order, not by which batch merged first —
+            # making the end state independent of delivery order even
+            # when the same (key, version) spans delivery files (file-
+            # source ordering for same-mtime files is unspecified).
+            # _SRC remains the final tie-break for the no-arrival-col
+            # case, where current-wins is the documented behavior.
+            order = [F.col(self.version_col).desc_nulls_last(), *lww[1:], F.col(_SRC).asc()]
         else:
             # faithful ON CONFLICT DO UPDATE: the incoming batch always wins
             order = [F.col(_SRC).desc(), *lww]
@@ -247,18 +301,23 @@ class KeyedTable:
         if not self.exists():
             self._write(self._dedup(up), "overwrite")
             return
-        touched = self._touched(up)
-        if not touched:
-            return
-        current = self._current_in(touched)
-        merged = (
-            current.withColumn(_SRC, F.lit(0))
-            .unionByName(up.withColumn(_SRC, F.lit(1)))
-            .withColumn(_RN, F.row_number().over(self._merge_window(newer_wins)))
-            .filter(F.col(_RN) == 1)
-            .drop(_RN, _SRC)
-        )
-        self._write(merged, "overwrite", repartition=False)
+        # one materialization serves both the bucket broadcast (the DPP
+        # subquery) and the merge's union side; an empty batch writes
+        # zero partitions (dynamic overwrite touches nothing) so no
+        # separate emptiness probe is needed
+        up = up.persist()
+        try:
+            merged = (
+                self._pruned_current(up)
+                .withColumn(_SRC, F.lit(0))
+                .unionByName(up.withColumn(_SRC, F.lit(1)))
+                .withColumn(_RN, F.row_number().over(self._merge_window(newer_wins)))
+                .filter(F.col(_RN) == 1)
+                .drop(_RN, _SRC)
+            )
+            self._write(merged, "overwrite", repartition=False)
+        finally:
+            up.unpersist()
 
     def compact(self, target_files_per_bucket: int = 1) -> None:
         """Rewrite every bucket partition down to
@@ -298,20 +357,21 @@ class KeyedTable:
         dk = self._dedup(deletes).select(*self.keys).withColumn(BUCKET_COL, self._bucket_expr())
         if not self.exists():
             return
-        touched = self._touched(dk)
-        if not touched:
-            return
-        current = self._current_in(touched)
-        flagged = current.join(
-            dk.withColumn("__qss_del", F.lit(True)).drop(BUCKET_COL),
-            on=self.keys,
-            how="left",
-        )
-        merged = flagged.withColumn(
-            self.soft_delete_col,
-            F.when(F.col("__qss_del"), F.lit(False)).otherwise(F.col(self.soft_delete_col)),
-        ).drop("__qss_del")
-        self._write(merged, "overwrite")
+        dk = dk.persist()  # two consumers: the DPP broadcast + the flag join
+        try:
+            current = self._pruned_current(dk)
+            flagged = current.join(
+                dk.withColumn("__qss_del", F.lit(True)).drop(BUCKET_COL),
+                on=self.keys,
+                how="left",
+            )
+            merged = flagged.withColumn(
+                self.soft_delete_col,
+                F.when(F.col("__qss_del"), F.lit(False)).otherwise(F.col(self.soft_delete_col)),
+            ).drop("__qss_del")
+            self._write(merged, "overwrite")
+        finally:
+            dk.unpersist()
 
     def hard_delete(self, deletes: DataFrame) -> None:
         """Physically remove matching keys (WHEN MATCHED THEN DELETE)."""

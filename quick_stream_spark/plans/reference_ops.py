@@ -323,16 +323,19 @@ def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r_stream_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4+O5+O15+O17 end-to-end: events split into four delivery files,
     replayed through a real Structured Streaming query (file source,
-    one file per micro-batch, availableNow) into the managed table.
-    The newer-wins guard makes the end state independent of micro-batch
-    order, so it is deterministic and SQL-expressible."""
+    availableNow) into the managed table.  Two files per trigger — the
+    reference's lag-cycle ACCUMULATION (upsert.rs:158-204): deliveries
+    arriving within one cycle are merged as one batch, so four
+    deliveries cost two merges, not four.  The newer-wins guard makes
+    the end state independent of micro-batch composition and order, so
+    it is deterministic and SQL-expressible."""
     ev = _events(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="qss-q-")
     # one job writes all four delivery files; batch order is arbitrary,
     # which the newer-wins guard makes irrelevant
     write_split_as_files(ev, F.col("event_id") % 4, 4, work + "/in")
     target = _table(spark)
-    stream = stream_parquet_dir(spark, work + "/in", ev.schema, max_files_per_trigger=1)
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema, max_files_per_trigger=2)
     cfg = QuickStreamConfig(name="r-stream-upsert", checkpoint_dir=work + "/ckpt")
     UpsertQuickStream(target, config=cfg, newer_wins=True).run(stream, available_now=True)
     return target.read().select(*EVENT_COLS, "row_active")

@@ -38,12 +38,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which Spark rejects by default; we read it as long nanos and
     truncate to microseconds (integer division — the values exceed
     2^53, so float math would corrupt them), matching DuckDB's own
-    ns->us truncation."""
+    ns->us truncation.  The ``nanosAsLong`` conf is set only around the
+    read and restored afterwards, so an unrelated later parquet read
+    with TIMESTAMP(NANOS) columns fails loudly instead of silently
+    returning bigint."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key)  # defined default ("false") if unset
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+            # force analysis (and the parquet footer read) while the
+            # conf is still set; the lazy plan keeps the resolved schema
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        finally:
+            spark.conf.set(conf_key, prev)
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -23,9 +23,13 @@ def test_trigger_maps_lag_cycles():
     assert cfg.trigger_kwargs(available_now=True) == {"availableNow": True}
 
 
-def test_zero_lag_degrades_to_available_now():
+def test_zero_lag_runs_continuous_microbatches():
+    """Zero introduced lag = no delay between cycles in the reference,
+    NOT drain-and-stop: it maps to a 0-interval processingTime trigger.
+    availableNow is reserved for the explicit replay flag."""
     cfg = QuickStreamConfig(introduced_lag_cycles=0)
-    assert cfg.trigger_kwargs() == {"availableNow": True}
+    assert cfg.trigger_kwargs() == {"processingTime": "0 milliseconds"}
+    assert cfg.trigger_kwargs(available_now=True) == {"availableNow": True}
 
 
 def test_source_options_rate_limit():

@@ -199,3 +199,42 @@ def test_composite_keys(spark, tmp_table_dir):
     t.upsert(spark.createDataFrame([(1, "x", datetime(2024, 1, 2), 3, "a2")], schema))
     got = {(r.k1, r.k2): r.v for r in t.read().collect()}
     assert got == {(1, "x"): "a2", (1, "y"): "b"}
+
+
+def test_merge_scan_uses_dynamic_partition_pruning(spark, tmp_table_dir):
+    """The incremental-merge read of current state must carry a
+    dynamicpruningexpression partition filter on the bucket column —
+    only the batch's touched bucket directories are read, with no
+    driver-side bucket collect (the 100 TB incremental-merge contract)."""
+    import contextlib
+    import io
+
+    from quick_stream_spark.operators.merge import BUCKET_COL
+
+    from pyspark.sql import functions as F
+
+    from quick_stream_spark.sources.readers import load_table
+
+    # DPP's benefit heuristic skips tiny tables (where a full scan is
+    # cheaper than the pruning subquery — the semi-join still filters
+    # correctly there, just without partition pruning).  Use the sf0.01
+    # events table, a realistic incremental-merge target that engages it.
+    sf_dir = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf_dir, "events")
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "dpp"),
+        keys=("user_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=8,
+    )
+    t.upsert(ev.filter(F.col("event_id") % 4 == 0), newer_wins=True)
+    up = t._prepare_updates(ev.filter(F.col("event_id") % 1000 == 1), dedup=False)
+    pruned = t._pruned_current(up)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert BUCKET_COL in plan

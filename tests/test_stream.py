@@ -197,13 +197,20 @@ def test_processing_time_trigger_and_graceful_stop(spark, tmp_path):
     stream = stream_parquet_dir(spark, src_dir, batches[0].schema)
     q = UpsertQuickStream(target, config=_cfg(tmp_path, "ct")).run(stream)
     try:
-        # wait until the first micro-batch lands
+        # wait until the first micro-batch has COMMITTED (dir existence
+        # flips at write start — stopping then kills the merge mid-write)
         import time
 
+        def committed() -> bool:
+            try:
+                return target.read().count() >= 1
+            except Exception:
+                return False
+
         deadline = time.time() + 120
-        while time.time() < deadline and not target.exists():
+        while time.time() < deadline and not committed():
             time.sleep(0.2)
-        assert target.exists()
+        assert committed()
     finally:
         q.stop()
         q.awaitTermination()
