@@ -111,12 +111,21 @@ class KeyedTable:
         )
 
     def read(self, active_only: bool = False, with_bucket: bool = False) -> DataFrame:
+        """Read the table.  The scan uses the sidecar schema (the
+        current evolved schema) rather than footer inference: buckets
+        untouched since a schema evolution still hold files without the
+        added columns, and an explicit schema NULL-fills them on read —
+        no mergeSchema footer sweep (which at 100 TB is a job in
+        itself)."""
+        schema = self._read_schema_sidecar()
         try:
-            df = self.spark.read.parquet(self.path)
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(self.path)
         except Exception:
             # a table whose every row was hard-deleted has no data files
             # left; fall back to the schema sidecar for an empty frame
-            schema = self._read_schema_sidecar()
             if schema is None:
                 raise
             df = self.spark.createDataFrame([], schema)
@@ -211,12 +220,17 @@ class KeyedTable:
             tie_break=self.tie_break,
         )
 
-    def _prepare_updates(self, updates: DataFrame, dedup: bool = True) -> DataFrame:
+    def _prepare_updates(
+        self,
+        updates: DataFrame,
+        dedup: bool = True,
+        allow_missing_columns: bool = False,
+    ) -> DataFrame:
         """Bucket (and by default dedup) an incoming batch.  The upsert
         path passes ``dedup=False``: its merge window already totally
         orders (source, version, arrival), so folding the LWW dedup into
         the merge saves one full shuffle of the batch."""
-        self._check_schema(updates)
+        self._check_schema(updates, allow_missing_columns)
         if self.soft_delete_col not in updates.columns:
             updates = updates.withColumn(self.soft_delete_col, F.lit(True))
         if dedup:
@@ -224,10 +238,15 @@ class KeyedTable:
         return updates.withColumn(BUCKET_COL, self._bucket_expr())
 
 
-    def _check_schema(self, updates: DataFrame) -> None:
+    def _check_schema(self, updates: DataFrame, allow_missing_columns: bool = False) -> None:
         """Fail fast with a readable error when a batch is missing table
         columns (instead of an internal-column AnalysisException from
-        deep inside the merge plan)."""
+        deep inside the merge plan).  ``allow_missing_columns=True``
+        waives this: missing columns are treated as the reference's
+        ``Option<>`` nullable fields (multi_table_upsert.rs:587-588)
+        and NULL-filled by the merge union."""
+        if allow_missing_columns:
+            return
         expected = self._read_schema_sidecar() if self.exists() else None
         if expected is None:
             return
@@ -288,7 +307,12 @@ class KeyedTable:
 
     # -------------------------------------------------------------- merge
 
-    def upsert(self, updates: DataFrame, newer_wins: bool = False) -> None:
+    def upsert(
+        self,
+        updates: DataFrame,
+        newer_wins: bool = False,
+        allow_missing_columns: bool = False,
+    ) -> None:
         """MERGE the batch in: insert new keys, update existing ones.
 
         ``newer_wins=False`` (default) reproduces the reference's
@@ -296,8 +320,18 @@ class KeyedTable:
         if it carries an older ``modified_date`` (SURVEY.md §7 risk list).
         ``newer_wins=True`` adds the idempotency guard
         ``updates.version > target.version``.
+
+        Schema evolution: a batch carrying NEW columns evolves the table
+        — existing rows read back NULL for them (the reference's
+        ``Option<>`` nullable fields, multi_table_upsert.rs:587-588);
+        only the touched buckets are rewritten, untouched buckets are
+        NULL-filled at read time via the sidecar schema.  A batch
+        MISSING table columns fails fast unless
+        ``allow_missing_columns=True``, which NULL-fills them instead.
         """
-        up = self._prepare_updates(updates, dedup=False)
+        up = self._prepare_updates(
+            updates, dedup=False, allow_missing_columns=allow_missing_columns
+        )
         if not self.exists():
             self._write(self._dedup(up), "overwrite")
             return
@@ -310,7 +344,7 @@ class KeyedTable:
             merged = (
                 self._pruned_current(up)
                 .withColumn(_SRC, F.lit(0))
-                .unionByName(up.withColumn(_SRC, F.lit(1)))
+                .unionByName(up.withColumn(_SRC, F.lit(1)), allowMissingColumns=True)
                 .withColumn(_RN, F.row_number().over(self._merge_window(newer_wins)))
                 .filter(F.col(_RN) == 1)
                 .drop(_RN, _SRC)

@@ -271,6 +271,38 @@ def r_multi_table_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "r_schema_evolution",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CASE WHEN event_id % 2 = 1 THEN round(value * 2, 2) END AS score,
+           TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "merge", "schema-evolution"),
+)
+def r_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the merge path (the reference's
+    ``Option<>`` nullable fields, multi_table_upsert.rs:587-588): batch
+    one carries the original schema, batch two adds a ``score`` column.
+    The table evolves in place — keys whose winning row came from batch
+    one read back NULL for the added column (including rows in buckets
+    the evolving batch never touched, which are NULL-filled at read
+    time via the sidecar schema instead of a file rewrite)."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark)
+    target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+    evolved = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "score", F.round(F.col("value") * 2, 2)
+    )
+    target.upsert(evolved, newer_wins=True)
+    return target.read().select(*EVENT_COLS, "score", "row_active")
+
+
 # --------------------------------------------------------------------------
 # O3 — size-class split (logical parity check)
 

@@ -70,3 +70,62 @@ class JdbcSink:
             .mode("append")
             .options(**self.options(cfg))
         )
+
+    # ------------------------------------------------------- MERGE SQL
+
+    def staging_table_name(self) -> str:
+        return f"{self.table}__qss_staging"
+
+    def merge_statements(
+        self,
+        columns: list[str],
+        keys: list[str],
+        version_col: str | None = None,
+        newer_wins: bool = False,
+    ) -> list[str]:
+        """The server-side MERGE statement sequence for one micro-batch:
+        executable parity with the reference's prepared upsert statement
+        (lib.rs:111: ``INSERT … ON CONFLICT (pk) DO UPDATE SET col =
+        EXCLUDED.col …``) the day a live database exists.
+
+        Deployment pattern (foreachBatch): [0] create the staging table,
+        then ``writer(batch_df)`` with ``dbtable = staging_table_name()``
+        (Spark's JDBC writer appends the batch through the connection
+        pool), then [1] the single set-oriented INSERT … ON CONFLICT
+        from staging into the target — the reference's per-row statement
+        loop becomes one statement per batch — then [2] truncate the
+        staging table for the next cycle.
+
+        ``newer_wins=True`` appends the idempotency guard ``WHERE
+        target.version < EXCLUDED.version``, the SQL twin of the
+        KeyedTable merge-window guard."""
+        staging = self.staging_table_name()
+        collist = ", ".join(columns)
+        conflict = ", ".join(keys)
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in keys)
+        guard = ""
+        if newer_wins:
+            if not version_col:
+                raise ValueError("newer_wins requires a version_col")
+            guard = f" WHERE {self.table}.{version_col} < EXCLUDED.{version_col}"
+        return [
+            f"CREATE TABLE IF NOT EXISTS {staging} (LIKE {self.table} INCLUDING DEFAULTS)",
+            (
+                f"INSERT INTO {self.table} ({collist}) "
+                f"SELECT {collist} FROM {staging} "
+                f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}{guard}"
+            ),
+            f"TRUNCATE TABLE {staging}",
+        ]
+
+    def soft_delete_statement(
+        self, keys: list[str], soft_delete_col: str = "row_active"
+    ) -> str:
+        """The reference's "data soft deleter" statement
+        (delete.rs:251-285) against the staged delete keys."""
+        staging = self.staging_table_name()
+        on = " AND ".join(f"{self.table}.{k} = {staging}.{k}" for k in keys)
+        return (
+            f"UPDATE {self.table} SET {soft_delete_col} = FALSE "
+            f"FROM {staging} WHERE {on}"
+        )

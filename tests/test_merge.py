@@ -238,3 +238,52 @@ def test_merge_scan_uses_dynamic_partition_pruning(spark, tmp_table_dir):
     plan = buf.getvalue()
     assert "dynamicpruningexpression" in plan.lower(), plan
     assert BUCKET_COL in plan
+
+
+def test_schema_evolution_adds_column(spark, tmp_table_dir):
+    """A batch with a new column evolves the table; old winners read
+    back NULL for it — including rows in buckets the evolving batch
+    never rewrote (NULL-filled via the sidecar schema at read time)."""
+    from pyspark.sql import functions as F
+
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "evo"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+    )
+    base = df(spark, [(k, datetime(2024, 1, 1), k, f"v{k}") for k in range(16)])
+    t.upsert(base, newer_wins=True)
+    # evolve with a single-key batch: most buckets stay untouched
+    evolved = df(spark, [(1, datetime(2024, 1, 2), 100, "new")]).withColumn(
+        "score", F.lit(9.5)
+    )
+    t.upsert(evolved, newer_wins=True)
+    rows = {r.pkey: (r.payload, r.score) for r in t.read().collect()}
+    assert rows[1] == ("new", 9.5)
+    assert rows[2] == ("v2", None)  # untouched bucket, NULL-filled
+    assert len(rows) == 16
+
+
+def test_missing_columns_fail_fast_unless_allowed(spark, tmp_table_dir):
+    import pytest as _pytest
+
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "miss"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    t.upsert(df(spark, [(1, datetime(2024, 1, 1), 1, "a")]))
+    partial = spark.createDataFrame(
+        [(2, datetime(2024, 1, 2), 2)], "pkey long, modified_date timestamp, arrival long"
+    )
+    with _pytest.raises(ValueError, match="missing table columns"):
+        t.upsert(partial)
+    t.upsert(partial, allow_missing_columns=True)
+    rows = {r.pkey: r.payload for r in t.read().collect()}
+    assert rows == {1: "a", 2: None}
