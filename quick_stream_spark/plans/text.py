@@ -654,14 +654,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels0 = labels = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
         .withColumn("component", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(12):  # bound >> expected rounds; loop exits at fixpoint
+    for it in range(12):  # bound >> expected rounds; loop exits at fixpoint
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy(F.col("u").alias("id"))
@@ -669,6 +669,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         updated = labels.join(neighbor_min, "id", "left").select(
             "id",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce("nmin", F.col("component"))
             ).alias("component"),
@@ -682,23 +683,34 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_labels = (
             updated.join(lbl, "component", "left")
-            .select("id", F.coalesce("comp2", F.col("component")).alias("component"))
+            .select(
+                "id",
+                "old_component",
+                F.coalesce("comp2", F.col("component")).alias("component"),
+            )
             # localCheckpoint truncates lineage: without it every
             # iteration's plan contains all previous iterations and
             # analysis/compile time grows superlinearly with rounds
             .localCheckpoint(eager=True)
         )
+        labels = new_labels.drop("old_component")
+        if it == 0:
+            continue  # every non-singleton component changes in round 1
+        # fixpoint probe reads the checkpointed frame only — carrying
+        # old_component through the round replaces a per-round join
+        # against the previous labels with a narrow filter
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("old_component"))
             .limit(1)
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
-    return labels.select("id", "component")
+    out = labels.select("id", "component")
+    # the loop's checkpoints carry the result; release the inputs
+    for frame in (pairs, edges, labels0):
+        frame.unpersist()
+    return out
 
 
 def _cc_oracle() -> str:
