@@ -87,6 +87,8 @@ _CONNECTOR_ORACLE_BOTH = f"""
     SELECT 'csv' AS fmt, * FROM ({_CONNECTOR_ORACLE})
     UNION ALL
     SELECT 'json' AS fmt, * FROM ({_CONNECTOR_ORACLE})
+    UNION ALL
+    SELECT 'orc' AS fmt, * FROM ({_CONNECTOR_ORACLE})
 """
 
 
@@ -98,12 +100,15 @@ def _connector_agg(df: DataFrame, fmt: str) -> DataFrame:
     ).select(F.lit(fmt).alias("fmt"), "event_type", "n", "max_ts", "min_event_id")
 
 
-@register("source_roundtrips", oracle=_CONNECTOR_ORACLE_BOTH, tags=("source", "csv", "json"))
+@register(
+    "source_roundtrips", oracle=_CONNECTOR_ORACLE_BOTH, tags=("source", "csv", "json", "orc")
+)
 def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV and JSON-lines connectors in one tagged result: write the
-    events table in each format (explicit µs timestamp format), read it
-    back with an explicit schema, aggregate.  Matching the parquet-based
-    oracle proves both round-trips are lossless."""
+    """CSV, JSON-lines and ORC connectors in one tagged result: write
+    the events table in each format (explicit µs timestamp format for
+    the text ones), read it back with an explicit schema, aggregate.
+    Matching the parquet-based oracle proves every round-trip is
+    lossless."""
     pin_session(spark)
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="qss-rt-")
@@ -123,7 +128,13 @@ def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", TS_FMT)
         .csv(work + "/csv")
     )
-    return _connector_agg(csv_back, "csv").unionByName(_connector_agg(json_back, "json"))
+    ev.write.mode("overwrite").orc(work + "/orc")
+    orc_back = spark.read.schema(ev.schema).orc(work + "/orc")
+    return (
+        _connector_agg(csv_back, "csv")
+        .unionByName(_connector_agg(json_back, "json"))
+        .unionByName(_connector_agg(orc_back, "orc"))
+    )
 
 
 @register(

@@ -301,6 +301,100 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest
 
 
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running counter as stream_stateful_user_counter
+    but through ``transformWithStateInPandas`` — Spark 4's
+    arbitrary-state API (typed value/list/map state handles, timers,
+    TTL) that succeeds applyInPandasWithState.  State is a typed
+    ValueState; the final emitted state after the availableNow drain
+    equals the batch aggregate (the oracle in
+    tests/test_transform_with_state.py).
+
+    NOT registered in the query corpus: the API's state protocol needs
+    ``google.protobuf``, which this environment does not ship (and
+    installs are off-limits), so the implementation is gated behind an
+    import check in its test and verified wherever protobuf exists.
+    ``stream_stateful_user_counter`` (applyInPandasWithState) holds the
+    exported slot for the custom-stateful-streaming contract."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pin_session(spark)
+    from quick_stream_spark.sources.readers import write_split_as_files
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="qss-tws-")
+    write_split_as_files(ev, F.col("event_id") % 3, 3, work + "/in")
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("last_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("last_id", LongType())]
+    )
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counter", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, last_id = self._state.get() if self._state.exists() else (0, -1)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    last_id = max(last_id, int(pdf["event_id"].max()))
+            self._state.update((n, last_id))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_event_id": [last_id]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    counted = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Counter(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"tws_counter_{abs(hash(work)) % 10**8}"
+    # transformWithState requires the RocksDB state store provider —
+    # the scale-grade store (incremental checkpoints, off-heap state);
+    # scope it to this query and restore the session default after
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            counted.writeStream.queryName(name)
+            .format("memory")
+            .outputMode("update")
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(provider_key, prev)
+    snap = spark.table(name)
+    return snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_event_id").alias("last_event_id"),
+    )
+
+
 @register(
     "stream_drop_duplicates_watermark",
     oracle="""

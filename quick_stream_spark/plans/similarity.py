@@ -627,6 +627,62 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_topk(e, cents)
 
 
+EMB_DUP_OFFSET = 100_000
+EMB_DUP_THRESHOLD = 0.99
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM e
+      UNION ALL
+      SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id,
+             list_transform(v, x -> x * 1.02 + 0.01) AS v
+      FROM e
+    ),
+    s AS (SELECT vec_id, v, {_sig_sql('v')} AS sig FROM corpus),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {vec.cosine_sql('a.v', 'b.v', DIM)} AS cos_sim
+      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+    FROM scored WHERE cos_sim >= {EMB_DUP_THRESHOLD}
+    """,
+    tags=("similarity", "dedup", "lsh", "approx"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the semantic-dedup
+    flavor of the pipeline: candidate pairs from the hyperplane-LSH
+    buckets (equi-join, never the O(n²) scan), verified by exact cosine
+    ≥ {EMB_DUP_THRESHOLD}.  The corpus doubles every vector with a
+    deterministic affine perturbation (x·1.02 + 0.01 per component,
+    cosine ≈ 0.997 to its original — identical IEEE ops in both
+    engines) so the detector has true near-dups to find; measured
+    bucket recall on the driver data is ~0.65 at 12 planes (recall
+    trades against bucket selectivity, the standard sign-LSH knob),
+    with zero false positives after the verify step (next-highest
+    cosine ≈ 0.45)."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    pert = e.select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
+    )
+    corpus = e.unionByName(pert)
+    s = corpus.withColumn("sig", vec.hyperplane_signature(F.col("v")))
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "sig")
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", vec.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def _centroids_oracle() -> str:
     """Label-centroid rows UNION the unrolled-k-means rows, tagged."""
     ctes = ",\n".join(_kmeans_ctes())
