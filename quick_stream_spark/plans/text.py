@@ -145,17 +145,33 @@ def _perturbed_text(col) -> F.Column:
     return F.array_join(kept, " ")
 
 
+# One duplicated corpus per (session, sf_dir), persisted: the near-dup
+# queries, the simhash pairs, and the pipeline all consume it (the
+# pipeline alone 3x: fingerprint, survivor join, enrichment), so a
+# session materializes the perturbation once.  ~3 KB/doc of cached text.
+_DUP_CORPUS_CACHE: dict = {}
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    orig = d.select(F.col("doc_id").alias("id"), "text")
-    pert = d.select(
-        (F.col("doc_id") + PERTURB_OFFSET).alias("id"),
-        _perturbed_text(F.col("text")).alias("text"),
-    )
-    # the shingle/signature stages are CPU-bound: spread them over every
-    # core even when the source is a single small file (at real scale
-    # the file count provides this for free)
-    return orig.unionByName(pert).repartition(spark.sparkContext.defaultParallelism * 2)
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DUP_CORPUS_CACHE:
+        d = _docs(spark, sf_dir)
+        orig = d.select(F.col("doc_id").alias("id"), "text")
+        pert = d.select(
+            (F.col("doc_id") + PERTURB_OFFSET).alias("id"),
+            _perturbed_text(F.col("text")).alias("text"),
+        )
+        # the shingle/signature stages are CPU-bound: spread them over
+        # every core even when the source is a single small file (at
+        # real scale the file count provides this for free)
+        _DUP_CORPUS_CACHE[key] = (
+            orig.unionByName(pert)
+            .repartition(spark.sparkContext.defaultParallelism * 2)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _DUP_CORPUS_CACHE[key]
 
 
 # One shingled corpus per (session, sf_dir), persisted: the minhash and
