@@ -82,22 +82,29 @@ def hashed_shingles(token_hashes: Column, n: int = NGRAM) -> Column:
     """Distinct integer n-gram shingles via a modular polynomial over
     the token hashes (n=3 unrolled; missing tail tokens count as 0, so
     texts shorter than n words still produce one shingle, matching
-    :func:`word_shingles` semantics)."""
+    :func:`word_shingles` semantics).
+
+    The three shifted views of the token array are built with
+    ``slice``/``arrays_zip`` at ROW level rather than ``get(th, i)``
+    inside the transform lambda: HOF lambdas re-evaluate a referenced
+    array expression once per ELEMENT (no subexpression elimination), so
+    the lambda form turns an O(tokens) pass into O(tokens^2) md5 work
+    when ``token_hashes`` is an unmaterialized expression.  The zip form
+    evaluates it a constant 3x per row, cheap enough to compute straight
+    from text with no persisted intermediate."""
     if n != 3:
         raise ValueError("hashed_shingles is unrolled for NGRAM=3")
     P = 1_000_000_007
     th = token_hashes
     k = F.greatest(F.size(th) - F.lit(n - 1), F.lit(1))
+    padded = F.concat(th, F.array(F.lit(0).cast("long"), F.lit(0).cast("long")))
+    z = F.arrays_zip(
+        F.slice(th, 1, k).alias("t0"),
+        F.slice(padded, 2, k).alias("t1"),
+        F.slice(padded, 3, k).alias("t2"),
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(1)),
-        lambda i: (
-            (
-                (F.get(th, i) * GRAM_B + F.coalesce(F.get(th, i + 1), F.lit(0))) % P
-            )
-            * GRAM_B
-            + F.coalesce(F.get(th, i + 2), F.lit(0))
-        )
-        % P,
+        z, lambda s: ((s["t0"] * GRAM_B + s["t1"]) % P * GRAM_B + s["t2"]) % P
     )
     return F.when(F.size(th) == 0, F.array().cast("array<long>")).otherwise(
         F.array_distinct(grams)

@@ -11,6 +11,8 @@ identically so the oracle matches exactly.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -145,18 +147,60 @@ def _perturbed_text(col) -> F.Column:
     return F.array_join(kept, " ")
 
 
-# One duplicated corpus per (session, sf_dir), persisted: the near-dup
-# queries, the simhash pairs, and the pipeline all consume it (the
-# pipeline alone 3x: fingerprint, survivor join, enrichment), so a
-# session materializes the perturbation once.  ~3 KB/doc of cached text.
-_DUP_CORPUS_CACHE: dict = {}
+# ------------------------------------------------- shuffle-width sizing
+
+# Target documents per reduce partition for the dedup/graph stages.
+# The corpora these stages shuffle (shingle arrays, band keys, id pairs)
+# are tiny per doc (~KBs), so ~20k docs lands well under a 64 MB reduce
+# partition; the clamp floor keeps cluster parallelism honest and the
+# ceiling bounds scheduler pressure.  At 100 TB (billions of docs) this
+# computes thousands of partitions; at bench scale it computes the
+# floor — the point is that shuffle width follows the DATA, not a
+# static conf (a fixed 2x-cores width costs ~3x in pure task-scheduling
+# overhead on small corpora, measured at sf0.1).
+_DOCS_PER_REDUCER = 20_000
+_DOC_COUNT_CACHE: dict = {}
 
 
-def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_parts(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DOC_COUNT_CACHE:
+        # parquet count() is metadata-only: no column scan
+        _DOC_COUNT_CACHE[key] = _docs(spark, sf_dir).count()
+    n_docs = _DOC_COUNT_CACHE[key] * 2  # corpus = original + perturbed
+    return max(8, min(4096, n_docs // _DOCS_PER_REDUCER))
+
+
+@contextmanager
+def _scoped_shuffle(spark: SparkSession, parts: int):
+    """Temporarily size ``spark.sql.shuffle.partitions``.  Only effective
+    around eager materialization (checkpoint/persist-count) — the conf is
+    read at execution time, so lazily returned plans would execute after
+    the restore."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+# One duplicated corpus per (session, sf_dir), persisted WITH its
+# shingles: every near-dup query (minhash, ngram, simhash, pipeline)
+# starts from (id, text) or (id, sh), so a session pays one
+# materialization pass for both.  Computing `sh` straight from text in
+# the same projection is cheap because hashed_shingles references the
+# token-hash array a constant 3x per row (see its docstring); a chain
+# of separate text -> token-hash -> shingle persists costs two extra
+# full passes of task scheduling + cache writes.  ~4 KB/doc cached.
+_CORPUS_CACHE: dict = {}
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _DUP_CORPUS_CACHE:
+    if key not in _CORPUS_CACHE:
         d = _docs(spark, sf_dir)
         orig = d.select(F.col("doc_id").alias("id"), "text")
         pert = d.select(
@@ -166,38 +210,25 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the shingle/signature stages are CPU-bound: spread them over
         # every core even when the source is a single small file (at
         # real scale the file count provides this for free)
-        _DUP_CORPUS_CACHE[key] = (
+        _CORPUS_CACHE[key] = (
             orig.unionByName(pert)
-            .repartition(spark.sparkContext.defaultParallelism * 2)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "id",
+                "text",
+                mh.hashed_shingles(mh.token_hash_array(F.col("text"))).alias("sh"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    return _DUP_CORPUS_CACHE[key]
+    return _CORPUS_CACHE[key]
 
 
-# One shingled corpus per (session, sf_dir), persisted: the minhash and
-# ngram dedup queries share it, so a session pays the (one-time)
-# HOF-expression compile and cache materialization once, not per query.
-_SHINGLED_CACHE: dict = {}
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus(spark, sf_dir).select("id", "text")
 
 
 def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLED_CACHE:
-        # two persist boundaries split one huge HOF expression tree into
-        # small plans — whole-plan compilation cost grows superlinearly
-        # with tree size, and the token-hash array is referenced 3x by
-        # the shingle polynomial (no subexpression elimination in HOFs)
-        th = (
-            _dup_corpus(spark, sf_dir)
-            .select("id", mh.token_hash_array(F.col("text")).alias("th"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        _SHINGLED_CACHE[key] = th.select(
-            "id", mh.hashed_shingles(F.col("th")).alias("sh")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    return _SHINGLED_CACHE[key]
+    return _corpus(spark, sf_dir).select("id", "sh")
 
 
 # ------------------------------------------------------------------ dedup
@@ -270,14 +301,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates only.  Candidate recall at the observed true-pair
     Jaccard (~0.47) is ~0.86; the verify step removes false positives,
     so precision is exact."""
-    corpus = _shingled_corpus(spark, sf_dir)
-    cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
-    j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
-    return (
-        cand.withColumn("jaccard", j)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_pairs(spark, sf_dir)
+
+
+# Verified near-dup pairs per (session, sf_dir), eagerly materialized:
+# connected components, decontamination, and the training pipeline all
+# start from these pairs, so the bucket join + Jaccard verify runs once
+# per session.  The checkpoint holds PAIRS (three scalars per near-dup),
+# orders of magnitude smaller than the corpus — a bounded artifact even
+# at 100 TB.  Eager execution also lets the shuffle width follow the
+# corpus size (see _scoped_shuffle: the conf must be live at execution).
+_PAIRS_CACHE: dict = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS_CACHE:
+        corpus = _shingled_corpus(spark, sf_dir)
+        cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
+        j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
+        pairs = (
+            cand.withColumn("jaccard", j)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("id_a", "id_b", "jaccard")
+        )
+        with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+            _PAIRS_CACHE[key] = pairs.localCheckpoint(eager=True)
+    return _PAIRS_CACHE[key]
 
 
 @register(
@@ -659,74 +709,72 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE computing min-reachable-id, so this declares the
     *iterative algorithm* class with a full value check."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    from pyspark.storagelevel import StorageLevel
-
-    # the pair graph is far smaller than the corpus: shrink partitioning
-    # so each fixpoint iteration is a handful of tasks, not a full-width
-    # shuffle (at cluster scale the edge count dictates this instead)
-    pairs = pairs.repartition(4).persist(StorageLevel.MEMORY_AND_DISK)
-    edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels0 = labels = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    for it in range(12):  # bound >> expected rounds; loop exits at fixpoint
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.id)
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        updated = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"), F.coalesce("nmin", F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping: shortcut each label to its label's label
-        # (component ids ARE node ids, so the self-join always resolves)
-        # — path lengths halve per round, so convergence is O(log
-        # diameter) rounds instead of O(diameter)
-        lbl = updated.select(
-            F.col("id").alias("component"), F.col("component").alias("comp2")
-        )
-        new_labels = (
-            updated.join(lbl, "component", "left")
-            .select(
-                "id",
-                "old_component",
-                F.coalesce("comp2", F.col("component")).alias("component"),
+    # the pair graph is far smaller than the corpus, so the fixpoint
+    # runs at a shuffle width sized to it (a fixed-width loop spends
+    # ~3x the wall-clock on task scheduling at small scale; at cluster
+    # scale _corpus_parts computes a wide enough loop)
+    with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+        edges = (
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
             )
-            # localCheckpoint truncates lineage: without it every
-            # iteration's plan contains all previous iterations and
-            # analysis/compile time grows superlinearly with rounds
             .localCheckpoint(eager=True)
         )
-        labels = new_labels.drop("old_component")
-        if it == 0:
-            continue  # every non-singleton component changes in round 1
-        # fixpoint probe reads the checkpointed frame only — carrying
-        # old_component through the round replaces a per-round join
-        # against the previous labels with a narrow filter
-        changed = (
-            new_labels.filter(F.col("component") != F.col("old_component"))
-            .limit(1)
-            .count()
+        labels = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint(eager=True)
         )
-        if changed == 0:
-            break
-    out = labels.select("id", "component")
-    # the loop's checkpoints carry the result; release the inputs
-    for frame in (pairs, edges, labels0):
-        frame.unpersist()
-    return out
+        for it in range(12):  # bound >> expected rounds; exits at fixpoint
+            # one shuffle gathers min over {self} ∪ neighbors: neighbor
+            # labels arrive as messages unioned with the node's own label
+            msgs = (
+                edges.join(labels, edges.v == labels.id)
+                .select(F.col("u").alias("id"), "component")
+                .unionByName(labels.select("id", "component"))
+            )
+            mins = msgs.groupBy("id").agg(F.min("component").alias("new_component"))
+            updated = mins.join(labels, "id").select(
+                "id",
+                F.col("component").alias("old_component"),
+                F.col("new_component").alias("component"),
+            )
+            # pointer jumping: shortcut each label to its label's label
+            # (component ids ARE node ids, so the self-join always
+            # resolves) — path lengths halve per round, so convergence
+            # is O(log diameter) rounds instead of O(diameter)
+            lbl = updated.select(
+                F.col("id").alias("component"), F.col("component").alias("comp2")
+            )
+            new_labels = (
+                updated.join(lbl, "component", "left")
+                .select(
+                    "id",
+                    "old_component",
+                    F.coalesce("comp2", F.col("component")).alias("component"),
+                )
+                # localCheckpoint truncates lineage: without it every
+                # iteration's plan contains all previous iterations and
+                # analysis/compile time grows superlinearly with rounds
+                .localCheckpoint(eager=True)
+            )
+            labels = new_labels.drop("old_component")
+            if it == 0:
+                continue  # every non-singleton component changes in round 1
+            # fixpoint probe reads the checkpointed frame only — carrying
+            # old_component through the round replaces a per-round join
+            # against the previous labels with a narrow filter
+            changed = (
+                new_labels.filter(F.col("component") != F.col("old_component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+    return labels.select("id", "component")
 
 
 def _cc_oracle() -> str:
