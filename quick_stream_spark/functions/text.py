@@ -167,3 +167,108 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5({normalize_text_sql(expr)})"
+
+
+# ------------------------------------------------- repetition signals
+# Gopher/C4-style repetition quality filters: heavily repetitive text
+# (boilerplate, keyword stuffing, generation loops) is down-weighted or
+# dropped before training.  All row-local array math — no shuffle.
+
+
+def repeated_token_frac(col: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token:
+    ``1 - distinct/total`` (0.0 for empty text)."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(toks)) / n.cast("double"), 6)
+    )
+
+
+def repeated_token_frac_sql(expr: str) -> str:
+    toks = (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN 0.0 ELSE "
+        f"round(1 - len(list_distinct({toks})) / CAST(len({toks}) AS DOUBLE), 6) END"
+    )
+
+
+def top_token_frac(col: Column) -> Column:
+    """Coverage of the single most frequent token: mode count / total
+    (0.0 for empty text).  Computed as the longest equal-run over the
+    SORTED token array with one ``aggregate`` pass — O(n log n) per row,
+    no per-distinct-token rescans."""
+    st = F.array_sort(ws_tokens(col))
+    n = F.size(st)
+    best = F.aggregate(
+        st,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(best / n.cast("double"), 6)
+    )
+
+
+def top_token_frac_sql(expr: str) -> str:
+    # O(n * distinct) rescan is fine for the oracle (correctness only);
+    # values match the Spark run-length computation exactly
+    toks = (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+    mode_count = (
+        f"list_max(list_transform(list_distinct({toks}), "
+        f"d -> len(list_filter({toks}, t -> t = d))))"
+    )
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN 0.0 ELSE "
+        f"round({mode_count} / CAST(len({toks}) AS DOUBLE), 6) END"
+    )
+
+
+def repeated_bigram_frac(col: Column) -> Column:
+    """Fraction of adjacent-token bigrams that repeat an earlier bigram
+    (0.0 when fewer than 2 tokens).  Bigrams are built from two shifted
+    row-level slices (see functions.minhash.hashed_shingles for why not
+    ``get`` inside a lambda)."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    z = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t0"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
+    )
+    bigrams = F.transform(z, lambda s: F.concat(s["t0"], F.lit(" "), s["t1"]))
+    nb = F.size(bigrams)
+    return F.when(nb <= 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(bigrams)) / nb.cast("double"), 6)
+    )
+
+
+def repeated_bigram_frac_sql(expr: str) -> str:
+    toks = (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+    bigrams = (
+        f"list_transform(range(0, greatest(len({toks}) - 1, 0)), "
+        f"i -> ({toks})[i+1] || ' ' || ({toks})[i+2])"
+    )
+    return (
+        f"CASE WHEN len({bigrams}) = 0 THEN 0.0 ELSE "
+        f"round(1 - len(list_distinct({bigrams})) / CAST(len({bigrams}) AS DOUBLE), 6) END"
+    )

@@ -36,6 +36,10 @@ from quick_stream_spark.plans._util import (
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
 
+# gap-based sessionization break threshold (window_lag_event_gaps);
+# matches the streaming session-window gap in plans/streaming_ext.py
+SESSION_GAP_SECONDS = 1800
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session(spark)
@@ -608,27 +612,59 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_lag_event_gaps",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
-           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds,
+           session_num
     FROM (
       SELECT user_id, event_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             CAST(SUM(CASE WHEN prev_gap IS NULL
+                             OR prev_gap > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+      FROM (
+        SELECT *, date_diff('second',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS prev_gap
+        FROM events
+      )
     ) WHERE prev_ts IS NOT NULL
     """,
-    tags=("window",),
+    tags=("window", "sessionization"),
 )
 def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag gaps + batch sessionization: a session break is a gap over
+    SESSION_GAP_SECONDS (or the user's first event); ``session_num`` is
+    the running count of breaks — the standard gap-based sessionization
+    (the batch twin of the streaming session window in
+    ``stream_windows``).  One shuffle: every window shares the
+    (user_id; ts, event_id) partitioning, so Catalyst plans a single
+    exchange + sort for all three window functions."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     return (
         _t(spark, sf_dir, "events")
         .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_gap", gap)
+        .withColumn(
+            "session_num",
+            F.sum(
+                F.when(
+                    F.col("prev_gap").isNull()
+                    | (F.col("prev_gap") > SESSION_GAP_SECONDS),
+                    1,
+                ).otherwise(0)
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
         .filter(F.col("prev_ts").isNotNull())
         .select(
             "user_id",
             "event_id",
             (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_seconds"),
+            "session_num",
         )
     )
 

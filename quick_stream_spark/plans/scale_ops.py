@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_stream_spark.plans._util import dsum, pin_session, sql_dsum
@@ -81,6 +81,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
 
 
+_FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
 @register(
     "sample_splits",
     oracle=f"""
@@ -88,29 +91,46 @@ _SPLIT_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1
            CASE WHEN {_SPLIT_HASH} < 90 THEN 'train'
                 WHEN {_SPLIT_HASH} < 95 THEN 'val'
                 ELSE 'test' END AS split,
-           {_SPLIT_HASH} < 10 AS in_10pct_sample
+           {_SPLIT_HASH} < 10 AS in_10pct_sample,
+           lang,
+           row_number() OVER (PARTITION BY lang ORDER BY {_FULL_HASH}, doc_id)
+             <= CEIL(0.1 * COUNT(*) OVER (PARTITION BY lang))
+             AS in_stratified_10pct
     FROM documents
     """,
-    tags=("sampling", "pipeline"),
+    tags=("sampling", "pipeline", "stratified"),
 )
 def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-addressed sampling, both shapes in one pass: the
-    train/val/test assignment (90/5/5) and a deterministic ~10% sample
-    flag, each a pure function of the id's md5 — reproducible across
-    runs, engines and cluster sizes.  Unlike RNG sampling, a document
-    never migrates between splits when the corpus grows, and the two
-    are composable because both condition on the same hash.  This is
-    the standard leak-proof split for training-data pipelines."""
+    """Content-addressed sampling, three shapes in one pass: the
+    train/val/test assignment (90/5/5), a deterministic ~10% sample
+    flag — each a pure function of the id's md5, reproducible across
+    runs, engines and cluster sizes — and an EXACT-size stratified 10%
+    sample per language (rank by hash within each ``lang`` stratum,
+    keep the first ceil(10%)), the balanced-sampling shape that keeps
+    low-resource languages represented.  Unlike RNG sampling, a
+    document never migrates between splits when the corpus grows, and
+    the flags are composable because all condition on the same hash.
+    The stratified rank is the only shuffle (partitioned by stratum;
+    strata are languages, so per-reducer load is bounded by the
+    language mix, and a skewed stratum degrades to the plain
+    hash-threshold flag which needs no rank at all)."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
-        % 100
-    )
+    full_h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = full_h % 100
+    w = Window.partitionBy("lang").orderBy(full_h.asc(), F.col("doc_id").asc())
+    stratum = Window.partitionBy("lang")
     return d.select(
         "doc_id",
         F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
         (h < 10).alias("in_10pct_sample"),
+        "lang",
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.count(F.lit(1)).over(stratum) * 0.1)
+        ).alias("in_stratified_10pct"),
     )
 
 

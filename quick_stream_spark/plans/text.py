@@ -60,6 +60,9 @@ _PHONE_RE = "\\+[0-9][0-9-]{7,}"
            {tx.punct_ratio_sql('d.text')} AS punct_ratio,
            {tx.stopword_ratio_sql('d.text')} AS stopword_ratio,
            {tx.quality_score_sql('d.text')} AS quality_score,
+           {tx.repeated_token_frac_sql('d.text')} AS repeated_token_frac,
+           {tx.top_token_frac_sql('d.text')} AS top_token_frac,
+           {tx.repeated_bigram_frac_sql('d.text')} AS repeated_bigram_frac,
            d.lang,
            {tx.lang_id_sql('d.text')} AS lang_pred,
            d.lang = {tx.lang_id_sql('d.text')} AS lang_match,
@@ -79,13 +82,14 @@ _PHONE_RE = "\\+[0-9][0-9-]{7,}"
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one wide map-only projection:
     token counts (whitespace + BPE-ish regex), quality signals
-    (punctuation/stopword ratios, composite score), n-gram-heuristic
-    language ID vs the labeled ``lang``, the normalized-content
-    fingerprint (exact-dedup key), and PII scrubbing — counts and
-    redaction of emails/URLs/phone numbers over a corpus with synthetic
-    PII injected into every 5th doc so the redaction is observable.
-    All regexp/array built-ins: one whole-stage-codegen pass, no
-    shuffle, at any scale."""
+    (punctuation/stopword ratios, composite score), Gopher/C4-style
+    repetition filters (repeated-token, top-token-coverage and
+    repeated-bigram fractions), n-gram-heuristic language ID vs the
+    labeled ``lang``, the normalized-content fingerprint (exact-dedup
+    key), and PII scrubbing — counts and redaction of emails/URLs/phone
+    numbers over a corpus with synthetic PII injected into every 5th
+    doc so the redaction is observable.  All regexp/array built-ins:
+    one whole-stage-codegen pass, no shuffle, at any scale."""
     d = _docs(spark, sf_dir)
     pred = tx.lang_id(F.col("text"))
     injected = F.when(
@@ -111,6 +115,9 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.punct_ratio(F.col("text")).alias("punct_ratio"),
         tx.stopword_ratio(F.col("text")).alias("stopword_ratio"),
         tx.quality_score(F.col("text")).alias("quality_score"),
+        tx.repeated_token_frac(F.col("text")).alias("repeated_token_frac"),
+        tx.top_token_frac(F.col("text")).alias("top_token_frac"),
+        tx.repeated_bigram_frac(F.col("text")).alias("repeated_bigram_frac"),
         "lang",
         pred.alias("lang_pred"),
         (F.col("lang") == pred).alias("lang_match"),
