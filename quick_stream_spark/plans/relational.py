@@ -308,6 +308,157 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch"),
+    pytest_only=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue-change forecast — a pure
+    scan-filter-aggregate with every predicate pushed to the parquet
+    scan (date range, discount band, quantity cap) and a map-side
+    partial sum; the no-join baseline for scan throughput."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(money("l_extendedprice") * money("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT round(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN {SQL_REVENUE} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM({SQL_REVENUE}) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    tags=("join", "agg", "tpch"),
+    pytest_only=True,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share — conditional decimal
+    aggregation over a fact-to-dim join; ``part`` is broadcast so the
+    only full pass is the pruned lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = revenue_col()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.00
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q16_parts_supplier_distribution",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT IN ('PROMO')
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "distinct", "tpch"),
+    pytest_only=True,
+)
+def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-part relationships come from
+    lineitem, the synthetic schema has no partsupp): how many distinct
+    suppliers can furnish each surviving (brand, type, size) — negated
+    dim predicates + COUNT DISTINCT over the join."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").isin("PROMO"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "agg", "tpch"),
+    pytest_only=True,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction-of-conjunctions across both join
+    sides.  Catalyst extracts the common join key as an equi-join and
+    evaluates the OR residual post-join, so this still plans as a
+    broadcast hash join, not a cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.sum(revenue_col()).cast("double").alias("revenue")
+    )
+
+
 _ABOVE_AVG_SQL = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o
@@ -467,6 +618,38 @@ def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_of_last_event",
         "user_of_first_event",
         "latest_event_id",
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("agg", "pivot"),
+    pytest_only=True,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide: one column per event type, explicit value
+    list so the schema is static and no extra distinct-values job runs)
+    followed by UNPIVOT (wide -> long) — the roundtrip lands back on the
+    plain GROUP BY contract, which is what the oracle states.  Absent
+    (user, type) combos surface as NULL cells in the wide form and are
+    dropped on unpivot, matching GROUP BY's no-row semantics."""
+    wide = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return (
+        wide.unpivot("user_id", list(EVENT_TYPES), "event_type", "n")
+        .filter(F.col("n").isNotNull())
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
     )
 
 
