@@ -1,0 +1,203 @@
+"""Manifest-based snapshot commits for :class:`KeyedTable` — the
+crash-consistent alternative to in-place dynamic partition overwrite.
+
+The reference applies each cycle's statements with no transaction around
+them (upsert.rs:271-303), so a crash mid-cycle leaves whatever subset
+committed; the plain-parquet ``direct`` protocol here has the same
+exposure (merge.py:_write documents it).  ``commit_protocol="manifest"``
+removes it with the same two-phase design Delta Lake / Iceberg use:
+
+1. **Data files are immutable and append-only.**  Every commit writes
+   its output under a fresh ``_qss_commits/c<uuid>/`` directory —
+   nothing existing is touched.
+2. **A snapshot is a manifest file** (``_qss_manifest/v<N>.json``)
+   mapping each bucket id to the data files holding that bucket's rows.
+   Untouched buckets carry their entries forward unchanged.
+3. **Publishing is one atomic rename** of the manifest temp file to its
+   final ``v<N>.json`` name.  A crash before the rename leaves only
+   orphan data files — readers still see snapshot N-1 intact; a crash
+    after it is a completed commit.  Orphans are reclaimed by
+   :meth:`ManifestLog.vacuum`.
+
+Readers resolve the latest manifest and scan exactly its file list, so
+they never observe a half-written table; old manifests stay readable
+(``KeyedTable.read(version=N)`` — time travel) until vacuumed.
+
+Scale notes: a manifest holds file PATHS (bounded by file count, never
+data); at 100 TB with ~100k buckets of ~1 GB this is a few MB of JSON —
+the same order as a Delta checkpoint — and listing is one read of
+``_qss_manifest/`` (no recursive data-dir listing).  The single-writer
+assumption of KeyedTable stands (one QuickStream owns its target,
+matching the reference); the atomic no-overwrite rename turns a second
+concurrent writer into a loud failure instead of silent corruption.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+MANIFEST_DIR = "_qss_manifest"
+COMMITS_DIR = "_qss_commits"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p, jvm
+
+
+class ManifestLog:
+    """Versioned bucket->files manifests under ``<table>/_qss_manifest``."""
+
+    def __init__(self, spark: SparkSession, table_path: str) -> None:
+        self.spark = spark
+        self.table_path = table_path
+        self.dir = os.path.join(table_path, MANIFEST_DIR)
+
+    # ------------------------------------------------------------ read
+
+    def versions(self) -> list[int]:
+        fs, p, jvm = _fs(self.spark, self.dir)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read(self, version: int | None = None) -> dict[int, list[str]]:
+        """Bucket -> relative file paths of the given (default latest)
+        snapshot.  Empty dict when no snapshot exists."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                return {}
+        fs, _, jvm = _fs(self.spark, self.dir)
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
+        if not fs.exists(p):
+            raise FileNotFoundError(f"no manifest version {version} in {self.dir}")
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        raw = json.loads(data.decode("utf-8"))
+        return {int(b): list(files) for b, files in raw["buckets"].items()}
+
+    # ----------------------------------------------------------- write
+
+    def commit(self, mapping: dict[int, list[str]]) -> int:
+        """Publish ``mapping`` as the next snapshot.  Write-temp +
+        atomic no-overwrite rename: the snapshot either fully exists or
+        not at all, and a racing writer fails loudly instead of
+        clobbering."""
+        version = (self.latest_version() or 0) + 1
+        fs, _, jvm = _fs(self.spark, self.dir)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.dir))
+        body = json.dumps(
+            {"version": version, "buckets": {str(b): f for b, f in sorted(mapping.items())}}
+        ).encode("utf-8")
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
+        )
+        out = fs.create(tmp, True)
+        out.write(bytearray(body))
+        out.close()
+        final = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
+        if not fs.rename(tmp, final):
+            fs.delete(tmp, False)
+            raise RuntimeError(
+                f"concurrent commit detected: {final} already exists "
+                f"(KeyedTable assumes a single writer)"
+            )
+        return version
+
+    # --------------------------------------------------------- staging
+
+    def new_commit_dir(self) -> str:
+        """Fresh append-only directory for a commit's data files."""
+        return os.path.join(self.table_path, COMMITS_DIR, f"c{uuid.uuid4().hex}")
+
+    def list_bucket_files(self, commit_dir: str) -> dict[int, list[str]]:
+        """Map ``<commit_dir>/__qss_bucket=N/*.parquet`` to bucket ->
+        table-relative paths (relative paths keep the table relocatable)."""
+        fs, p, jvm = _fs(self.spark, commit_dir)
+        mapping: dict[int, list[str]] = {}
+        if not fs.exists(p):
+            return mapping
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("__qss_bucket=")):
+                continue
+            b = int(name.split("=", 1)[1])
+            for f in fs.listStatus(st.getPath()):
+                fname = f.getPath().getName()
+                if fname.endswith(".parquet"):
+                    rel = os.path.relpath(
+                        os.path.join(commit_dir, name, fname), self.table_path
+                    )
+                    mapping.setdefault(b, []).append(rel)
+        return mapping
+
+    def resolve(self, mapping: dict[int, list[str]]) -> list[str]:
+        """Absolute paths of every file in a snapshot mapping."""
+        return [
+            os.path.join(self.table_path, rel)
+            for files in mapping.values()
+            for rel in sorted(files)
+        ]
+
+    # ---------------------------------------------------------- vacuum
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Delete data files unreferenced by the ``keep_versions`` most
+        recent snapshots, plus older manifests.  Returns the number of
+        data files removed.  Crash-orphans (files written by a commit
+        that never published) are exactly what this reclaims."""
+        vs = self.versions()
+        keep = vs[-keep_versions:] if vs else []
+        referenced: set[str] = set()
+        for v in keep:
+            for files in self.read(v).values():
+                referenced.update(files)
+        fs, croot, jvm = _fs(self.spark, os.path.join(self.table_path, COMMITS_DIR))
+        table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
+        removed = 0
+        if fs.exists(croot):
+            for cdir in fs.listStatus(croot):
+                for bdir in fs.listStatus(cdir.getPath()):
+                    if not bdir.isDirectory():
+                        continue
+                    for f in fs.listStatus(bdir.getPath()):
+                        rel = os.path.relpath(f.getPath().toUri().getPath(), table_root)
+                        if rel not in referenced and f.getPath().getName().endswith(
+                            ".parquet"
+                        ):
+                            fs.delete(f.getPath(), False)
+                            removed += 1
+                    if not fs.listStatus(bdir.getPath()):
+                        fs.delete(bdir.getPath(), True)
+                if not fs.listStatus(cdir.getPath()):
+                    fs.delete(cdir.getPath(), True)
+        # old manifests
+        for v in vs[:-keep_versions] if keep_versions else vs:
+            fs2, _, jvm2 = _fs(self.spark, self.dir)
+            fs2.delete(
+                jvm2.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{v}.json")),
+                False,
+            )
+        return removed

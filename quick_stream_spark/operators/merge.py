@@ -75,7 +75,12 @@ class KeyedTable:
         tie_break: str = "first_arrival",
         num_buckets: int = 16,
         soft_delete_col: str = "row_active",
+        commit_protocol: str = "direct",
     ) -> None:
+        if commit_protocol not in ("direct", "manifest"):
+            raise ValueError(
+                f"commit_protocol must be 'direct' or 'manifest', got {commit_protocol!r}"
+            )
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -84,6 +89,18 @@ class KeyedTable:
         self.tie_break = tie_break
         self.num_buckets = int(num_buckets)
         self.soft_delete_col = soft_delete_col
+        # "direct" = in-place dynamic partition overwrite (fast, but a
+        # crash mid-write can mix old and new buckets); "manifest" =
+        # append-only data files published by an atomic snapshot
+        # manifest (see operators/commitlog.py) with time travel +
+        # vacuum — the Delta-style crash-consistent mode.
+        self.commit_protocol = commit_protocol
+        if commit_protocol == "manifest":
+            from quick_stream_spark.operators.commitlog import ManifestLog
+
+            self._log = ManifestLog(spark, path)
+        else:
+            self._log = None
         # Single-writer caches: a KeyedTable instance assumes it is the
         # only writer (the reference holds the same assumption — one
         # QuickStream owns its target table).  Existence flips to True
@@ -99,8 +116,11 @@ class KeyedTable:
     def exists(self) -> bool:
         if self._exists_cache:
             return True
-        fs, p, _ = _hadoop_fs(self.spark, self.path)
-        found = fs.exists(p)
+        if self._log is not None:
+            found = self._log.latest_version() is not None
+        else:
+            fs, p, _ = _hadoop_fs(self.spark, self.path)
+            found = fs.exists(p)
         if found:
             self._exists_cache = True
         return found
@@ -110,13 +130,27 @@ class KeyedTable:
             "int"
         )
 
-    def read(self, active_only: bool = False, with_bucket: bool = False) -> DataFrame:
+    def read(
+        self,
+        active_only: bool = False,
+        with_bucket: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
         """Read the table.  The scan uses the sidecar schema (the
         current evolved schema) rather than footer inference: buckets
         untouched since a schema evolution still hold files without the
         added columns, and an explicit schema NULL-fills them on read —
         no mergeSchema footer sweep (which at 100 TB is a job in
-        itself)."""
+        itself).
+
+        ``version`` (manifest protocol only) reads a historical
+        snapshot — time travel over retained manifests."""
+        if self._log is not None:
+            return self._read_manifest(
+                active_only=active_only, with_bucket=with_bucket, version=version
+            )
+        if version is not None:
+            raise ValueError("version time travel requires commit_protocol='manifest'")
         schema = self._read_schema_sidecar()
         try:
             reader = self.spark.read
@@ -134,6 +168,79 @@ class KeyedTable:
         if not with_bucket:
             df = df.drop(BUCKET_COL)
         return df
+
+    # --------------------------------------------- manifest protocol io
+
+    def _data_schema(self):
+        """Sidecar schema without the bucket column: manifest-mode data
+        files don't store it (bucket = hash(keys) % N is recomputed on
+        read, and the partition dir name only organizes the files)."""
+        from pyspark.sql.types import StructType
+
+        schema = self._read_schema_sidecar()
+        if schema is None:
+            return None
+        return StructType([f for f in schema.fields if f.name != BUCKET_COL])
+
+    def _read_manifest(
+        self,
+        active_only: bool = False,
+        with_bucket: bool = False,
+        version: int | None = None,
+        bucket_ids: list[int] | None = None,
+    ) -> DataFrame:
+        mapping = self._log.read(version)
+        if bucket_ids is not None:
+            mapping = {b: fs for b, fs in mapping.items() if b in bucket_ids}
+        files = self._log.resolve(mapping)
+        schema = self._data_schema()
+        if files:
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*files)
+        else:
+            if schema is None:
+                raise FileNotFoundError(f"KeyedTable at {self.path} has no snapshot")
+            df = self.spark.createDataFrame([], schema)
+        if active_only:
+            df = df.filter(F.col(self.soft_delete_col))
+        if with_bucket:
+            df = df.withColumn(BUCKET_COL, self._bucket_expr())
+        return df
+
+    def _write_manifest_commit(self, df: DataFrame, replaced_buckets: list[int]) -> None:
+        """Append-only commit: write ``df`` (with its bucket column)
+        under a fresh commit dir, then publish a new manifest carrying
+        forward every bucket not in ``replaced_buckets``.  A replaced
+        bucket with no rows in ``df`` simply has no files in the new
+        snapshot — hard-delete emptying needs no directory surgery."""
+        commit_dir = self._log.new_commit_dir()
+        (
+            df.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(commit_dir)
+        )
+        new_files = self._log.list_bucket_files(commit_dir)
+        mapping = self._log.read()
+        for b in replaced_buckets:
+            mapping.pop(b, None)
+        for b, fl in new_files.items():
+            mapping[b] = fl
+        self._write_schema_sidecar(df.schema)
+        self._log.commit(mapping)
+        self._exists_cache = True
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Reclaim unreferenced data files (manifest protocol only)."""
+        if self._log is None:
+            raise ValueError("vacuum requires commit_protocol='manifest'")
+        return self._log.vacuum(keep_versions)
+
+    def snapshot_versions(self) -> list[int]:
+        if self._log is None:
+            raise ValueError("snapshots require commit_protocol='manifest'")
+        return self._log.versions()
 
     def _write(self, df: DataFrame, mode: str, repartition: bool = True) -> None:
         """``repartition=False`` skips the bucket repartition: the merge
@@ -333,7 +440,10 @@ class KeyedTable:
             updates, dedup=False, allow_missing_columns=allow_missing_columns
         )
         if not self.exists():
-            self._write(self._dedup(up), "overwrite")
+            if self._log is not None:
+                self._write_manifest_commit(self._dedup(up), [])
+            else:
+                self._write(self._dedup(up), "overwrite")
             return
         # one materialization serves both the bucket broadcast (the DPP
         # subquery) and the merge's union side; an empty batch writes
@@ -341,15 +451,27 @@ class KeyedTable:
         # separate emptiness probe is needed
         up = up.persist()
         try:
+            if self._log is not None:
+                # manifest pruning happens at FILE level from the
+                # snapshot mapping (the manifest twin of partition
+                # pruning), so the touched-bucket list is collected
+                # explicitly — bounded by num_buckets
+                touched = self._touched(up)
+                current = self._read_manifest(with_bucket=True, bucket_ids=touched)
+            else:
+                current = self._pruned_current(up)
             merged = (
-                self._pruned_current(up)
+                current
                 .withColumn(_SRC, F.lit(0))
                 .unionByName(up.withColumn(_SRC, F.lit(1)), allowMissingColumns=True)
                 .withColumn(_RN, F.row_number().over(self._merge_window(newer_wins)))
                 .filter(F.col(_RN) == 1)
                 .drop(_RN, _SRC)
             )
-            self._write(merged, "overwrite", repartition=False)
+            if self._log is not None:
+                self._write_manifest_commit(merged, touched)
+            else:
+                self._write(merged, "overwrite", repartition=False)
         finally:
             up.unpersist()
 
@@ -369,10 +491,15 @@ class KeyedTable:
         else:
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(target_files_per_bucket))
             compacted = current.repartition(F.col(BUCKET_COL), salt)
+        if self._log is not None:
+            self._write_manifest_commit(compacted, list(self._log.read().keys()))
+            return
         self._write(compacted, "overwrite", repartition=False)
 
     def file_count(self) -> int:
         """Parquet data files currently in the table (all buckets)."""
+        if self._log is not None:
+            return sum(len(fl) for fl in self._log.read().values())
         fs, root, jvm = _hadoop_fs(self.spark, self.path)
         count = 0
         for status in fs.listStatus(root):
@@ -393,7 +520,12 @@ class KeyedTable:
             return
         dk = dk.persist()  # two consumers: the DPP broadcast + the flag join
         try:
-            current = self._pruned_current(dk)
+            if self._log is not None:
+                touched = self._touched(dk)
+                current = self._read_manifest(with_bucket=True, bucket_ids=touched)
+            else:
+                touched = None
+                current = self._pruned_current(dk)
             flagged = current.join(
                 dk.withColumn("__qss_del", F.lit(True)).drop(BUCKET_COL),
                 on=self.keys,
@@ -403,17 +535,31 @@ class KeyedTable:
                 self.soft_delete_col,
                 F.when(F.col("__qss_del"), F.lit(False)).otherwise(F.col(self.soft_delete_col)),
             ).drop("__qss_del")
-            self._write(merged, "overwrite")
+            if self._log is not None:
+                self._write_manifest_commit(merged, touched)
+            else:
+                self._write(merged, "overwrite")
         finally:
             dk.unpersist()
 
     def hard_delete(self, deletes: DataFrame) -> None:
-        """Physically remove matching keys (WHEN MATCHED THEN DELETE)."""
+        """Physically remove matching keys (WHEN MATCHED THEN DELETE).
+
+        Under the manifest protocol this is one atomic commit: replaced
+        buckets with no surviving rows simply have no files in the new
+        snapshot.  The direct protocol needs a second, non-atomic step
+        (dropping emptied partition dirs) — the crash-consistency gap
+        the manifest mode exists to close."""
         dk = self._dedup(deletes).select(*self.keys).withColumn(BUCKET_COL, self._bucket_expr())
         if not self.exists():
             return
         touched = self._touched(dk)
         if not touched:
+            return
+        if self._log is not None:
+            current = self._read_manifest(with_bucket=True, bucket_ids=touched)
+            remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")
+            self._write_manifest_commit(remaining, touched)
             return
         current = self._current_in(touched)
         remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")

@@ -143,6 +143,33 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read().select(*EVENT_COLS, "row_active")
 
 
+@register(
+    "r_upsert_endstate_manifest",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY (event_id % 2) DESC, ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "merge", "manifest"),
+    pytest_only=True,
+)
+def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r_upsert_endstate replayed through the MANIFEST commit protocol
+    (operators/commitlog.py): append-only data files published by
+    atomic snapshot manifests — the crash-consistent mode.  The oracle
+    is identical to the direct protocol's by construction; protocol
+    choice is purely physical."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark, commit_protocol="manifest")
+    target.upsert(ev.filter(F.col("event_id") % 2 == 0))
+    target.upsert(ev.filter(F.col("event_id") % 2 == 1))
+    return target.read().select(*EVENT_COLS, "row_active")
+
+
 # --------------------------------------------------------------------------
 # O6 — soft / hard delete end state
 

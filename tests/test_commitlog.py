@@ -1,0 +1,143 @@
+"""Manifest commit protocol: atomic snapshots, parity with the direct
+protocol, hard-delete emptying, time travel, crash-orphan isolation,
+vacuum, and schema evolution (operators/commitlog.py)."""
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from quick_stream_spark.operators.commitlog import COMMITS_DIR, MANIFEST_DIR
+from quick_stream_spark.operators.merge import KeyedTable
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def mk(spark, root, name, protocol="manifest", **kw):
+    return KeyedTable(
+        spark,
+        os.path.join(root, name),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        commit_protocol=protocol,
+        **kw,
+    )
+
+
+BATCH1 = [
+    (1, datetime(2024, 1, 1), 1, "a1"),
+    (2, datetime(2024, 1, 1), 2, "b1"),
+    (3, datetime(2024, 1, 1), 3, "c1"),
+]
+BATCH2 = [
+    (1, datetime(2024, 1, 5), 4, "a2"),  # newer -> wins
+    (4, datetime(2024, 1, 2), 5, "d1"),  # new key
+]
+
+
+def state(table, **kw):
+    return {
+        r.pkey: (r.payload, r.row_active) for r in table.read(**kw).collect()
+    }
+
+
+def test_manifest_matches_direct_endstate(spark, tmp_table_dir):
+    m = mk(spark, tmp_table_dir, "m")
+    d = mk(spark, tmp_table_dir, "d", protocol="direct")
+    for t in (m, d):
+        t.upsert(df(spark, BATCH1))
+        t.upsert(df(spark, BATCH2))
+        t.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 9, "x")]))
+    assert state(m) == state(d)
+    assert state(m)[1] == ("a2", True)
+    assert state(m)[2][1] is False
+
+
+def test_every_commit_is_a_snapshot(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "t")
+    t.upsert(df(spark, BATCH1))
+    t.upsert(df(spark, BATCH2))
+    assert t.snapshot_versions() == [1, 2]
+    # time travel: v1 predates batch 2
+    assert set(state(t, version=1)) == {1, 2, 3}
+    assert state(t, version=1)[1] == ("a1", True)
+    assert state(t)[1] == ("a2", True)
+
+
+def test_orphan_files_invisible_until_committed(spark, tmp_table_dir):
+    """A crash between data-file write and manifest publish must leave
+    the previous snapshot intact: simulate by writing a data file into
+    the commits area with no manifest referencing it."""
+    t = mk(spark, tmp_table_dir, "t")
+    t.upsert(df(spark, BATCH1))
+    before = state(t)
+    orphan_dir = os.path.join(t.path, COMMITS_DIR, "c_crashed", "__qss_bucket=0")
+    df(spark, [(99, datetime(2030, 1, 1), 9, "ghost")]).write.mode(
+        "overwrite"
+    ).parquet(orphan_dir)
+    assert state(t) == before  # reader never lists directories
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 1  # the orphan was reclaimed
+    assert state(t) == before
+
+
+def test_hard_delete_empties_bucket_atomically(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "t")
+    t.upsert(df(spark, BATCH1))
+    t.hard_delete(df(spark, BATCH1))  # delete everything
+    assert t.read().count() == 0
+    assert t.file_count() == 0
+    # previous snapshot still time-travelable
+    versions = t.snapshot_versions()
+    assert len(versions) == 2
+    assert set(state(t, version=versions[0])) == {1, 2, 3}
+
+
+def test_vacuum_retains_referenced_files(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "t")
+    t.upsert(df(spark, BATCH1))
+    t.upsert(df(spark, BATCH2))
+    t.compact()
+    removed = t.vacuum(keep_versions=1)
+    assert removed > 0  # pre-compaction files reclaimed
+    assert t.snapshot_versions()[-1:] == t.snapshot_versions()  # only latest kept
+    assert state(t)[1] == ("a2", True)
+    # vacuumed table still merges correctly
+    t.upsert(df(spark, [(5, datetime(2024, 3, 1), 7, "e1")]))
+    assert state(t)[5] == ("e1", True)
+
+
+def test_schema_evolution_under_manifest(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "t")
+    t.upsert(df(spark, BATCH1))
+    evolved = spark.createDataFrame(
+        [(1, datetime(2024, 2, 1), 8, "a3", "gold")],
+        SCHEMA + ", tier string",
+    )
+    t.upsert(evolved)
+    rows = {r.pkey: r.asDict() for r in t.read().collect()}
+    assert rows[1]["payload"] == "a3" and rows[1]["tier"] == "gold"
+    assert rows[2]["tier"] is None  # untouched rows NULL-fill the new column
+
+
+def test_concurrent_commit_fails_loudly(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "t")
+    t.upsert(df(spark, BATCH1))
+    # another writer already published v2 behind our back
+    path = os.path.join(t.path, MANIFEST_DIR, "v2.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump({"version": 2, "buckets": {}}, fh)
+    # simulate the race: this writer's snapshot read is stale (saw only
+    # v1), so its commit targets v2 — the atomic no-overwrite rename
+    # must refuse rather than clobber
+    t._log.latest_version = lambda: 1
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t._log.commit({})
