@@ -63,6 +63,42 @@ def test_streaming_upsert_endstate(spark, tmp_path):
     assert got == {1: "a2", 2: "b", 3: "c2"}
 
 
+def test_streaming_upsert_manifest_protocol(spark, tmp_path):
+    """Streaming ingestion over the manifest commit protocol: each
+    micro-batch merge publishes one atomic snapshot, so the combination
+    gives exactly-once TABLE states — the streaming checkpoint replays
+    an interrupted batch and its re-merge lands as a new snapshot, never
+    a half-written directory.  End state matches the direct protocol;
+    one snapshot per delivery is visible in the log."""
+    batches = [
+        df(spark, [(1, datetime(2024, 1, 1), 1, "a"), (2, datetime(2024, 1, 1), 2, "b")]),
+        df(spark, [(1, datetime(2024, 1, 2), 3, "a2"), (3, datetime(2024, 1, 1), 4, "c")]),
+        df(spark, [(2, datetime(2023, 12, 1), 5, "stale"), (3, datetime(2024, 1, 3), 6, "c2")]),
+    ]
+    src_dir = str(tmp_path / "src-m")
+    write_batches_as_files(batches, src_dir)
+    target = KeyedTable(
+        spark,
+        str(tmp_path / "target-m"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+        commit_protocol="manifest",
+    )
+    stream = stream_parquet_dir(spark, src_dir, batches[0].schema, max_files_per_trigger=1)
+    q = UpsertQuickStream(target, config=_cfg(tmp_path, "up-m"), newer_wins=True).run(
+        stream, available_now=True
+    )
+    assert not q.isActive
+    got = {r.pkey: r.payload for r in target.read().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c2"}
+    assert len(target.snapshot_versions()) == 3  # one atomic commit per delivery
+    # time travel to the first delivery's state
+    v1 = {r.pkey: r.payload for r in target.read(version=1).collect()}
+    assert v1 == {1: "a", 2: "b"}
+
+
 def test_streaming_soft_delete(spark, tmp_path):
     target = KeyedTable(
         spark,
