@@ -408,28 +408,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest_only=True,  # subsumed by dedup_simhash_pairs (same signatures)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per-token md5-parity votes summed
-    per document; 16-bit signature.  Explode+groupBy keeps the vote
-    aggregation distributed (shuffle on doc id only)."""
+    """SimHash document fingerprints: 60-bit signatures from per-token
+    md5 bit votes, computed row-locally (one HOF fold per doc — a pure
+    map pass, see :func:`minhash.simhash_signature`).  The tokenless
+    filter mirrors the oracle's unnest semantics (no tokens => no
+    signature row)."""
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(tx.ws_tokens(F.col("text"))).alias("tok"))
-    votes = mh.simhash_bits(F.col("tok"))
-    agg = toks.groupBy("doc_id").agg(
-        *[F.sum(v).alias(f"v{j}") for j, v in enumerate(votes)]
+    return d.filter(F.size(tx.ws_tokens(F.col("text"))) > 0).select(
+        "doc_id", mh.simhash_signature(F.col("text")).alias("simhash")
     )
-    bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(16)]
-    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 def _simhash_oracle() -> str:
-    votes = mh.simhash_sql_votes("tok")
-    sums = ", ".join(f"sum({v}) AS v{j}" for j, v in enumerate(votes))
-    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
     toks = "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
     return f"""
     WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
-    v AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
-    SELECT doc_id, {bits} AS simhash FROM v
+    v AS (SELECT doc_id, {mh.simhash_vote_sums_sql('tok')} FROM t GROUP BY doc_id)
+    SELECT doc_id, {mh.simhash_from_votes_sql()} AS simhash FROM v
     """
 
 
@@ -540,8 +535,7 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_MAX_HAMMING = 3
-_SIMHASH_BANDS = 4  # 16 bits / 4 bands: hamming<=3 => >=1 band equal
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 => >= 1 band equal
 
 
 @register(
@@ -550,20 +544,20 @@ _SIMHASH_BANDS = 4  # 16 bits / 4 bands: hamming<=3 => >=1 band equal
     tags=("text", "dedup", "simhash"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on the duplicated corpus: 16-bit document
-    signatures, banded into 4 nibbles — by pigeonhole, any pair within
-    Hamming distance {SIMHASH_MAX_HAMMING} shares at least one exact
-    nibble, so candidate generation is a nibble equi-join (never the
-    O(n^2) scan); candidates are then filtered by exact Hamming
-    distance."""
+    """SimHash near-dup pairs on the duplicated corpus: 60-bit document
+    signatures banded into 4 x 15-bit chunks — by pigeonhole, any pair
+    within Hamming distance {SIMHASH_MAX_HAMMING} shares at least one
+    exact band, so candidate generation is a band equi-join (never the
+    O(n^2) scan); candidates are then filtered by exact Hamming distance
+    (``bit_count(a XOR b)``).  Scale guards: 15-bit bands give 32768
+    bucket values per band so random collisions stay rare (a 4-nibble
+    scheme has 16 and goes quadratic past a few hundred docs), and
+    buckets above minhash.MAX_BUCKET_SIZE are dropped before the join —
+    the same deterministic viral-cluster cap as MinHash-LSH."""
     corpus = _dup_corpus(spark, sf_dir)
-    toks = corpus.select("id", F.explode(tx.ws_tokens(F.col("text"))).alias("tok"))
-    votes = mh.simhash_bits(F.col("tok"))
-    agg = toks.groupBy("id").agg(
-        *[F.sum(v).alias(f"v{j}") for j, v in enumerate(votes)]
+    sigs = corpus.filter(F.size(tx.ws_tokens(F.col("text"))) > 0).select(
+        "id", mh.simhash_signature(F.col("text")).alias("simhash")
     )
-    bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(16)]
-    sigs = agg.select("id", F.concat(*bits).alias("simhash"))
 
     from pyspark.storagelevel import StorageLevel
 
@@ -571,31 +565,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(F.lit(f"{b}|"), F.substring("simhash", b * 4 + 1, 4))
-                    for b in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.array(*mh.simhash_band_keys(F.col("simhash")))).alias("band"),
     )
+    ok_bands = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= mh.MAX_BUCKET_SIZE))
+        .select("band")
+    )
+    capped = banded.join(ok_bands, "band", "left_semi")
     pairs = (
-        banded.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+        capped.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
         .join(
-            banded.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")),
+            capped.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")),
             "band",
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
-        )
-    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
@@ -604,31 +593,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_oracle() -> str:
-    votes = mh.simhash_sql_votes("tok")
-    sums = ", ".join(f"sum({v}) AS v{j}" for j, v in enumerate(votes))
-    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
     toks = (
         "CASE WHEN length(trim(text)) = 0 THEN [] "
         "ELSE regexp_split_to_array(trim(text), '\\s+') END"
     )
-    bands = ", ".join(
-        f"'{b}|' || substr(simhash, {b * 4 + 1}, 4)" for b in range(_SIMHASH_BANDS)
-    )
-    hamming = (
-        "len(list_filter(range(1, 17), "
-        "i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1)))"
-    )
+    bands = ", ".join(mh.simhash_band_keys_sql("simhash"))
+    hamming = "bit_count(xor(sig_a, sig_b))"
     return f"""
     WITH corpus AS ({DUP_CORPUS_SQL}),
     t AS (SELECT id, unnest({toks}) AS tok FROM corpus),
-    v AS (SELECT id, {sums} FROM t GROUP BY id),
-    s AS (SELECT id, {bits} AS simhash FROM v),
+    v AS (SELECT id, {mh.simhash_vote_sums_sql('tok')} FROM t GROUP BY id),
+    s AS (SELECT id, {mh.simhash_from_votes_sql()} AS simhash FROM v),
     banded AS (SELECT id, simhash, unnest([{bands}]) AS band FROM s),
+    ok_bands AS (
+      SELECT band FROM banded GROUP BY band
+      HAVING count(*) BETWEEN 2 AND {mh.MAX_BUCKET_SIZE}
+    ),
     pairs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
              a.simhash AS sig_a, b.simhash AS sig_b
       FROM banded a JOIN banded b USING (band)
-      WHERE a.id < b.id
+      WHERE a.id < b.id AND band IN (SELECT band FROM ok_bands)
     )
     SELECT id_a, id_b, CAST({hamming} AS INT) AS hamming
     FROM pairs WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
