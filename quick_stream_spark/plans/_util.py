@@ -20,8 +20,38 @@ Rules that make a Spark result hash-match the DuckDB oracle:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def scoped_shuffle(spark: SparkSession, parts: int):
+    """Temporarily size ``spark.sql.shuffle.partitions``.  Only
+    effective around eager execution (checkpoint / streaming drain /
+    persist-count) — the conf is read at execution time, so lazily
+    returned plans would run after the restore.  Sizing shuffle width
+    to the DATA instead of a static conf matters in both directions:
+    a fixed 2x-cores width costs ~3x pure task-scheduling overhead on
+    small inputs, and a fixed small width under-parallelizes at 100 TB
+    (see rows_sized_parts)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def rows_sized_parts(
+    n_rows: int, rows_per_reducer: int, floor: int = 8, cap: int = 4096
+) -> int:
+    """Shuffle width from input size: ``n_rows / rows_per_reducer``
+    clamped to [floor, cap].  Pick ``rows_per_reducer`` so a reduce
+    partition stays well under executor memory for the row width at
+    hand."""
+    return max(floor, min(cap, n_rows // max(rows_per_reducer, 1)))
 
 
 def pin_session(spark: SparkSession) -> SparkSession:

@@ -11,11 +11,31 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quick_stream_spark.plans._util import dsum, pin_session, sql_dsum
+from quick_stream_spark.plans._util import (
+    dsum,
+    pin_session,
+    rows_sized_parts,
+    scoped_shuffle,
+    sql_dsum,
+)
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table, stream_parquet_dir, write_batches_as_files
 
 SESSION_GAP = "30 minutes"
+
+_EVENT_COUNT_CACHE: dict = {}
+
+
+def _stream_parts(spark: SparkSession, sf_dir: str) -> int:
+    """Stateful streaming shuffle width from the events row count: each
+    shuffle partition owns a state store instance, so an over-wide conf
+    pays (partitions x micro-batches x queries) store instantiations —
+    the dominant cost on small replays, and state-store count is what
+    you size deliberately on a real cluster too."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVENT_COUNT_CACHE:
+        _EVENT_COUNT_CACHE[key] = load_table(spark, sf_dir, "events").count()
+    return rows_sized_parts(_EVENT_COUNT_CACHE[key], 100_000)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
@@ -31,16 +51,30 @@ def _events_stream(spark: SparkSession, sf_dir: str, n_files: int = 2):
     return stream_parquet_dir(spark, work + "/in", ev.schema), work
 
 
-def _run_to_memory(spark: SparkSession, streaming_df, name: str, work: str, mode: str) -> DataFrame:
-    q = (
-        streaming_df.writeStream.queryName(name)
-        .format("memory")
-        .outputMode(mode)
-        .option("checkpointLocation", work + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+def _run_to_memory(
+    spark: SparkSession,
+    streaming_df,
+    name: str,
+    work: str,
+    mode: str,
+    parts: int | None = None,
+) -> DataFrame:
+    """Drain the stream into a memory sink.  ``parts`` sizes the
+    stateful shuffle width for the drain (the streaming checkpoint pins
+    it for the query's lifetime, so it must be chosen at start)."""
+    from contextlib import nullcontext
+
+    scope = scoped_shuffle(spark, parts) if parts else nullcontext()
+    with scope:
+        q = (
+            streaming_df.writeStream.queryName(name)
+            .format("memory")
+            .outputMode(mode)
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -96,7 +130,10 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
-    out = _run_to_memory(spark, windowed, f"win_counts_{abs(hash(work)) % 10**8}", work, "complete")
+    out = _run_to_memory(
+        spark, windowed, f"win_counts_{abs(hash(work)) % 10**8}", work, "complete",
+        parts=_stream_parts(spark, sf_dir),
+    )
     tumbling = out.select(
         F.lit("tumbling").alias("kind"),
         F.col("event_type").alias("grp"),
@@ -112,7 +149,8 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
     out2 = _run_to_memory(
-        spark, sessions, f"sessions_{abs(hash(work2)) % 10**8}", work2, "complete"
+        spark, sessions, f"sessions_{abs(hash(work2)) % 10**8}", work2, "complete",
+        parts=_stream_parts(spark, sf_dir),
     )
     session = out2.select(
         F.lit("session").alias("kind"),
@@ -158,5 +196,8 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = _run_to_memory(spark, windowed, f"late_{abs(hash(work)) % 10**8}", work, "append")
+    out = _run_to_memory(
+        spark, windowed, f"late_{abs(hash(work)) % 10**8}", work, "append",
+        parts=_stream_parts(spark, sf_dir),
+    )
     return out.select(F.col("window.start").alias("window_start"), "n")

@@ -11,14 +11,16 @@ identically so the oracle matches exactly.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quick_stream_spark.functions import minhash as mh
 from quick_stream_spark.functions import text as tx
-from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans._util import (
+    pin_session,
+    rows_sized_parts,
+    scoped_shuffle as _scoped_shuffle,
+)
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
 
@@ -159,12 +161,9 @@ def _perturbed_text(col) -> F.Column:
 # Target documents per reduce partition for the dedup/graph stages.
 # The corpora these stages shuffle (shingle arrays, band keys, id pairs)
 # are tiny per doc (~KBs), so ~20k docs lands well under a 64 MB reduce
-# partition; the clamp floor keeps cluster parallelism honest and the
-# ceiling bounds scheduler pressure.  At 100 TB (billions of docs) this
-# computes thousands of partitions; at bench scale it computes the
-# floor — the point is that shuffle width follows the DATA, not a
-# static conf (a fixed 2x-cores width costs ~3x in pure task-scheduling
-# overhead on small corpora, measured at sf0.1).
+# partition; at 100 TB (billions of docs) this computes thousands of
+# partitions, at bench scale the floor — shuffle width follows the
+# DATA, not a static conf (see _util.scoped_shuffle).
 _DOCS_PER_REDUCER = 20_000
 _DOC_COUNT_CACHE: dict = {}
 
@@ -175,21 +174,7 @@ def _corpus_parts(spark: SparkSession, sf_dir: str) -> int:
         # parquet count() is metadata-only: no column scan
         _DOC_COUNT_CACHE[key] = _docs(spark, sf_dir).count()
     n_docs = _DOC_COUNT_CACHE[key] * 2  # corpus = original + perturbed
-    return max(8, min(4096, n_docs // _DOCS_PER_REDUCER))
-
-
-@contextmanager
-def _scoped_shuffle(spark: SparkSession, parts: int):
-    """Temporarily size ``spark.sql.shuffle.partitions``.  Only effective
-    around eager materialization (checkpoint/persist-count) — the conf is
-    read at execution time, so lazily returned plans would execute after
-    the restore."""
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return rows_sized_parts(n_docs, _DOCS_PER_REDUCER)
 
 
 # One duplicated corpus per (session, sf_dir), persisted WITH its
