@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quick_stream_spark.plans._util import dsum, pin_session, sql_dsum
+from quick_stream_spark.plans._util import dsum, pin_session, rows_sized_parts, scoped_shuffle, sql_dsum
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table, stream_parquet_dir, write_batches_as_files
 
@@ -303,15 +303,18 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"state_counter_{abs(hash(work)) % 10**8}"
-    q = (
-        counted.writeStream.queryName(name)
-        .format("memory")
-        .outputMode("update")
-        .option("checkpointLocation", work + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # each shuffle partition owns a state store + an Arrow worker per
+    # micro-batch: size the width by input rows, not the static conf
+    with scoped_shuffle(spark, rows_sized_parts(ev.count(), 100_000)):
+        q = (
+            counted.writeStream.queryName(name)
+            .format("memory")
+            .outputMode("update")
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update mode emits one row per (user, batch); final state = last emit
     snap = spark.table(name)
     latest = snap.groupBy("user_id").agg(
@@ -439,13 +442,14 @@ def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     stream = stream_parquet_dir(spark, work + "/in", ev.schema)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     name = f"ddw_{abs(hash(work)) % 10**8}"
-    q = (
-        deduped.writeStream.queryName(name)
-        .format("memory")
-        .outputMode("append")
-        .option("checkpointLocation", work + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle(spark, rows_sized_parts(ev.count() * 2, 100_000)):
+        q = (
+            deduped.writeStream.queryName(name)
+            .format("memory")
+            .outputMode("append")
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("event_id", "user_id", "event_type")
