@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_stream_spark.functions import vectors as vec
-from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans._util import pin_session, rows_sized_parts, scoped_shuffle
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
 
@@ -28,6 +28,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.to_double(F.col("embedding")).alias("v"), "label"
     )
+
+
+_EMB_COUNT_CACHE: dict = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_COUNT_CACHE:
+        # parquet count() is metadata-only
+        _EMB_COUNT_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_CACHE[key]
 
 
 _COS = vec.cosine_sql("q.v", "c.v", DIM)
@@ -248,6 +259,18 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = to_lists(cent_rows)
     cr = None
+    # each Lloyd round shuffles (n_vectors x DIM) scalar rows and ends
+    # in a bounded collect (K x DIM floats) — size the shuffle to that
+    # row count, not the static conf (see _util.scoped_shuffle); the
+    # loop's collects execute inside the scope, so the width is live
+    n_rows = _emb_count(spark, sf_dir) * DIM
+    with scoped_shuffle(spark, rows_sized_parts(n_rows, 500_000)):
+        cents, cr = _lloyd_rounds(e, cents, to_lists)
+    return cr.select("cell", "pos", F.col("cv").alias("centroid"))
+
+
+def _lloyd_rounds(e: DataFrame, cents, to_lists):
+    cr = None
     for _ in range(KMEANS_ITERS):
         cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
         cell_ids_lit = F.array(*[F.lit(cid) for cid, _ in cents])
@@ -276,7 +299,7 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cents = to_lists(cr.collect())
-    return cr.select("cell", "pos", F.col("cv").alias("centroid"))
+    return cents, cr
 
 
 @register(
