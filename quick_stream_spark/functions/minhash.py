@@ -267,6 +267,7 @@ def candidate_pairs_lsh(
     shingles_col: str,
     prehashed: bool = False,
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    bands_col: str | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: explode band keys, collect each bucket's id
     list, generate in-bucket pairs, dedup (a pair may collide in several
@@ -289,12 +290,18 @@ def candidate_pairs_lsh(
     The caller is expected to hold ``docs`` persisted: it is consumed
     three times (banding + both shingle join-backs); ``_shingled_corpus``
     in plans/text.py is that persisted frame.  Nothing is persisted
-    here, so there is no cache to leak."""
-    bases = F.col(shingles_col) if prehashed else shingle_bases(F.col(shingles_col))
-    banded = docs.select(
-        F.col(id_col),
-        F.explode(lsh_bands(minhash_signature_from_bases(bases))).alias("band"),
-    )
+    here, so there is no cache to leak.
+
+    ``bands_col`` names a precomputed band-key array column; passing one
+    keeps the (large) signature/banding expression tree out of this
+    plan, which otherwise dominates one-time Catalyst compilation —
+    materialize it once on the persisted frame and reuse."""
+    if bands_col is not None:
+        band_keys = F.col(bands_col)
+    else:
+        bases = F.col(shingles_col) if prehashed else shingle_bases(F.col(shingles_col))
+        band_keys = lsh_bands(minhash_signature_from_bases(bases))
+    banded = docs.select(F.col(id_col), F.explode(band_keys).alias("band"))
     buckets = (
         banded.groupBy("band")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))

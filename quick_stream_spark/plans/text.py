@@ -307,10 +307,27 @@ _PAIRS_CACHE: dict = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
-        corpus = _shingled_corpus(spark, sf_dir)
-        cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
+        # materialize the band keys on top of the cached shingles first:
+        # the signature/banding expression tree (16 permutations x 8
+        # bands of nested transforms) otherwise lands in the candidate
+        # plan and dominates its one-time Catalyst compilation; as a
+        # column over the persisted corpus it is cheap arithmetic
+        banded = (
+            _shingled_corpus(spark, sf_dir)
+            .select(
+                "id",
+                "sh",
+                mh.lsh_bands(mh.minhash_signature_from_bases(F.col("sh"))).alias(
+                    "bands"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cand = mh.candidate_pairs_lsh(banded, "id", "sh", bands_col="bands")
         j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
         pairs = (
             cand.withColumn("jaccard", j)
@@ -319,6 +336,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
             _PAIRS_CACHE[key] = pairs.localCheckpoint(eager=True)
+        banded.unpersist()  # the checkpoint carries the result
     return _PAIRS_CACHE[key]
 
 
