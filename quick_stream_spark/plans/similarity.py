@@ -265,11 +265,21 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loop's collects execute inside the scope, so the width is live
     n_rows = _emb_count(spark, sf_dir) * DIM
     with scoped_shuffle(spark, rows_sized_parts(n_rows, 500_000)):
-        cents, cr = _lloyd_rounds(e, cents, to_lists)
+        cents, cr = _lloyd_rounds(spark, e, cents, to_lists)
     return cr.select("cell", "pos", F.col("cv").alias("centroid"))
 
 
-def _lloyd_rounds(e: DataFrame, cents, to_lists):
+def _lloyd_rounds(spark: SparkSession, e: DataFrame, cents, to_lists):
+    """Lloyd iterations with ROW-LOCAL nearest-cell math: the centroids
+    cross the driver as literal arrays (bounded: K x DIM floats), so
+    assignment is one transform per row with NO shuffle and no join —
+    the right trade at cluster scale (a per-centroid join would shuffle
+    n_vectors x K rows per round).  The changing literals do re-pay
+    plan compilation each round; a one-row broadcast frame was measured
+    SLOWER (LocalRelation data embeds in the plan anyway, plus a
+    broadcast exchange per round).  Tie-break: array_position takes the
+    FIRST minimum and cells are sorted ascending, so the lowest cell id
+    wins — the oracle's (distance, cell) row_number order."""
     cr = None
     for _ in range(KMEANS_ITERS):
         cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
