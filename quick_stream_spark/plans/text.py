@@ -723,39 +723,46 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("component", F.col("id"))
             .localCheckpoint(eager=True)
         )
-        for it in range(12):  # bound >> expected rounds; exits at fixpoint
-            # one shuffle gathers min over {self} ∪ neighbors: neighbor
-            # labels arrive as messages unioned with the node's own label
+        # plain min-label propagation converges in O(diameter) rounds;
+        # near-dup clusters are shallow (typically 2-3), so the lean
+        # 2-op round (join + groupBy-min over {self} ∪ neighbors) beats
+        # a pointer-jumping round whose extra self-join costs more in
+        # one-time plan compilation than the round it saves.  Past
+        # _JUMP_AFTER rounds (a deep-chain corpus) each round adds the
+        # label-of-label shortcut, restoring O(log diameter).
+        _JUMP_AFTER = 8
+        for it in range(50):  # bound >> expected rounds; exits at fixpoint
             msgs = (
                 edges.join(labels, edges.v == labels.id)
                 .select(F.col("u").alias("id"), "component")
                 .unionByName(labels.select("id", "component"))
             )
-            mins = msgs.groupBy("id").agg(F.min("component").alias("new_component"))
-            updated = mins.join(labels, "id").select(
-                "id",
-                F.col("component").alias("old_component"),
-                F.col("new_component").alias("component"),
-            )
-            # pointer jumping: shortcut each label to its label's label
-            # (component ids ARE node ids, so the self-join always
-            # resolves) — path lengths halve per round, so convergence
-            # is O(log diameter) rounds instead of O(diameter)
-            lbl = updated.select(
-                F.col("id").alias("component"), F.col("component").alias("comp2")
-            )
-            new_labels = (
-                updated.join(lbl, "component", "left")
+            updated = (
+                msgs.groupBy("id")
+                .agg(F.min("component").alias("new_component"))
+                .join(labels, "id")
                 .select(
+                    "id",
+                    F.col("component").alias("old_component"),
+                    F.col("new_component").alias("component"),
+                )
+            )
+            if it >= _JUMP_AFTER:
+                # pointer jumping: shortcut each label to its label's
+                # label (component ids ARE node ids, so the self-join
+                # always resolves) — path lengths halve per round
+                lbl = updated.select(
+                    F.col("id").alias("component"), F.col("component").alias("comp2")
+                )
+                updated = updated.join(lbl, "component", "left").select(
                     "id",
                     "old_component",
                     F.coalesce("comp2", F.col("component")).alias("component"),
                 )
-                # localCheckpoint truncates lineage: without it every
-                # iteration's plan contains all previous iterations and
-                # analysis/compile time grows superlinearly with rounds
-                .localCheckpoint(eager=True)
-            )
+            # localCheckpoint truncates lineage: without it every
+            # iteration's plan contains all previous iterations and
+            # analysis/compile time grows superlinearly with rounds
+            new_labels = updated.localCheckpoint(eager=True)
             labels = new_labels.drop("old_component")
             if it == 0:
                 continue  # every non-singleton component changes in round 1
