@@ -19,7 +19,7 @@ from quick_stream_spark.config import QuickStreamConfig
 from quick_stream_spark.operators.dedup import latest_per_key
 from quick_stream_spark.operators.merge import KeyedTable
 from quick_stream_spark.operators.router import MultiTableRouter
-from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans._util import pin_session, rows_sized_parts, scoped_shuffle
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import (
     load_table,
@@ -35,6 +35,20 @@ EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     return load_table(spark, sf_dir, "events")
+
+
+_EVENTS_COUNT_CACHE: dict = {}
+
+
+def _events_scope(spark: SparkSession, sf_dir: str):
+    """Scoped shuffle width for the eager merge replays: a merge's
+    window shuffles the batch + touched buckets, so width follows the
+    events row count (metadata-only parquet count, cached).  The
+    returned end-state read is lazy and runs at the ambient width."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVENTS_COUNT_CACHE:
+        _EVENTS_COUNT_CACHE[key] = load_table(spark, sf_dir, "events").count()
+    return scoped_shuffle(spark, rows_sized_parts(_EVENTS_COUNT_CACHE[key], 100_000))
 
 
 def _table(spark: SparkSession, **kw) -> KeyedTable:
@@ -116,8 +130,9 @@ def r_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's unconditional ``DO UPDATE`` (lib.rs:111)."""
     ev = _events(spark, sf_dir)
     target = _table(spark)
-    target.upsert(ev.filter(F.col("event_id") % 2 == 0))
-    target.upsert(ev.filter(F.col("event_id") % 2 == 1))
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1))
     return target.read().select(*EVENT_COLS, "row_active")
 
 
@@ -138,8 +153,9 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax per key, independent of batch order."""
     ev = _events(spark, sf_dir)
     target = _table(spark)
-    target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
-    target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
     return target.read().select(*EVENT_COLS, "row_active")
 
 
@@ -165,8 +181,9 @@ def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is purely physical."""
     ev = _events(spark, sf_dir)
     target = _table(spark, commit_protocol="manifest")
-    target.upsert(ev.filter(F.col("event_id") % 2 == 0))
-    target.upsert(ev.filter(F.col("event_id") % 2 == 1))
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1))
     return target.read().select(*EVENT_COLS, "row_active")
 
 
@@ -396,5 +413,8 @@ def r_stream_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _table(spark)
     stream = stream_parquet_dir(spark, work + "/in", ev.schema, max_files_per_trigger=2)
     cfg = QuickStreamConfig(name="r-stream-upsert", checkpoint_dir=work + "/ckpt")
-    UpsertQuickStream(target, config=cfg, newer_wins=True).run(stream, available_now=True)
+    with _events_scope(spark, sf_dir):
+        UpsertQuickStream(target, config=cfg, newer_wins=True).run(
+            stream, available_now=True
+        )
     return target.read().select(*EVENT_COLS, "row_active")
