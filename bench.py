@@ -75,6 +75,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # ingestion throughput: the end-state replays push every events row
+    # through real merges (the reference's core loop), so rows/s is the
+    # comparable single-node ingest figure
+    from quick_stream_spark.sources.readers import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    extras = {}
+    for key, qname in (
+        ("ingest_rows_per_sec", "r_upsert_endstate"),
+        ("stream_ingest_rows_per_sec", "r_stream_upsert_endstate"),
+    ):
+        if timings.get(qname):
+            extras[key] = round(n_events / timings[qname])
     print(
         json.dumps(
             {
@@ -83,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
+                **extras,
             }
         )
     )
