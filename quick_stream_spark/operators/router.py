@@ -45,6 +45,7 @@ class MultiTableRouter:
         tie_break: str = "first_arrival",
         num_buckets: int = 16,
         soft_delete_col: str = "row_active",
+        commit_protocol: str = "direct",
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -57,6 +58,7 @@ class MultiTableRouter:
             tie_break=tie_break,
             num_buckets=num_buckets,
             soft_delete_col=soft_delete_col,
+            commit_protocol=commit_protocol,
         )
 
     def target(self, table: str) -> KeyedTable:

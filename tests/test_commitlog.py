@@ -141,3 +141,46 @@ def test_concurrent_commit_fails_loudly(spark, tmp_table_dir):
     t._log.latest_version = lambda: 1
     with pytest.raises(RuntimeError, match="concurrent commit"):
         t._log.commit({})
+
+
+def test_router_routes_through_manifest_tables(spark, tmp_table_dir):
+    """MultiTableRouter forwards the commit protocol: every routed
+    table commits atomic snapshots."""
+    from quick_stream_spark.operators.router import MultiTableRouter
+
+    router = MultiTableRouter(
+        spark,
+        os.path.join(tmp_table_dir, "mt"),
+        table_col="tbl",
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+        commit_protocol="manifest",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("a", 1, datetime(2024, 1, 1), 1, "x"),
+            ("b", 1, datetime(2024, 1, 1), 2, "y"),
+            ("a", 2, datetime(2024, 1, 2), 3, "z"),
+        ],
+        "tbl string, " + SCHEMA,
+    )
+    router.upsert_batch(batch)
+    for name in ("a", "b"):
+        t = router.target(name)
+        assert t.snapshot_versions() == [1]
+        assert t.read().count() == (2 if name == "a" else 1)
+
+
+def test_simhash_banding_stays_subquadratic(spark):
+    """Regression pin for the band-bucket blowup: on the sf0.001 dup
+    corpus (~1000 docs, every doc a near-dup of its perturbed twin) the
+    candidate band join must yield pairs on the order of the true-dup
+    count, not O(n^2)."""
+    from quick_stream_spark.plans.registry import REGISTRY, queries
+
+    queries()
+    df = REGISTRY["dedup_simhash_pairs"].fn(spark, "/root/testdata/sf0.001")
+    n_docs = 500 * 2
+    assert df.count() < 3 * n_docs
