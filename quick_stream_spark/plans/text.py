@@ -395,13 +395,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.round(
         F.col("inter") / F.greatest(F.col("na") + F.col("nb") - F.col("inter"), F.lit(1)), 6
     )
-    return (
+    out = (
         shared.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
     )
+    # eager materialization under a corpus-sized shuffle width (the
+    # shingle-explode joins are the widest shuffles in the text family);
+    # the result is the bounded verified-pair set
+    with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+        return out.localCheckpoint(eager=True)
 
 
 @register(
