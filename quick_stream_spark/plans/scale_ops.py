@@ -173,7 +173,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score(F.col("text")).alias("quality"),
         tx.token_count_ws(F.col("text")).alias("n_tokens"),
     ).filter(F.col("quality") >= 0.5)
-    return enriched.groupBy("lang_pred").agg(
+    out = enriched.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         # round BEFORE the long cast: quality*1e6 sits a float-ulp off an
@@ -181,6 +181,13 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).cast("double")
                 / F.count(F.lit(1)) / 1_000_000, 6).alias("avg_quality"),
     )
+    # eager run under a corpus-sized shuffle width (fingerprint groupBy
+    # + survivor joins are the pipeline's shuffles); the result is a
+    # handful of per-language rows
+    from quick_stream_spark.plans.text import _corpus_parts, _scoped_shuffle
+
+    with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+        return out.localCheckpoint(eager=True)
 
 
 def _pipeline_oracle() -> str:

@@ -201,3 +201,78 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts=_stream_parts(spark, sf_dir),
     )
     return out.select(F.col("window.start").alias("window_start"), "n")
+
+
+def _uncapped_lsh_pairs_sql() -> str:
+    """Batch-SQL twin of the incremental index's final pair set: the
+    MinHash-LSH pairs WITHOUT the bucket-size cap (an online cap would
+    make results depend on delivery chunking — see
+    streaming/dedup_index.py)."""
+    from quick_stream_spark.functions import minhash as mh
+    from quick_stream_spark.plans.text import DUP_CORPUS_SQL, JACCARD_THRESHOLD
+
+    jac = (
+        "round(len(list_intersect(sh_a, sh_b)) * 1.0 / "
+        "greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)"
+    )
+    return f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
+    sig AS (SELECT id, sh, {mh.minhash_signature_from_bases_sql('sh')} AS sig FROM sh),
+    banded AS (SELECT id, sh, unnest({mh.lsh_bands_sql('sig')}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b USING (band)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, {jac} AS jaccard
+    FROM cand WHERE {jac} >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "stream_dedup_minhash_incremental",
+    oracle=None,  # set below (generated from the minhash twins)
+    tags=("streaming", "dedup", "lsh"),
+    pytest_only=True,  # the driver window is full; oracle-checked here
+)
+def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the duplicated corpus arrives as
+    three deliveries; each micro-batch LSH-bands its documents, queries
+    the accumulated band index (band-key equi-join — a new doc only
+    meets near-identical prior docs), emits verified pairs, and appends
+    its bands to the index (streaming/dedup_index.py).  The final pair
+    set is batch-order independent and equals the uncapped batch LSH
+    pair set, which is the oracle."""
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.plans.text import (
+        _corpus_parts,
+        _dup_corpus,
+        _scoped_shuffle,
+    )
+    from quick_stream_spark.streaming.dedup_index import StreamingNearDupIndex
+
+    pin_session(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="qss-ndi-")
+    from quick_stream_spark.sources.readers import write_split_as_files
+
+    write_split_as_files(corpus, F.col("id") % 3, 3, work + "/in")
+    ndi = StreamingNearDupIndex(
+        spark,
+        work + "/state",
+        config=QuickStreamConfig(
+            name="near-dup-index", checkpoint_dir=work + "/ckpt"
+        ),
+    )
+    stream = stream_parquet_dir(spark, work + "/in", corpus.schema)
+    with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+        ndi.run(stream, available_now=True)
+    return ndi.pairs()
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _SEREG  # noqa: E402
+
+_SEREG["stream_dedup_minhash_incremental"].oracle = " ".join(
+    _uncapped_lsh_pairs_sql().split()
+)
