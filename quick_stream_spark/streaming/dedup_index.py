@@ -112,12 +112,15 @@ class StreamingNearDupIndex(_StreamBase):
                 # cross-batch candidates: new docs vs the accumulated index
                 idx = self._read_index()
                 if idx is not None:
+                    # oid != nid: a redelivered batch (checkpoint replay
+                    # after a crash) meets its own index entries; a doc
+                    # never pairs with itself
                     cross = new_side.join(
                         idx.select(
                             "band", F.col("id").alias("oid"), F.col("sh").alias("osh")
                         ),
                         "band",
-                    )
+                    ).filter(F.col("oid") != F.col("nid"))
                     cand = cand.unionByName(cross)
                 pairs = (
                     cand.select(
