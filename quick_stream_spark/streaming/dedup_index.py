@@ -61,6 +61,7 @@ class StreamingNearDupIndex(_StreamBase):
         id_col: str = "id",
         text_col: str = "text",
         jaccard_threshold: float = 0.35,
+        max_band_entries: int | None = None,
         config: QuickStreamConfig | None = None,
     ) -> None:
         super().__init__(config)
@@ -70,6 +71,13 @@ class StreamingNearDupIndex(_StreamBase):
         self.id_col = id_col
         self.text_col = text_col
         self.jaccard_threshold = jaccard_threshold
+        # per-band reservoir: bands already holding this many index
+        # entries accept no more (arriving docs still QUERY the full
+        # reservoir, so recall degrades only for pairs whose EARLIER
+        # member overflowed).  Arrival-order dependent by nature —
+        # leave None for the deterministic, delivery-chunking-
+        # independent contract the oracle checks.
+        self.max_band_entries = max_band_entries
         self._index_exists = False
 
     # ------------------------------------------------------------ state
@@ -135,7 +143,19 @@ class StreamingNearDupIndex(_StreamBase):
                     .select("id_a", "id_b", "jaccard")
                 )
                 pairs.write.mode("append").parquet(self.pairs_path)
-                banded.write.mode("append").parquet(self.index_path)
+                to_index = banded
+                if self.max_band_entries is not None and idx is not None:
+                    # reservoir: drop entries for bands already at
+                    # capacity (an anti-join against the full-band set —
+                    # band counts, never documents, cross the shuffle)
+                    full = (
+                        idx.groupBy("band")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .filter(F.col("n") >= self.max_band_entries)
+                        .select("band")
+                    )
+                    to_index = banded.join(full, "band", "left_anti")
+                to_index.write.mode("append").parquet(self.index_path)
                 self._index_exists = True
             finally:
                 banded.unpersist()

@@ -5,6 +5,8 @@ read because every discovery carries identical values)."""
 
 import os
 
+from pyspark.sql import functions as F
+
 from quick_stream_spark.streaming.dedup_index import StreamingNearDupIndex
 
 DOC = (
@@ -42,3 +44,24 @@ def test_redelivered_batch_changes_nothing(spark, tmp_path):
     apply(docs(spark, [(1, DOC), (2, NEAR)]), 1)
     after = sorted(map(tuple, ndi.pairs().collect()))
     assert after == before
+
+
+def test_band_reservoir_bounds_hot_bands(spark, tmp_path):
+    """With max_band_entries set, a viral duplicate cluster stops
+    growing the index: later copies still query (and pair with) the
+    reservoir but are not indexed themselves."""
+    ndi = StreamingNearDupIndex(
+        spark, str(tmp_path / "state"), max_band_entries=2
+    )
+    apply = ndi._foreach_batch()
+    apply(docs(spark, [(1, DOC), (2, DOC)]), 0)  # reservoir fills to 2
+    apply(docs(spark, [(3, DOC)]), 1)  # hot band full -> 3 not indexed
+    apply(docs(spark, [(4, DOC)]), 2)
+    got = {(r.id_a, r.id_b) for r in ndi.pairs().collect()}
+    # every later copy pairs with the reservoir members...
+    assert {(1, 3), (2, 3), (1, 4), (2, 4)} <= got
+    # ...but (3, 4) is lost: 3 overflowed, so 4 never meets it
+    assert (3, 4) not in got
+    idx = spark.read.parquet(ndi.index_path)
+    per_band = idx.groupBy("band").count().agg(F.max("count")).collect()[0][0]
+    assert per_band <= 2
