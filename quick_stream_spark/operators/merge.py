@@ -110,6 +110,9 @@ class KeyedTable:
         # a sidecar read per micro-batch.
         self._exists_cache: bool | None = None
         self._schema_cache = None
+        # per-merge Observation metrics (rows_written / rows_active),
+        # refreshed by every upsert — the reference's cycle-count logs
+        self.last_merge_stats: dict | None = None
 
     # ---------------------------------------------------------------- io
 
@@ -230,6 +233,29 @@ class KeyedTable:
         self._write_schema_sidecar(df.schema)
         self._log.commit(mapping)
         self._exists_cache = True
+
+    # ------------------------------------------------------ observability
+
+    def _observe_merge(self, merged: DataFrame):
+        """Attach zero-cost Observation metrics to the merge plan (the
+        reference logs per-cycle upsert counts, upsert.rs:158-204):
+        rows written and rows kept active, collected by the executors
+        during the write itself — no extra job, no extra scan."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = merged.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum(F.col(self.soft_delete_col).cast("long")).alias("rows_active"),
+        )
+        return merged, obs
+
+    def _record_merge_stats(self, obs) -> None:
+        try:
+            self.last_merge_stats = dict(obs.get)
+        except Exception:  # pragma: no cover - observation API unavailable
+            self.last_merge_stats = None
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Reclaim unreferenced data files (manifest protocol only)."""
@@ -440,10 +466,12 @@ class KeyedTable:
             updates, dedup=False, allow_missing_columns=allow_missing_columns
         )
         if not self.exists():
+            first, obs = self._observe_merge(self._dedup(up))
             if self._log is not None:
-                self._write_manifest_commit(self._dedup(up), [])
+                self._write_manifest_commit(first, [])
             else:
-                self._write(self._dedup(up), "overwrite")
+                self._write(first, "overwrite")
+            self._record_merge_stats(obs)
             return
         # one materialization serves both the bucket broadcast (the DPP
         # subquery) and the merge's union side; an empty batch writes
@@ -468,10 +496,12 @@ class KeyedTable:
                 .filter(F.col(_RN) == 1)
                 .drop(_RN, _SRC)
             )
+            merged, obs = self._observe_merge(merged)
             if self._log is not None:
                 self._write_manifest_commit(merged, touched)
             else:
                 self._write(merged, "overwrite", repartition=False)
+            self._record_merge_stats(obs)
         finally:
             up.unpersist()
 

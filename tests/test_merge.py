@@ -287,3 +287,17 @@ def test_missing_columns_fail_fast_unless_allowed(spark, tmp_table_dir):
     t.upsert(partial, allow_missing_columns=True)
     rows = {r.pkey: r.payload for r in t.read().collect()}
     assert rows == {1: "a", 2: None}
+
+
+def test_merge_observation_metrics(spark, table):
+    """Every upsert refreshes last_merge_stats via Observation metrics
+    (executor-side, no extra job) — the reference's per-cycle upsert
+    count logs."""
+    from datetime import datetime as dt
+
+    table.upsert(df(spark, [(1, dt(2024, 1, 1), 1, "a"), (2, dt(2024, 1, 1), 2, "b")]))
+    assert table.last_merge_stats == {"rows_written": 2, "rows_active": 2}
+    table.upsert(df(spark, [(3, dt(2024, 1, 2), 3, "c")]))
+    # merge rewrites only touched buckets: written = bucket residents
+    assert table.last_merge_stats["rows_written"] >= 1
+    assert table.last_merge_stats["rows_active"] == table.last_merge_stats["rows_written"]
