@@ -105,3 +105,15 @@ def test_dedup_single_shuffle_with_partial_limit(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
     assert "WindowGroupLimit" in plan
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """TPC-H Q6 shape: every predicate (date range, discount band,
+    quantity cap) must appear in PushedFilters — the scan-throughput
+    query reads only what it needs."""
+    plan = _formatted(spark, "q6_forecast_revenue")
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert pushed, "no PushedFilters section in the q6 plan"
+    text = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in text, f"{col} predicate not pushed to the scan"
