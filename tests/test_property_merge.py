@@ -75,13 +75,16 @@ class Model:
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("protocol", ["direct", "manifest"])
 @settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(scenario=scenario)
-def test_end_state_matches_reference_model(spark, tmp_path_factory, scenario):
+def test_end_state_matches_reference_model(spark, tmp_path_factory, protocol, scenario):
+    """Runs under BOTH commit protocols: the manifest snapshot path must
+    reproduce the reference end-state semantics row for row."""
     ops, newer_wins = scenario
     work = tmp_path_factory.mktemp("prop")
     table = KeyedTable(
@@ -91,6 +94,7 @@ def test_end_state_matches_reference_model(spark, tmp_path_factory, scenario):
         version_col="modified_date",
         arrival_col="arrival",
         num_buckets=2,
+        commit_protocol=protocol,
     )
     model = Model(newer_wins)
     arrival_base = 0
