@@ -223,12 +223,13 @@ def r_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _events(spark, sf_dir)
     deletes = ev.filter(F.col("event_type") == "error")
-    soft = _table(spark)
-    soft.upsert(ev, newer_wins=True)
-    soft.soft_delete(deletes)
-    hard = _table(spark)
-    hard.upsert(ev, newer_wins=True)
-    hard.hard_delete(deletes)
+    with _events_scope(spark, sf_dir):
+        soft = _table(spark)
+        soft.upsert(ev, newer_wins=True)
+        soft.soft_delete(deletes)
+        hard = _table(spark)
+        hard.upsert(ev, newer_wins=True)
+        hard.hard_delete(deletes)
     return (
         soft.read()
         .select(F.lit("soft").alias("mode"), *EVENT_COLS, "row_active")
@@ -295,17 +296,20 @@ def r_multi_table_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _events(spark, sf_dir).withColumnRenamed("event_type", "dest_table")
     upserted = _build_router(spark, ev)
-    upserted.upsert_batch(ev, newer_wins=True)
+    with _events_scope(spark, sf_dir):
+        upserted.upsert_batch(ev, newer_wins=True)
 
     deleted = _build_router(spark, ev)
-    deleted.upsert_batch(ev, newer_wins=True)
+    with _events_scope(spark, sf_dir):
+        deleted.upsert_batch(ev, newer_wins=True)
     err_users = ev.filter(F.col("dest_table") == "error").select("user_id").distinct()
     deletes = (
         ev.join(err_users, "user_id")
         .filter(F.col("dest_table") == "purchase")
         .select("user_id", "ts", "event_id", F.lit("purchase").alias("dest_table"))
     )
-    deleted.soft_delete_batch(deletes)
+    with _events_scope(spark, sf_dir):
+        deleted.soft_delete_batch(deletes)
 
     cols = ["dest_table", "event_id", "ts", "user_id", "value", "row_active"]
     return (
@@ -339,11 +343,12 @@ def r_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     time via the sidecar schema instead of a file rewrite)."""
     ev = _events(spark, sf_dir)
     target = _table(spark)
-    target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
     evolved = ev.filter(F.col("event_id") % 2 == 1).withColumn(
         "score", F.round(F.col("value") * 2, 2)
     )
-    target.upsert(evolved, newer_wins=True)
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(evolved, newer_wins=True)
     return target.read().select(*EVENT_COLS, "score", "row_active")
 
 
