@@ -742,3 +742,237 @@ from quick_stream_spark.plans.registry import REGISTRY as _SIMREG  # noqa: E402
 # IVF section below the k-means block)
 _SIMREG["emb_centroids"].oracle = " ".join(_centroids_oracle().split())
 _SIMREG["emb_ivf_trained_topk"].oracle = " ".join(_trained_ivf_oracle().split())
+
+
+# ------------------------------------------------------------ PQ (ADC)
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 16 dims each
+PQ_K = 16  # codewords per subspace
+
+
+def _sub_slice(col, s: int):
+    return F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _sub_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks: deterministic first-K init, ONE Lloyd
+    refinement round (exact scaled-integer means), collected to the
+    driver as bounded model artifacts (PQ_M x PQ_K x PQ_SUBDIM floats).
+    One refinement round keeps the unrolled SQL oracle tractable; the
+    iteration count is a constant, not a structural limit."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    books: list[list[tuple[int, list[float]]]] = []
+    with scoped_shuffle(
+        spark, rows_sized_parts(_emb_count(spark, sf_dir) * PQ_SUBDIM, 500_000)
+    ):
+        for s in range(PQ_M):
+            sub = e.select("vec_id", _sub_slice(F.col("v"), s).alias("sv"))
+            init_rows = (
+                sub.filter(F.col("vec_id") < PQ_K)
+                .select(F.col("vec_id").alias("cell"), F.posexplode("sv").alias("pos", "cv"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in init_rows:
+                by_cell.setdefault(r.cell, {})[r.pos] = float(r.cv)
+            cents = [
+                (cell, [by_cell[cell][p] for p in range(PQ_SUBDIM)])
+                for cell in sorted(by_cell)
+            ]
+            cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
+            ids_lit = F.array(*[F.lit(cid) for cid, _ in cents])
+            dist_arr = F.transform(cells_lit, lambda c: _sub_sqdist(F.col("sv"), c))
+            best = F.array_position(dist_arr, F.array_min(dist_arr)).cast("int")
+            assigned = sub.select("sv", F.element_at(ids_lit, best).alias("cell"))
+            scaled = F.round(F.col("val") * 1_000_000).cast("long")
+            cr = (
+                assigned.select("cell", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
+                .select(
+                    "cell",
+                    "pos",
+                    F.round(
+                        F.col("s").cast("double") / F.col("n") / 1_000_000, 6
+                    ).alias("cv"),
+                )
+                .collect()
+            )
+            by_cell = {}
+            for r in cr:
+                by_cell.setdefault(r.cell, {})[r.pos] = float(r.cv)
+            books.append(
+                [
+                    (cell, [by_cell[cell][p] for p in range(PQ_SUBDIM)])
+                    for cell in sorted(by_cell)
+                ]
+            )
+    return books
+
+
+@register(
+    "emb_pq_topk",
+    oracle=None,  # set at module end (unrolled per-subspace training)
+    tags=("similarity", "pq", "ann", "ml"),
+    pytest_only=True,  # the driver window is full; oracle-checked here
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS-style companion to IVF):
+    train PQ_M per-subspace codebooks, encode every vector as PQ_M
+    small codes (here 4 x 4 bits — a ~100x compression of the 64-dim
+    float corpus), then answer top-k by ASYMMETRIC distance: the query
+    stays exact and its distance to a corpus vector is the sum of
+    query-subvector -> codeword distances.  Encoding and distance are
+    ROW-LOCAL literal-array math (the codebook crosses the driver, the
+    corpus never moves); per-subspace terms are scaled to integers
+    before summing so the 4-term total is order-independent and
+    hash-matches the oracle.  Measured recall vs exact-L2 top-5 on the
+    (weakly clustered) synthetic embeddings at sf0.01: 12/40 — the
+    honest ceiling of 20-bit codes on near-random data; the same
+    machinery at 8-bit-per-subspace production settings is a constant
+    change (PQ_K)."""
+    books = _pq_codebooks(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+
+    def _dist_to(sv):
+        # closure, NOT a default-arg lambda: a two-parameter lambda is
+        # interpreted as the (element, index) HOF form
+        return lambda c: _sub_sqdist(sv, c)
+
+    code_cols = []
+    for s, book in enumerate(books):
+        cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in book])
+        ids_lit = F.array(*[F.lit(cid) for cid, _ in book])
+        dist_arr = F.transform(cells_lit, _dist_to(_sub_slice(F.col("v"), s)))
+        best = F.array_position(dist_arr, F.array_min(dist_arr)).cast("int")
+        code_cols.append(F.element_at(ids_lit, best).alias(f"code_{s}"))
+    coded = e.select(F.col("vec_id").alias("neighbor_id"), *code_cols)
+
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < NUM_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    joined = q.join(coded, F.col("query_id") != F.col("neighbor_id"))
+    terms = []
+    for s, book in enumerate(books):
+        cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in book])
+        ids_lit = F.array(*[F.lit(cid) for cid, _ in book])
+        qsub = _sub_slice(F.col("qv"), s)
+        cent = F.element_at(
+            cells_lit, F.array_position(ids_lit, F.col(f"code_{s}")).cast("int")
+        )
+        terms.append(F.round(_sub_sqdist(qsub, cent) * 1_000_000).cast("long"))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (total.cast("double") / 1_000_000).alias("approx_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("approx_dist", 6).alias("approx_dist")
+        )
+    )
+
+
+def _pq_sub_sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"j -> (({a})[j] - ({b})[j]) * (({a})[j] - ({b})[j])))"
+    )
+
+
+def _pq_oracle() -> str:
+    """Unrolled per-subspace training + encode + ADC top-k."""
+    parts = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM + 1
+        hi = (s + 1) * PQ_SUBDIM
+        parts.append(
+            f"sub_{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)"
+        )
+        parts.append(
+            f"init_{s} AS (SELECT vec_id AS cell, sv AS c FROM sub_{s} WHERE vec_id < {PQ_K})"
+        )
+        sq = _pq_sub_sqdist_sql("s.sv", "c.c")
+        parts.append(
+            f"""asg_{s} AS (
+              SELECT vec_id, sv, cell FROM (
+                SELECT s.vec_id, s.sv, c.cell,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY {sq} ASC, c.cell ASC) AS rn
+                FROM sub_{s} s CROSS JOIN init_{s} c
+              ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""cb_{s} AS (
+              SELECT cell, list(cv ORDER BY pos) AS c FROM (
+                SELECT cell, pos, {_exact_mean_sql('val')} AS cv
+                FROM (
+                  SELECT cell, unnest(range(0, {PQ_SUBDIM})) AS pos, unnest(sv) AS val
+                  FROM asg_{s}
+                ) GROUP BY cell, pos
+              ) GROUP BY cell
+            )"""
+        )
+        sq2 = _pq_sub_sqdist_sql("s.sv", "c.c")
+        parts.append(
+            f"""code_{s} AS (
+              SELECT vec_id, cell AS code FROM (
+                SELECT s.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY {sq2} ASC, c.cell ASC) AS rn
+                FROM sub_{s} s CROSS JOIN cb_{s} c
+              ) WHERE rn = 1
+            )"""
+        )
+    term_selects = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM + 1
+        hi = (s + 1) * PQ_SUBDIM
+        qsub = f"q.v[{lo}:{hi}]"
+        term = _pq_sub_sqdist_sql(qsub, "cb.c")
+        term_selects.append(
+            f"""SELECT q.vec_id AS query_id, co.vec_id AS neighbor_id,
+                   CAST(round(({term}) * 1000000) AS BIGINT) AS t
+            FROM e q
+            JOIN code_{s} co ON q.vec_id <> co.vec_id
+            JOIN cb_{s} cb ON cb.cell = co.code
+            WHERE q.vec_id < {NUM_QUERIES}"""
+        )
+    union = " UNION ALL ".join(term_selects)
+    parts.append(
+        f"""dists AS (
+          SELECT query_id, neighbor_id,
+                 CAST(SUM(t) AS DOUBLE) / 1000000 AS approx_dist
+          FROM ({union}) GROUP BY query_id, neighbor_id
+        )"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, neighbor_id, rank, round(approx_dist, 6) AS approx_dist FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+      FROM dists
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+_SIMREG["emb_pq_topk"].oracle = " ".join(_pq_oracle().split())
