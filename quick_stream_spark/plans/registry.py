@@ -77,6 +77,7 @@ def _load_all() -> None:
     import quick_stream_spark.plans.similarity  # noqa: F401
     import quick_stream_spark.plans.scale_ops  # noqa: F401
     import quick_stream_spark.plans.streaming_ext  # noqa: F401
+    import quick_stream_spark.plans.tpch  # noqa: F401  (pytest-gated TPC-H breadth)
 
 
 def queries() -> dict[str, QueryFn]:

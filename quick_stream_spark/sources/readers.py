@@ -34,14 +34,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver table.  ``events.ts`` is parquet TIMESTAMP(NANOS),
-    which Spark rejects by default; we read it as long nanos and
-    truncate to microseconds (integer division — the values exceed
-    2^53, so float math would corrupt them), matching DuckDB's own
-    ns->us truncation.  The ``nanosAsLong`` conf is set only around the
-    read and restored afterwards, so an unrelated later parquet read
-    with TIMESTAMP(NANOS) columns fails loudly instead of silently
-    returning bigint."""
+    """Load a driver table.  ``events.ts`` is parquet TIMESTAMP(NANOS);
+    how Spark surfaces it depends on the version:
+
+    - Spark <= 4.0 rejects it by default; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` (set only around the
+      read, then restored) it arrives as long nanos, which we truncate
+      to microseconds with integer division (the values exceed 2^53, so
+      float math would corrupt them);
+    - Spark >= 4.1 reads it natively as ``timestamp_ntz`` (microsecond-
+      truncated; the legacy conf is a no-op).
+
+    Either way the column is normalized to a session-time-zone TIMESTAMP
+    — the event-time type ``withWatermark`` requires — and the session
+    time zone is pinned to UTC (``pin_session``), so the NTZ->LTZ cast
+    preserves the wall-clock values and matches DuckDB's own naive
+    ns->us truncation."""
     if name == "events":
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(conf_key)  # defined default ("false") if unset
@@ -50,8 +58,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(table_path(sf_dir, name))
             # force analysis (and the parquet footer read) while the
             # conf is still set; the lazy plan keeps the resolved schema
-            if dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             spark.conf.set(conf_key, prev)
         return df
