@@ -11,7 +11,7 @@ identically so the oracle matches exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_stream_spark.functions import minhash as mh
@@ -836,4 +836,194 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").alias("n_bytes"),
         F.md5(F.col("text")).alias("content_md5"),
         F.substring("text", 1, 16).alias("head"),
+    )
+
+# ----------------------------------------------------------- bigram LM
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    train AS (SELECT * FROM flat WHERE doc_id % 2 = 0),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM train GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM train),
+    sc AS (
+      SELECT f.doc_id, COALESCE(bc.c, 0) AS c, COALESCE(uc.c1, 0) AS c1, v.vocab
+      FROM flat f
+      LEFT JOIN bc ON f.w1 = bc.w1 AND f.w2 = bc.w2
+      LEFT JOIN uc ON f.w1 = uc.w1
+      CROSS JOIN v
+      WHERE f.doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND((c + 0.5) / (c1 + 0.5 * vocab), 9)
+                              AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_bigram_prob,
+           ROUND(CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_frac
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram language-model scoring — the distributed version
+    of perplexity-style quality filtering for training corpora: train
+    add-half-smoothed bigram statistics on the even-doc_id half, score
+    each odd-doc_id document with its average conditional bigram
+    probability P(w2|w1) = (c+0.5)/(c1+0.5*|V|) plus its
+    out-of-vocabulary bigram fraction.
+
+    Scale design: bigram extraction is a narrow zip_with over the token
+    array (no shuffle); model training is one groupBy per n-gram order
+    (the model stays DISTRIBUTED — nothing crosses the driver, unlike
+    codebook training where the artifact is bounded); scoring is an
+    equi-join of doc bigrams against the model keyed on (w1, w2).  At
+    100 TB every stage is a standard shuffle on high-cardinality keys.
+
+    Determinism: each probability is one IEEE division of exact
+    operands (integer counts, 0.5*|V| exactly representable), rounded
+    to 9 digits and summed as DECIMAL(18,9) — associative, so Spark's
+    partial-aggregation order cannot change the result vs DuckDB.
+    """
+    d = _docs(spark, sf_dir)
+    toks = tx.ws_tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    flat = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    train = flat.filter(F.col("doc_id") % 2 == 0)
+    bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = train.agg(F.count_distinct("w2").alias("vocab"))
+    sc = (
+        flat.filter(F.col("doc_id") % 2 == 1)
+        .join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            "vocab",
+        )
+    )
+    p = (F.col("c") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("vocab"))
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.round(p, 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_bigram_prob"),
+        F.round(
+            F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_frac"),
+    )
+
+# ------------------------------------------------------ sequence packing
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "text_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, md5(text) AS okey,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY okey, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM sized WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start_offset % {PACK_BUDGET} AS INT) AS seq_offset
+    FROM placed
+    """,
+    tags=("text", "packing"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training — the concatenate-and-chunk
+    step: documents are deterministically shuffled (ordered by content
+    md5, doc_id tie-break), laid end-to-end on one virtual token
+    stream, and cut into {PACK_BUDGET}-token training sequences.  Each
+    doc gets its sequence id and offset; long docs simply span
+    sequences, exactly like production packing of tokenized corpora.
+
+    Scale design: the global cumulative sum is NOT a single-partition
+    window.  Docs are bucketed by the leading byte of the order key
+    (buckets are ranges of the order, since the key IS the md5), the
+    cumsum runs per-bucket (parallel windows), and bucket prefix
+    totals — 256 rows regardless of corpus size — are cumsum'd in a
+    tiny window and broadcast-joined back.  The oracle states the same
+    contract as ONE flat window, proving the two-phase decomposition
+    exact."""
+    d = _docs(spark, sf_dir)
+    sized = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("okey"),
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    # bucket = leading byte of the md5 order key: bucket ranges align
+    # with the global order, so per-bucket cumsum + bucket prefixes
+    # compose to the exact global cumsum
+    bucketed = sized.withColumn(
+        "bucket", F.conv(F.substring("okey", 1, 2), 16, 10).cast("int")
+    )
+    local_win = (
+        Window.partitionBy("bucket")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn(
+        "local_end", F.sum("n_tokens").over(local_win)
+    )
+    totals = bucketed.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    prefix_win = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # <= 256 rows: the only global window runs over bucket totals
+    prefixes = totals.withColumn(
+        "bucket_prefix", F.sum("bucket_total").over(prefix_win) - F.col("bucket_total")
+    ).select("bucket", "bucket_prefix")
+    placed = local.join(F.broadcast(prefixes), "bucket").withColumn(
+        "start_offset", F.col("bucket_prefix") + F.col("local_end") - F.col("n_tokens")
+    )
+    return placed.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("seq_id"),
+        (F.col("start_offset") % PACK_BUDGET).cast("int").alias("seq_offset"),
     )
