@@ -1027,3 +1027,153 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("seq_id"),
         (F.col("start_offset") % PACK_BUDGET).cast("int").alias("seq_offset"),
     )
+
+# ------------------------------------------------------------- BM25
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOPK = 5
+BM25_QUERIES = (
+    ("q_hash_join", "hash join"),
+    ("q_window_sort", "window sort merge"),
+    ("q_fast_scan", "fast scan"),
+    ("q_stream_batch", "stream batch query"),
+)
+
+
+def _bm25_oracle() -> str:
+    qvalues = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    qterms AS (
+      SELECT query_id, unnest(regexp_split_to_array(qtext, ' ')) AS term
+      FROM (VALUES {qvalues}) AS q(query_id, qtext)
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(ROUND(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+                   * ((tf.tf * ({k1} + 1.0))
+                      / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl
+                                         / (stats.total_len / n_docs)))), 9)
+               AS term_score
+      FROM qterms q
+      JOIN df ON q.term = df.term
+      JOIN tf ON q.term = tf.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(term_score AS DECIMAL(18,9))) AS DOUBLE), 6)
+               AS score
+      FROM scored GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM agg
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=None,  # set below
+    tags=("text", "retrieval", "bm25"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over an on-the-fly inverted index: per-term
+    document frequencies and per-(doc, term) term frequencies are
+    aggregated from the corpus, a literal query set is scored with the
+    classic BM25 weighting (k1=1.2, b=0.75), and the top-5 docs per
+    query are returned.
+
+    Scale design: the inverted index is two groupBys on (doc, term) /
+    term; scoring is an equi-join on term with the tiny query set on
+    the build side, then a per-query top-k window — no driver
+    materialization anywhere, standard shuffles at 100 TB.
+
+    Determinism: ln() is the single transcendental — its result is
+    rounded to 6 digits immediately (engines' libm may differ in the
+    last ulp; a rounding-boundary collision needs a ~1e-9-relative
+    near-tie, vanishing at this corpus size).  Every other factor is
+    IEEE arithmetic on identical operands in identical order, and
+    per-term scores are rounded and summed as decimals so partial-agg
+    order cannot change the total."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tx.ws_tokens(F.col("text")).alias("t"))
+    dl = toks.filter(F.size("t") > 0).select(
+        "doc_id", F.size("t").cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        spark.createDataFrame(list(BM25_QUERIES), "query_id string, qtext string")
+        .select("query_id", F.explode(F.split("qtext", " ")).alias("term"))
+    )
+    k1, b = float(BM25_K1), float(BM25_B)
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(df, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", F.round(idf * tfn, 9).alias("term_score")
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("term_score").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("score")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _REG3  # noqa: E402
+
+_REG3["text_bm25_topk"].oracle = " ".join(_bm25_oracle().split())
