@@ -1043,3 +1043,35 @@ def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_2002"
         ),
     )
+
+
+@register(
+    "scalar_variant_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2 + 1 AS k_derived,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing
+    FROM events
+    """,
+    tags=("scalar", "variant", "json"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the JSON
+    props column is parsed once with parse_json and fields come out of
+    the binary variant encoding with typed variant_get paths (missing
+    paths -> NULL via try_variant_get).  Against DuckDB's JSON
+    extraction as the oracle.  VARIANT keeps the parse tree in a
+    columnar binary form, so repeated field access beats re-parsing
+    JSON strings — the modern path for props-style columns at scale."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "int").cast("string").alias("k_str"),
+        (F.variant_get(v, "$.k", "int") * 2 + 1).alias("k_derived"),
+        F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
+    )

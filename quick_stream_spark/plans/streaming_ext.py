@@ -276,3 +276,85 @@ from quick_stream_spark.plans.registry import REGISTRY as _SEREG  # noqa: E402
 _SEREG["stream_dedup_minhash_incremental"].oracle = " ".join(
     _uncapped_lsh_pairs_sql().split()
 )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the canonical funnel query: each
+    view event joins the SAME user's purchase events within the
+    following 30 minutes, as a REAL streaming-to-streaming inner join
+    (both sides watermarked; Spark buffers each side's state and
+    evicts it past watermark + interval).
+
+    Determinism vs the batch oracle: the input is replayed as two
+    time-ordered halves (split at the median ts), and the 2-hour
+    watermark delay is far larger than the 30-minute join interval, so
+    no row that could still find a partner is ever evicted before its
+    partner's half arrives — the drained result is exactly the batch
+    join.  At scale the join state is partitioned by user_id and
+    bounded by the watermark horizon; eviction is what makes an
+    unbounded stream joinable at all."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.select(
+        F.expr("percentile(cast(ts as double), 0.5)").alias("mid")
+    ).collect()[0].mid  # bounded: one scalar for the deterministic split
+    older = ev.filter(F.col("ts").cast("double") <= mid)
+    newer = ev.filter(F.col("ts").cast("double") > mid)
+    work = tempfile.mkdtemp(prefix="qss-ssj-")
+    write_batches_as_files([older, newer], work + "/in")
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = _run_to_memory(
+        spark,
+        joined,
+        f"ssj_{abs(hash(work)) % 10**8}",
+        work,
+        "append",
+        parts=_stream_parts(spark, sf_dir),
+    )
+    return out.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )
