@@ -263,6 +263,78 @@ class KeyedTable:
             raise ValueError("vacuum requires commit_protocol='manifest'")
         return self._log.vacuum(keep_versions)
 
+    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Change data feed between two snapshots (manifest protocol
+        only) — the Delta-CDF analog: every row whose state differs
+        between ``from_version`` and ``to_version``, tagged with
+        ``_change_type`` (``insert`` / ``update_preimage`` /
+        ``update_postimage`` / ``delete``) and ``_commit_version`` =
+        ``to_version``.  Soft deletes surface as updates (they ARE
+        row_active updates at the storage layer); ``delete`` means the
+        key left the table (hard delete).
+
+        Scale design: the manifests are diffed FIRST — a bucket whose
+        file list is identical in both snapshots cannot contain a
+        change, so only changed buckets are scanned (file-level
+        pruning, no full-table read), then one full outer join on the
+        key columns classifies each key.  An incremental merge touches
+        few buckets per commit, so CDC cost follows the change volume,
+        not the table size."""
+        if self._log is None:
+            raise ValueError("read_changes requires commit_protocol='manifest'")
+        map_from = self._log.read(from_version)
+        map_to = self._log.read(to_version)
+        changed = sorted(
+            b
+            for b in set(map_from) | set(map_to)
+            if sorted(map_from.get(b, [])) != sorted(map_to.get(b, []))
+        )
+        cols = [f.name for f in self._data_schema().fields]
+        value_cols = [c for c in cols if c not in self.keys]
+        old = self._read_manifest(version=from_version, bucket_ids=changed)
+        new = self._read_manifest(version=to_version, bucket_ids=changed)
+        o = old.select(
+            *[F.col(k).alias(f"__qss_ok_{i}") for i, k in enumerate(self.keys)],
+            F.struct(*[F.col(c) for c in cols]).alias("__qss_old"),
+        )
+        n = new.select(
+            *[F.col(k).alias(f"__qss_nk_{i}") for i, k in enumerate(self.keys)],
+            F.struct(*[F.col(c) for c in cols]).alias("__qss_new"),
+        )
+        cond = None
+        for i in range(len(self.keys)):
+            eq = F.col(f"__qss_ok_{i}").eqNullSafe(F.col(f"__qss_nk_{i}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = o.join(n, cond, "full_outer")
+        is_insert = F.col("__qss_old").isNull()
+        is_delete = F.col("__qss_new").isNull()
+        differs = F.lit(False)
+        for c in value_cols:
+            differs = differs | ~F.col(f"__qss_old.{c}").eqNullSafe(
+                F.col(f"__qss_new.{c}")
+            )
+        inserts = joined.filter(is_insert).select(
+            F.col("__qss_new").alias("row"), F.lit("insert").alias("_change_type")
+        )
+        deletes = joined.filter(is_delete).select(
+            F.col("__qss_old").alias("row"), F.lit("delete").alias("_change_type")
+        )
+        upd = joined.filter(~is_insert & ~is_delete & differs)
+        pre = upd.select(
+            F.col("__qss_old").alias("row"),
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = upd.select(
+            F.col("__qss_new").alias("row"),
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        return out.select(
+            *[F.col(f"row.{c}").alias(c) for c in cols],
+            "_change_type",
+            F.lit(to_version).cast("int").alias("_commit_version"),
+        )
+
     def snapshot_versions(self) -> list[int]:
         if self._log is None:
             raise ValueError("snapshots require commit_protocol='manifest'")

@@ -184,3 +184,58 @@ def test_simhash_banding_stays_subquadratic(spark):
     df = REGISTRY["dedup_simhash_pairs"].fn(spark, "/root/testdata/sf0.001")
     n_docs = 500 * 2
     assert df.count() < 3 * n_docs
+
+
+def test_read_changes_classifies_cdc_between_snapshots(spark, tmp_table_dir):
+    """CDC between snapshots: upsert BATCH1 (v1), then one commit that
+    updates key 1, inserts key 4 (BATCH2) and a later commit that
+    soft-deletes key 2 and hard-deletes key 3."""
+    t = mk(spark, tmp_table_dir, "cdc")
+    t.upsert(df(spark, BATCH1))
+    v1 = t.snapshot_versions()[-1]
+    t.upsert(df(spark, BATCH2))
+    t.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 9, "x")]))
+    t.hard_delete(df(spark, [(3, datetime(2024, 2, 2), 10, "y")]))
+    v_last = t.snapshot_versions()[-1]
+
+    changes = t.read_changes(v1, v_last)
+    by_type = {}
+    for r in changes.collect():
+        by_type.setdefault(r["_change_type"], []).append(r)
+        assert r["_commit_version"] == v_last
+
+    assert sorted(r.pkey for r in by_type["insert"]) == [4]
+    assert sorted(r.pkey for r in by_type["delete"]) == [3]
+    # key 1: payload update; key 2: soft delete = row_active update
+    assert sorted(r.pkey for r in by_type["update_preimage"]) == [1, 2]
+    assert sorted(r.pkey for r in by_type["update_postimage"]) == [1, 2]
+    post = {r.pkey: (r.payload, r.row_active) for r in by_type["update_postimage"]}
+    assert post[1] == ("a2", True)
+    assert post[2][1] is False  # soft-deleted
+    pre = {r.pkey: (r.payload, r.row_active) for r in by_type["update_preimage"]}
+    assert pre[1] == ("a1", True)
+    assert pre[2][1] is True
+
+
+def test_read_changes_adjacent_and_empty_diff(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "cdc2")
+    t.upsert(df(spark, BATCH1))
+    v1 = t.snapshot_versions()[-1]
+    t.upsert(df(spark, BATCH2))
+    v2 = t.snapshot_versions()[-1]
+    # adjacent diff sees exactly the second commit's effect
+    adj = {(r.pkey, r._change_type) for r in t.read_changes(v1, v2).collect()}
+    assert adj == {
+        (4, "insert"),
+        (1, "update_preimage"),
+        (1, "update_postimage"),
+    }
+    # self-diff is empty
+    assert t.read_changes(v2, v2).count() == 0
+
+
+def test_read_changes_requires_manifest_protocol(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "cdc3", protocol="direct")
+    t.upsert(df(spark, BATCH1))
+    with pytest.raises(ValueError, match="manifest"):
+        t.read_changes(1, 2)
