@@ -423,3 +423,69 @@ def r_stream_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, available_now=True
         )
     return target.read().select(*EVENT_COLS, "row_active")
+
+
+# --------------------------------------------------------------------------
+# CDC — change data feed between the two replay commits
+
+
+_CDC_S1_SQL = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+"""
+_CDC_S2_SQL = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY (event_id % 2) DESC, ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "r_cdc_changes",
+    oracle=f"""
+    WITH s1 AS ({_CDC_S1_SQL}), s2 AS ({_CDC_S2_SQL})
+    SELECT s2.event_id, s2.ts, s2.user_id, s2.event_type, s2.value, s2.props,
+           TRUE AS row_active, 'insert' AS _change_type, 2 AS _commit_version
+    FROM s2 WHERE s2.user_id NOT IN (SELECT user_id FROM s1)
+    UNION ALL
+    SELECT s1.event_id, s1.ts, s1.user_id, s1.event_type, s1.value, s1.props,
+           TRUE, 'update_preimage', 2
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.event_id <> s2.event_id
+    UNION ALL
+    SELECT s2.event_id, s2.ts, s2.user_id, s2.event_type, s2.value, s2.props,
+           TRUE, 'update_postimage', 2
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.event_id <> s2.event_id
+    """,
+    tags=("reference", "merge", "manifest", "cdc"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the two-commit replay: commit 1 merges the
+    even event_ids, commit 2 the odd ones (batch-wins), then
+    ``read_changes(v1, v2)`` emits the delta — inserts for users first
+    seen in commit 2, update pre/post images where commit 2's batch-wins
+    merge replaced the winner (a winner changes iff its event_id
+    changed: each key's row IS one source event).  The oracle restates
+    both snapshot states in SQL and diffs them; deletes cannot occur in
+    an upsert-only replay.  The manifests are diffed file-first, so only
+    buckets commit 2 rewrote are scanned (see KeyedTable.read_changes).
+    """
+    ev = _events(spark, sf_dir)
+    target = _table(spark, commit_protocol="manifest")
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        v1 = target.snapshot_versions()[-1]
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1))
+        v2 = target.snapshot_versions()[-1]
+        changes = target.read_changes(v1, v2).localCheckpoint(eager=True)
+    return changes
