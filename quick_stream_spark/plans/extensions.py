@@ -222,3 +222,31 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT doc_id, n_chars, lang FROM documents WHERE lang IN ('en', 'fr')
+    """,
+    tags=("source", "partitioned"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned export + pruned read-back: documents are written
+    ``partitionBy(lang)`` and read back with a partition-column filter.
+    Catalyst resolves the filter against the directory layout
+    (PartitionFilters — pinned by test_plans_explain), so only the
+    matching partition directories are listed and scanned: the layout
+    primitive behind per-tenant / per-day datasets at 100 TB, where
+    pruning is the difference between scanning 2 dirs and 2000.
+    Matching the unpartitioned oracle proves the roundtrip is lossless
+    (partition-column values are carried by the directory names)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="qss-part-")
+    d.write.mode("overwrite").partitionBy("lang").parquet(work + "/docs")
+    back = spark.read.parquet(work + "/docs").filter(
+        F.col("lang").isin("en", "fr")
+    )
+    return back.select("doc_id", "n_chars", "lang")

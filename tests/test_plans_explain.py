@@ -117,3 +117,16 @@ def test_q6_predicates_reach_the_scan(spark):
     text = " ".join(pushed)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in text, f"{col} predicate not pushed to the scan"
+
+
+def test_partitioned_export_prunes_partitions(spark):
+    """The partition-column filter must resolve to PartitionFilters on
+    the scan (directory pruning), not a data filter over a full scan."""
+    plan = _formatted(spark, "source_partitioned_pruning")
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert lines, "no PartitionFilters in plan"
+    assert "lang" in lines[0]
+    # the text column must not be read at all (column pruning through
+    # the partitioned roundtrip)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "text" not in read[0]
