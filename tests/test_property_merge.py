@@ -126,3 +126,70 @@ def test_end_state_matches_reference_model(spark, tmp_path_factory, protocol, sc
     }
     expected = {k: (float(v), f"p{p}", active) for k, (v, p, active) in model.state().items()}
     assert got == expected
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario=scenario)
+def test_cdc_delta_reproduces_every_snapshot_transition(
+    spark, tmp_path_factory, scenario
+):
+    """read_changes is checked against time travel for EVERY adjacent
+    snapshot pair a random operation sequence produces: applying the
+    delta (inserts + postimages upserted, deletes removed) to snapshot
+    N must reproduce snapshot N+1 exactly, and every preimage must
+    equal the row it replaced."""
+    ops, newer_wins = scenario
+    work = tmp_path_factory.mktemp("cdcprop")
+    table = KeyedTable(
+        spark,
+        str(work / "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+        commit_protocol="manifest",
+    )
+    arrival_base = 0
+    for op, records in ops:
+        rows = [
+            (k, BASE + timedelta(hours=v), arrival_base + i, f"p{p}")
+            for i, (k, v, p) in enumerate(records)
+        ]
+        df = spark.createDataFrame(
+            rows, "pkey long, modified_date timestamp, arrival long, payload string"
+        )
+        if op == "upsert":
+            table.upsert(df, newer_wins=newer_wins)
+        elif op == "soft":
+            table.soft_delete(df)
+        else:
+            table.hard_delete(df)
+        arrival_base += len(records)
+
+    if not table.exists():
+        return
+    versions = table.snapshot_versions()
+
+    def snap(v):
+        return {
+            r.pkey: (r.modified_date, r.arrival, r.payload, r.row_active)
+            for r in table.read(version=v).collect()
+        }
+
+    for va, vb in zip(versions, versions[1:]):
+        before, after = snap(va), snap(vb)
+        rebuilt = dict(before)
+        for r in table.read_changes(va, vb).collect():
+            row = (r.modified_date, r.arrival, r.payload, r.row_active)
+            if r._change_type == "delete":
+                assert rebuilt.pop(r.pkey) == row
+            elif r._change_type == "update_preimage":
+                assert before[r.pkey] == row
+            else:  # insert / update_postimage
+                rebuilt[r.pkey] = row
+        assert rebuilt == after, f"delta {va}->{vb} does not reproduce snapshot"
