@@ -250,3 +250,38 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").isin("en", "fr")
     )
     return back.select("doc_id", "n_chars", "lang")
+
+
+@register(
+    "source_python_datasource",
+    oracle=f"""
+    WITH gen AS (
+      SELECT i AS id,
+             (i * 2654435761) % 4294967296 AS h
+      FROM (SELECT unnest(range(0, 1000)) AS i)
+    )
+    SELECT id, CAST(h % 16 AS INT) AS bucket,
+           CAST(h AS DOUBLE) / 4294967296.0 AS value
+    FROM gen
+    """,
+    tags=("source", "python-datasource"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source connector (sources/pyds.py): a pure-
+    Python DataSource V2 implementation — partition planning via
+    InputPartitions, Arrow-batched row delivery — read through the
+    normal ``spark.read.format(...)`` path.  The generator derives each
+    row from its id with engine-independent integer arithmetic, so the
+    DuckDB oracle regenerates the identical rows and the connector
+    roundtrip is hash-checked like every other source."""
+    pin_session(spark)
+    from quick_stream_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    return (
+        spark.read.format("qss_synthetic")
+        .option("rows", "1000")
+        .option("partitions", "4")
+        .load()
+    )
