@@ -285,3 +285,59 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "4")
         .load()
     )
+
+
+@register(
+    "source_python_stream_datasource",
+    oracle=f"""
+    WITH gen AS (
+      SELECT i AS id,
+             (i * 2654435761) % 4294967296 AS h
+      FROM (SELECT unnest(range(0, 1000)) AS i)
+    )
+    SELECT id, CAST(h % 16 AS INT) AS bucket,
+           CAST(h AS DOUBLE) / 4294967296.0 AS value
+    FROM gen
+    """,
+    tags=("source", "python-datasource", "streaming"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python Data Source API
+    (sources/pyds.py SyntheticRowsStreamReader): initialOffset /
+    latestOffset / partitions(start, end) / read / commit — the full
+    micro-batch offset protocol of a real connector, drained to a
+    memory sink (four 250-row batches) and hash-checked against the
+    regenerating oracle.  Offsets are tracked in the streaming
+    checkpoint exactly as for a Kafka source, so exactly-once resume
+    semantics carry over unchanged."""
+    import time
+
+    pin_session(spark)
+    from quick_stream_spark.sources.pyds import register_stream
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("qss_synthetic_stream")
+        .option("rows", "1000")
+        .option("chunk", "250")
+        .load()
+    )
+    work = tempfile.mkdtemp(prefix="qss-pyds-")
+    name = f"pyds_{abs(hash(work)) % 10**8}"
+    q = (
+        stream.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table(name).count() >= 1000:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)

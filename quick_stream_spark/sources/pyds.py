@@ -20,7 +20,12 @@ the engine speaks that API end to end:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 KNUTH = 2654435761  # multiplicative hash constant
 MOD = 2**32
@@ -63,3 +68,54 @@ class SyntheticRowsReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticRowsDataSource)
+
+
+class SyntheticRowsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same deterministic generator: each
+    ``latestOffset`` call advances the available range by ``chunk``
+    rows until ``rows`` are exhausted — the offset/partition/commit
+    protocol of a real streaming connector (a Kafka-style source would
+    return broker offsets instead)."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", "1000"))
+        self.chunk = int(options.get("chunk", "250"))
+        self.current = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self.current = min(self.current + self.chunk, self.n_rows)
+        return {"offset": self.current}
+
+    def partitions(self, start, end):
+        return [InputPartition((start["offset"], end["offset"]))]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            h = (i * KNUTH) % MOD
+            yield (i, h % 16, h / MOD)
+
+    def commit(self, end) -> None:
+        pass
+
+
+class SyntheticStreamDataSource(DataSource):
+    """``spark.readStream.format("qss_synthetic_stream")`` — the
+    streaming twin of :class:`SyntheticRowsDataSource`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "qss_synthetic_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, bucket INT, value DOUBLE"
+
+    def streamReader(self, schema) -> SyntheticRowsStreamReader:
+        return SyntheticRowsStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticStreamDataSource)
