@@ -1075,3 +1075,71 @@ def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "int") * 2 + 1).alias("k_derived"),
         F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
     )
+
+
+_RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE walk(c_custkey, ancestor, depth) AS (
+      SELECT c_custkey, c_custkey, 0
+      FROM customer
+      UNION ALL
+      SELECT w.c_custkey, CAST(FLOOR(w.ancestor / 2) AS BIGINT), w.depth + 1
+      FROM walk w WHERE w.ancestor > 0
+    )
+    SELECT c_custkey,
+           CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(SUM(ancestor) AS BIGINT) AS ancestor_key_sum
+    FROM walk GROUP BY c_custkey
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL,
+    tags=("sql", "recursive"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through Spark's SQL front end (WITH RECURSIVE,
+    new in Spark 4): every customer walks the implicit binary-halving
+    hierarchy (parent = key/2) to the root, yielding its depth and the
+    sum of ancestor keys — the BOM-explosion / org-chart query class,
+    expressed declaratively instead of a driver-side loop.  The walk is
+    acyclic so UNION ALL recursion terminates (Spark does not yet
+    support cycle-safe UNION DISTINCT recursion; the iterative
+    fixpoint operator dedup_connected_components covers the cyclic
+    class).  Identical text runs on DuckDB as the oracle."""
+    pin_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "join_lateral_topk_per_nation",
+    oracle=_LATERAL_TOPK_SQL,
+    tags=("join", "lateral", "sql"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in the FROM clause: the two
+    richest customers of every nation.  Catalyst decorrelates the
+    per-nation ORDER BY ... LIMIT into a ranked window join rather
+    than re-executing the subquery per outer row — the declarative
+    form of topk_orders' row_number pattern, with the unique-key
+    tie-break making both engines' top-2 identical."""
+    pin_session(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPK_SQL)
