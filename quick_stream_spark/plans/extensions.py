@@ -341,3 +341,99 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
     q.stop()
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "pandas_scalar_revenue_cents",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+             AS revenue_micros
+    FROM lineitem
+    """,
+    tags=("pandas", "scalar-udf"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def pandas_scalar_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF (Arrow-batched @pandas_udf) — the
+    third declared Python seam beside grouped-map (zscore) and
+    mapInPandas (multimodal): discounted revenue in exact integer
+    micros computed batch-at-a-time in pandas.  Scaled-integer math
+    keeps the Python result bit-identical to the SQL oracle; the seam
+    exists for logic built-ins can't express — here the arithmetic is
+    deliberately simple so the contract (Arrow in, Arrow out, one
+    Python roundtrip per batch, never per row) is what's under test."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # NOTE: annotations are module-level strings here (future import),
+    # which pandas_udf cannot resolve from a closure — so the Series
+    # hints are attached explicitly instead of inline
+    def _revenue_micros(price, discount):
+        cents = (price * 100 + 0.5).floordiv(1).astype("int64")
+        dbp = (discount * 10000 + 0.5).floordiv(1).astype("int64")
+        return cents * (10000 - dbp)
+
+    _revenue_micros.__annotations__ = {
+        "price": pd.Series, "discount": pd.Series, "return": pd.Series
+    }
+    revenue_micros = pandas_udf(_revenue_micros, "long")
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_micros(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "revenue_micros"
+        ),
+    )
+
+
+UDTF_CHUNK = 32
+
+
+@register(
+    "udtf_chunk_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(least({UDTF_CHUNK}, n - i * {UDTF_CHUNK}) AS INT) AS n_tokens
+    FROM toks, unnest(range(0, CAST(ceil(n * 1.0 / {UDTF_CHUNK}) AS BIGINT))) AS r(i)
+    WHERE n > 0
+    """,
+    tags=("pandas", "udtf"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 @udtf) invoked as a
+    correlated LATERAL table factor: each document expands to one row
+    per non-overlapping {UDTF_CHUNK}-token chunk.  UDTFs are the
+    row-expanding Python seam (eval yields any number of rows per
+    input) — the declarative chunker text_chunking does this with
+    built-ins; this twin pins the API surface itself, with the same
+    whitespace tokenization so the DuckDB oracle replays it."""
+    from pyspark.sql.functions import udtf
+
+    pin_session(spark)
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class ChunkCounter:
+        def eval(self, text: str):
+            toks = text.split() if text and text.strip() else []
+            for start in range(0, len(toks), UDTF_CHUNK):
+                yield (start // UDTF_CHUNK, min(UDTF_CHUNK, len(toks) - start))
+
+    spark.udtf.register("qss_chunks", ChunkCounter)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens "
+        "FROM documents d, LATERAL qss_chunks(d.text) c"
+    )
