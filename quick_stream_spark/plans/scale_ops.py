@@ -460,3 +460,103 @@ def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         )
         q.awaitTermination()
     return spark.table(name).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "cohort"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic product-analytics matrix: users
+    bucketed by first-seen week (cohort), counted in every later week
+    they were active, keyed by week offset.  Two aggregations and one
+    equi-join on user_id, all shuffles on high-cardinality keys; the
+    distinct-activity pre-aggregation keeps the join input at one row
+    per (user, week) regardless of event volume — the 100 TB shape."""
+    ev = load_table(spark, sf_dir, "events")
+    pin_session(spark)
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = ev.select("user_id", week.alias("w")).groupBy("user_id").agg(
+        F.min("w").alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM stages
+    """,
+    tags=("analytics", "funnel"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): per user,
+    the earliest time of each stage; a user converts a step only if the
+    later stage's first occurrence follows the earlier stage's.  One
+    conditional-min aggregation per user then a global rollup — the
+    whole funnel costs a single shuffle on user_id at any scale.
+    NULL-comparison semantics (a missing stage never converts) are
+    identical in both engines: NULL > x is NULL, CASE treats it as
+    false."""
+    ev = load_table(spark, sf_dir, "events")
+    pin_session(spark)
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    converted_click = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(converted_click, 1).otherwise(0)).alias("n_view_click"),
+        F.sum(
+            F.when(converted_click & (F.col("t_purchase") > F.col("t_click")), 1)
+            .otherwise(0)
+        ).alias("n_full_funnel"),
+    )
