@@ -1177,3 +1177,118 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from quick_stream_spark.plans.registry import REGISTRY as _REG3  # noqa: E402
 
 _REG3["text_bm25_topk"].oracle = " ".join(_bm25_oracle().split())
+
+# -------------------------------------------------------------- PageRank
+
+PR_ITERS = 5
+PR_DAMP = "0.85"
+PR_JUMP = "0.15"
+
+
+def _pagerank_oracle() -> str:
+    minhash_sql = _REG3["dedup_minhash_lsh"].oracle
+    it_ctes = []
+    prev = "pr0"
+    for k in range(1, PR_ITERS + 1):
+        it_ctes.append(f"""
+        s{k} AS (
+          SELECT e.v AS id,
+                 CAST(SUM(CAST(round(p.pr / p.degree, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS s
+          FROM edges e JOIN {prev} p ON e.u = p.id GROUP BY e.v
+        ),
+        pr{k} AS (
+          SELECT nodes.id, nodes.degree,
+                 round({PR_JUMP} / n.c + {PR_DAMP} * coalesce(s{k}.s, 0.0), 9) AS pr
+          FROM nodes LEFT JOIN s{k} ON nodes.id = s{k}.id CROSS JOIN n
+        )""")
+        prev = f"pr{k}"
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({minhash_sql}) mh),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM edges GROUP BY u),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes),
+    pr0 AS (SELECT id, degree, round(1.0 / n.c, 9) AS pr FROM nodes CROSS JOIN n),
+    {",".join(it_ctes)}
+    SELECT id, pr FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank_dupgraph",
+    oracle=None,  # set below (generated: unrolled fixed-iteration CTEs)
+    tags=("graph", "iterative", "pagerank"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph ({PR_ITERS} fixed Lloyd-
+    style iterations, damping 0.85) — the second iterative-algorithm
+    class beside the connected-components fixpoint: score mass flows
+    along dup edges, so hub documents of large duplicate clusters rank
+    highest (useful as a canonical-pick heuristic).
+
+    Scale design: each iteration is one edge-to-rank equi-join + one
+    groupBy — the Pregel message pattern in DataFrame form; ranks are
+    localCheckpointed per round to truncate lineage (at cluster scale,
+    reliable checkpoint).  Nothing crosses the driver but the node
+    count.
+
+    Determinism: per-neighbor contributions are rounded to 12 digits
+    and summed as DECIMAL(28,12) (associative — aggregation order
+    can't change the sum), and each iteration's rank is rounded to 9;
+    every remaining op is IEEE arithmetic on identical operands, so
+    the fixed-iteration unrolled-CTE oracle reproduces the ranks
+    bit-for-bit."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+        edges = (
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+            .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            edges.groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        n_row = nodes.agg(F.count(F.lit(1)).alias("c"))
+        pr = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .select("id", "degree", F.round(F.lit(1.0) / F.col("c"), 9).alias("pr"))
+            .localCheckpoint(eager=True)
+        )
+        damp, jump = float(PR_DAMP), float(PR_JUMP)
+        for _ in range(PR_ITERS):
+            contrib = edges.join(pr, edges.u == pr.id).select(
+                F.col("v").alias("id"),
+                F.round(F.col("pr") / F.col("degree"), 12)
+                .cast("decimal(28,12)")
+                .alias("contrib"),
+            )
+            sums = contrib.groupBy("id").agg(
+                F.sum("contrib").cast("double").alias("s")
+            )
+            pr = (
+                nodes.join(sums, "id", "left")
+                .crossJoin(F.broadcast(n_row))
+                .select(
+                    "id",
+                    "degree",
+                    F.round(
+                        F.lit(jump) / F.col("c")
+                        + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0)),
+                        9,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return pr.select("id", "pr")
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _REG3  # noqa: E402
+
+_REG3["graph_pagerank_dupgraph"].oracle = " ".join(_pagerank_oracle().split())
