@@ -560,3 +560,87 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "events_resample_hourly_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) s
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT spine.event_type, spine.h AS hour,
+           coalesce(hourly.n_events, 0) AS n_events,
+           coalesce(hourly.sum_value,
+                    last_value(hourly.sum_value IGNORE NULLS) OVER (
+                      PARTITION BY spine.event_type ORDER BY spine.h
+                      ROWS UNBOUNDED PRECEDING), 0.0) AS sum_value_ffill
+    FROM spine LEFT JOIN hourly
+      ON spine.event_type = hourly.event_type AND spine.h = hourly.h
+    """,
+    tags=("analytics", "timeseries"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: events aggregate to an
+    hourly grid per event_type; hours with no events appear with
+    n_events=0 and the last observed hourly sum carried forward
+    (last_value IGNORE NULLS — the standard gauge-style forward fill).
+
+    Scale design: the dense spine is (series x hours) — bounded by the
+    time range, never by event volume; the hourly aggregation is one
+    shuffle on (type, hour); the fill window partitions by series, the
+    natural time-series layout (billions of events collapse to the
+    grid before any window runs)."""
+    ev = load_table(spark, sf_dir, "events")
+    pin_session(spark)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    joined = spine.join(
+        hourly,
+        ["event_type", "hour"],
+        "left",
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(
+            F.col("sum_value"),
+            F.last("sum_value", ignorenulls=True).over(
+                Window.partitionBy("event_type")
+                .orderBy("hour")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(0.0),
+        ).alias("sum_value_ffill"),
+    )
