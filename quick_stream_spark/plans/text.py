@@ -1292,3 +1292,50 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 from quick_stream_spark.plans.registry import REGISTRY as _REG3  # noqa: E402
 
 _REG3["graph_pagerank_dupgraph"].oracle = " ".join(_pagerank_oracle().split())
+
+# ------------------------------------------------- cleaned-corpus output
+
+
+def _deduped_corpus_oracle() -> str:
+    cc_sql = _REG3["dedup_connected_components"].oracle
+    return f"""
+    WITH labels AS ({cc_sql}),
+    corpus AS ({DUP_CORPUS_SQL})
+    SELECT c.id, substring(c.text, 1, 40) AS head,
+           coalesce(l.component, c.id) AS cluster_id,
+           l.component IS NOT NULL AS was_clustered
+    FROM corpus c LEFT JOIN labels l ON c.id = l.id
+    WHERE l.component IS NULL OR l.component = c.id
+    """
+
+
+@register(
+    "pipeline_deduped_corpus",
+    oracle=None,  # set below (composes the CC oracle)
+    tags=("text", "dedup", "pipeline"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def pipeline_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing output of the dedup pipeline: the corpus with
+    every near-duplicate cluster collapsed to its canonical member
+    (minimum id = the connected component's label).  Unclustered docs
+    pass through; clustered docs survive only if they ARE the label.
+    This is the "give me the cleaned training set" materialization —
+    one left join of the corpus against the (far smaller) cluster
+    labels, so the output costs one broadcast-or-shuffle join at any
+    scale; the cluster_id column keeps the provenance auditable."""
+    labels = dedup_connected_components(spark, sf_dir)
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.join(labels, corpus.id == labels.id, "left")
+        .filter(F.col("component").isNull() | (F.col("component") == corpus.id))
+        .select(
+            corpus.id,
+            F.substring(corpus.text, 1, 40).alias("head"),
+            F.coalesce(F.col("component"), corpus.id).alias("cluster_id"),
+            F.col("component").isNotNull().alias("was_clustered"),
+        )
+    )
+
+
+_REG3["pipeline_deduped_corpus"].oracle = " ".join(_deduped_corpus_oracle().split())
