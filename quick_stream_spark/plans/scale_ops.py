@@ -644,3 +644,113 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("sum_value_ffill"),
     )
+
+
+@register(
+    "events_rolling_anomaly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) s
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT spine.event_type, spine.h, coalesce(hourly.n, 0) AS n
+      FROM spine LEFT JOIN hourly
+        ON spine.event_type = hourly.event_type AND spine.h = hourly.h
+    ),
+    rolled AS (
+      SELECT event_type, h, n,
+             CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt,
+             CAST(SUM(n) OVER w AS BIGINT) AS w_sum,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS w_ss
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS hour, n,
+           ROUND((n - CAST(w_sum AS DOUBLE) / w_cnt)
+                 / sqrt((CAST(w_ss AS DOUBLE)
+                         - CAST(w_sum AS DOUBLE) * w_sum / w_cnt)
+                        / (w_cnt - 1)), 6) AS zscore
+    FROM rolled
+    WHERE w_cnt >= 12
+      AND (CAST(w_ss AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_cnt)
+          / (w_cnt - 1) > 0
+    """,
+    tags=("analytics", "timeseries", "anomaly"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: each hour's event count against the
+    trailing 24 hours' mean and sample variance (the window excludes
+    the current hour, so an anomalous spike cannot mask itself).
+    Hours with under 12 trailing observations or zero variance are
+    withheld.
+
+    Determinism: counts are integers, so the rolling sums are exact;
+    mean and variance are single IEEE expressions over identical
+    operands, and the z-score is rounded — no engine can disagree.
+    Scale: events collapse to the dense (series x hour) grid before
+    the window, and the window partitions by series — the standard
+    streaming-metrics layout."""
+    ev = load_table(spark, sf_dir, "events")
+    pin_session(spark)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    grid = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("n_raw"), F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    rolled = grid.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_ss"),
+    )
+    mean = F.col("w_sum").cast("double") / F.col("w_cnt")
+    var = (
+        F.col("w_ss").cast("double")
+        - F.col("w_sum").cast("double") * F.col("w_sum") / F.col("w_cnt")
+    ) / (F.col("w_cnt") - 1)
+    return (
+        rolled.filter((F.col("w_cnt") >= 12) & (var > 0))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
+        )
+    )
