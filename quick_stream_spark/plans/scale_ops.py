@@ -754,3 +754,53 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
         )
     )
+
+
+_MIX_FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             (1 + CAST(substr(source, 4) AS INT) % 4) / 4.0 AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, rate,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {_MIX_FULL_HASH}, doc_id)
+             <= CEIL(rate * COUNT(*) OVER (PARTITION BY source))
+             AS in_mixture
+    FROM rated
+    """,
+    tags=("sampling", "pipeline", "mixture"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing — the training-mix step that samples each
+    source at its own target rate (here a deterministic function of the
+    source id standing in for a mixture config: rates 0.25/0.5/0.75/1).
+    Exact sizes per source: rank by content hash within the source and
+    keep the first ceil(rate x count) — reproducible across runs,
+    engines and cluster sizes, and documents never migrate in or out
+    when OTHER sources grow.  One rank shuffle partitioned by source;
+    per-reducer load is bounded by the largest source (same posture as
+    the stratified language sample)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    rate = (1 + F.substring("source", 4, 10).cast("int") % 4) / F.lit(4.0)
+    full_h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(full_h.asc(), F.col("doc_id").asc())
+    stratum = Window.partitionBy("source")
+    return d.select(
+        "doc_id",
+        "source",
+        rate.alias("rate"),
+        (
+            F.row_number().over(w)
+            <= F.ceil(rate * F.count(F.lit(1)).over(stratum))
+        ).alias("in_mixture"),
+    )
