@@ -1339,3 +1339,73 @@ def pipeline_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG3["pipeline_deduped_corpus"].oracle = " ".join(_deduped_corpus_oracle().split())
+
+# --------------------------------------------------------- co-occurrence
+
+COOC_WINDOW = 3  # max token distance for a co-occurring pair
+COOC_TOPK = 50
+
+
+def _cooc_pairs_sql(k: int) -> str:
+    toks = (
+        "CASE WHEN length(trim(text)) = 0 THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+    return (
+        f"SELECT doc_id, least(t[i], t[i+{k}]) AS w1, "
+        f"greatest(t[i], t[i+{k}]) AS w2 "
+        f"FROM (SELECT doc_id, {toks} AS t FROM documents), "
+        f"unnest(range(1, len(t) - {k} + 1)) AS r(i)"
+    )
+
+
+@register(
+    "text_cooccurrence_topk",
+    oracle=f"""
+    WITH pairs AS (
+      {" UNION ALL ".join(_cooc_pairs_sql(k) for k in range(1, COOC_WINDOW + 1))}
+    )
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n DESC, w1 ASC, w2 ASC
+    LIMIT {COOC_TOPK}
+    """,
+    tags=("text", "statistics"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus co-occurrence statistics: the {COOC_TOPK} most frequent
+    unordered token pairs within a {COOC_WINDOW}-token window — the raw
+    counts behind PMI/embedding-style corpus analysis.
+
+    Scale design: pair extraction is ROW-LOCAL — for each gap k the
+    token array zips with its k-shifted self (no positions self-join,
+    which would cost O(len^2) rows through a shuffle); the only
+    shuffle is the (w1, w2) count, and the top-k compiles to
+    TakeOrderedAndProject.  Pairs are canonically ordered with
+    least/greatest so both directions collapse."""
+    d = _docs(spark, sf_dir)
+    toks = tx.ws_tokens(F.col("text"))
+    n = F.size(toks)
+    shifted = []
+    for k in range(1, COOC_WINDOW + 1):
+        pair = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - k, F.lit(0))),
+            F.slice(toks, 1 + k, F.greatest(n - k, F.lit(0))),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+            ),
+        )
+        shifted.append(
+            d.filter(n > k).select(F.explode(pair).alias("p"))
+        )
+    pairs = shifted[0]
+    for s in shifted[1:]:
+        pairs = pairs.unionByName(s)
+    return (
+        pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(COOC_TOPK)
+    )
