@@ -263,6 +263,21 @@ class KeyedTable:
             raise ValueError("vacuum requires commit_protocol='manifest'")
         return self._log.vacuum(keep_versions)
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot (manifest protocol
+        only) — the Delta RESTORE analog.  The old snapshot's
+        bucket->files mapping is republished as a NEW commit, so the
+        rollback is itself atomic, time travel still sees the undone
+        states, and ``read_changes(bad, restored)`` shows exactly what
+        the rollback changed.  Pure metadata: no data files are read,
+        copied or deleted (the republished files are still protected
+        from vacuum because the newest manifest references them).
+        Returns the new snapshot version."""
+        if self._log is None:
+            raise ValueError("restore requires commit_protocol='manifest'")
+        mapping = self._log.read(version)  # raises on unknown version
+        return self._log.commit(mapping)
+
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change data feed between two snapshots (manifest protocol
         only) — the Delta-CDF analog: every row whose state differs

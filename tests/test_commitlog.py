@@ -239,3 +239,27 @@ def test_read_changes_requires_manifest_protocol(spark, tmp_table_dir):
     t.upsert(df(spark, BATCH1))
     with pytest.raises(ValueError, match="manifest"):
         t.read_changes(1, 2)
+
+
+def test_restore_rolls_back_as_a_new_atomic_commit(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "restore")
+    t.upsert(df(spark, BATCH1))
+    v1 = t.snapshot_versions()[-1]
+    good = state(t)
+    t.upsert(df(spark, BATCH2))
+    t.hard_delete(df(spark, [(2, datetime(2024, 3, 1), 9, "x")]))
+    assert state(t) != good
+    v_new = t.restore(v1)
+    # rollback is a NEW version on top, not history surgery
+    assert v_new == t.snapshot_versions()[-1] > v1
+    assert state(t) == good
+    # the undone states remain time-travelable
+    assert state(t, version=v1) == good
+    # CDC across the restore shows the rollback's effect (key 2 comes
+    # back, key 1 reverts, key 4 disappears)
+    kinds = {(r.pkey, r._change_type) for r in t.read_changes(v_new - 1, v_new).collect()}
+    assert (2, "insert") in kinds
+    assert (4, "delete") in kinds
+    # restoring an unknown version fails loudly
+    with pytest.raises(FileNotFoundError):
+        t.restore(999)
