@@ -130,3 +130,26 @@ def test_partitioned_export_prunes_partitions(spark):
     # the partitioned roundtrip)
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and "text" not in read[0]
+
+
+def test_q18_topk_compiles_to_take_ordered(spark):
+    """Q18's top-100 must compile to TakeOrderedAndProject — no global
+    sort of the joined result at any scale."""
+    plan = _formatted(spark, "q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_plans_semi_and_anti_joins(spark):
+    """Q21's EXISTS / NOT EXISTS must plan as left-semi and left-anti
+    joins (no row duplication, no subquery re-execution)."""
+    plan = _formatted(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q2_broadcasts_all_dimensions(spark):
+    """Q2's supplier/nation/region/part legs are all small dims and
+    must broadcast — the only shuffle is the (part, supplier) cost
+    aggregation + the ranking window."""
+    plan = _formatted(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
