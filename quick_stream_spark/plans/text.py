@@ -1409,3 +1409,62 @@ def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(COOC_TOPK)
     )
+
+# ------------------------------------------------------ lexical diversity
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+        CASE WHEN length(trim(text)) = 0 THEN []
+             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+           ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)), 6)
+             AS simpson_index,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_frac
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality", "diversity"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: type-token
+    ratio, Gini-Simpson diversity (1 - sum of squared token
+    probabilities — the no-transcendental cousin of Shannon entropy,
+    chosen because c^2 sums stay exact integers so the single division
+    is engine-identical), and hapax fraction (share of
+    once-occurring types — high values flag boilerplate-free text,
+    very low ones templated spam).  Two groupBys ((doc, token) then
+    doc), both shuffles on high-cardinality keys — scan-shaped at any
+    corpus size."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("doc_id", F.explode(tx.ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    types = F.count(F.lit(1))
+    return counts.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        types.alias("n_types"),
+        F.round(types.cast("double") / n, 6).alias("type_token_ratio"),
+        F.round(
+            F.lit(1.0) - F.sum(F.col("c") * F.col("c")).cast("double") / (n * n), 6
+        ).alias("simpson_index"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double") / types, 6
+        ).alias("hapax_frac"),
+    )
