@@ -1143,3 +1143,46 @@ def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "join_strategy_hints",
+    oracle="""
+    SELECT 'merge' AS strategy, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'shuffle_hash', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "hints"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the same join executed under a MERGE
+    (sort-merge) hint and a SHUFFLE_HASH hint, tagged.  Hints override
+    the planner's size-based choice — the lever for the cases AQE can't
+    see (a side that EXPLODES after a filter the optimizer can't
+    estimate, or a sort order worth preserving).  Results are identical
+    by construction; tests/test_plans_explain.py pins that each hint
+    actually selected its physical strategy."""
+    pin_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(tag).alias("strategy"), "o_orderstatus", "n")
+        )
+
+    merge_join = orders.join(
+        cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    hash_join = orders.join(
+        cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return agg(merge_join, "merge").unionByName(agg(hash_join, "shuffle_hash"))

@@ -153,3 +153,12 @@ def test_q2_broadcasts_all_dimensions(spark):
     aggregation + the ranking window."""
     plan = _formatted(spark, "q2_min_cost_supplier")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_join_hints_select_their_strategies(spark):
+    """The MERGE and SHUFFLE_HASH hints must each pick their physical
+    join (overriding the size-based default, which would broadcast the
+    small customer side)."""
+    plan = _formatted(spark, "join_strategy_hints")
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
