@@ -263,6 +263,21 @@ class KeyedTable:
             raise ValueError("vacuum requires commit_protocol='manifest'")
         return self._log.vacuum(keep_versions)
 
+    def erase(self, deletes: DataFrame) -> int:
+        """Compliance erasure (GDPR right-to-be-forgotten flow): hard-
+        delete the given keys, then drop every older snapshot and
+        vacuum so NO retained manifest or data file still contains
+        them.  This deliberately sacrifices time travel for the erased
+        history — that is the point: ``restore``/``read(version=)``
+        must not be able to resurrect an erased key.  Returns the
+        number of data files reclaimed.  Under the ``direct`` protocol
+        hard_delete already rewrites the touched buckets in place, so
+        erase degenerates to hard_delete (returns 0)."""
+        self.hard_delete(deletes)
+        if self._log is None:
+            return 0
+        return self._log.vacuum(keep_versions=1)
+
     def restore(self, version: int) -> int:
         """Roll the table back to an earlier snapshot (manifest protocol
         only) — the Delta RESTORE analog.  The old snapshot's

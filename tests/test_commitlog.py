@@ -263,3 +263,29 @@ def test_restore_rolls_back_as_a_new_atomic_commit(spark, tmp_table_dir):
     # restoring an unknown version fails loudly
     with pytest.raises(FileNotFoundError):
         t.restore(999)
+
+
+def test_erase_removes_key_from_all_retained_history(spark, tmp_table_dir):
+    """GDPR-style erasure: after erase, no retained snapshot or data
+    file can resurrect the key — time travel to older versions is gone
+    by design."""
+    t = mk(spark, tmp_table_dir, "erase")
+    t.upsert(df(spark, BATCH1))
+    t.upsert(df(spark, BATCH2))
+    assert 2 in state(t)
+    removed = t.erase(df(spark, [(2, datetime(2024, 4, 1), 99, "gone")]))
+    assert removed >= 0
+    assert 2 not in state(t)
+    # only the newest snapshot remains; older ones (which contained
+    # key 2) are unreachable
+    assert len(t.snapshot_versions()) == 1
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1).collect()
+    # no surviving data file contains the erased key
+    import glob
+
+    files = glob.glob(os.path.join(tmp_table_dir, "erase", "**", "*.parquet"),
+                      recursive=True)
+    assert files
+    survivors = spark.read.parquet(*files)
+    assert survivors.filter(survivors.pkey == 2).count() == 0
