@@ -78,6 +78,7 @@ def _load_all() -> None:
     import quick_stream_spark.plans.scale_ops  # noqa: F401
     import quick_stream_spark.plans.streaming_ext  # noqa: F401
     import quick_stream_spark.plans.tpch  # noqa: F401  (pytest-gated TPC-H breadth)
+    import quick_stream_spark.plans.sketches  # noqa: F401  (pytest-gated sketch ops)
 
 
 def queries() -> dict[str, QueryFn]:

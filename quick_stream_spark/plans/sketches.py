@@ -1,0 +1,262 @@
+"""Mergeable one-pass sketch operators — the approximate-analytics
+layer a 100 TB pipeline runs when exact per-key state is too big:
+
+- ``sketch_countmin_heavy_hitters`` — a Count-Min sketch (Cormode &
+  Muthukrishnan 2005) built as a bounded counter table, probed for the
+  exact top-k keys so the overestimate is visible and oracle-checkable;
+- ``agg_histogram_quantiles`` — fixed-bin histogram quantile estimation
+  (the mergeable alternative to exact percentiles: partial bin counts
+  combine associatively across executors/days/streams).
+
+Unlike engine-internal sketches (HLL, KLL) whose binary state is not
+portable, these are built from md5-derived arithmetic both engines can
+replay, so the DuckDB oracle checks the full sketch pipeline, not just
+row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans.registry import register
+from quick_stream_spark.sources.readers import load_table
+
+# ------------------------------------------------------------- count-min
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row; d*w = 1024 counters total (~8 KB state)
+CMS_TOPK = 20
+
+
+def _cms_idx(j: int, key) -> F.Column:
+    """Row-j counter index for a key: md5 of ``"j:key"`` reduced mod W
+    (independent hash per row via the j prefix)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def _cms_idx_sql(j: int, key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{j}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {CMS_W})"
+    )
+
+
+def _cms_counters_sql() -> str:
+    scans = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_idx_sql(j, 'l_partkey')} AS idx FROM lineitem"
+        for j in range(CMS_D)
+    )
+    return f"SELECT j, idx, CAST(count(*) AS BIGINT) AS c FROM ({scans}) GROUP BY j, idx"
+
+
+def _cms_probe_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT l_partkey, exact_n, {j} AS j, {_cms_idx_sql(j, 'l_partkey')} AS idx FROM top"
+        for j in range(CMS_D)
+    )
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH counters AS ({_cms_counters_sql()}),
+    exact AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    top AS (
+      SELECT l_partkey, exact_n FROM exact
+      ORDER BY exact_n DESC, l_partkey ASC LIMIT {CMS_TOPK}
+    ),
+    probe AS ({_cms_probe_sql()})
+    SELECT p.l_partkey, p.exact_n,
+           min(c.c) AS cms_n,
+           min(c.c) - p.exact_n AS overestimate
+    FROM probe p JOIN counters c ON c.j = p.j AND c.idx = p.idx
+    GROUP BY p.l_partkey, p.exact_n
+    """,
+    tags=("sketch", "countmin", "heavy-hitters"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over lineitem part frequencies, probed for the
+    exact top-{CMS_TOPK} parts: for each heavy hitter, the exact count,
+    the sketch estimate (min over {CMS_D} hash rows), and the
+    overestimate (always >= 0 — CMS errors are one-sided).
+
+    Scale design: the sketch build is ONE map-side-combinable shuffle —
+    each input row emits {CMS_D} (row, index) keys that partial-aggregate
+    to at most {CMS_D}x{CMS_W} = {CMS_D * CMS_W} counters per map task
+    before shuffling, so the reduce input is bounded by (tasks x
+    {CMS_D * CMS_W}), independent of data volume; the finished sketch is
+    a ~8 KB artifact that merges across days/streams by addition.  The
+    probe side joins {CMS_D} keys per candidate against the broadcast
+    counter table.  The exact side exists to make the error observable
+    and is the piece you'd drop at 100 TB.  (Exact top-k with
+    deterministic ties keeps the candidate set itself oracle-stable.)"""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def hashes(key) -> F.Column:
+        return F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cms_idx(j, key).alias("idx"))
+                for j in range(CMS_D)
+            ]
+        )
+
+    counters = (
+        li.select(F.explode(hashes(F.col("l_partkey"))).alias("p"))
+        .select("p.j", "p.idx")
+        .groupBy("j", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("l_partkey")).limit(CMS_TOPK)
+    probe = top.select(
+        "l_partkey", "exact_n", F.explode(hashes(F.col("l_partkey"))).alias("p")
+    ).select("l_partkey", "exact_n", "p.j", "p.idx")
+    return (
+        probe.join(F.broadcast(counters), ["j", "idx"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .select(
+            "l_partkey",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+# ------------------------------------------------- histogram quantiles
+
+HIST_LO = 0
+HIST_HI = 512_000  # o_totalprice observed < 500k; overflow clamps to last bin
+HIST_BINS = 64
+_W = (HIST_HI - HIST_LO) // HIST_BINS  # 8000
+_QS = (0.5, 0.9, 0.99)
+
+
+def _exact_q_case_sql(q_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {q} THEN (SELECT round(quantile_cont(o_totalprice, {q}), 6) FROM orders)"
+        for q in _QS
+    )
+    return f"CASE {q_expr} {whens} END"
+
+
+@register(
+    "agg_histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+      SELECT least(CAST(floor(o_totalprice / {_W}) AS BIGINT), {HIST_BINS - 1}) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, c,
+             SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS n_total
+      FROM hist
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _QS)}]) AS q),
+    chosen AS (
+      SELECT q, min(b) AS b FROM cum, qs
+      WHERE cum >= ceil(q * n_total) GROUP BY q
+    )
+    SELECT ch.q,
+           CAST(c2.n_total AS BIGINT) AS n_total,
+           c2.b AS bin,
+           round(c2.b * {_W} + {_W}.0 * (ceil(ch.q * c2.n_total) - (c2.cum - c2.c)) / c2.c, 6)
+             AS est_value,
+           {_exact_q_case_sql('ch.q')} AS exact_value,
+           round(round(c2.b * {_W} + {_W}.0 * (ceil(ch.q * c2.n_total) - (c2.cum - c2.c)) / c2.c, 6)
+                 - {_exact_q_case_sql('ch.q')}, 6) AS err
+    FROM chosen ch JOIN cum c2 USING (b)
+    """,
+    tags=("sketch", "histogram", "quantile"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-bin histogram — the mergeable
+    single-pass alternative to exact percentiles: {HIST_BINS} bins of
+    width {_W} over o_totalprice, cumulative counts, then linear
+    interpolation inside the bin that crosses each target rank, compared
+    against the exact percentile.
+
+    Scale design: the histogram is ONE map-side-combinable groupBy that
+    reduces any input volume to <= {HIST_BINS} rows (partial counts
+    merge by addition — across partitions, across days, across streams);
+    everything after operates on that bounded artifact, including the
+    single-partition cumulative window (64 rows by construction, noted
+    here because an unpartitioned window over DATA would be a
+    scale-killer).  The exact-percentile column is the verification
+    piece you'd drop at 100 TB.  Estimation error is bounded by bin
+    width; all arithmetic is integer until one final division, so both
+    engines agree bit-for-bit."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    b = F.least(
+        F.floor(F.col("o_totalprice") / _W).cast("long"), F.lit(HIST_BINS - 1)
+    )
+    hist = o.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "b",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n_total"),
+    )
+    qs = (
+        load_table(spark, sf_dir, "region")
+        .limit(1)
+        .select(F.explode(F.array(*[F.lit(q) for q in _QS])).alias("q"))
+    )
+    target = F.ceil(F.col("q") * F.col("n_total"))
+    chosen = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= target)
+        .groupBy("q")
+        .agg(F.min("b").alias("b"))
+    )
+    est = F.round(
+        F.col("b") * _W
+        + F.lit(float(_W)) * (target - (F.col("cum") - F.col("c"))) / F.col("c"),
+        6,
+    )
+    exact_arr = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in _QS])).alias("p")
+    )
+    exact = exact_arr.select(F.posexplode("p").alias("i", "ev")).select(
+        F.element_at(F.array(*[F.lit(q) for q in _QS]), F.col("i") + 1).alias("q"),
+        F.round(F.col("ev"), 6).alias("exact_value"),
+    )
+    return (
+        chosen.join(cum, "b")
+        .select(
+            "q",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("b").alias("bin"),
+            est.alias("est_value"),
+        )
+        .join(F.broadcast(exact), "q")
+        .select(
+            "q",
+            "n_total",
+            "bin",
+            "est_value",
+            "exact_value",
+            F.round(F.col("est_value") - F.col("exact_value"), 6).alias("err"),
+        )
+    )

@@ -358,3 +358,54 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "purchase_ts",
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_dsum("e.value", "sum_value")}
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("streaming", "join", "enrichment"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical dimension lookup:
+    the events stream joins the STATIC customer->nation dimension chain
+    (re-read per micro-batch, broadcast to every task: no stream-side
+    state, no shuffle of the stream), then aggregates per nation in
+    complete mode.
+
+    Determinism: an inner join against a static dim plus a
+    whole-input aggregate is delivery-order independent, so the
+    availableNow drain equals the batch join.  At 100 TB the stream
+    side never shuffles for the join (broadcast hash join per batch);
+    the aggregation shuffles on the 25-key nation — trivially small
+    state."""
+    pin_session(spark)
+    stream, work = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("nation")
+        )
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+    out = _run_to_memory(
+        spark,
+        agg,
+        f"sse_{abs(hash(work)) % 10**8}",
+        work,
+        "complete",
+        parts=_stream_parts(spark, sf_dir),
+    )
+    return out.select("nation", "n_events", "sum_value")

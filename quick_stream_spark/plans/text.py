@@ -1468,3 +1468,197 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double") / types, 6
         ).alias("hapax_frac"),
     )
+
+
+# ------------------------------------------- line-level boilerplate dedup
+
+# C4-style line-level dedup: a "line" repeated across many documents is
+# boilerplate (headers, footers, cookie banners) and is dropped from
+# every document.  The fixture corpus is single-line word soup, so the
+# deterministic line structure is: 15-token segments of the text plus a
+# synthetic header/footer line injected into every 3rd/4th document
+# (same CASE in both engines) so the removal has observable work.
+LINE_TOKENS = 15
+BOILER_MIN_DOCS = 5
+_BOILER_HEADER = "subscribe to our newsletter for the latest updates"
+_BOILER_FOOTER = "all rights reserved unauthorized reproduction prohibited"
+
+_LINES_SQL = f"""
+  SELECT doc_id,
+    list_concat(list_concat(
+      list_transform(range(0, greatest(CAST(ceil(len(t)/{LINE_TOKENS}.0) AS INT), 1)),
+        g -> array_to_string(list_slice(t, g*{LINE_TOKENS}+1, g*{LINE_TOKENS}+{LINE_TOKENS}), ' ')),
+      CASE WHEN doc_id % 3 = 0 THEN ['{_BOILER_HEADER}'] ELSE [] END),
+      CASE WHEN doc_id % 4 = 0 THEN ['{_BOILER_FOOTER}'] ELSE [] END
+    ) AS lines
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+@register(
+    "dedup_boilerplate_lines",
+    oracle=f"""
+    WITH built AS ({_LINES_SQL}),
+    lined AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(lines)+1),
+                    i -> struct_pack(pos := i, line := lines[i])),
+                    recursive := true)
+      FROM built
+    ),
+    linedf AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lined GROUP BY line)
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN d.line_df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                    FILTER (WHERE d.line_df < {BOILER_MIN_DOCS}), '') AS clean_text
+    FROM lined l JOIN linedf d USING (line)
+    GROUP BY l.doc_id
+    """,
+    tags=("text", "dedup", "boilerplate"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the C4 cleaning rule): any line
+    occurring in >= {BOILER_MIN_DOCS} distinct documents is dropped from
+    every document; per doc the op returns line counts and the cleaned
+    text reassembled in original line order.
+
+    Scale design: lines are ROW-LOCAL segments (no self-join); the
+    line-frequency table is one hash-groupBy on the line (high
+    cardinality — scan-shaped); membership is a plain equi-join on the
+    line key, NOT a broadcast (the boilerplate set is the repeated head
+    of the line distribution — usually small, but unbounded in
+    adversarial corpora, so the shuffle join is the safe default and AQE
+    converts it to broadcast when the build side turns out tiny).
+    Reassembly sorts collected (pos, line) structs per doc — order is
+    restored deterministically regardless of shuffle order."""
+    d = _docs(spark, sf_dir)
+    toks = tx.ws_tokens(F.col("text"))
+    nseg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(LINE_TOKENS))).cast("int"), F.lit(1)
+    )
+    base = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda g: F.array_join(
+            F.slice(toks, g * LINE_TOKENS + 1, LINE_TOKENS), " "
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        base,
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(_BOILER_HEADER))).otherwise(empty),
+        F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(_BOILER_FOOTER))).otherwise(empty),
+    )
+    lined = d.select("doc_id", F.posexplode(lines).alias("pos0", "line")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "line"
+    )
+    boiler = (
+        lined.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= BOILER_MIN_DOCS)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lined.join(boiler, "line", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_removed"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+
+
+# ------------------------------------- exact n-gram decontamination
+
+# Exact n-gram overlap decontamination (the GPT-3/PaLM recipe): a train
+# document sharing a high fraction of its distinct n-grams with ANY test
+# data is a contamination leak.  K=3 here rides the tested shingle
+# machinery (functions/minhash.py); production corpora use K=8-13 — the
+# operator shape (distinct grams -> split -> equi-join -> containment)
+# is identical for any K.  Measured on the driver data: containment is
+# bimodal (background ~0.1 from the 30-word vocabulary, true
+# perturbed-twin leaks ~0.5-1.0), so the 0.4 threshold separates with a
+# stable plateau (identical flag set at 0.4 and 0.5).
+CONTAIN_THRESHOLD = 0.4
+
+_DECON_SPLIT_SQL = "(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+
+@register(
+    "pipeline_ngram_decontamination",
+    oracle=f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    grams AS (
+      SELECT id, {_DECON_SPLIT_SQL} AS h,
+             unnest({mh.hashed_shingles_sql('text')}) AS g
+      FROM corpus
+    ),
+    test_g AS (SELECT DISTINCT g FROM grams WHERE h >= 95),
+    train AS (SELECT id, g FROM grams WHERE h < 90),
+    shared AS (
+      SELECT t.id, count(*) AS n_shared
+      FROM train t JOIN test_g USING (g) GROUP BY t.id
+    ),
+    tot AS (SELECT id, count(*) AS n_grams FROM train GROUP BY id)
+    SELECT t.id AS train_id, t.n_grams,
+           coalesce(s.n_shared, 0) AS n_shared,
+           round(coalesce(s.n_shared, 0) * 1.0 / t.n_grams, 6) AS containment
+    FROM tot t LEFT JOIN shared s USING (id)
+    WHERE coalesce(s.n_shared, 0) * 1.0 / t.n_grams >= {CONTAIN_THRESHOLD}
+    """,
+    tags=("text", "dedup", "decontamination", "pipeline"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def pipeline_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram test-set decontamination over the duplicated corpus
+    split train/test by the content-addressed hash (the same md5 split
+    as ``sample_splits``, applied to the corpus id): flag every train
+    document whose distinct-shingle containment against the union of
+    test-set shingles reaches {CONTAIN_THRESHOLD}.  Complements
+    ``pipeline_decontamination`` (LSH near-dup pairs straddling the
+    split) with the exact-overlap recipe.
+
+    Scale design: the test gram set is produced by a distinct on the
+    gram key and joined by hash — NOT broadcast and NOT a driver-side
+    set (at 100 TB the test split's distinct grams can be billions of
+    rows); the join partitions by gram, the two groupBys partition by
+    train-doc id.  One scan of the corpus feeds both sides."""
+    corpus = _dup_corpus(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 100
+    grams = corpus.select(
+        "id",
+        h.alias("h"),
+        F.explode(mh.hashed_shingles(mh.token_hash_array(F.col("text")))).alias("g"),
+    )
+    test_g = grams.filter(F.col("h") >= 95).select("g").distinct()
+    train = grams.filter(F.col("h") < 90).select("id", "g")
+    shared = (
+        train.join(test_g, "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    tot = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        tot.join(shared, "id", "left")
+        .filter(n_shared / F.col("n_grams") >= CONTAIN_THRESHOLD)
+        .select(
+            F.col("id").alias("train_id"),
+            "n_grams",
+            n_shared.alias("n_shared"),
+            F.round(n_shared / F.col("n_grams"), 6).alias("containment"),
+        )
+    )
