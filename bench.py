@@ -64,25 +64,31 @@ def main() -> None:
         if core not in names:
             names.append(core)
 
-    # Plan-shape warmup (untimed): run every benched query once at the
-    # smallest scale factor.  Identical plan shapes hit the codegen
-    # (janino) cache, so the timed runs below measure the data path at
-    # the target SF — the figure that projects to a long-lived cluster —
-    # not one-time Catalyst/JIT compilation of the year's largest
-    # expression trees.  Per-(session, sf_dir) caches inside the queries
-    # key on the sf dir, so nothing computed here is reused by the timed
-    # runs.
+    # Plan-shape warmup (untimed): run each benched query once at the
+    # smallest scale factor IMMEDIATELY before its timed run.  Identical
+    # plan shapes hit the codegen (janino) cache, so the timed run
+    # measures the data path at the target SF — the figure that projects
+    # to a long-lived cluster — not one-time Catalyst/JIT compilation of
+    # the year's largest expression trees.  The warmup is interleaved
+    # per-query rather than batched up front: Spark's generated-class
+    # cache is bounded, so warming all plans first lets later warmups
+    # evict earlier queries' classes and the first timed queries pay
+    # full recompilation again (measured: 2x on the minhash/CC family).
+    # Per-(session, sf_dir) caches inside the queries key on the sf dir,
+    # so nothing computed in a warmup is reused by the timed runs.
     warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(sf_dir):
-        for name in names:
-            try:
-                REGISTRY[name].fn(spark, warm_sf).count()
-            except Exception as exc:  # warmup must never fail the bench
-                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    do_warm = os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(
+        sf_dir
+    )
 
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
+        if do_warm:
+            try:
+                fn(spark, warm_sf).count()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()  # force full execution
