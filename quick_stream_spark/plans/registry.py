@@ -79,6 +79,7 @@ def _load_all() -> None:
     import quick_stream_spark.plans.streaming_ext  # noqa: F401
     import quick_stream_spark.plans.tpch  # noqa: F401  (pytest-gated TPC-H breadth)
     import quick_stream_spark.plans.sketches  # noqa: F401  (pytest-gated sketch ops)
+    import quick_stream_spark.plans.warehouse  # noqa: F401  (pytest-gated warehouse ops)
 
 
 def queries() -> dict[str, QueryFn]:

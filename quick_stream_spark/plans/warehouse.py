@@ -1,0 +1,428 @@
+"""Warehouse-pattern operators: co-purchase affinity, SCD2 history
+builds, Bloom-filter join pruning, and Z-order layout for data
+skipping.  Each declares a classic large-scale warehouse/lakehouse
+technique as a deterministic, DuckDB-replayable query so the full
+arithmetic — not just row counts — is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans.registry import register
+from quick_stream_spark.sources.readers import load_table
+
+# ------------------------------------------------------- market basket
+
+BASKET_TOPK = 30
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+    singles AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.p1, p.p2, p.n_both, s1.n_part AS n_p1, s2.n_part AS n_p2,
+           round(p.n_both * 1.0 / (SELECT n FROM n_orders), 6) AS support,
+           round(p.n_both * 1.0 * (SELECT n FROM n_orders)
+                 / (s1.n_part * s2.n_part), 6) AS lift
+    FROM pairs p
+    JOIN singles s1 ON p.p1 = s1.l_partkey
+    JOIN singles s2 ON p.p2 = s2.l_partkey
+    ORDER BY p.n_both DESC, p.p1 ASC, p.p2 ASC
+    LIMIT {BASKET_TOPK}
+    """,
+    tags=("warehouse", "affinity", "basket"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-{BASKET_TOPK} co-purchased part
+    pairs with support and lift — the exact pair-counting core of
+    association-rule mining (the candidate-generation step FP-growth
+    approximates at higher k).
+
+    Scale design: pair generation is ROW-LOCAL — parts are collected
+    per order (baskets are small by nature; TPC-H orders hold <= 13
+    distinct parts, so <= 78 pairs per basket) and pairs explode from
+    the sorted basket array, never via an order-level self-join through
+    a shuffle.  One groupBy for baskets, one for pair counts, two
+    equi-joins against the bounded per-part counts, and the top-k
+    compiles to TakeOrderedAndProject.  The order count crosses the
+    driver as one scalar."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    n_orders = op.select("l_orderkey").distinct().count()  # one bounded scalar
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    idx = F.sequence(F.lit(0), F.size("parts") - 1)
+    pairs_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                ),
+                lambda q: F.struct(
+                    F.element_at(F.col("parts"), i + 1).alias("p1"), q.alias("p2")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pairs_arr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    singles = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    s1 = singles.select(F.col("l_partkey").alias("p1"), F.col("n_part").alias("n_p1"))
+    s2 = singles.select(F.col("l_partkey").alias("p2"), F.col("n_part").alias("n_p2"))
+    return (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            "n_p1",
+            "n_p2",
+            F.round(F.col("n_both") / F.lit(n_orders), 6).alias("support"),
+            F.round(
+                F.col("n_both") * F.lit(n_orders) / (F.col("n_p1") * F.col("n_p2")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("p1"), F.asc("p2"))
+        .limit(BASKET_TOPK)
+    )
+
+
+# ------------------------------------------------------------- SCD2
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version_id
+      FROM ordered
+    ),
+    collapsed AS (
+      SELECT user_id, version_id, event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM versions GROUP BY user_id, version_id, event_type
+    )
+    SELECT user_id, CAST(version_id AS BIGINT) AS version_id, event_type,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_id)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_id)
+             IS NULL AS is_current,
+           n_events
+    FROM collapsed
+    """,
+    tags=("warehouse", "scd2", "window"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: per
+    user, consecutive runs of the same event_type collapse into one
+    versioned row with [valid_from, valid_to) validity and an
+    is_current flag — the change-capture -> dimension-history pattern
+    every warehouse ingest runs.
+
+    Scale design: everything partitions by the dimension key (user_id)
+    — one shuffle, then three window passes and a groupBy within each
+    key's partition; no self-joins.  Ties (same-ts events) are ordered
+    by event_id in BOTH engines so run boundaries are deterministic.
+    At 100 TB this is the canonical key-partitioned window shape; a
+    skewed key degrades one partition, not the plan."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+    ).otherwise(0)
+    versions = ev.withColumn(
+        "version_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    collapsed = versions.groupBy("user_id", "version_id", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_id")
+    valid_to = F.lead("valid_from").over(wv)
+    return collapsed.select(
+        "user_id",
+        "version_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# ------------------------------------------------- bloom-filter pruning
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+HOT_BAL = 7000.0
+
+
+def _bloom_pos_sql(j: int, key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{j}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {BLOOM_M})"
+    )
+
+
+def _bloom_pos(j: int, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle=f"""
+    WITH hot AS (SELECT c_custkey FROM customer WHERE c_acctbal > {HOT_BAL}),
+    bits AS (
+      SELECT DISTINCT j, pos FROM (
+        {" UNION ALL ".join(f"SELECT {j} AS j, {_bloom_pos_sql(j, 'c_custkey')} AS pos FROM hot" for j in range(BLOOM_K))}
+      )
+    ),
+    probe AS (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+    ),
+    probe_hits AS (
+      SELECT p.o_custkey, count(*) AS n_hits FROM (
+        {" UNION ALL ".join(f"SELECT o_custkey, {j} AS j, {_bloom_pos_sql(j, 'o_custkey')} AS pos FROM (SELECT DISTINCT o_custkey FROM orders)" for j in range(BLOOM_K))}
+      ) p JOIN bits b ON p.j = b.j AND p.pos = b.pos
+      GROUP BY 1
+    )
+    SELECT pr.o_custkey, pr.n_orders,
+           coalesce(ph.n_hits, 0) = {BLOOM_K} AS passes_bloom,
+           pr.o_custkey IN (SELECT c_custkey FROM hot) AS is_hot
+    FROM probe pr LEFT JOIN probe_hits ph ON pr.o_custkey = ph.o_custkey
+    """,
+    tags=("warehouse", "bloom", "join-pruning"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, the runtime-filter pattern Spark
+    itself applies inside AQE (spark.sql.optimizer.runtime.bloomFilter)
+    made explicit and oracle-checkable: an m={BLOOM_M}/k={BLOOM_K}
+    filter is built over the hot customers (acctbal > {HOT_BAL}),
+    orders probe it, and the result labels every probe key with
+    passes_bloom vs is_hot ground truth — false positives are the
+    passes_bloom AND NOT is_hot rows (one-sided error: no false
+    negatives, ever, by construction).
+
+    Scale design: the filter build is a map-side-combinable distinct on
+    (hash-row, bit) — at most {BLOOM_K}x{BLOOM_M} = {BLOOM_K * BLOOM_M}
+    bits regardless of build-side volume, the definition of a bounded
+    broadcastable artifact; the probe is {BLOOM_K} bounded-key lookups
+    per distinct probe key.  This is the pre-shuffle pruning you deploy
+    when the build side is too big to broadcast as keys but its Bloom
+    bits fit in one packet."""
+    pin_session(spark)
+    hot = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > HOT_BAL)
+        .select("c_custkey")
+    )
+    bits = (
+        hot.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _bloom_pos(j, F.col("c_custkey")).alias("pos"),
+                        )
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.j", "b.pos")
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    probe_pos = probe.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bloom_pos(j, F.col("o_custkey")).alias("pos"),
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("b"),
+    ).select("o_custkey", "b.j", "b.pos")
+    hits = (
+        probe_pos.join(F.broadcast(bits), ["j", "pos"])
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    hot_flag = hot.select(F.col("c_custkey").alias("o_custkey"), F.lit(True).alias("_hot"))
+    return (
+        probe.join(hits, "o_custkey", "left")
+        .join(F.broadcast(hot_flag), "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "n_orders",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) == BLOOM_K).alias("passes_bloom"),
+            F.coalesce(F.col("_hot"), F.lit(False)).alias("is_hot"),
+        )
+    )
+
+
+# ---------------------------------------------------- z-order layout
+
+Z_BITS = 12  # covers custkey 0..1499 and ~2400 order days
+Z_FILES = 16
+_Z_EPOCH = "1995-01-01"
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    """DuckDB bit-interleave: x in even positions, y in odd."""
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _interleave_spark(x: str, y: str) -> F.Column:
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1})")
+    return F.expr(" + ".join(terms))
+
+
+@register(
+    "maintenance_zorder_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', TIMESTAMP '{_Z_EPOCH}', o_orderdate) AS d
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderkey, o_custkey, d,
+             ntile({1 << Z_BITS}) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS cr,
+             ntile({1 << Z_BITS}) OVER (ORDER BY d, o_orderkey) - 1 AS dr
+      FROM keyed
+    ),
+    z AS (
+      SELECT o_orderkey, o_custkey, d,
+             {_interleave_sql("cr", "dr")} AS zval
+      FROM ranked
+    ),
+    filed AS (
+      SELECT o_custkey, d,
+             ntile({Z_FILES}) OVER (ORDER BY zval, o_orderkey) AS file_id
+      FROM z
+    )
+    SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+           min(d) AS min_day, max(d) AS max_day
+    FROM filed GROUP BY file_id
+    """,
+    tags=("warehouse", "zorder", "data-skipping"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering for data skipping (Delta OPTIMIZE ZORDER BY
+    analog): orders are laid out by the interleaved-bit Morton code of
+    (o_custkey, order-day) into {Z_FILES} equal files, and the query
+    returns each file's min/max zone map for BOTH dimensions — the
+    stats a scan consults to skip files.  Unlike a linear sort (tight
+    on one column, full-range on the other), every Z-ordered file
+    covers a narrow rectangle in both dimensions, so point/range
+    predicates on EITHER column prune files
+    (tests/test_warehouse_zorder.py asserts the skipping win
+    quantitatively).
+
+    The code interleaves {Z_BITS}-bit RANK buckets, not raw values —
+    range-based interleaving, the same choice Delta's Z-order makes:
+    raw-value interleaving silently degrades to a one-column sort
+    whenever the dimensions' effective bit widths differ (a 150-key
+    custkey domain contributes 8 meaningful bits against the day
+    column's 11, so the top Morton bits would all be day bits —
+    measured on this corpus as zero custkey pruning).
+
+    Scale design: the Morton code is a row-local bit expression
+    (whole-stage codegen, no UDF); the production layout step computes
+    the rank-bucket boundaries from column statistics (approximate
+    quantiles) and then runs ``repartitionByRange(zval)`` + write — one
+    range shuffle, exactly what a linear sort costs.  The ntiles here
+    stand in for those boundary lookups so the assignment is
+    deterministic and DuckDB-replayable; zone-map stats are one groupBy
+    over {Z_FILES} groups."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date")).alias("d"),
+    )
+    tiles = 1 << Z_BITS
+    ranked = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        (F.ntile(tiles).over(Window.orderBy("o_custkey", "o_orderkey")) - 1).alias("cr"),
+        (F.ntile(tiles).over(Window.orderBy("d", "o_orderkey")) - 1).alias("dr"),
+    )
+    z = ranked.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        _interleave_spark("cr", "dr").alias("zval"),
+    )
+    filed = z.select(
+        "o_custkey",
+        "d",
+        F.ntile(Z_FILES).over(Window.orderBy("zval", "o_orderkey")).alias("file_id"),
+    )
+    return filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
+    )
