@@ -437,3 +437,54 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.n_tokens "
         "FROM documents d, LATERAL qss_chunks(d.text) c"
     )
+
+
+BINFILE_DOCS = 50  # bounded fixture subset written as individual files
+
+
+@register(
+    "source_binaryfile_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           substr(text, 1, 40) AS head
+    FROM documents WHERE doc_id < {BINFILE_DOCS}
+    """,
+    tags=("source", "binary", "multimodal"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source — the ingestion surface
+    for raw multimodal payloads (images/audio/any bytes): the first
+    {BINFILE_DOCS} documents are materialized as one file each, read
+    back as (path, length, content) binary rows, and mapped to
+    (doc_id-from-path, byte length, decoded head).  The oracle
+    regenerates the same projection from the source table, so the
+    whole write -> binary read -> parse path is value-checked.
+
+    Scale design: binaryFile reads are file-parallel (one task per
+    file up to maxPartitionBytes) and columns prune — selecting only
+    ``length`` never reads file bodies.  The fixture write is a
+    bounded {BINFILE_DOCS}-row driver loop (fixture prep, not the data
+    path; production bytes land via distributed writers)."""
+    import os
+    import tempfile
+
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < BINFILE_DOCS)
+    work = tempfile.mkdtemp(prefix="qss-binfile-")
+    for r in d.select("doc_id", "text").collect():  # bounded: BINFILE_DOCS rows
+        with open(os.path.join(work, f"doc_{r.doc_id:06d}.txt"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(work)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.col("content").cast("string"), 1, 40).alias("head"),
+    )

@@ -976,3 +976,93 @@ def _pq_oracle() -> str:
 
 
 _SIMREG["emb_pq_topk"].oracle = " ".join(_pq_oracle().split())
+
+
+# ------------------------------------------------------------- MIPS
+
+_AUG_C = "list_concat(c.v, [sqrt(mx.m2 - " + vec.dot_sql("c.v", "c.v", DIM) + ")])"
+_AUG_Q = "list_concat(q.v, [0.0])"
+
+
+@register(
+    "emb_mips_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mx AS (SELECT max({vec.dot_sql('v', 'v', DIM)}) AS m2 FROM e),
+    q AS (SELECT * FROM e WHERE vec_id < {NUM_QUERIES}),
+    c AS (SELECT * FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {vec.dot_sql('q.v', 'c.v', DIM)} AS ip,
+             {vec.cosine_sql(_AUG_Q, _AUG_C, DIM + 1)} AS aug_cos
+      FROM q JOIN c ON q.vec_id <> c.vec_id, mx
+    )
+    SELECT query_id, neighbor_id, rank, rank_aug,
+           rank = rank_aug AS ranks_agree, round(ip, 6) AS ip
+    FROM (
+      SELECT *,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY ip DESC, neighbor_id ASC) AS rank,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY aug_cos DESC, neighbor_id ASC) AS rank_aug
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "mips"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (the recommendation-scoring flavor
+    of similarity search) with the norm-augmentation reduction to
+    cosine (Bachrach et al., RecSys 2014): corpus vectors gain one
+    component sqrt(M^2 - |x|^2) with M the max corpus norm, queries
+    gain 0 — augmented norms are constant, so augmented-cosine ranking
+    equals inner-product ranking, which is what lets the LSH/IVF cosine
+    indexes in this module serve MIPS workloads unchanged.  The query
+    returns BOTH rankings (and their agreement) so the reduction is
+    oracle-verified, not asserted.
+
+    Scale design: identical to emb_cosine_topk — broadcast query set,
+    one corpus scan, per-query top-k; M^2 is the one scalar that
+    crosses the driver (the bounded model artifact), computed by an
+    order-independent max."""
+    e = _emb(spark, sf_dir)
+    m2 = e.agg(F.max(vec.dot(F.col("v"), F.col("v"))).alias("m2")).collect()[0].m2
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < NUM_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.concat(F.col("v"), F.array(F.lit(0.0))).alias("qa"),
+            F.col("v").alias("qv"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.concat(
+            F.col("v"),
+            F.array(F.sqrt(F.lit(m2) - vec.dot(F.col("v"), F.col("v")))),
+        ).alias("ca"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        vec.dot(F.col("qv"), F.col("cv")).alias("ip"),
+        vec.cosine(F.col("qa"), F.col("ca")).alias("aug_cos"),
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("neighbor_id"))
+    w_aug = Window.partitionBy("query_id").orderBy(
+        F.desc("aug_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_ip))
+        .withColumn("rank_aug", F.row_number().over(w_aug))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "rank_aug",
+            (F.col("rank") == F.col("rank_aug")).alias("ranks_agree"),
+            F.round("ip", 6).alias("ip"),
+        )
+    )
