@@ -705,83 +705,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     as iterative min-label propagation — join labels to edges, take the
     min over neighbors, repeat until a fixpoint the driver detects; the
     standard distributed CC loop (GraphFrames/Pregel at cluster scale,
-    O(diameter) rounds — near-dup clusters are shallow).  The oracle is
-    a recursive CTE computing min-reachable-id, so this declares the
-    *iterative algorithm* class with a full value check."""
+    O(diameter) rounds — near-dup clusters are shallow).  The loop
+    lives in functions/graph.py:min_label_components and is
+    property-tested against a union-find ground truth on random graphs
+    (tests/test_property_graph.py).  The oracle is a recursive CTE
+    computing min-reachable-id, so this declares the *iterative
+    algorithm* class with a full value check."""
+    from quick_stream_spark.functions.graph import min_label_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     # the pair graph is far smaller than the corpus, so the fixpoint
     # runs at a shuffle width sized to it (a fixed-width loop spends
     # ~3x the wall-clock on task scheduling at small scale; at cluster
     # scale _corpus_parts computes a wide enough loop)
     with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
-        edges = (
-            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-            .unionByName(
-                pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-            )
-            .localCheckpoint(eager=True)
-        )
-        labels = (
-            pairs.select(F.col("id_a").alias("id"))
-            .unionByName(pairs.select(F.col("id_b").alias("id")))
-            .distinct()
-            .withColumn("component", F.col("id"))
-            .localCheckpoint(eager=True)
-        )
-        # plain min-label propagation converges in O(diameter) rounds;
-        # near-dup clusters are shallow (typically 2-3), so the lean
-        # 2-op round (join + groupBy-min over {self} ∪ neighbors) beats
-        # a pointer-jumping round whose extra self-join costs more in
-        # one-time plan compilation than the round it saves.  Past
-        # _JUMP_AFTER rounds (a deep-chain corpus) each round adds the
-        # label-of-label shortcut, restoring O(log diameter).
-        _JUMP_AFTER = 8
-        for it in range(50):  # bound >> expected rounds; exits at fixpoint
-            msgs = (
-                edges.join(labels, edges.v == labels.id)
-                .select(F.col("u").alias("id"), "component")
-                .unionByName(labels.select("id", "component"))
-            )
-            updated = (
-                msgs.groupBy("id")
-                .agg(F.min("component").alias("new_component"))
-                .join(labels, "id")
-                .select(
-                    "id",
-                    F.col("component").alias("old_component"),
-                    F.col("new_component").alias("component"),
-                )
-            )
-            if it >= _JUMP_AFTER:
-                # pointer jumping: shortcut each label to its label's
-                # label (component ids ARE node ids, so the self-join
-                # always resolves) — path lengths halve per round
-                lbl = updated.select(
-                    F.col("id").alias("component"), F.col("component").alias("comp2")
-                )
-                updated = updated.join(lbl, "component", "left").select(
-                    "id",
-                    "old_component",
-                    F.coalesce("comp2", F.col("component")).alias("component"),
-                )
-            # localCheckpoint truncates lineage: without it every
-            # iteration's plan contains all previous iterations and
-            # analysis/compile time grows superlinearly with rounds
-            new_labels = updated.localCheckpoint(eager=True)
-            labels = new_labels.drop("old_component")
-            if it == 0:
-                continue  # every non-singleton component changes in round 1
-            # fixpoint probe reads the checkpointed frame only — carrying
-            # old_component through the round replaces a per-round join
-            # against the previous labels with a narrow filter
-            changed = (
-                new_labels.filter(F.col("component") != F.col("old_component"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                break
-    return labels.select("id", "component")
+        return min_label_components(spark, pairs)
 
 
 def _cc_oracle() -> str:

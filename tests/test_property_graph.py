@@ -1,0 +1,59 @@
+"""Property-based check for the distributed connected-components loop:
+min_label_components on random edge sets must agree with a plain
+union-find ground truth — every vertex labeled with the minimum id
+reachable from it.  Random graphs cover shapes the near-dup corpus
+never produces (long chains that trigger pointer jumping, dense blobs,
+many singleton edges)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from quick_stream_spark.functions.graph import JUMP_AFTER, min_label_components
+
+# small vertex space forces collisions/cycles; up to 24 edges
+edge = st.tuples(
+    st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+)
+edges_strategy = st.lists(edge, min_size=1, max_size=24)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_components_match_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.component for r in min_label_components(spark, pairs).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_long_chain_exercises_pointer_jumping(spark):
+    # a path graph longer than JUMP_AFTER rounds of plain propagation:
+    # min-label news travels one hop per round, so convergence inside
+    # max_rounds=50 on a 40-vertex chain relies on the jumping shortcut
+    n = max(40, 3 * JUMP_AFTER)
+    chain = [(i, i + 1) for i in range(n)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.id: r.component for r in min_label_components(spark, pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
