@@ -260,3 +260,81 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("est_value") - F.col("exact_value"), 6).alias("err"),
         )
     )
+
+
+# ------------------------------------------------- moment sketches
+
+@register(
+    "agg_moments_by_type",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(vc) AS s1, sum(vc * vc) AS s2, sum(vc * vc * vc) AS s3
+      FROM cents GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_value,
+           round((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 10000, 6)
+             AS var_value,
+           CASE WHEN CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+                THEN round(
+                  (CAST(s3 AS DOUBLE) / n
+                   - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                   + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n))
+                  / ((CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     * sqrt(CAST(s2 AS DOUBLE) / n
+                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+                  6)
+           END AS skewness
+    FROM sums
+    """,
+    tags=("sketch", "moments", "agg"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def agg_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution moments (mean / population variance / skewness) per
+    event type from EXACT integer power sums — the mergeable
+    moment-sketch pattern: (n, Σv, Σv², Σv³) combine by addition across
+    partitions, days and streams, unlike a percentile which needs the
+    data.  Values are scaled to integer cents first, so every sum is
+    exact (decimal-128 accumulators; Σv³ overflows int64 at ~5e4 rows
+    of max value, and would silently wrap in a naive long sum) and the
+    final moments are single identical float expressions in both
+    engines — sqrt(var)*var replaces pow(var, 1.5) because pow is not
+    correctly-rounded-guaranteed across math libraries while sqrt is.
+
+    Scale design: one map-side-combinable groupBy; the per-group state
+    is four numbers regardless of volume."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    vc = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    sums = ev.select("event_type", vc.alias("vc")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vc").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("vc") * F.col("vc")).cast("decimal(38,0)")).alias("s2"),
+        F.sum((F.col("vc") * F.col("vc") * F.col("vc")).cast("decimal(38,0)")).alias(
+            "s3"
+        ),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    var_c = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var_c * F.sqrt(var_c))
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(m1 / 100, 6).alias("mean_value"),
+        F.round(var_c / 10000, 6).alias("var_value"),
+        F.when(var_c > 0, F.round(skew, 6)).alias("skewness"),
+    )
