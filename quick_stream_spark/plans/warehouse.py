@@ -426,3 +426,132 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_day"),
         F.max("d").alias("max_day"),
     )
+
+
+# ------------------------------------------------- journey transitions
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    totals AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY src)
+    SELECT p.src, p.dst, p.n,
+           round(p.n * 1.0 / t.n_src, 6) AS prob
+    FROM pairs p JOIN totals t USING (src)
+    """,
+    tags=("warehouse", "markov", "journey"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for
+    every (event_type -> next event_type) step within a user's
+    time-ordered stream, the transition count and conditional
+    probability — the user-journey / next-action model behind funnel
+    and churn analysis.
+
+    Scale design: one shuffle partitions by user for the lead() pass
+    (same-ts ties ordered by event_id in both engines), then the pair
+    count partial-aggregates map-side into at most |event types|^2
+    groups — a bounded transition matrix regardless of event volume;
+    the per-source totals reuse the already-aggregated pairs (rows =
+    matrix cells, not events)."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(totals, "src").select(
+        "src", "dst", "n", F.round(F.col("n") / F.col("n_src"), 6).alias("prob")
+    )
+
+
+# ------------------------------------------------- triangle counting
+
+@register(
+    "graph_triangles_dupgraph",
+    oracle=None,  # set below: shares the minhash pair CTEs
+    tags=("graph", "triangles"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def graph_triangles_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup pair graph — the clustering
+    structure metric (a clique-like duplicate cluster yields C(k,3)
+    triangles; a chain yields none): per-vertex triangle counts plus
+    the graph total.
+
+    Scale design: the canonical two-join algorithm on DIRECTED edges
+    (id_a < id_b as produced by the LSH pair step, so each triangle is
+    counted exactly once as a < b < c): wedges = edges(a,b) join
+    edges(b,c), closed by joining (a,c) against the edge set.  At
+    cluster scale the standard refinement orders edges by degree so
+    wedge generation is bounded by arboricity; near-dup graphs are
+    small-component graphs (bounded by MAX_BUCKET_SIZE capping), so
+    the wedge join is already safe here.  Per-vertex counts credit
+    every corner via one explode + groupBy."""
+    from quick_stream_spark.plans.text import dedup_minhash_lsh
+
+    pin_session(spark)
+    e = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    ab = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    ac = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])  # closure check: (a, c) must be an edge
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.count()  # bounded scalar for the summary column
+    return corners.select("id", "n_triangles", F.lit(total).alias("total_triangles"))
+
+
+def _triangles_oracle() -> str:
+    from quick_stream_spark.plans.registry import REGISTRY as _R
+
+    pairs_sql = _R["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    e AS (SELECT id_a, id_b FROM pairs),
+    tri AS (
+      SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+      FROM e ab
+      JOIN e bc ON ab.id_b = bc.id_a
+      JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+    ),
+    corners AS (
+      SELECT v AS id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS v FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+      ) GROUP BY v
+    )
+    SELECT id, n_triangles,
+           (SELECT CAST(coalesce(sum(1), 0) AS BIGINT) FROM tri) AS total_triangles
+    FROM corners
+    """
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _WREG  # noqa: E402
+
+_WREG["graph_triangles_dupgraph"].oracle = " ".join(_triangles_oracle().split())
