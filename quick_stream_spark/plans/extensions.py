@@ -488,3 +488,39 @@ def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.substring(F.col("content").cast("string"), 1, 40).alias("head"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle=f"SELECT 'xml' AS fmt, * FROM ({_CONNECTOR_ORACLE})",
+    tags=("source", "xml"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in XML connector (the spark-xml package merged
+    into core): write events as <row> elements, read back with an
+    explicit schema and the same µs timestamp format, aggregate —
+    matching the parquet-based oracle proves the XML round-trip is
+    lossless including escaping of the JSON ``props`` payload.
+
+    Scale design: identical to the other text connectors — file-parallel
+    read, schema projection; XML is the interchange surface for feeds
+    that deliver it, not a storage-format recommendation."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="qss-xml-")
+    (
+        ev.write.mode("overwrite")
+        .option("rowTag", "row")
+        .option("timestampFormat", TS_FMT)
+        .format("xml")
+        .save(work + "/xml")
+    )
+    xml_back = (
+        spark.read.schema(ev.schema)
+        .option("rowTag", "row")
+        .option("timestampFormat", TS_FMT)
+        .format("xml")
+        .load(work + "/xml")
+    )
+    return _connector_agg(xml_back, "xml")
