@@ -338,3 +338,104 @@ def agg_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_c / 10000, 6).alias("var_value"),
         F.when(var_c > 0, F.round(skew, 6)).alias("skewness"),
     )
+
+
+# ------------------------------------------------- linear counting
+
+LC_M = 65_536  # bitmap bits (8 KB): load stays < 3 for every keyed column
+
+
+def _lc_pos_sql(tag: str, key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{tag}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {LC_M})"
+    )
+
+
+def _lc_pos(tag: str, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{tag}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % LC_M
+    )
+
+
+_LC_KEYS = (  # (tag, table, column)
+    ("l_partkey", "lineitem", "l_partkey"),
+    ("l_suppkey", "lineitem", "l_suppkey"),
+    ("l_orderkey", "lineitem", "l_orderkey"),
+)
+
+
+@register(
+    "sketch_linear_counting",
+    oracle=f"""
+    WITH pos AS (
+      {" UNION ALL ".join(f"SELECT '{t}' AS key_name, {_lc_pos_sql(t, c)} AS p, {c} AS k FROM {tbl}" for t, tbl, c in _LC_KEYS)}
+    ),
+    agg AS (
+      SELECT key_name,
+             CAST(count(DISTINCT p) AS BIGINT) AS filled,
+             CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+      FROM pos GROUP BY key_name
+    )
+    SELECT key_name, {LC_M} AS m, filled, exact_distinct,
+           CAST(round(-{LC_M} * ln(CAST({LC_M} - filled AS DOUBLE) / {LC_M})) AS BIGINT)
+             AS est_distinct,
+           CAST(round(-{LC_M} * ln(CAST({LC_M} - filled AS DOUBLE) / {LC_M})) AS BIGINT)
+             - exact_distinct AS err
+    FROM agg
+    """,
+    tags=("sketch", "distinct", "linear-counting"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation by linear counting (Whang et al. 1990)
+    — the engine-replayable cousin of HLL (whose binary sketches are
+    engine-specific, so ``agg_approx_distinct_users`` is rows-only):
+    each key hashes to one bit of an m={LC_M} bitmap and the estimate
+    is -m·ln(empty/m), checked against the exact distinct count for
+    three lineitem key columns of different cardinalities.
+
+    Scale design: the bitmap build is a map-side-combinable distinct on
+    (key_name, bit) — at most {LC_M} rows per column survive per map
+    task, so reduce input is bounded by (tasks x m) regardless of data
+    volume, and bitmaps merge across days/streams by OR (union of set
+    bits).  The exact side is the verification piece you'd drop at
+    100 TB.  The single float op (one ln, rounded to an integer) is the
+    only library call — an ulp difference cannot flip the rounded
+    integer except exactly at a .5 boundary."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    sides = []
+    for tag, _tbl, c in _LC_KEYS:
+        sides.append(
+            li.select(
+                F.lit(tag).alias("key_name"),
+                _lc_pos(tag, F.col(c)).alias("p"),
+                F.col(c).alias("k"),
+            )
+        )
+    pos = sides[0]
+    for s in sides[1:]:
+        pos = pos.unionByName(s)
+    agg = pos.groupBy("key_name").agg(
+        F.count_distinct("p").alias("filled"),
+        F.count_distinct("k").alias("exact_distinct"),
+    )
+    est = F.round(
+        -F.lit(LC_M) * F.log((F.lit(LC_M) - F.col("filled")).cast("double") / LC_M)
+    ).cast("long")
+    return agg.select(
+        "key_name",
+        F.lit(LC_M).alias("m"),
+        "filled",
+        "exact_distinct",
+        est.alias("est_distinct"),
+        (est - F.col("exact_distinct")).alias("err"),
+    )
