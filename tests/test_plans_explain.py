@@ -162,3 +162,33 @@ def test_join_hints_select_their_strategies(spark):
     plan = _formatted(spark, "join_strategy_hints")
     assert "SortMergeJoin" in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_basket_topk_and_partial_pair_counts(spark):
+    """Market basket: the final top-30 must compile to
+    TakeOrderedAndProject (no global sort of the pair space) and the
+    pair count must partial-aggregate map-side before its shuffle."""
+    plan = _formatted(spark, "orders_market_basket")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_countmin_build_partial_aggregates(spark):
+    """The CMS counter build must partial-aggregate map-side: reduce
+    input is then bounded by (tasks x d x w), independent of volume."""
+    plan = _formatted(spark, "sketch_countmin_heavy_hitters")
+    assert "partial_count" in plan
+
+
+def test_bloom_probe_broadcasts_the_bit_table(spark):
+    """The bounded (k x m)-bit filter table must broadcast to the probe
+    side — the probe never shuffles on the bit key."""
+    plan = _formatted(spark, "join_bloom_pruned")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_markov_pair_counts_partial_aggregate(spark):
+    """The transition-matrix count must partial-aggregate map-side into
+    the bounded |types|^2 matrix before shuffling."""
+    plan = _formatted(spark, "events_markov_transitions")
+    assert "partial_count" in plan
