@@ -1600,3 +1600,78 @@ def pipeline_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(n_shared / F.col("n_grams"), 6).alias("containment"),
         )
     )
+
+
+# ------------------------------------------- approximation self-eval
+
+
+@register(
+    "dedup_lsh_quality_eval",
+    oracle=None,  # set below: composes the minhash + exact-jaccard oracles
+    tags=("text", "dedup", "evaluation"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine measuring its own approximation: precision/recall of
+    the MinHash+LSH near-dup pairs against the exact n-gram-Jaccard
+    pair set on the same corpus and threshold — the quantified version
+    of the recall claim in dedup_minhash_lsh's docstring, computed
+    distributed and oracle-checked.  (Both inputs are this session's
+    checkpointed pair sets, so the eval costs one small full-outer
+    join over pair keys, not a recompute.)
+
+    Precision is not definitionally 1.0: LSH verifies Jaccard on FULL
+    shingle sets while the exact path drops stop-shingles (the
+    MAX_SHINGLE_DF skew guard), so near-threshold pairs can differ —
+    exactly the kind of contract drift this eval exists to surface."""
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    both = lsh.join(exact, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_both",
+        F.round(F.col("n_both") / F.greatest(F.col("n_lsh"), F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("n_both") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def _lsh_eval_oracle() -> str:
+    lsh_sql = _REG2["dedup_minhash_lsh"].oracle
+    exact_sql = _REG2["dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH lsh AS (SELECT id_a, id_b FROM ({lsh_sql})),
+    exact AS (SELECT id_a, id_b FROM ({exact_sql})),
+    joined AS (
+      SELECT coalesce(l.id_a, e.id_a) AS id_a,
+             l.id_a IS NOT NULL AS in_lsh,
+             e.id_a IS NOT NULL AS in_exact
+      FROM lsh l FULL OUTER JOIN exact e
+        ON l.id_a = e.id_a AND l.id_b = e.id_b
+    )
+    SELECT CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+           CAST(sum(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           round(sum(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 1), 6) AS precision,
+           round(sum(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN in_exact THEN 1 ELSE 0 END), 1), 6) AS recall
+    FROM joined
+    """
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["dedup_lsh_quality_eval"].oracle = " ".join(_lsh_eval_oracle().split())
