@@ -10,6 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quick_stream_spark.functions import text as _tx
 from quick_stream_spark.plans._util import dsum, pin_session, rows_sized_parts, scoped_shuffle, sql_dsum
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table, stream_parquet_dir, write_batches_as_files
@@ -803,4 +804,84 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w)
             <= F.ceil(rate * F.count(F.lit(1)).over(stratum))
         ).alias("in_mixture"),
+    )
+
+
+# --------------------------------------------- quality-stratified sampling
+
+# keep-rates per quality tier: all of the best, half of the middle
+# band, a thin slice of the worst — the quality-weighted mixing step of
+# corpus curation
+_TIER_RATES = {"high": 100, "mid": 50, "low": 10}
+
+
+@register(
+    "sample_quality_stratified",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_tx.quality_score_sql('text')} AS quality_score
+      FROM documents
+    ),
+    cuts AS (
+      SELECT quantile_cont(quality_score, 0.25) AS q25,
+             quantile_cont(quality_score, 0.75) AS q75
+      FROM scored
+    ),
+    tiered AS (
+      SELECT s.doc_id, s.quality_score,
+             CASE WHEN s.quality_score >= c.q75 THEN 'high'
+                  WHEN s.quality_score >= c.q25 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM scored s, cuts c
+    )
+    SELECT doc_id, quality_score, tier,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+             < CASE tier WHEN 'high' THEN {_TIER_RATES['high']}
+                         WHEN 'mid' THEN {_TIER_RATES['mid']}
+                         ELSE {_TIER_RATES['low']} END AS kept
+    FROM tiered
+    """,
+    tags=("sampling", "quality", "curation"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def sample_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus curation: documents tier into
+    high/mid/low by exact quality-score quartiles and each tier keeps a
+    different deterministic hash-sample rate ({_TIER_RATES}) — the
+    quality-weighted mixing step every LLM corpus build runs after
+    scoring.
+
+    Scale design: the tier boundaries are TWO SCALARS computed by a
+    percentile aggregate (at 100 TB: approx_percentile — the swap is
+    one line and changes only the cut values, not the shape), NOT a
+    global rank window over the data; tiering and the content-hash keep
+    flag are then map-only, so membership is reproducible under
+    resharding and corpus growth, and a document's fate never depends
+    on which executor saw it.  One aggregate pass + one map pass."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", _tx.quality_score(F.col("text")).alias("quality_score")
+    )
+    cuts = scored.agg(
+        F.percentile("quality_score", F.lit(0.25)).alias("q25"),
+        F.percentile("quality_score", F.lit(0.75)).alias("q75"),
+    )
+    tier = (
+        F.when(F.col("quality_score") >= F.col("q75"), "high")
+        .when(F.col("quality_score") >= F.col("q25"), "mid")
+        .otherwise("low")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 100
+    rate = (
+        F.when(F.col("tier") == "high", _TIER_RATES["high"])
+        .when(F.col("tier") == "mid", _TIER_RATES["mid"])
+        .otherwise(_TIER_RATES["low"])
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "quality_score", tier.alias("tier"))
+        .select("doc_id", "quality_score", "tier", (h < rate).alias("kept"))
     )
