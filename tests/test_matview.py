@@ -1,0 +1,45 @@
+"""Unit semantics for IncrementalAggView: additive accumulation across
+batches, late-arriving new groups, chunking independence."""
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from quick_stream_spark.streaming.matview import IncrementalAggView
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "g string, value double")
+
+
+def test_accumulates_across_batches_and_admits_new_groups(spark):
+    work = tempfile.mkdtemp(prefix="qss-mv-test-")
+    view = IncrementalAggView(spark, work + "/v", group_cols=["g"], value_col="value")
+    view.apply_batch(_batch(spark, [("a", 1.5), ("a", 2.0), ("b", 3.25)]), 0)
+    view.apply_batch(_batch(spark, [("a", 0.25), ("c", 10.0)]), 1)
+    got = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
+    assert got == {"a": (3, 3.75), "b": (1, 3.25), "c": (1, 10.0)}
+
+
+def test_end_state_is_chunking_independent(spark):
+    rows = [(f"g{i % 3}", float(i)) for i in range(30)]
+    one = tempfile.mkdtemp(prefix="qss-mv-one-")
+    many = tempfile.mkdtemp(prefix="qss-mv-many-")
+    v1 = IncrementalAggView(spark, one + "/v", group_cols=["g"], value_col="value")
+    v1.apply_batch(_batch(spark, rows), 0)
+    v2 = IncrementalAggView(spark, many + "/v", group_cols=["g"], value_col="value")
+    for i in range(5):
+        v2.apply_batch(_batch(spark, rows[i * 6 : (i + 1) * 6]), i)
+    as_map = lambda v: {  # noqa: E731
+        r.g: (r.n, r.sum_value) for r in v.read().collect()
+    }
+    assert as_map(v1) == as_map(v2)
+
+
+def test_empty_batch_is_a_noop(spark):
+    work = tempfile.mkdtemp(prefix="qss-mv-empty-")
+    view = IncrementalAggView(spark, work + "/v", group_cols=["g"], value_col="value")
+    view.apply_batch(_batch(spark, [("a", 1.0)]), 0)
+    view.apply_batch(_batch(spark, []).filter(F.lit(False)), 1)
+    got = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
+    assert got == {"a": (1, 1.0)}
