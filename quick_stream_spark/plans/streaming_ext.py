@@ -466,3 +466,79 @@ def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return view.read()
+
+
+@register(
+    "stream_matview_distinct_users",
+    oracle="""
+    WITH pos AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS p,
+             user_id
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(DISTINCT p) AS BIGINT) AS bitmap_bits,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM pos GROUP BY event_type
+    )
+    SELECT event_type, bitmap_bits,
+           CAST(round(-1024 * ln(CAST(1024 - bitmap_bits AS DOUBLE) / 1024)) AS BIGINT)
+             AS est_distinct,
+           exact_distinct
+    FROM agg
+    """,
+    tags=("streaming", "matview", "distinct"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def stream_matview_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matview's second monoid: mergeable DISTINCT counting per
+    group via a linear-counting bitmap whose per-batch merge is set
+    union (bitmap OR) — distinct users per event type maintained
+    incrementally across a 3-delivery replay and compared against the
+    exact distinct count.  Bitmap union is idempotent AND commutative,
+    so unlike raw counts it is also correct under replayed deliveries —
+    the reason real pipelines store sketches, not counters, for
+    distinct metrics.
+
+    State per group is bounded by m=1024 ints regardless of user
+    volume; the oracle replays the bitmap arithmetic on the whole
+    input at once, which must equal the incrementally-merged state
+    (chunking independence of the monoid)."""
+    import tempfile as _tf
+
+    from quick_stream_spark.sources.readers import write_split_as_files
+    from quick_stream_spark.streaming.matview import IncrementalAggView
+
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = _tf.mkdtemp(prefix="qss-mvd-")
+    write_split_as_files(ev, F.col("event_id") % 3, 3, work + "/in")
+    view = IncrementalAggView(
+        spark,
+        work + "/view",
+        group_cols=["event_type"],
+        value_col="value",
+        distinct_col="user_id",
+        bitmap_m=1024,
+    )
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema)
+    with scoped_shuffle(spark, _stream_parts(spark, sf_dir)):
+        q = (
+            stream.select("event_type", "value", "user_id")
+            .writeStream.queryName(f"mvd_{abs(hash(work)) % 10**8}")
+            .foreachBatch(view.foreach_batch())
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        view.read()
+        .join(exact, "event_type")
+        .select("event_type", "bitmap_bits", "est_distinct", "exact_distinct")
+    )

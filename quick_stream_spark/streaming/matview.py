@@ -29,8 +29,13 @@ class IncrementalAggView:
 
     ``group_cols`` are the view key; ``value_col`` feeds an exact
     decimal SUM (surfaced as ``sum_value``) next to the row COUNT
-    (``n``).  Extending to any commutative-monoid aggregate (min, max,
-    bitmap OR, sketch merge) is adding a column pair here."""
+    (``n``).  ``distinct_col`` (optional) additionally maintains a
+    mergeable DISTINCT estimate per group: a linear-counting bitmap
+    (``bitmap_m`` bits, stored as a sorted array of set positions, at
+    most ``bitmap_m`` ints per group) whose per-batch merge is set
+    union — the bitmap-OR monoid.  The two column families demonstrate
+    the general recipe: any commutative-monoid aggregate (min, max,
+    sketch merge) is a partial column + a merge expression here."""
 
     def __init__(
         self,
@@ -38,11 +43,15 @@ class IncrementalAggView:
         path: str,
         group_cols: Sequence[str],
         value_col: str,
+        distinct_col: str | None = None,
+        bitmap_m: int = 1024,
         num_buckets: int = 8,
     ) -> None:
         self.spark = spark
         self.group_cols = list(group_cols)
         self.value_col = value_col
+        self.distinct_col = distinct_col
+        self.bitmap_m = int(bitmap_m)
         # version = batch id: the additive merge writes each touched
         # group exactly once per batch, so batch-wins LWW is correct
         self.table = KeyedTable(
@@ -53,34 +62,58 @@ class IncrementalAggView:
             num_buckets=num_buckets,
         )
 
+    def _bit_pos(self) -> F.Column:
+        key = F.col(self.distinct_col).cast("string")
+        return (
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+            % self.bitmap_m
+        ).cast("int")
+
     def _partial(self, batch: DataFrame) -> DataFrame:
-        return batch.groupBy(*self.group_cols).agg(
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(self.value_col).cast("decimal(18,2)")).alias("_sum_dec"),
-        )
+        ]
+        if self.distinct_col is not None:
+            aggs.append(
+                F.array_sort(F.collect_set(self._bit_pos())).alias("_bits")
+            )
+        return batch.groupBy(*self.group_cols).agg(*aggs)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         part = self._partial(batch)
         if self.table.exists():
-            cur = self.table.read().select(
-                *self.group_cols,
+            cur_cols = [
                 F.col("n").alias("_n_cur"),
                 F.col("_sum_dec").alias("_sum_cur"),
-            )
+            ]
+            if self.distinct_col is not None:
+                cur_cols.append(F.col("_bits").alias("_bits_cur"))
+            cur = self.table.read().select(*self.group_cols, *cur_cols)
             # left join: only groups touched by THIS batch are read,
             # merged and rewritten; untouched groups keep their rows
-            part = (
-                part.join(cur, self.group_cols, "left")
-                .select(
-                    *self.group_cols,
-                    (F.col("n") + F.coalesce(F.col("_n_cur"), F.lit(0))).alias("n"),
-                    (
-                        F.col("_sum_dec")
-                        + F.coalesce(
-                            F.col("_sum_cur"), F.lit(0).cast("decimal(18,2)")
-                        )
-                    ).cast("decimal(18,2)").alias("_sum_dec"),
+            merged_cols = [
+                (F.col("n") + F.coalesce(F.col("_n_cur"), F.lit(0))).alias("n"),
+                (
+                    F.col("_sum_dec")
+                    + F.coalesce(F.col("_sum_cur"), F.lit(0).cast("decimal(18,2)"))
                 )
+                .cast("decimal(18,2)")
+                .alias("_sum_dec"),
+            ]
+            if self.distinct_col is not None:
+                merged_cols.append(
+                    F.array_sort(
+                        F.array_union(
+                            F.col("_bits"),
+                            F.coalesce(
+                                F.col("_bits_cur"), F.array().cast("array<int>")
+                            ),
+                        )
+                    ).alias("_bits")
+                )
+            part = part.join(cur, self.group_cols, "left").select(
+                *self.group_cols, *merged_cols
             )
         self.table.upsert(part.withColumn("_batch_id", F.lit(int(batch_id))))
 
@@ -92,9 +125,21 @@ class IncrementalAggView:
 
     def read(self) -> DataFrame:
         """The current view: group keys, row count, exact decimal sum
-        surfaced as double."""
-        return self.table.read().select(
+        surfaced as double — plus, with ``distinct_col``, the bitmap
+        fill count and the linear-counting distinct estimate
+        (−m·ln(empty/m), rounded to an integer)."""
+        cols = [
             *self.group_cols,
             "n",
             F.col("_sum_dec").cast("double").alias("sum_value"),
-        )
+        ]
+        if self.distinct_col is not None:
+            m = F.lit(self.bitmap_m)
+            filled = F.size("_bits")
+            cols.append(filled.alias("bitmap_bits"))
+            cols.append(
+                F.round(-m * F.log((m - filled).cast("double") / m))
+                .cast("long")
+                .alias("est_distinct")
+            )
+        return self.table.read().select(*cols)

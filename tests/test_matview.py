@@ -43,3 +43,26 @@ def test_empty_batch_is_a_noop(spark):
     view.apply_batch(_batch(spark, []).filter(F.lit(False)), 1)
     got = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
     assert got == {"a": (1, 1.0)}
+
+
+def test_distinct_bitmap_merges_and_is_replay_safe(spark):
+    work = tempfile.mkdtemp(prefix="qss-mv-dist-")
+    view = IncrementalAggView(
+        spark, work + "/v", group_cols=["g"], value_col="value",
+        distinct_col="u", bitmap_m=64,
+    )
+    b1 = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 1.0, 2), ("a", 1.0, 2)], "g string, value double, u long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1.0, 2), ("a", 1.0, 3)], "g string, value double, u long"
+    )
+    view.apply_batch(b1, 0)
+    view.apply_batch(b2, 1)
+    row = view.read().collect()[0]
+    assert row.bitmap_bits == 3  # users 1,2,3 -> three positions (m=64, no collision here)
+    assert row.est_distinct == 3
+    # replaying a delivery must not change the distinct state (idempotent OR)
+    view.apply_batch(b2, 2)
+    row2 = view.read().collect()[0]
+    assert row2.bitmap_bits == 3 and row2.est_distinct == 3
