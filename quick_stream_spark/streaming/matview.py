@@ -86,6 +86,7 @@ class IncrementalAggView:
             cur_cols = [
                 F.col("n").alias("_n_cur"),
                 F.col("_sum_dec").alias("_sum_cur"),
+                F.col("_batch_id").alias("_bid_cur"),
             ]
             if self.distinct_col is not None:
                 cur_cols.append(F.col("_bits").alias("_bits_cur"))
@@ -112,8 +113,20 @@ class IncrementalAggView:
                         )
                     ).alias("_bits")
                 )
-            part = part.join(cur, self.group_cols, "left").select(
-                *self.group_cols, *merged_cols
+            # exactly-once under foreachBatch retries: a group whose
+            # stored _batch_id already equals this batch_id absorbed
+            # this delivery before a crash-and-retry — re-adding would
+            # double-count, so those groups are dropped from the write
+            # (their stored state is already correct).  This is the
+            # idempotent-foreachBatch recipe: the version column doubles
+            # as the transaction id.
+            part = (
+                part.join(cur, self.group_cols, "left")
+                .filter(
+                    F.col("_bid_cur").isNull()
+                    | (F.col("_bid_cur") != F.lit(int(batch_id)))
+                )
+                .select(*self.group_cols, *merged_cols)
             )
         self.table.upsert(part.withColumn("_batch_id", F.lit(int(batch_id))))
 

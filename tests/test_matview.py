@@ -66,3 +66,19 @@ def test_distinct_bitmap_merges_and_is_replay_safe(spark):
     view.apply_batch(b2, 2)
     row2 = view.read().collect()[0]
     assert row2.bitmap_bits == 3 and row2.est_distinct == 3
+
+
+def test_retried_batch_is_idempotent(spark):
+    """foreachBatch delivers at-least-once: a batch retried after a
+    successful merge must not double-count (the stored _batch_id is the
+    transaction id)."""
+    work = tempfile.mkdtemp(prefix="qss-mv-retry-")
+    view = IncrementalAggView(spark, work + "/v", group_cols=["g"], value_col="value")
+    b0 = _batch(spark, [("a", 1.0), ("b", 2.0)])
+    b1 = _batch(spark, [("a", 4.0)])
+    view.apply_batch(b0, 0)
+    view.apply_batch(b1, 1)
+    before = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
+    view.apply_batch(b1, 1)  # retry of the same epoch
+    after = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
+    assert before == after == {"a": (2, 5.0), "b": (1, 2.0)}
