@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quick_stream_spark.plans._util import pin_session
+from quick_stream_spark.plans._util import pin_session, sql_dsum
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
 
@@ -555,3 +555,97 @@ def _triangles_oracle() -> str:
 from quick_stream_spark.plans.registry import REGISTRY as _WREG  # noqa: E402
 
 _WREG["graph_triangles_dupgraph"].oracle = " ".join(_triangles_oracle().split())
+
+
+# ------------------------------------------------- RFM segmentation
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             {sql_dsum("o_totalprice", "monetary")}
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, 0.5) AS r_med,
+             quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM per_cust
+    )
+    SELECT p.o_custkey, p.recency_days, p.frequency, p.monetary,
+           CASE WHEN p.recency_days <= c.r_med AND p.frequency > c.f_med
+                     AND p.monetary > c.m_med THEN 'champion'
+                WHEN p.recency_days <= c.r_med AND p.frequency > c.f_med
+                  THEN 'loyal'
+                WHEN p.recency_days <= c.r_med THEN 'recent'
+                WHEN p.frequency > c.f_med OR p.monetary > c.m_med
+                  THEN 'at_risk_valuable'
+                ELSE 'hibernating' END AS segment
+    FROM per_cust p, cuts c
+    """,
+    tags=("warehouse", "rfm", "segmentation"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    anchored to the corpus max date so the query is reproducible),
+    frequency (order count) and monetary (exact decimal spend) per
+    customer, segmented against median cuts into the classic
+    champion / loyal / recent / at-risk-valuable / hibernating tiers.
+
+    Scale design: one groupBy on the customer key builds the RFM
+    table; the cuts are THREE SCALARS from a percentile aggregate
+    (approx_percentile at 100 TB — values change, shape doesn't),
+    broadcast into a map-only CASE — never a global rank window over
+    customers."""
+    from quick_stream_spark.plans._util import dsum
+
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("maxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+    )
+    cuts = per_cust.agg(
+        F.percentile("recency_days", F.lit(0.5)).alias("r_med"),
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    )
+    seg = (
+        F.when(
+            (F.col("recency_days") <= F.col("r_med"))
+            & (F.col("frequency") > F.col("f_med"))
+            & (F.col("monetary") > F.col("m_med")),
+            "champion",
+        )
+        .when(
+            (F.col("recency_days") <= F.col("r_med"))
+            & (F.col("frequency") > F.col("f_med")),
+            "loyal",
+        )
+        .when(F.col("recency_days") <= F.col("r_med"), "recent")
+        .when(
+            (F.col("frequency") > F.col("f_med"))
+            | (F.col("monetary") > F.col("m_med")),
+            "at_risk_valuable",
+        )
+        .otherwise("hibernating")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select(
+            "o_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
+        )
+    )

@@ -46,6 +46,7 @@ class IncrementalAggView:
         distinct_col: str | None = None,
         bitmap_m: int = 1024,
         num_buckets: int = 8,
+        commit_protocol: str = "direct",
     ) -> None:
         self.spark = spark
         self.group_cols = list(group_cols)
@@ -53,13 +54,17 @@ class IncrementalAggView:
         self.distinct_col = distinct_col
         self.bitmap_m = int(bitmap_m)
         # version = batch id: the additive merge writes each touched
-        # group exactly once per batch, so batch-wins LWW is correct
+        # group exactly once per batch, so batch-wins LWW is correct.
+        # commit_protocol="manifest" makes each batch's merge one atomic
+        # snapshot (crash mid-merge leaves the previous snapshot intact,
+        # and the retried epoch is then absorbed idempotently).
         self.table = KeyedTable(
             spark,
             path,
             keys=self.group_cols,
             version_col="_batch_id",
             num_buckets=num_buckets,
+            commit_protocol=commit_protocol,
         )
 
     def _bit_pos(self) -> F.Column:
