@@ -649,3 +649,53 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
         )
     )
+
+
+# ------------------------------------------------- range-frame windows
+
+@register(
+    "window_range_frame_rolling",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("warehouse", "window", "range-frame"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def window_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows — the time-based sibling of the ROWS frames
+    used elsewhere in the corpus: for every event, the count and exact
+    decimal sum of the SAME user's events in the trailing hour,
+    bounded by event-time distance (RANGE BETWEEN 3600 PRECEDING),
+    not row position — rows outside the hour are excluded however many
+    there are, and same-second peers are always included together.
+
+    Scale design: one shuffle on user_id; within each partition the
+    running frame is maintained by a sliding aggregate over the
+    time-sorted rows (Spark evaluates range frames incrementally, not
+    per-row rescans).  The epoch-seconds ordering key makes the frame
+    arithmetic integer-exact and engine-identical."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )

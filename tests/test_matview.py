@@ -101,3 +101,43 @@ def test_manifest_protocol_matches_direct(spark):
         states[proto] = {r.g: (r.n, r.sum_value) for r in v.read().collect()}
     assert states["direct"] == states["manifest"]
     assert states["direct"] == {"a": (2, 4.5), "b": (1, 2.0), "c": (1, 1.25)}
+
+
+# ---------------------------------------------------- property-based
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_row = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.integers(min_value=0, max_value=40).map(lambda c: c / 4.0),  # exact quarters
+)
+_batches = st.lists(
+    st.tuples(st.lists(_row, min_size=1, max_size=5), st.booleans()),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_batches)
+def test_view_matches_model_under_random_batches_and_retries(spark, batches):
+    """Random batch sequences, each optionally retried with its own
+    epoch (at-least-once delivery), must converge to the plain
+    in-memory aggregate of every batch applied once."""
+    work = tempfile.mkdtemp(prefix="qss-mv-prop-")
+    view = IncrementalAggView(spark, work + "/v", group_cols=["g"], value_col="value")
+    model: dict = {}
+    for epoch, (rows, retry) in enumerate(batches):
+        view.apply_batch(_batch(spark, rows), epoch)
+        if retry:
+            view.apply_batch(_batch(spark, rows), epoch)
+        for g, v in rows:
+            n, s = model.get(g, (0, 0.0))
+            model[g] = (n + 1, s + v)
+    got = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
+    assert got == model
