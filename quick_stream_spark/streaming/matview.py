@@ -95,7 +95,17 @@ class IncrementalAggView:
             ]
             if self.distinct_col is not None:
                 cur_cols.append(F.col("_bits").alias("_bits_cur"))
-            cur = self.table.read().select(*self.group_cols, *cur_cols)
+            # touched-group read: the partial's bucket set prunes the
+            # view scan via dynamic partition pruning (KeyedTable's
+            # merge machinery) — per-batch read cost follows the
+            # batch's group spread, not the view size
+            from quick_stream_spark.operators.merge import BUCKET_COL
+
+            part_b = part.withColumn(BUCKET_COL, self.table._bucket_expr())
+            cur = (
+                self.table._pruned_current(part_b)
+                .select(*self.group_cols, *cur_cols)
+            )
             # left join: only groups touched by THIS batch are read,
             # merged and rewritten; untouched groups keep their rows
             merged_cols = [
