@@ -1675,3 +1675,68 @@ def _lsh_eval_oracle() -> str:
 from quick_stream_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
 
 _REG2["dedup_lsh_quality_eval"].oracle = " ".join(_lsh_eval_oracle().split())
+
+
+# ------------------------------------------- cluster-safe splitting
+
+
+@register(
+    "sample_cluster_safe_split",
+    oracle=None,  # set below: composes the CC oracle with the hash split
+    tags=("sampling", "dedup", "leakage"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test splitting: the split hash is taken over
+    the near-dup CLUSTER label (min-id connected component), not the
+    document id, so a document and all its near-duplicates always land
+    in the same split — closing the contamination channel that plain
+    per-document splitting leaves open (a perturbed twin of a test doc
+    sitting in train; see pipeline_ngram_decontamination, which
+    DETECTS exactly what this op PREVENTS).  Returns per-doc split
+    plus the cluster id and whether the doc is clustered.
+
+    Scale design: one left join of the corpus against the (far
+    smaller) label set; the split flag is the same content-addressed
+    md5 arithmetic as sample_splits applied to the cluster key —
+    map-only after the join, reproducible under corpus growth."""
+    labels = dedup_connected_components(spark, sf_dir).withColumnRenamed(
+        "id", "lid"
+    )
+    corpus = _dup_corpus(spark, sf_dir).select("id")
+    joined = corpus.join(labels, corpus.id == labels.lid, "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("split_key")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("split_key").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return joined.select(
+        "id",
+        F.col("split_key").alias("cluster_id"),
+        (F.col("split_key") != F.col("id")).alias("in_cluster_of_other"),
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+def _cluster_split_oracle() -> str:
+    cc_sql = _REG2["dedup_connected_components"].oracle
+    split_h = "(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 15))::BIGINT % 100)"
+    return f"""
+    WITH labels AS ({cc_sql}),
+    corpus AS ({DUP_CORPUS_SQL}),
+    joined AS (
+      SELECT c.id, coalesce(l.component, c.id) AS split_key
+      FROM corpus c LEFT JOIN labels l ON c.id = l.id
+    )
+    SELECT id, split_key AS cluster_id,
+           split_key <> id AS in_cluster_of_other,
+           CASE WHEN {split_h} < 90 THEN 'train'
+                WHEN {split_h} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM joined
+    """
+
+
+_REG2["sample_cluster_safe_split"].oracle = " ".join(_cluster_split_oracle().split())
