@@ -699,3 +699,84 @@ def window_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_trailing_1h"),
     )
+
+
+# ------------------------------------------------- last-touch attribution
+
+ATTR_WINDOW_MIN = 30
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND ts - touch_ts <= INTERVAL '{ATTR_WINDOW_MIN} minutes'
+                  THEN touch_type ELSE 'direct' END AS channel
+      FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM attributed GROUP BY channel
+    """,
+    tags=("warehouse", "attribution", "window"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the SAME
+    user's most recent preceding non-purchase event within
+    {ATTR_WINDOW_MIN} minutes, else 'direct' — the marketing-analytics
+    sibling of the as-of join, expressed as one pass instead of a
+    range join.
+
+    Scale design: single shuffle on user_id; last_value IGNORE NULLS
+    over a rows-preceding frame finds the prior touch in one
+    time-sorted pass (no per-purchase range join, no event
+    duplication), same-ts ties ordered by event_id in both engines.
+    The attribution cutoff is evaluated row-locally afterward."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    attributed = (
+        ev.select(
+            "event_type",
+            "ts",
+            touch_type.alias("touch_type"),
+            touch_ts.alias("touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch_ts").isNotNull()
+                & (
+                    F.col("ts").cast("long") - F.col("touch_ts").cast("long")
+                    <= ATTR_WINDOW_MIN * 60
+                ),
+                F.col("touch_type"),
+            )
+            .otherwise("direct")
+            .alias("channel")
+        )
+    )
+    return attributed.groupBy("channel").agg(F.count(F.lit(1)).alias("n_purchases"))
