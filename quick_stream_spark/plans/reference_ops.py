@@ -489,3 +489,49 @@ def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         v2 = target.snapshot_versions()[-1]
         changes = target.read_changes(v1, v2).localCheckpoint(eager=True)
     return changes
+
+
+@register(
+    "r_cdc_replication",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props,
+           user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+             AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY (event_id % 2) DESC, ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND user_id % 7 <> 0
+    """,
+    tags=("reference", "manifest", "cdc", "replication"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication end-to-end (operators/replicate.py): a second
+    engine-managed table is kept in sync with the source purely by
+    consuming the source's change feed — the Delta-CDF consumer pattern,
+    and the logical twin of the reference's Postgres sink role
+    (upsert.rs:209-269: the reference pushes state downstream; here the
+    downstream subscribes to commits).  Four source commits — even
+    events, odd events (batch-wins), soft-delete of error users,
+    hard-delete of ``user_id % 7 == 0`` — with a mid-history ``sync()``
+    after commit 2 and a final one after commit 4, so the replica
+    exercises bootstrap (snapshot read of v1), incremental deltas, and
+    resume.  The replica uses the DIRECT protocol (cross-protocol
+    replication: CDC rows are plain row images).  The oracle states the
+    source's end state; returning the REPLICA's rows is the point — the
+    feed alone reconstructs the table."""
+    from quick_stream_spark.operators.replicate import ChangeReplicator
+
+    ev = _events(spark, sf_dir)
+    source = _table(spark, commit_protocol="manifest")
+    replicator = ChangeReplicator(source, _table(spark))
+    with _events_scope(spark, sf_dir):
+        source.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        source.upsert(ev.filter(F.col("event_id") % 2 == 1))
+        replicator.sync()
+        source.soft_delete(ev.filter(F.col("event_type") == "error"))
+        source.hard_delete(ev.filter(F.col("user_id") % 7 == 0))
+        replicator.sync()
+    return replicator.replica.read().select(*EVENT_COLS, "row_active")

@@ -1,0 +1,101 @@
+"""CDC replication (operators/replicate.py): a replica fed only by the
+source's change feed must converge to the source's exact state —
+including soft-delete flags, reactivations, and hard deletes — from any
+bootstrap point, idempotently, across commit protocols."""
+
+import os
+from datetime import datetime
+
+import pytest
+
+from quick_stream_spark.operators.merge import KeyedTable
+from quick_stream_spark.operators.replicate import ChangeReplicator
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def mk(spark, root, name, protocol="manifest"):
+    return KeyedTable(
+        spark,
+        os.path.join(root, name),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        commit_protocol=protocol,
+    )
+
+
+def state(table):
+    return {r.pkey: (r.payload, r.row_active) for r in table.read().collect()}
+
+
+B1 = [(1, datetime(2024, 1, 1), 1, "a1"), (2, datetime(2024, 1, 1), 2, "b1"),
+      (3, datetime(2024, 1, 1), 3, "c1")]
+B2 = [(1, datetime(2024, 1, 5), 4, "a2"), (4, datetime(2024, 1, 2), 5, "d1")]
+
+
+def test_replica_converges_after_each_commit(spark, tmp_table_dir):
+    src = mk(spark, tmp_table_dir, "src")
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    ops = [
+        lambda: src.upsert(df(spark, B1)),
+        lambda: src.upsert(df(spark, B2)),
+        lambda: src.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 9, "x")])),
+        lambda: src.hard_delete(df(spark, [(3, datetime(2024, 2, 2), 10, "x")])),
+        # re-upsert reactivates the soft-deleted key via a postimage
+        lambda: src.upsert(df(spark, [(2, datetime(2024, 3, 1), 11, "b2")])),
+    ]
+    for op in ops:
+        op()
+        assert rep.sync() >= 1
+        assert state(rep.replica) == state(src)
+    assert state(src)[2] == ("b2", True)
+    assert 3 not in state(src)
+    assert rep.sync() == 0  # idempotent: nothing new to apply
+
+
+def test_bootstrap_mid_history(spark, tmp_table_dir):
+    src = mk(spark, tmp_table_dir, "src")
+    src.upsert(df(spark, B1))
+    src.upsert(df(spark, B2))
+    src.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 9, "x")]))
+    # replica created only now: bootstrap snapshot + CDC forward
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    assert rep.sync() == 3  # bootstrap(v1) + deltas 1->2, 2->3
+    assert state(rep.replica) == state(src)
+    src.hard_delete(df(spark, [(1, datetime(2024, 2, 5), 12, "x")]))
+    assert rep.sync() == 1
+    assert state(rep.replica) == state(src)
+
+
+def test_cross_protocol_manifest_replica(spark, tmp_table_dir):
+    src = mk(spark, tmp_table_dir, "src")
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="manifest"))
+    src.upsert(df(spark, B1))
+    src.upsert(df(spark, B2))
+    rep.sync()
+    assert state(rep.replica) == state(src)
+    # the replica is itself a manifest table: its history is queryable
+    assert len(rep.replica.snapshot_versions()) >= 2
+
+
+def test_compaction_commit_is_a_noop_delta(spark, tmp_table_dir):
+    src = mk(spark, tmp_table_dir, "src")
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    src.upsert(df(spark, B1))
+    rep.sync()
+    before = state(rep.replica)
+    src.compact()  # layout-only commit: CDC delta must be empty
+    assert rep.sync() == 1
+    assert state(rep.replica) == before == state(src)
+
+
+def test_requires_manifest_source(spark, tmp_table_dir):
+    direct = mk(spark, tmp_table_dir, "d", protocol="direct")
+    with pytest.raises(ValueError, match="manifest"):
+        ChangeReplicator(direct, mk(spark, tmp_table_dir, "r"))
