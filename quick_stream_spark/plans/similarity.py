@@ -1066,3 +1066,122 @@ def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ip", 6).alias("ip"),
         )
     )
+
+
+# ------------------------------------------------------- SemDeDup
+
+SEMDEDUP_THRESHOLD = 0.99
+
+
+def _semdedup_oracle() -> str:
+    ctes = ",\n".join(_kmeans_ctes())
+    sq = _sqdist_sql("co.v", "c.c")
+    return f"""
+    WITH {ctes},
+    cents AS (SELECT cell, list(cv ORDER BY pos) AS c
+              FROM cr_{KMEANS_ITERS} GROUP BY cell),
+    corpus AS (
+      SELECT vec_id, v FROM e
+      UNION ALL
+      SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id,
+             list_transform(v, x -> x * 1.02 + 0.01) AS v
+      FROM e
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT co.vec_id, co.v, c.cell,
+               row_number() OVER (PARTITION BY co.vec_id
+                 ORDER BY {sq} ASC, c.cell ASC) AS rn
+        FROM corpus co CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {vec.cosine_sql('a.v', 'b.v', DIM)} >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           s.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+    FROM assigned s
+    """
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=None,  # set below: unrolled-k-means CTEs + within-cell verdicts
+    tags=("similarity", "dedup", "ml", "iterative"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering — cluster the embedding space,
+    then search for near-duplicates ONLY within each cluster, keeping
+    per duplicate group one exemplar.  The published recipe exactly:
+    pairwise similarity is confined to cluster cells, never the full
+    corpus, which is what makes it tractable (SemDeDup ran 50k clusters
+    over LAION; here K={KMEANS_K} over the test embeddings — K scales
+    with n so the per-cell pair volume stays bounded).
+
+    Deterministic verdict: a vector is PRUNED iff some same-cell vector
+    with a lower id has cosine >= {SEMDEDUP_THRESHOLD} to it (the
+    fixed-order greedy scan of the paper, restated set-wise so both
+    engines replay it).  The corpus doubles every vector with the same
+    affine perturbation as dedup_embedding_cosine, so true semantic
+    dups exist; the codebook is trained on the ORIGINAL vectors only
+    (train-on-sample, assign-all — the production shape).
+
+    Scale design: training is emb_kmeans_train (model over driver,
+    bounded K x DIM artifact); assignment is row-local literal-array
+    math (no shuffle, no join); the only shuffle is the within-cell
+    equi-join on cell id.  Compare dedup_embedding_cosine: same verify
+    math, LSH buckets instead of trained cells as the blocking key."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    pert = e.select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
+    )
+    corpus = e.unionByName(pert)
+
+    km = emb_kmeans_train(spark, sf_dir)
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in km.collect():
+        by_cell.setdefault(r.cell, {})[r.pos] = float(r.centroid)
+    cents = [(cell, [by_cell[cell][p] for p in range(DIM)]) for cell in sorted(by_cell)]
+
+    cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
+    ids_lit = F.array(*[F.lit(cid) for cid, _ in cents])
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dist_arr = F.transform(cells_lit, sqdist)
+    best = F.array_position(dist_arr, F.array_min(dist_arr)).cast("int")
+    # materialize the assignment once: three consumers (both join sides
+    # and the verdict output) would otherwise recompute the row-local
+    # argmin; the frame is (id, vec, cell) — same order as the corpus
+    assigned = corpus.select(
+        "vec_id", "v", F.element_at(ids_lit, best).cast("long").alias("cell")
+    ).localCheckpoint(eager=True)
+
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(vec.cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__qss_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select("vec_id", "cell", F.col("__qss_dup").isNull().alias("kept"))
+    )
+
+
+_SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
