@@ -885,3 +885,139 @@ def sample_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality_score", tier.alias("tier"))
         .select("doc_id", "quality_score", "tier", (h < rate).alias("kept"))
     )
+
+
+# ---------------------------------------------- DSIR importance resampling
+
+DSIR_B = 1024  # hashed feature buckets (the model is B-bounded by design)
+
+_DSIR_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+_DSIR_BUCKETS = (
+    f"list_transform({_DSIR_TOKS}, "
+    f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007 % {DSIR_B})"
+)
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH db AS (
+      SELECT doc_id, lang, unnest({_DSIR_BUCKETS}) AS b FROM documents
+    ),
+    doc_counts AS (
+      SELECT doc_id, lang, b, count(*) AS c FROM db GROUP BY doc_id, lang, b
+    ),
+    raw AS (SELECT b, SUM(c) AS nr FROM doc_counts GROUP BY b),
+    tgt AS (SELECT b, SUM(c) AS nt FROM doc_counts WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT SUM(c) AS tr, SUM(c) FILTER (WHERE lang = 'en') AS tt
+      FROM doc_counts
+    ),
+    llr AS (
+      SELECT raw.b,
+             CAST(round(ln((((coalesce(tgt.nt, 0) + 0.5) / (tot.tt + {0.5 * DSIR_B}))
+                            * (tot.tr + {0.5 * DSIR_B})) / (raw.nr + 0.5)) * 1000000)
+                  AS BIGINT) AS w
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+    ),
+    scores AS (
+      SELECT dc.doc_id, CAST(SUM(dc.c * llr.w) AS BIGINT) AS score_micro
+      FROM doc_counts dc JOIN llr ON dc.b = llr.b GROUP BY dc.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, coalesce(s.score_micro, 0) AS score_micro
+      FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+    ),
+    thr AS (SELECT quantile_cont(CAST(score_micro AS DOUBLE), 0.75) AS t FROM scored)
+    SELECT doc_id, lang, score_micro,
+           CAST(score_micro AS DOUBLE) >= thr.t AS selected
+    FROM scored, thr
+    """,
+    tags=("sampling", "pipeline", "dsir", "ml"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    rank raw documents by how much their hashed n-gram profile looks
+    like a target distribution, then keep the top slice — the
+    importance-resampling step LLM corpus builds use to tilt a web
+    crawl toward a curated target.  Here the target is the ``lang='en'``
+    subset of ``documents`` (train-on-subset, score-everything); the
+    feature space is whitespace tokens hashed into {DSIR_B} buckets
+    (one md5 per token, the minhash hash family).
+
+    Per-bucket importance is the add-half-smoothed log-likelihood ratio
+    ln(p_target(b) / p_raw(b)) scaled to an INTEGER (micro-nats), so a
+    document's score — sum(count_b * llr_b) — is an exact, order-
+    independent integer aggregation; the one transcendental runs once
+    per BUCKET ({DSIR_B} values), never per token.  Selection keeps
+    score >= the exact 75th percentile, a ONE-SCALAR threshold
+    broadcast into a map-only flag (swap percentile for
+    approx_percentile at 100 TB — shape unchanged); deterministic
+    rate-threshold selection stands in for the paper's Gumbel top-k
+    (add a content-hash Gumbel term to taste — the ranking machinery is
+    identical).
+
+    Scale design: ONE shuffle of the token stream (to per-doc bucket
+    counts, map-side combinable); the two LMs and their ratio table
+    derive from those counts and are {DSIR_B}-row bounded artifacts
+    broadcast into the scoring join; everything after is map-only."""
+    from quick_stream_spark.functions import minhash as _mh
+
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    buckets = F.transform(
+        _mh.token_hash_array(F.col("text")), lambda h: h % DSIR_B
+    )
+    # one shuffle: token stream -> per-(doc, bucket) counts; materialized
+    # once, every model aggregate below derives from this far smaller frame
+    doc_counts = (
+        d.select("doc_id", "lang", F.explode(buckets).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    raw = doc_counts.groupBy("b").agg(F.sum("c").alias("nr"))
+    tgt = (
+        doc_counts.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("c").alias("nt"))
+    )
+    tot = doc_counts.agg(
+        F.sum("c").alias("tr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("tt"),
+    )
+    half_b = F.lit(0.5 * DSIR_B)
+    ratio = (
+        ((F.coalesce(F.col("nt"), F.lit(0)) + 0.5) / (F.col("tt") + half_b))
+        * (F.col("tr") + half_b)
+    ) / (F.col("nr") + 0.5)
+    llr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.round(F.log(ratio) * 1_000_000).cast("long").alias("w"))
+    )
+    scores = (
+        doc_counts.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("score_micro"))
+    )
+    scored = (
+        d.select("doc_id", "lang")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("score_micro"), F.lit(0).cast("long")).alias("score_micro"),
+        )
+    )
+    thr = scored.agg(F.percentile("score_micro", F.lit(0.75)).alias("t"))
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "score_micro",
+        (F.col("score_micro").cast("double") >= F.col("t")).alias("selected"),
+    )
