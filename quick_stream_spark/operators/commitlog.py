@@ -100,17 +100,46 @@ class ManifestLog:
 
     # ----------------------------------------------------------- write
 
-    def commit(self, mapping: dict[int, list[str]]) -> int:
+    def read_stats(self, version: int | None = None) -> dict[int, list[int]] | None:
+        """Per-bucket ``[rows, active_rows]`` recorded at commit time
+        (the Delta add-file-stats analog).  ``None`` for a manifest
+        written before stats existed — callers fall back to a scan."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                return {}
+        fs, _, jvm = _fs(self.spark, self.dir)
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
+        if not fs.exists(p):
+            raise FileNotFoundError(f"no manifest version {version} in {self.dir}")
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        raw = json.loads(data.decode("utf-8"))
+        if "stats" not in raw:
+            return None
+        return {int(b): list(s) for b, s in raw["stats"].items()}
+
+    def commit(
+        self,
+        mapping: dict[int, list[str]],
+        stats: dict[int, list[int]] | None = None,
+    ) -> int:
         """Publish ``mapping`` as the next snapshot.  Write-temp +
         atomic no-overwrite rename: the snapshot either fully exists or
         not at all, and a racing writer fails loudly instead of
-        clobbering."""
+        clobbering.  ``stats`` (per-bucket ``[rows, active_rows]``)
+        rides in the same atomic publish, so metadata counts can never
+        disagree with the snapshot they describe."""
         version = (self.latest_version() or 0) + 1
         fs, _, jvm = _fs(self.spark, self.dir)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.dir))
-        body = json.dumps(
-            {"version": version, "buckets": {str(b): f for b, f in sorted(mapping.items())}}
-        ).encode("utf-8")
+        doc = {"version": version, "buckets": {str(b): f for b, f in sorted(mapping.items())}}
+        if stats is not None:
+            doc["stats"] = {str(b): list(s) for b, s in sorted(stats.items())}
+        body = json.dumps(doc).encode("utf-8")
         tmp = jvm.org.apache.hadoop.fs.Path(
             os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
         )

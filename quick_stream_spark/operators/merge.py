@@ -217,7 +217,14 @@ class KeyedTable:
         under a fresh commit dir, then publish a new manifest carrying
         forward every bucket not in ``replaced_buckets``.  A replaced
         bucket with no rows in ``df`` simply has no files in the new
-        snapshot — hard-delete emptying needs no directory surgery."""
+        snapshot — hard-delete emptying needs no directory surgery.
+
+        Each commit also records per-bucket ``[rows, active_rows]`` in
+        the manifest (the Delta add-file-stats analog): one
+        footer-weight aggregation over ONLY the commit's new files
+        (untouched buckets carry their stats forward), collected as a
+        ``num_buckets``-bounded artifact — so ``count_fast`` answers
+        COUNT(*) from pure metadata at any scale."""
         commit_dir = self._log.new_commit_dir()
         (
             df.write.mode("overwrite")
@@ -226,12 +233,27 @@ class KeyedTable:
         )
         new_files = self._log.list_bucket_files(commit_dir)
         mapping = self._log.read()
+        stats = self._log.read_stats() or {}
         for b in replaced_buckets:
             mapping.pop(b, None)
+            stats.pop(b, None)
         for b, fl in new_files.items():
             mapping[b] = fl
+        if new_files:
+            counted = (
+                self.spark.read.schema(df.schema)
+                .parquet(commit_dir)
+                .groupBy(BUCKET_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("__qss_rows"),
+                    F.sum(F.col(self.soft_delete_col).cast("long")).alias("__qss_active"),
+                )
+                .collect()
+            )
+            for r in counted:
+                stats[int(r[BUCKET_COL])] = [int(r["__qss_rows"]), int(r["__qss_active"])]
         self._write_schema_sidecar(df.schema)
-        self._log.commit(mapping)
+        self._log.commit(mapping, stats=stats)
         self._exists_cache = True
 
     # ------------------------------------------------------ observability
@@ -291,7 +313,7 @@ class KeyedTable:
         if self._log is None:
             raise ValueError("restore requires commit_protocol='manifest'")
         mapping = self._log.read(version)  # raises on unknown version
-        return self._log.commit(mapping)
+        return self._log.commit(mapping, stats=self._log.read_stats(version))
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change data feed between two snapshots (manifest protocol
@@ -369,6 +391,21 @@ class KeyedTable:
         if self._log is None:
             raise ValueError("snapshots require commit_protocol='manifest'")
         return self._log.versions()
+
+    def count_fast(self, active_only: bool = False, version: int | None = None) -> int:
+        """COUNT(*) (or active-row count) answered from MANIFEST
+        METADATA only — no data file is opened, no job runs (the Delta
+        'aggregate pushdown to stats' analog).  Every commit publishes
+        per-bucket row counts atomically with its snapshot, so the
+        answer is exact for any retained ``version``.  Falls back to a
+        real scan only for a manifest written before stats existed."""
+        if self._log is None:
+            raise ValueError("count_fast requires commit_protocol='manifest'")
+        stats = self._log.read_stats(version)
+        if stats is None:  # pre-stats manifest: honest fallback
+            df = self.read(active_only=active_only, version=version)
+            return df.count()
+        return sum(s[1] if active_only else s[0] for s in stats.values())
 
     def _write(self, df: DataFrame, mode: str, repartition: bool = True) -> None:
         """``repartition=False`` skips the bucket repartition: the merge

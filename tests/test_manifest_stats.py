@@ -1,0 +1,102 @@
+"""Manifest statistics (operators/commitlog.py stats +
+KeyedTable.count_fast): every commit publishes per-bucket row counts
+atomically with its snapshot, so COUNT(*) is answered from metadata —
+exact across merges, deletes, compaction, restore and time travel, and
+readable even when the data files themselves are not."""
+
+import os
+from datetime import datetime
+
+import pytest
+
+from quick_stream_spark.operators.merge import KeyedTable
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def mk(spark, root, name="t", protocol="manifest"):
+    return KeyedTable(
+        spark,
+        os.path.join(root, name),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        commit_protocol=protocol,
+    )
+
+
+B1 = [(i, datetime(2024, 1, 1), i, f"p{i}") for i in range(10)]
+B2 = [(9, datetime(2024, 1, 5), 20, "p9b"), (10, datetime(2024, 1, 2), 21, "new")]
+
+
+def test_count_fast_tracks_every_commit_kind(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir)
+    t.upsert(df(spark, B1))
+    assert t.count_fast() == t.read().count() == 10
+    t.upsert(df(spark, B2))  # one update + one insert
+    assert t.count_fast() == t.read().count() == 11
+    t.soft_delete(df(spark, [(1, datetime(2024, 2, 1), 30, "x")]))
+    assert t.count_fast() == 11
+    assert t.count_fast(active_only=True) == t.read(active_only=True).count() == 10
+    t.hard_delete(df(spark, [(2, datetime(2024, 2, 2), 31, "x"),
+                             (3, datetime(2024, 2, 2), 32, "x")]))
+    assert t.count_fast() == t.read().count() == 9
+    t.compact()  # layout-only: counts must not move
+    assert t.count_fast() == 9
+    assert t.count_fast(active_only=True) == 8
+
+
+def test_count_fast_time_travel_and_restore(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir)
+    t.upsert(df(spark, B1))
+    v1 = t.snapshot_versions()[-1]
+    t.hard_delete(df(spark, [(0, datetime(2024, 2, 1), 30, "x")]))
+    assert t.count_fast(version=v1) == 10
+    assert t.count_fast() == 9
+    t.restore(v1)
+    assert t.count_fast() == 10  # restore republishes the old stats
+
+
+def test_count_fast_is_metadata_only(spark, tmp_table_dir):
+    """Corrupt every data file in place: a scan would now fail, but the
+    metadata count still answers — proof no data file is opened."""
+    t = mk(spark, tmp_table_dir)
+    t.upsert(df(spark, B1))
+    t.vacuum(keep_versions=1)
+    mapping = t._log.read()
+    for path in t._log.resolve(mapping):
+        with open(path, "wb") as f:
+            f.write(b"not parquet anymore")
+    assert t.count_fast() == 10
+    assert t.count_fast(active_only=True) == 10
+    with pytest.raises(Exception):
+        t.read().count()
+
+
+def test_count_fast_requires_manifest(spark, tmp_table_dir):
+    d = mk(spark, tmp_table_dir, protocol="direct")
+    with pytest.raises(ValueError, match="manifest"):
+        d.count_fast()
+
+
+def test_pre_stats_manifest_falls_back_to_scan(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir)
+    t.upsert(df(spark, B1))
+    # simulate an old manifest: strip the stats key in place
+    import json
+    mdir = os.path.join(t.path, "_qss_manifest")
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        if name.startswith(".") or not name.endswith(".json"):
+            os.remove(p)  # drop Hadoop .crc sidecars: we rewrite the json
+            continue
+        doc = json.load(open(p))
+        doc.pop("stats", None)
+        json.dump(doc, open(p, "w"))
+    assert t._log.read_stats() is None
+    assert t.count_fast() == 10  # honest fallback still correct
