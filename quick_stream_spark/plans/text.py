@@ -1740,3 +1740,145 @@ def _cluster_split_oracle() -> str:
 
 
 _REG2["sample_cluster_safe_split"].oracle = " ".join(_cluster_split_oracle().split())
+
+
+# ------------------------------------------------------ BPE tokenizer training
+
+BPE_ROUNDS = 6
+BPE_SEP = "\x1f"  # unit separator: joins symbols inside a word
+
+_BPE_TOKS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE rounds: pair-count -> argmax -> greedy-left apply,
+    one CTE layer per merge, all pure string/integer ops."""
+    parts = [
+        f"""w_0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                 chr(31) || array_to_string(
+                   list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+                   chr(31)) || chr(31) AS joined
+          FROM (SELECT unnest({_BPE_TOKS_SQL}) AS w FROM documents)
+          WHERE strpos(w, chr(31)) = 0
+          GROUP BY w
+        )"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""p_{r} AS (
+              SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+                SELECT t.syms[i] AS a, t.syms[i + 1] AS b, t.freq
+                FROM (SELECT list_filter(string_split(joined, chr(31)),
+                                         x -> x <> '') AS syms, freq
+                      FROM w_{r - 1}) t,
+                     UNNEST(range(1, len(t.syms))) AS u(i)
+              ) GROUP BY a, b
+            )"""
+        )
+        parts.append(
+            f"""m_{r} AS (
+              SELECT a, b, cnt FROM (
+                SELECT a, b, cnt, row_number() OVER (
+                  ORDER BY cnt DESC, a ASC, b ASC) AS rn
+                FROM p_{r}
+              ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""w_{r} AS (
+              SELECT replace(w.joined, chr(31) || m.a || chr(31) || m.b || chr(31),
+                             chr(31) || m.a || m.b || chr(31)) AS joined, w.freq
+              FROM w_{r - 1} w, m_{r} m
+            )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, a, b, a || b AS merged, cnt FROM m_{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes} {union}"
+
+
+@register(
+    "text_bpe_train",
+    oracle=None,  # set below: fully unrolled rounds
+    tags=("text", "tokenizer", "iterative", "ml"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the merge-table trainer every LLM data pipeline
+    runs before tokenization, as a distributed iterative algorithm:
+    each round counts adjacent symbol pairs across the word-frequency
+    table (one map-combinable shuffle over the BOUNDED vocabulary, not
+    the corpus — the corpus is touched exactly once to build word
+    frequencies), takes the global argmax as the round's merge (ONE row
+    crosses the driver per round: the model artifact IS the merge
+    table), and applies it with leftmost-greedy non-overlap semantics.
+
+    The greedy apply is a literal string ``replace`` over
+    separator-joined symbols — both engines implement replace as a
+    left-to-right non-overlapping scan, which is exactly BPE's greedy
+    application order, so the whole trainer is pure string/integer ops:
+    no floats anywhere, bit-exact by construction.  Ties break
+    (count DESC, a ASC, b ASC) — deterministic binary UTF-8 order in
+    both engines.  Fixed {BPE_ROUNDS} rounds keep the oracle
+    SQL-expressible (one unrolled CTE layer per merge), the same
+    declared-constant trade as the k-means trainer."""
+    d = _docs(spark, sf_dir)
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    words = (
+        d.select(F.explode(tx.ws_tokens(F.col("text"))).alias("w"))
+        .filter(~F.col("w").contains(BPE_SEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(F.lit(BPE_SEP), F.array_join(chars, BPE_SEP), F.lit(BPE_SEP)).alias(
+                "joined"
+            ),
+            "freq",
+        )
+        .localCheckpoint(eager=True)  # the vocab table: every round reads it
+    )
+    cur = words
+    merges: list[tuple] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = F.filter(F.split(F.col("joined"), BPE_SEP), lambda x: x != F.lit(""))
+        n = F.size(syms)
+        z = F.arrays_zip(
+            F.slice(syms, 1, n - 1).alias("a"), F.slice(syms, 2, n - 1).alias("b")
+        )
+        pairs = cur.select(F.explode(z).alias("p"), "freq").select(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq"
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((r, a, b, a + b, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("joined"),
+                F.lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            ).alias("joined"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, "round int, a string, b string, merged string, cnt bigint"
+    )
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _REG4  # noqa: E402
+
+_REG4["text_bpe_train"].oracle = " ".join(_bpe_oracle().split())
