@@ -1753,9 +1753,11 @@ _BPE_TOKS_SQL = (
 )
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_parts() -> list:
     """Unrolled BPE rounds: pair-count -> argmax -> greedy-left apply,
-    one CTE layer per merge, all pure string/integer ops."""
+    one CTE layer per merge, all pure string/integer ops.  Shared by
+    the train oracle (reads the m_r layers) and the tokenize oracle
+    (reads the final w_R segmentation)."""
     parts = [
         f"""w_0 AS (
           SELECT w, CAST(count(*) AS BIGINT) AS freq,
@@ -1790,16 +1792,20 @@ def _bpe_oracle() -> str:
         )
         parts.append(
             f"""w_{r} AS (
-              SELECT replace(w.joined, chr(31) || m.a || chr(31) || m.b || chr(31),
+              SELECT w.w, replace(w.joined, chr(31) || m.a || chr(31) || m.b || chr(31),
                              chr(31) || m.a || m.b || chr(31)) AS joined, w.freq
               FROM w_{r - 1} w, m_{r} m
             )"""
         )
+    return parts
+
+
+def _bpe_oracle() -> str:
     union = " UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS round, a, b, a || b AS merged, cnt FROM m_{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    ctes = ",\n".join(parts)
+    ctes = ",\n".join(_bpe_cte_parts())
     return f"WITH {ctes} {union}"
 
 
@@ -1829,6 +1835,24 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.  Fixed {BPE_ROUNDS} rounds keep the oracle
     SQL-expressible (one unrolled CTE layer per merge), the same
     declared-constant trade as the k-means trainer."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, a string, b string, merged string, cnt bigint"
+    )
+
+
+# trained merge tables per (session, sf_dir): training costs one job per
+# round, and the tokenize query replays the same merges
+_BPE_CACHE: dict = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Returns ``(merges, vocab)``: the ordered merge list and the
+    checkpointed word-frequency table (w, joined, freq) the rounds ran
+    over."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
     d = _docs(spark, sf_dir)
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     words = (
@@ -1837,6 +1861,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "w",
             F.concat(F.lit(BPE_SEP), F.array_join(chars, BPE_SEP), F.lit(BPE_SEP)).alias(
                 "joined"
             ),
@@ -1867,6 +1892,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         merges.append((r, a, b, a + b, cnt))
         cur = cur.select(
+            "w",
             F.replace(
                 F.col("joined"),
                 F.lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP),
@@ -1874,11 +1900,85 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("joined"),
             "freq",
         )
-    return spark.createDataFrame(
-        merges, "round int, a string, b string, merged string, cnt bigint"
+    _BPE_CACHE[key] = (merges, words)
+    return _BPE_CACHE[key]
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=None,  # set below: the training CTE stack + the vocab join
+    tags=("text", "tokenizer", "ml"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table back to the corpus — the
+    tokenization pass that feeds sequence packing and token accounting.
+    The merges apply at the VOCABULARY level (each distinct word is
+    segmented once by replaying the ordered merges — bounded work), and
+    documents join their words against that segmented vocab: the corpus
+    is never string-processed per occurrence, the standard
+    tokenize-by-lookup shape.  Per doc: word count, subword count, and
+    fertility (subwords per word — the tokenizer-quality metric).  The
+    oracle reuses the training CTE stack, so train and apply are
+    verified as ONE consistent pipeline."""
+    merges, vocab = _bpe_train(spark, sf_dir)
+    joined = F.col("joined")
+    for _, a, b, _, _ in merges:
+        joined = F.replace(
+            joined,
+            F.lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP),
+            F.lit(BPE_SEP + a + b + BPE_SEP),
+        )
+    seg = vocab.select(
+        "w",
+        F.size(F.filter(F.split(joined, BPE_SEP), lambda x: x != F.lit(""))).alias(
+            "n_sub"
+        ),
     )
+    d = _docs(spark, sf_dir)
+    dw = d.select("doc_id", F.explode(tx.ws_tokens(F.col("text"))).alias("w")).filter(
+        ~F.col("w").contains(BPE_SEP)
+    )
+    return (
+        dw.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words"), 4
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_tokenize_oracle() -> str:
+    ctes = ",\n".join(_bpe_cte_parts())
+    return f"""
+    WITH {ctes},
+    seg AS (
+      SELECT w, len(list_filter(string_split(joined, chr(31)), x -> x <> '')) AS n_sub
+      FROM w_{BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({_BPE_TOKS_SQL}) AS w FROM documents
+      ) WHERE strpos(w, chr(31)) = 0
+    )
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+           round(CAST(SUM(s.n_sub) AS DOUBLE) / count(*), 4) AS fertility
+    FROM dw d JOIN seg s ON d.w = s.w
+    GROUP BY d.doc_id
+    """
 
 
 from quick_stream_spark.plans.registry import REGISTRY as _REG4  # noqa: E402
 
 _REG4["text_bpe_train"].oracle = " ".join(_bpe_oracle().split())
+_REG4["text_bpe_tokenize"].oracle = " ".join(_bpe_tokenize_oracle().split())
