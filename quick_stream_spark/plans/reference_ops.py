@@ -535,3 +535,50 @@ def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         source.hard_delete(ev.filter(F.col("user_id") % 7 == 0))
         replicator.sync()
     return replicator.replica.read().select(*EVENT_COLS, "row_active")
+
+
+@register(
+    "r_cdc_matview",
+    oracle="""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id
+          ORDER BY (event_id % 2) DESC, ts DESC, event_id ASC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM latest
+    WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+    GROUP BY event_type
+    """,
+    tags=("reference", "manifest", "cdc", "matview", "incremental"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental view maintenance
+    (streaming/matview.py CdcAggView): a per-event_type (count, sum)
+    aggregate maintained purely from the source table's change feed —
+    the signed-delta IVM recipe, which handles what the append-stream
+    matview cannot: UPDATES move (+post − pre) between groups and
+    soft deletes subtract, with per-commit work bounded by change
+    volume (read_changes prunes to changed buckets).  Three source
+    commits (even events, odd events batch-wins, soft-delete of error
+    users) with a mid-history sync; the oracle is the direct aggregate
+    of the final active state — equality IS the IVM correctness
+    contract."""
+    from quick_stream_spark.streaming.matview import CdcAggView
+
+    ev = _events(spark, sf_dir)
+    source = _table(spark, commit_protocol="manifest")
+    work = tempfile.mkdtemp(prefix="qss-q-")
+    view = CdcAggView(source, work + "/view", ["event_type"], "value")
+    with _events_scope(spark, sf_dir):
+        source.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        view.sync()
+        source.upsert(ev.filter(F.col("event_id") % 2 == 1))
+        source.soft_delete(ev.filter(F.col("event_type") == "error"))
+        view.sync()
+    return view.read()

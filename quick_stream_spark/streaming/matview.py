@@ -171,3 +171,144 @@ class IncrementalAggView:
                 .alias("est_distinct")
             )
         return self.table.read().select(*cols)
+
+
+class CdcAggView:
+    """Incremental view maintenance driven by a source table's CHANGE
+    FEED — the textbook IVM recipe (signed delta propagation) on top of
+    ``KeyedTable.read_changes``: where :class:`IncrementalAggView`
+    increments from the raw input stream, this maintains the aggregate
+    from the *table's commits*, so updates and deletes are handled too,
+    not just appends.
+
+    Each source commit contributes a SIGNED delta: an insert or update
+    postimage of an ACTIVE row adds (+1, +value); a delete or update
+    preimage of an active row subtracts; inactive rows contribute
+    nothing (the view aggregates the active state).  SUM/COUNT form a
+    group under addition, so applying the deltas in commit order
+    reproduces the direct aggregate of the final state exactly — with
+    per-commit work bounded by the CHANGE volume (read_changes prunes
+    to changed buckets), never the table or view size.
+
+    ``sync()`` bootstraps from the oldest retained snapshot (full
+    aggregate once) and is resumable + commit-idempotent like
+    :class:`~quick_stream_spark.operators.replicate.ChangeReplicator`;
+    the view's stored ``_src_version`` doubles as the transaction id,
+    so a replayed commit is absorbed as a no-op."""
+
+    def __init__(
+        self,
+        source: KeyedTable,
+        path: str,
+        group_cols: Sequence[str],
+        value_col: str,
+        num_buckets: int = 8,
+    ) -> None:
+        if source._log is None:
+            raise ValueError("CdcAggView requires a manifest-protocol source")
+        self.source = source
+        self.spark = source.spark
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.view = KeyedTable(
+            self.spark,
+            path,
+            keys=self.group_cols,
+            version_col="_src_version",
+            num_buckets=num_buckets,
+        )
+        self.applied_version: int | None = None
+
+    def _dec(self, col):
+        return F.col(col).cast("decimal(18,2)")
+
+    def _full_agg(self, snapshot: DataFrame) -> DataFrame:
+        return (
+            snapshot.filter(F.col(self.source.soft_delete_col))
+            .groupBy(*self.group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(self._dec(self.value_col)).alias("_sum_dec"),
+            )
+        )
+
+    def _delta(self, changes: DataFrame) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        return (
+            changes.filter(F.col(self.source.soft_delete_col))
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum(sign).alias("n"),
+                F.sum(sign.cast("decimal(18,2)") * self._dec(self.value_col)).alias(
+                    "_sum_dec"
+                ),
+            )
+        )
+
+    def _apply(self, part: DataFrame, version: int) -> None:
+        part = part.withColumn(
+            "_sum_dec", F.col("_sum_dec").cast("decimal(18,2)")
+        )
+        if self.view.exists():
+            from quick_stream_spark.operators.merge import BUCKET_COL
+
+            part_b = part.withColumn(BUCKET_COL, self.view._bucket_expr())
+            cur = self.view._pruned_current(part_b).select(
+                *self.group_cols,
+                F.col("n").alias("_n_cur"),
+                F.col("_sum_dec").alias("_sum_cur"),
+                F.col("_src_version").alias("_v_cur"),
+            )
+            part = (
+                part.join(cur, self.group_cols, "left")
+                .filter(F.col("_v_cur").isNull() | (F.col("_v_cur") != F.lit(int(version))))
+                .select(
+                    *self.group_cols,
+                    (F.col("n") + F.coalesce(F.col("_n_cur"), F.lit(0))).alias("n"),
+                    (
+                        F.col("_sum_dec")
+                        + F.coalesce(F.col("_sum_cur"), F.lit(0).cast("decimal(18,2)"))
+                    )
+                    .cast("decimal(18,2)")
+                    .alias("_sum_dec"),
+                )
+            )
+        self.view.upsert(part.withColumn("_src_version", F.lit(int(version))))
+
+    def sync(self) -> int:
+        """Apply every source commit newer than the last applied one."""
+        versions = self.source.snapshot_versions()
+        if not versions:
+            return 0
+        applied = 0
+        if self.applied_version is None:
+            first = versions[0]
+            self._apply(self._full_agg(self.source.read(version=first)), first)
+            self.applied_version = first
+            applied += 1
+        for v in versions:
+            if v <= self.applied_version:
+                continue
+            self._apply(
+                self._delta(self.source.read_changes(self.applied_version, v)), v
+            )
+            self.applied_version = v
+            applied += 1
+        return applied
+
+    def read(self) -> DataFrame:
+        """Groups with at least one active source row: key, count, sum
+        (exact decimal surfaced as double).  Groups whose rows all left
+        keep a zeroed tombstone row internally; they are filtered here
+        so the view equals the direct aggregate."""
+        return (
+            self.view.read()
+            .filter(F.col("n") != 0)
+            .select(
+                *self.group_cols,
+                "n",
+                F.col("_sum_dec").cast("double").alias("sum_value"),
+            )
+        )
