@@ -780,3 +780,124 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return attributed.groupBy("channel").agg(F.count(F.lit(1)).alias("n_purchases"))
+
+
+# ------------------------------------------------- data-quality constraints
+
+
+@register(
+    "quality_constraint_report",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS checked,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS v_null,
+             CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS v_range,
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                  AS BIGINT) AS v_domain
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(count(*) AS BIGINT) AS checked,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+               AS v_unique,
+             CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                  AS BIGINT) AS v_range,
+             CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                  AS BIGINT) AS v_disc
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS checked,
+             CAST(count(*) FILTER (
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                  AS BIGINT) AS v
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'orders.o_orderkey unique' AS constraint, checked, v_unique AS violations FROM o
+      UNION ALL SELECT 'orders.o_custkey not_null', checked, v_null FROM o
+      UNION ALL SELECT 'orders.o_totalprice positive', checked, v_range FROM o
+      UNION ALL SELECT 'orders.o_orderstatus in_domain', checked, v_domain FROM o
+      UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber) unique', checked, v_unique FROM l
+      UNION ALL SELECT 'lineitem.l_quantity in_range[1,50]', checked, v_range FROM l
+      UNION ALL SELECT 'lineitem.l_discount in_range[0,1]', checked, v_disc FROM l
+      UNION ALL SELECT 'orders.o_custkey fk_customer', checked, v FROM fk
+    )
+    """,
+    tags=("warehouse", "quality", "constraints"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint checking (the Deequ pattern,
+    Schelter et al., VLDB 2018): uniqueness, completeness, range,
+    domain and referential-integrity checks compiled into ONE fused
+    aggregation pass per table — eight constraints cost two scans plus
+    one FK probe, not eight jobs, which is the difference between a
+    nightly audit and an every-commit gate at 100 TB.  The FK check is
+    a broadcast LEFT SEMI membership count (the dimension is the small
+    side); every metric is an exact count, so the report hash-matches
+    the oracle.  Output: one row per constraint with checked/violation
+    counts."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_unique"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("v_null"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_range"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias(
+            "v_domain"
+        ),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("v_unique"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("v_range"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("v_disc"),
+    )
+    # FK probe: flag then count in one pass — a broadcast semi-join
+    # membership test, no second orders scan
+    fk_flagged = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    fk_agg = o.agg(F.count(F.lit(1)).alias("checked")).crossJoin(
+        fk_flagged.agg(F.count(F.lit(1)).alias("present"))
+    ).select("checked", (F.col("checked") - F.col("present")).alias("v"))
+
+    # each report row projects the SAME one-row aggregate; materialize the
+    # three tiny results once so the union does not re-run a table scan
+    # per constraint (a lazy union re-executes non-reused subplans)
+    o_agg = o_agg.localCheckpoint(eager=True)
+    l_agg = l_agg.localCheckpoint(eager=True)
+    fk_agg = fk_agg.localCheckpoint(eager=True)
+
+    def row(name: str, src, vcol: str):
+        return src.select(
+            F.lit(name).alias("constraint"),
+            F.col("checked"),
+            F.col(vcol).alias("violations"),
+        )
+
+    return (
+        row("orders.o_orderkey unique", o_agg, "v_unique")
+        .unionByName(row("orders.o_custkey not_null", o_agg, "v_null"))
+        .unionByName(row("orders.o_totalprice positive", o_agg, "v_range"))
+        .unionByName(row("orders.o_orderstatus in_domain", o_agg, "v_domain"))
+        .unionByName(row("lineitem.(l_orderkey,l_linenumber) unique", l_agg, "v_unique"))
+        .unionByName(row("lineitem.l_quantity in_range[1,50]", l_agg, "v_range"))
+        .unionByName(row("lineitem.l_discount in_range[0,1]", l_agg, "v_disc"))
+        .unionByName(row("orders.o_custkey fk_customer", fk_agg, "v"))
+    )
