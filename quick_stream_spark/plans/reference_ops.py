@@ -582,3 +582,74 @@ def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         source.soft_delete(ev.filter(F.col("event_type") == "error"))
         view.sync()
     return view.read()
+
+
+@register(
+    "r_cdc_stream_feed",
+    oracle=f"""
+    WITH s1 AS ({_CDC_S1_SQL}), s2 AS ({_CDC_S2_SQL})
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active,
+           'insert' AS _change_type, 1 AS _commit_version
+    FROM s1
+    UNION ALL
+    SELECT s2.event_id, s2.ts, s2.user_id, s2.event_type, s2.value, s2.props,
+           TRUE, 'insert', 2
+    FROM s2 WHERE s2.user_id NOT IN (SELECT user_id FROM s1)
+    UNION ALL
+    SELECT s1.event_id, s1.ts, s1.user_id, s1.event_type, s1.value, s1.props,
+           TRUE, 'update_preimage', 2
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.event_id <> s2.event_id
+    UNION ALL
+    SELECT s2.event_id, s2.ts, s2.user_id, s2.event_type, s2.value, s2.props,
+           TRUE, 'update_postimage', 2
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.event_id <> s2.event_id
+    """,
+    tags=("reference", "manifest", "cdc", "streaming", "python-datasource"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def r_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed as a STRUCTURED STREAM
+    (sources/pyds.py CdcStreamDataSource — the Delta-CDF-as-stream
+    analog through the Spark 4 Python DataSource API): offsets are
+    manifest versions, partition planning is one task per (commit,
+    changed bucket), and the oldest retained snapshot arrives as
+    inserts (the initial-snapshot convention).  The two-commit replay
+    of r_cdc_changes is drained through a real streaming query into a
+    memory sink; the oracle restates snapshot 1 as inserts plus the
+    snapshot diff — stream == batch CDC is the contract."""
+    import time as _time
+
+    from quick_stream_spark.sources.pyds import register_cdc
+
+    ev = _events(spark, sf_dir)
+    source = _table(spark, commit_protocol="manifest")
+    with _events_scope(spark, sf_dir):
+        source.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        source.upsert(ev.filter(F.col("event_id") % 2 == 1))
+        v1, v2 = source.snapshot_versions()[-2:]
+        expected = source.read(version=v1).count() + source.read_changes(v1, v2).count()
+    register_cdc(spark)
+    work = tempfile.mkdtemp(prefix="qss-q-")
+    name = f"cdcf_{abs(hash(work)) % 10**8}"
+    q = (
+        spark.readStream.format("qss_cdc")
+        .option("path", source.path)
+        .option("keys", "user_id")
+        .load()
+        .writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if spark.table(name).count() >= expected:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)

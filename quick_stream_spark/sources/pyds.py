@@ -119,3 +119,190 @@ class SyntheticStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SyntheticStreamDataSource)
+
+
+# ------------------------------------------------ CDC change-feed stream
+
+_DDL_TYPES = {
+    "long": "BIGINT",
+    "integer": "INT",
+    "short": "SMALLINT",
+    "byte": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "STRING",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP_NTZ",
+    "date": "DATE",
+}
+
+
+def _cdc_table_columns(path: str) -> list[tuple[str, str]]:
+    """(name, spark-type-name) pairs from the KeyedTable schema sidecar,
+    bucket column excluded — plain-Python JSON read (the reader runs
+    outside any Spark session; at cluster scale swap open() for fsspec,
+    the protocol is unchanged)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_qss_schema.json")) as f:
+        doc = json.load(f)
+    return [
+        (fld["name"], fld["type"])
+        for fld in doc["fields"]
+        if fld["name"] != "__qss_bucket"
+    ]
+
+
+def _cdc_versions(path: str) -> list[int]:
+    import os
+
+    mdir = os.path.join(path, "_qss_manifest")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _cdc_mapping(path: str, version: int) -> dict[int, list[str]]:
+    import json
+    import os
+
+    if version == 0:  # synthetic pre-history: the empty table
+        return {}
+    with open(os.path.join(path, "_qss_manifest", f"v{version}.json")) as f:
+        doc = json.load(f)
+    return {int(b): list(fl) for b, fl in doc["buckets"].items()}
+
+
+class CdcStreamReader(DataSourceStreamReader):
+    """Tails a manifest-protocol KeyedTable and emits its change feed
+    as a stream — the Delta-CDF-as-stream analog, speaking the same
+    offset protocol as any micro-batch connector: offsets are manifest
+    VERSIONS, a batch covers the commits in (start, end], and
+    partition planning hands out one InputPartition per (commit pair,
+    changed bucket) — genuinely parallel, and each task reads only the
+    files of its bucket in the two snapshots being diffed (CDC cost
+    follows change volume).  Version 0 is the synthetic empty
+    pre-history, so the first batch emits the oldest retained snapshot
+    as inserts (the Delta 'initial snapshot' convention).  read() is a
+    pure function of immutable manifests + immutable data files, so
+    checkpoint replay is exactly-once by construction."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("qss_cdc requires .option('path', <table dir>)")
+        self.keys = [k for k in options.get("keys", "pkey").split(",") if k]
+        cols = _cdc_table_columns(self.path)
+        self.cols = [n for n, _ in cols]
+        # only tz-aware TIMESTAMP columns get localized on read;
+        # TIMESTAMP_NTZ values must stay naive
+        self.tz_cols = {n for n, t in cols if t == "timestamp"}
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def latestOffset(self):
+        vs = _cdc_versions(self.path)
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        vs = [v for v in _cdc_versions(self.path) if lo < v <= hi]
+        parts = []
+        prev = lo
+        for v in vs:
+            m_from = _cdc_mapping(self.path, prev)
+            m_to = _cdc_mapping(self.path, v)
+            changed = sorted(
+                b
+                for b in set(m_from) | set(m_to)
+                if sorted(m_from.get(b, [])) != sorted(m_to.get(b, []))
+            )
+            for b in changed:
+                parts.append(
+                    InputPartition(
+                        (prev, v, b, m_from.get(b, []), m_to.get(b, []))
+                    )
+                )
+            prev = v
+        # Spark requires >= 1 partition per batch; an empty delta reads nothing
+        return parts or [InputPartition((lo, hi, -1, [], []))]
+
+    def _load(self, rel_files):
+        import datetime as dt
+        import os
+
+        import pyarrow.parquet as pq
+
+        def conv(c, v):
+            # tz-aware TIMESTAMP values are UTC micros that pyarrow may
+            # hand back naive — localize so Spark's Arrow path accepts
+            # them (and they compare equal to the batch-read values);
+            # TIMESTAMP_NTZ columns must stay naive
+            if (
+                c in self.tz_cols
+                and isinstance(v, dt.datetime)
+                and v.tzinfo is None
+            ):
+                return v.replace(tzinfo=dt.timezone.utc)
+            return v
+
+        state = {}
+        for rel in sorted(rel_files):
+            table = pq.read_table(os.path.join(self.path, rel))
+            for row in table.to_pylist():
+                key = tuple(row[k] for k in self.keys)
+                state[key] = tuple(conv(c, row.get(c)) for c in self.cols)
+        return state
+
+    def read(self, partition):
+        from_v, to_v, bucket, files_from, files_to = partition.value
+        if bucket < 0:
+            return
+        old = self._load(files_from)
+        new = self._load(files_to)
+        vcols = [i for i, c in enumerate(self.cols) if c not in self.keys]
+        for key in sorted(set(old) | set(new), key=repr):
+            o, n = old.get(key), new.get(key)
+            if o is None:
+                yield (*n, "insert", to_v)
+            elif n is None:
+                yield (*o, "delete", to_v)
+            elif any(o[i] != n[i] for i in vcols):
+                yield (*o, "update_preimage", to_v)
+                yield (*n, "update_postimage", to_v)
+
+    def commit(self, end) -> None:
+        pass
+
+
+class CdcStreamDataSource(DataSource):
+    """``spark.readStream.format("qss_cdc").option("path", dir)`` —
+    the change feed of a manifest KeyedTable as a structured stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "qss_cdc"
+
+    def schema(self) -> str:
+        cols = ", ".join(
+            f"{n} {_DDL_TYPES.get(t, 'STRING')}"
+            for n, t in _cdc_table_columns(self.options.get("path"))
+        )
+        return f"{cols}, _change_type STRING, _commit_version INT"
+
+    def streamReader(self, schema) -> CdcStreamReader:
+        return CdcStreamReader(self.options)
+
+
+def register_cdc(spark) -> None:
+    spark.dataSource.register(CdcStreamDataSource)
