@@ -776,6 +776,89 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 16).alias("head"),
     )
 
+_PNG_SIG = "89504E470D0A1A0A"
+_PNG_IHDR = "0000000D49484452"
+_JPEG_HEAD = "FFD8FFE000104A4649460001"
+
+
+@register(
+    "mm_image_header_parse",
+    oracle=f"""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN unhex('{_JPEG_HEAD}')
+                  ELSE unhex('{_PNG_SIG}' || '{_PNG_IHDR}'
+                             || lpad(hex(16 + doc_id % 1920), 8, '0')
+                             || lpad(hex(16 + doc_id % 1080), 8, '0')
+                             || '08' || '06')
+             END AS payload
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, octet_length(payload) AS n_bytes, hex(payload) AS hx
+      FROM payloads
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           substr(hx, 1, 16) = '{_PNG_SIG}' AS is_png,
+           substr(hx, 1, 6) = 'FFD8FF' AS is_jpeg,
+           CASE WHEN substr(hx, 1, 16) = '{_PNG_SIG}'
+                THEN ('0x' || substr(hx, 33, 8))::BIGINT END AS width,
+           CASE WHEN substr(hx, 1, 16) = '{_PNG_SIG}'
+                THEN ('0x' || substr(hx, 41, 8))::BIGINT END AS height,
+           CASE WHEN substr(hx, 1, 16) = '{_PNG_SIG}'
+                THEN ('0x' || substr(hx, 49, 2))::BIGINT END AS bit_depth,
+           CASE WHEN substr(hx, 1, 16) = '{_PNG_SIG}'
+                THEN ('0x' || substr(hx, 51, 2))::BIGINT END AS color_type
+    FROM parsed
+    """,
+    tags=("multimodal", "binary"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary header parsing over an opaque payload column — the
+    format-sniffing pass a 100 TB multimodal pipeline runs before any
+    expensive decode: PNG signature + IHDR width/height/bit-depth/
+    color-type parsed straight out of the bytes JVM-side (hex slice +
+    base-16 conv — no UDF, no Python), JPEG magic detected and left
+    unparsed.  The corpus synthesizes valid PNG IHDR headers (dims a
+    function of doc_id) for six of every seven docs and a JPEG/JFIF
+    header for the seventh, so the parser must actually discriminate;
+    the oracle BUILDS AND PARSES the same bytes (unhex/hex in both
+    engines), so the binary round-trip itself is what's verified.
+    Complements mm_binary_meta (opaque metadata) and the mapInPandas
+    decode seam (functions.multimodal) — header sniffing is the cheap
+    JVM-side tier of that pipeline."""
+    d = _docs(spark, sf_dir)
+    w = 16 + F.col("doc_id") % 1920
+    h = 16 + F.col("doc_id") % 1080
+    png_hex = F.concat(
+        F.lit(_PNG_SIG + _PNG_IHDR),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806"),
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_JPEG_HEAD)).otherwise(png_hex)
+    )
+    p = d.select("doc_id", payload.alias("payload"))
+    hx = F.hex(F.col("payload"))
+    is_png = F.substring(hx, 1, 16) == _PNG_SIG
+    def field(start: int, n: int):
+        return F.when(
+            is_png, F.conv(F.substring(hx, start, n), 16, 10).cast("long")
+        )
+    return p.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        is_png.alias("is_png"),
+        (F.substring(hx, 1, 6) == "FFD8FF").alias("is_jpeg"),
+        field(33, 8).alias("width"),
+        field(41, 8).alias("height"),
+        field(49, 2).alias("bit_depth"),
+        field(51, 2).alias("color_type"),
+    )
+
+
 # ----------------------------------------------------------- bigram LM
 
 
