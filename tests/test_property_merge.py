@@ -193,3 +193,97 @@ def test_cdc_delta_reproduces_every_snapshot_transition(
             else:  # insert / update_postimage
                 rebuilt[r.pkey] = row
         assert rebuilt == after, f"delta {va}->{vb} does not reproduce snapshot"
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario=scenario)
+def test_cdc_consumers_converge_on_random_histories(
+    spark, tmp_path_factory, scenario
+):
+    """Both CDC consumers ride the same random history's feed:
+    ChangeReplicator's replica must equal the source table row for row,
+    and CdcAggView must equal the direct aggregate of the source's
+    active rows — after a mid-history sync AND at the end (resume path
+    exercised by construction)."""
+    from quick_stream_spark.operators.replicate import ChangeReplicator
+    from quick_stream_spark.streaming.matview import CdcAggView
+
+    ops, newer_wins = scenario
+    work = tmp_path_factory.mktemp("cdccons")
+    table = KeyedTable(
+        spark,
+        str(work / "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+        commit_protocol="manifest",
+    )
+    rep = ChangeReplicator(
+        table,
+        KeyedTable(
+            spark,
+            str(work / "r"),
+            keys=("pkey",),
+            version_col="modified_date",
+            arrival_col="arrival",
+            num_buckets=2,
+        ),
+    )
+    view = CdcAggView(table, str(work / "v"), ["payload"], "arrival")
+
+    def check():
+        rep.sync()
+        view.sync()
+        if not table.exists():
+            return
+        src = {
+            r.pkey: (r.modified_date, r.arrival, r.payload, r.row_active)
+            for r in table.read().collect()
+        }
+        got = {
+            r.pkey: (r.modified_date, r.arrival, r.payload, r.row_active)
+            for r in rep.replica.read().collect()
+        } if rep.replica.exists() else {}
+        assert got == src
+        from pyspark.sql import functions as F
+
+        direct = {
+            r.payload: (r.n, r.s)
+            for r in table.read(active_only=True)
+            .groupBy("payload")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("arrival").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+        }
+        got_view = {r.payload: (r.n, r.sum_value) for r in view.read().collect()}
+        assert got_view == direct
+
+    arrival_base = 0
+    for i, (op, records) in enumerate(ops):
+        rows = [
+            (k, BASE + timedelta(hours=v), arrival_base + j, f"p{p}")
+            for j, (k, v, p) in enumerate(records)
+        ]
+        df = spark.createDataFrame(
+            rows, "pkey long, modified_date timestamp, arrival long, payload string"
+        )
+        if op == "upsert":
+            table.upsert(df, newer_wins=newer_wins)
+        elif op == "soft":
+            table.soft_delete(df)
+        else:
+            table.hard_delete(df)
+        arrival_base += len(records)
+        if i == 0:
+            check()  # mid-history sync: later syncs exercise resume
+    check()
