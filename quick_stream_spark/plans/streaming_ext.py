@@ -271,10 +271,78 @@ def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     return ndi.pairs()
 
 
+@register(
+    "stream_dedup_clusters_incremental",
+    oracle=None,  # set below: recursive CTE over the uncapped pair set
+    tags=("streaming", "dedup", "lsh", "iterative"),
+    pytest_only=True,  # the driver window is full; oracle-checked here
+)
+def stream_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER maintenance over the document stream: after
+    the three-delivery replay builds the band index and pairs log
+    (stream_dedup_minhash_incremental), the cluster labels are
+    refreshed from the accumulated pairs — connected components over a
+    pair set that is orders smaller than the corpus, so the per-refresh
+    cost follows duplicate volume, not corpus size
+    (streaming/dedup_index.py clusters()).  End state is delivery-
+    chunking independent: labels equal the batch CC over the uncapped
+    LSH pairs, which the recursive-CTE oracle states."""
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.plans.text import (
+        _corpus_parts,
+        _dup_corpus,
+        _scoped_shuffle,
+    )
+    from quick_stream_spark.streaming.dedup_index import StreamingNearDupIndex
+
+    pin_session(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="qss-ndc-")
+    from quick_stream_spark.sources.readers import write_split_as_files
+
+    write_split_as_files(corpus, F.col("id") % 3, 3, work + "/in")
+    ndi = StreamingNearDupIndex(
+        spark,
+        work + "/state",
+        config=QuickStreamConfig(
+            name="near-dup-clusters", checkpoint_dir=work + "/ckpt"
+        ),
+    )
+    stream = stream_parquet_dir(spark, work + "/in", corpus.schema)
+    with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+        ndi.run(stream, available_now=True)
+        return ndi.clusters().localCheckpoint(eager=True)
+
+
+def _stream_cc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({_uncapped_lsh_pairs_sql()}) p),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+      )
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
 from quick_stream_spark.plans.registry import REGISTRY as _SEREG  # noqa: E402
 
 _SEREG["stream_dedup_minhash_incremental"].oracle = " ".join(
     _uncapped_lsh_pairs_sql().split()
+)
+_SEREG["stream_dedup_clusters_incremental"].oracle = " ".join(
+    _stream_cc_oracle().split()
 )
 
 

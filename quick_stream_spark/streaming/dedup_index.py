@@ -161,3 +161,18 @@ class StreamingNearDupIndex(_StreamBase):
                 banded.unpersist()
 
         return apply
+
+    # ---------------------------------------------------------- clusters
+
+    def clusters(self) -> DataFrame:
+        """Duplicate-cluster labels over everything discovered so far:
+        min-label connected components on the accumulated pairs log.
+        The pairs log holds three scalars per near-dup — orders of
+        magnitude smaller than the corpus — so refreshing the labels
+        after a delivery recomputes over PAIRS, never documents: cost
+        follows duplicate volume, not corpus size, which is why no
+        incremental union-find state is needed to keep this cheap at
+        scale."""
+        from quick_stream_spark.functions.graph import min_label_components
+
+        return min_label_components(self.spark, self.pairs())
