@@ -901,3 +901,87 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem.l_discount in_range[0,1]", l_agg, "v_disc"))
         .unionByName(row("orders.o_custkey fk_customer", fk_agg, "v"))
     )
+
+
+# ------------------------------------------------------ fuzzy string join
+
+FUZZY_OFFSET = 1_000_000
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "join_fuzzy_part_names",
+    oracle=f"""
+    WITH base AS (
+      SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name
+    ),
+    corrupted AS (
+      SELECT id + {FUZZY_OFFSET} AS id,
+             substr(name, 1, CAST(id % (strpos(name, ' ') - 1) AS INT))
+             || substr(name, CAST(id % (strpos(name, ' ') - 1) AS INT) + 2)
+               AS name
+      FROM base
+    ),
+    corpus AS (
+      SELECT id, name, substr(name, strpos(name, ' ') + 1) AS noun FROM (
+        SELECT id, name FROM base UNION ALL SELECT id, name FROM corrupted
+      )
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM corpus a JOIN corpus b ON a.noun = b.noun AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("warehouse", "join", "fuzzy", "entity-resolution"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (entity resolution): find name pairs within
+    edit distance {FUZZY_MAX_DIST} without the O(n^2) cross join —
+    candidates are BLOCKED on a stable key (here the noun token, which
+    the corruption never touches), then verified with exact
+    Levenshtein, a built-in in both engines.  The corpus duplicates
+    every distinct part name with one deterministic character deletion
+    inside the first word (position = id mod word length), so true
+    distance-1 matches exist by construction.
+
+    Scale design: blocking turns the all-pairs problem into an
+    equi-join whose cost is sum of block-size squares — the standard
+    entity-resolution recipe (at production scale use several
+    complementary blocking keys and union the candidates; a hot block
+    gets the same salting/cap treatment as an LSH bucket).  The verify
+    is row-local integer DP; nothing is approximate after blocking."""
+    pin_session(spark)
+    p = load_table(spark, sf_dir, "part")
+    base = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    corrupted = base.select(
+        (F.col("id") + FUZZY_OFFSET).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, id % (instr(name, ' ') - 1))"),
+            F.expr("substring(name, (id % (instr(name, ' ') - 1)) + 2)"),
+        ).alias("name"),
+    )
+    corpus = (
+        base.select("id", "name")
+        .unionByName(corrupted)
+        .select(
+            "id",
+            "name",
+            F.expr("substring(name, instr(name, ' ') + 1)").alias("noun"),
+        )
+    )
+    a = corpus.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "noun"
+    )
+    b = corpus.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "noun"
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "noun")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select("id_a", "id_b", "name_a", "name_b", dist.cast("long").alias("dist"))
+    )
