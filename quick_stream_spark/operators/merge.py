@@ -584,6 +584,7 @@ class KeyedTable:
         updates: DataFrame,
         newer_wins: bool = False,
         allow_missing_columns: bool = False,
+        pre_reduce: bool = False,
     ) -> None:
         """MERGE the batch in: insert new keys, update existing ones.
 
@@ -593,6 +594,18 @@ class KeyedTable:
         ``newer_wins=True`` adds the idempotency guard
         ``updates.version > target.version``.
 
+        ``pre_reduce=True`` is the HOT-KEY skew guard: the batch is
+        collapsed to one row per key with a ``max_by`` aggregation
+        BEFORE the merge window.  Partial aggregation runs map-side, so
+        a viral key with millions of batch updates reduces inside each
+        input task instead of landing on one window reducer; the merge
+        window then sees at most (1 batch row + current rows) per key.
+        End state is identical by construction — the aggregation uses
+        the same (version, arrival) total order the merge window folds
+        in (pinned by test) — at the cost of one extra aggregation
+        exchange, so leave it off for well-distributed batches.
+        Requires a numeric ``arrival_col`` (the order key negates it).
+
         Schema evolution: a batch carrying NEW columns evolves the table
         — existing rows read back NULL for them (the reference's
         ``Option<>`` nullable fields, multi_table_upsert.rs:587-588);
@@ -601,6 +614,16 @@ class KeyedTable:
         MISSING table columns fails fast unless
         ``allow_missing_columns=True``, which NULL-fills them instead.
         """
+        if pre_reduce:
+            from quick_stream_spark.operators.dedup import latest_per_key_agg
+
+            updates = latest_per_key_agg(
+                updates,
+                keys=self.keys,
+                version_col=self.version_col,
+                arrival_col=self.arrival_col,
+                tie_break=self.tie_break,
+            )
         up = self._prepare_updates(
             updates, dedup=False, allow_missing_columns=allow_missing_columns
         )

@@ -301,3 +301,48 @@ def test_merge_observation_metrics(spark, table):
     # merge rewrites only touched buckets: written = bucket residents
     assert table.last_merge_stats["rows_written"] >= 1
     assert table.last_merge_stats["rows_active"] == table.last_merge_stats["rows_written"]
+
+
+def test_pre_reduce_upsert_matches_plain_path(spark, tmp_table_dir):
+    """The hot-key skew guard (map-side max_by pre-reduce) must produce
+    the identical end state as the plain merge window — including
+    equal-version ties (earliest arrival wins) and batch-wins vs
+    newer-wins — on a batch where one key carries most of the rows."""
+    import os
+    from datetime import datetime, timedelta
+
+    from quick_stream_spark.operators.merge import KeyedTable
+
+    base = datetime(2024, 1, 1)
+    # viral key 7: many updates, with version ties at the top
+    hot = [(7, base + timedelta(hours=min(i, 50)), i, f"h{i}") for i in range(200)]
+    cold = [(k, base + timedelta(hours=k), 1000 + k, f"c{k}") for k in range(10)]
+    first = [(7, base, 0, "seed"), (3, base, 1, "seed3")]
+
+    states = {}
+    for variant, pre in (("plain", False), ("reduced", True)):
+        for nw in (False, True):
+            t = KeyedTable(
+                spark,
+                os.path.join(tmp_table_dir, f"t_{variant}_{nw}"),
+                keys=("pkey",),
+                version_col="modified_date",
+                arrival_col="arrival",
+                num_buckets=4,
+            )
+            schema = "pkey long, modified_date timestamp, arrival long, payload string"
+            t.upsert(spark.createDataFrame(first, schema))
+            t.upsert(
+                spark.createDataFrame(hot + cold, schema),
+                newer_wins=nw,
+                pre_reduce=pre,
+            )
+            states[(variant, nw)] = {
+                r.pkey: (r.modified_date, r.arrival, r.payload)
+                for r in t.read().collect()
+            }
+    assert states[("plain", False)] == states[("reduced", False)]
+    assert states[("plain", True)] == states[("reduced", True)]
+    # the tie rule itself: among the capped-version rows of the hot key,
+    # the EARLIEST arrival at the max version wins
+    assert states[("plain", True)][7][1] == 50
