@@ -985,3 +985,121 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= FUZZY_MAX_DIST)
         .select("id_a", "id_b", "name_a", "name_b", dist.cast("long").alias("dist"))
     )
+
+
+# ------------------------------------------------------- column profiling
+
+_PROFILE_ARMS_SQL = """
+      SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS vs,
+             CAST(o_orderkey AS DOUBLE) AS vn FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR),
+             CAST(o_custkey AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus, NULL FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+             o_totalprice FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+             NULL FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority, NULL FROM orders
+"""
+
+
+@register(
+    "profile_orders_columns",
+    oracle=f"""
+    WITH entries AS ({_PROFILE_ARMS_SQL}),
+    vals AS (
+      SELECT col_name, vs, CAST(count(*) AS BIGINT) AS cnt, min(vn) AS vn
+      FROM entries GROUP BY col_name, vs
+    ),
+    tops AS (
+      SELECT col_name, vs AS top_value, cnt AS top_count FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY col_name ORDER BY cnt DESC, vs ASC) AS rn
+        FROM vals WHERE vs IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT col_name,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN vs IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(CASE WHEN vs IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+             MIN(vn) AS min_num, MAX(vn) AS max_num,
+             MIN(vs) AS min_str, MAX(vs) AS max_str
+      FROM vals GROUP BY col_name
+    )
+    SELECT s.col_name, s.n_rows, s.n_null, s.n_distinct,
+           t.top_value, t.top_count, s.min_num, s.max_num, s.min_str, s.max_str
+    FROM stats s JOIN tops t ON s.col_name = t.col_name
+    """,
+    tags=("warehouse", "quality", "profiling"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the Deequ/Glue-crawler analyzer pattern): per
+    column — row/null/distinct counts, numeric min/max, lexicographic
+    string min/max over a canonical rendering, and the most frequent
+    value with a deterministic tie-break (count DESC, value ASC).
+
+    Scale design: the table unpivots ROW-LOCALLY into (column, value)
+    entries — one scan regardless of column count — then ONE
+    map-combinable groupBy over (column, value) produces the
+    distinct-value histogram every statistic derives from; the final
+    per-column reductions run over that far smaller frame.  Canonical
+    renderings (decimal(18,2) for doubles, fixed timestamp format)
+    make the string domain engine-identical."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    null_d = F.lit(None).cast("double")
+
+    def arm(name: str, vs, vn):
+        return F.struct(
+            F.lit(name).alias("col_name"), vs.alias("vs"), vn.alias("vn")
+        )
+
+    entries = o.select(
+        F.explode(
+            F.array(
+                arm("o_orderkey", F.col("o_orderkey").cast("string"),
+                    F.col("o_orderkey").cast("double")),
+                arm("o_custkey", F.col("o_custkey").cast("string"),
+                    F.col("o_custkey").cast("double")),
+                arm("o_orderstatus", F.col("o_orderstatus"), null_d),
+                arm("o_totalprice",
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                    F.col("o_totalprice")),
+                arm("o_orderdate",
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), null_d),
+                arm("o_orderpriority", F.col("o_orderpriority"), null_d),
+            )
+        ).alias("e")
+    ).select("e.col_name", "e.vs", "e.vn")
+    vals = entries.groupBy("col_name", "vs").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("vn").alias("vn")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("vs"))
+    tops = (
+        vals.filter(F.col("vs").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("vs").alias("top_value"), F.col("cnt").alias("top_count"))
+    )
+    stats = vals.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("vs").isNull(), F.col("cnt")).otherwise(0)).alias("n_null"),
+        F.count(F.when(F.col("vs").isNotNull(), 1)).alias("n_distinct"),
+        F.min("vn").alias("min_num"),
+        F.max("vn").alias("max_num"),
+        F.min("vs").alias("min_str"),
+        F.max("vs").alias("max_str"),
+    )
+    return stats.join(tops, "col_name").select(
+        "col_name", "n_rows", "n_null", "n_distinct", "top_value",
+        "top_count", "min_num", "max_num", "min_str", "max_str",
+    )
