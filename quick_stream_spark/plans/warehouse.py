@@ -1103,3 +1103,90 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name", "n_rows", "n_null", "n_distinct", "top_value",
         "top_count", "min_num", "max_num", "min_str", "max_str",
     )
+
+
+# ------------------------------------------- SCD2 point-in-time lookup
+
+
+def _scd2_pit_oracle() -> str:
+    from quick_stream_spark.plans.registry import REGISTRY as _R
+
+    scd2 = _R["events_scd2_intervals"].oracle
+    return f"""
+    WITH dim AS (
+      SELECT user_id, valid_from, max(version_id) AS version_id,
+             max_by(event_type, version_id) AS state
+      FROM ({scd2}) s GROUP BY user_id, valid_from
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           d.version_id AS state_version, d.state AS state_at_order
+    FROM orders o ASOF LEFT JOIN dim d
+      ON o.o_custkey = d.user_id AND d.valid_from <= o.o_orderdate
+    """
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle=None,  # set below: SCD2 CTE + ASOF lookup
+    tags=("warehouse", "scd2", "join", "asof"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query SCD2 histories exist
+    FOR: each order joins the customer's dimension version that was
+    valid at order time (valid_from <= t, latest wins; orders before
+    the first version read NULL).  Implemented with the union+window
+    as-of pattern — version starts and facts union, sort within the
+    key, carry the last version forward — ONE shuffle on the key, no
+    interval range-join blow-up; the same 100 TB-safe strategy as
+    join_asof_last_event_before_order, here over a dimension the
+    engine itself built (events_scd2_intervals).  Versions sharing a
+    valid_from (same-timestamp flips) pre-collapse to the newest, so
+    both engines resolve ties identically."""
+    pin_session(spark)
+    dim = (
+        events_scd2_intervals(spark, sf_dir)
+        .groupBy("user_id", "valid_from")
+        .agg(
+            F.max("version_id").alias("version_id"),
+            F.max_by("event_type", F.col("version_id")).alias("state"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    d_side = dim.select(
+        F.col("user_id").alias("uid"),
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("is_fact"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "version_id",
+        F.col("state"),
+    )
+    o_side = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_fact"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("version_id"),
+        F.lit(None).cast("string").alias("state"),
+    )
+    u = d_side.unionByName(o_side)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t").asc(), F.col("is_fact").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = u.select(
+        "is_fact",
+        "o_orderkey",
+        F.col("uid").alias("o_custkey"),
+        F.last("version_id", ignorenulls=True).over(w).alias("state_version"),
+        F.last("state", ignorenulls=True).over(w).alias("state_at_order"),
+    )
+    return enriched.filter(F.col("is_fact") == 1).select(
+        "o_orderkey", "o_custkey", "state_version", "state_at_order"
+    )
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _WREG  # noqa: E402
+
+_WREG["join_scd2_point_in_time"].oracle = " ".join(_scd2_pit_oracle().split())
