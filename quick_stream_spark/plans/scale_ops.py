@@ -1021,3 +1021,13 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         (F.col("score_micro").cast("double") >= F.col("t")).alias("selected"),
     )
+
+
+# pipeline_curation_report composes oracles from BOTH text.py and this
+# module, so its oracle is assembled here (after all members registered)
+from quick_stream_spark.plans.registry import REGISTRY as _SO_REG  # noqa: E402
+from quick_stream_spark.plans.text import _curation_report_oracle  # noqa: E402
+
+_SO_REG["pipeline_curation_report"].oracle = " ".join(
+    _curation_report_oracle().split()
+)

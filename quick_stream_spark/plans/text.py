@@ -2065,3 +2065,91 @@ from quick_stream_spark.plans.registry import REGISTRY as _REG4  # noqa: E402
 
 _REG4["text_bpe_train"].oracle = " ".join(_bpe_oracle().split())
 _REG4["text_bpe_tokenize"].oracle = " ".join(_bpe_tokenize_oracle().split())
+
+
+# -------------------------------------------------- curation report
+
+
+@register(
+    "pipeline_curation_report",
+    oracle=None,  # set below: composed from the member queries' oracles
+    tags=("pipeline", "curation", "composition"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation DAG's verdicts joined per ORIGINAL document —
+    the one-call report a data engineer reads before shipping a
+    training set: near-dup cluster membership + canonicality (connected
+    components over the LSH pairs), the leakage-safe cluster-keyed
+    split, the quality tier + keep flag, the DSIR importance-selection
+    flag, and the BPE token accounting.  Every column comes from an
+    operator that is itself oracle-checked; this query pins that the
+    COMPOSITION also matches (the oracle re-composes the member SQL).
+
+    Scale design: five left equi-joins on doc_id against outputs that
+    are each one-row-per-doc or smaller; the session caches (near-dup
+    pairs, BPE merges) are shared with the member queries, so the
+    report adds join cost only."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    labels = dedup_connected_components(spark, sf_dir).withColumnRenamed("id", "doc_id")
+    css = (
+        sample_cluster_safe_split(spark, sf_dir)
+        .filter(F.col("id") < PERTURB_OFFSET)
+        .select(F.col("id").alias("doc_id"), "cluster_id", "split")
+    )
+    from quick_stream_spark.plans.scale_ops import (
+        sample_importance_dsir,
+        sample_quality_stratified,
+    )
+
+    strat = sample_quality_stratified(spark, sf_dir).select(
+        "doc_id", F.col("tier").alias("quality_tier"), F.col("kept").alias("quality_kept")
+    )
+    dsir = sample_importance_dsir(spark, sf_dir).select(
+        "doc_id", F.col("selected").alias("dsir_selected")
+    )
+    bpe = text_bpe_tokenize(spark, sf_dir).select("doc_id", "n_subwords")
+    return (
+        d.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("component").isNotNull().alias("is_clustered"),
+            (
+                F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+            ).alias("is_canonical"),
+        )
+        .join(css, "doc_id")
+        .join(strat, "doc_id")
+        .join(dsir, "doc_id")
+        .join(bpe, "doc_id", "left")
+    )
+
+
+def _curation_report_oracle() -> str:
+    from quick_stream_spark.plans.registry import REGISTRY as _R
+
+    cc = _R["dedup_connected_components"].oracle
+    css = _R["sample_cluster_safe_split"].oracle
+    strat = _R["sample_quality_stratified"].oracle
+    dsir = _R["sample_importance_dsir"].oracle
+    bpe = _R["text_bpe_tokenize"].oracle
+    return f"""
+    SELECT d.doc_id,
+           l.component IS NOT NULL AS is_clustered,
+           (l.component IS NULL OR l.component = d.doc_id) AS is_canonical,
+           c.cluster_id, c.split,
+           s.tier AS quality_tier, s.kept AS quality_kept,
+           i.selected AS dsir_selected,
+           b.n_subwords
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN ({cc}) l ON l.id = d.doc_id
+    JOIN (SELECT * FROM ({css}) x WHERE x.id < {PERTURB_OFFSET}) c
+      ON c.id = d.doc_id
+    JOIN ({strat}) s ON s.doc_id = d.doc_id
+    JOIN ({dsir}) i ON i.doc_id = d.doc_id
+    LEFT JOIN ({bpe}) b ON b.doc_id = d.doc_id
+    """
+
+
+# NOTE: the oracle composes scale_ops oracles, which register AFTER this
+# module — plans/scale_ops.py assigns it at its module end.
