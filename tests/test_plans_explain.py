@@ -192,3 +192,55 @@ def test_markov_pair_counts_partial_aggregate(spark):
     the bounded |types|^2 matrix before shuffling."""
     plan = _formatted(spark, "events_markov_transitions")
     assert "partial_count" in plan
+
+
+def test_dsir_model_broadcasts_and_partial_aggregates(spark):
+    """DSIR: the B-row log-likelihood model must broadcast into the
+    scoring join (the corpus never shuffles on the bucket key), and the
+    model sums over the materialized doc-bucket counts must
+    partial-aggregate map-side (the token->count shuffle itself runs at
+    checkpoint time and is pinned by the bucket-count cardinality)."""
+    plan = _formatted(spark, "sample_importance_dsir")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_profile_unpivot_is_row_local_with_partial_counts(spark):
+    """The column profiler's unpivot must be a row-local Generate
+    (explode) — one scan regardless of column count — and the
+    (column, value) histogram must partial-aggregate before its
+    shuffle."""
+    plan = _formatted(spark, "profile_orders_columns")
+    assert "Generate" in plan
+    assert "partial_count" in plan
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(spark):
+    """The fuzzy name join must plan as an equi-join on the blocking
+    key — never a cartesian/nested-loop pair enumeration."""
+    plan = _formatted(spark, "join_fuzzy_part_names")
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pre_reduce_collapses_hot_keys_map_side(spark):
+    """upsert(pre_reduce=True)'s batch collapse must plan with partial
+    max_by aggregation — the hot key reduces inside each input task
+    before any exchange."""
+    import contextlib
+    import io
+
+    from quick_stream_spark.operators.dedup import latest_per_key_agg
+    from quick_stream_spark.sources.readers import load_table
+
+    df = latest_per_key_agg(
+        load_table(spark, SF_SMOKE, "events"),
+        keys=("user_id",),
+        version_col="ts",
+        arrival_col="event_id",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_max_by" in plan
