@@ -1186,3 +1186,122 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
     )
     return agg(merge_join, "merge").unionByName(agg(hash_join, "shuffle_hash"))
+
+
+# --------------------------------------------------- time-weighted average
+
+
+@register(
+    "events_twap_per_user",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nt
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(nt - t) AS BIGINT) AS span_us,
+           round(CAST(SUM(CAST(vc AS DECIMAL(38,0)) * (nt - t)) AS DOUBLE)
+                 / CAST(SUM(nt - t) AS DOUBLE) / 100, 6) AS twap
+    FROM e WHERE nt IS NOT NULL GROUP BY user_id
+    """,
+    tags=("window", "timeseries", "analytics"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP shape used for
+    sensor readings, position marks and price feeds): each observation
+    is weighted by how long it was current — value_i x (t_{i+1} - t_i)
+    over the total covered span, the piecewise-constant integral a
+    plain AVG gets wrong whenever sampling is irregular.
+
+    Determinism: timestamps become exact epoch MICROSECOND integers
+    and values exact cents, so the weighted sum is a DECIMAL(38,0)
+    integer aggregation — order-independent — with ONE double division
+    at the end.  One lead() window + one groupBy, both partitioned by
+    user: a single key shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        t.alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.lead(t).over(w).alias("nt"),
+    ).filter(F.col("nt").isNotNull())
+    dt = F.col("nt") - F.col("t")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dt).alias("span_us"),
+        F.round(
+            F.sum(F.col("vc").cast("decimal(38,0)") * dt).cast("double")
+            / F.sum(dt).cast("double")
+            / 100,
+            6,
+        ).alias("twap"),
+    )
+
+
+# ------------------------------------------------------ skew diagnosis
+
+
+@register(
+    "diagnose_key_skew_events",
+    oracle="""
+    WITH freqs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+      FROM events GROUP BY user_id
+    ),
+    summary AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(min(freq) AS BIGINT) AS min_freq,
+             CAST(max(freq) AS BIGINT) AS max_freq,
+             round(CAST(SUM(freq) AS DOUBLE) / count(*), 6) AS avg_freq,
+             round(CAST(max(freq) AS DOUBLE)
+                   / (CAST(SUM(freq) AS DOUBLE) / count(*)), 6) AS skew_factor
+      FROM freqs
+    ),
+    top AS (
+      SELECT user_id AS top1_key, freq AS top1_freq FROM (
+        SELECT *, row_number() OVER (ORDER BY freq DESC, user_id ASC) AS rn
+        FROM freqs
+      ) WHERE rn = 1
+    )
+    SELECT s.*, t.top1_key, t.top1_freq FROM summary s, top t
+    """,
+    tags=("diagnostics", "skew", "agg"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def diagnose_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the pre-flight a 100 TB join deserves:
+    frequency profile of a prospective shuffle key (rows, distinct
+    keys, min/avg/max per-key frequency, the heaviest key, and a skew
+    factor = max/avg that directly predicts the straggler ratio of a
+    hash-partitioned shuffle).  A skew factor over ~5-10 is the cue to
+    reach for the salting/AQE-skew-join machinery this engine pins
+    elsewhere.  One map-combinable groupBy (the frequency table) and
+    two bounded reductions over it; the heaviest-key pick is a
+    deterministic top-1."""
+    ev = load_table(spark, sf_dir, "events")
+    freqs = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq"))
+    summary = freqs.agg(
+        F.sum("freq").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("freq").alias("min_freq"),
+        F.max("freq").alias("max_freq"),
+        F.round(F.sum("freq").cast("double") / F.count(F.lit(1)), 6).alias("avg_freq"),
+        F.round(
+            F.max("freq").cast("double")
+            / (F.sum("freq").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("skew_factor"),
+    )
+    top = (
+        freqs.orderBy(F.desc("freq"), F.asc("user_id"))
+        .limit(1)
+        .select(F.col("user_id").alias("top1_key"), F.col("freq").alias("top1_freq"))
+    )
+    return summary.crossJoin(F.broadcast(top))
