@@ -1305,3 +1305,106 @@ def diagnose_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("top1_key"), F.col("freq").alias("top1_freq"))
     )
     return summary.crossJoin(F.broadcast(top))
+
+
+# ------------------------------------------------- correlation matrix
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CAST(round({c} * 100) AS BIGINT)) AS BIGINT) AS s_{c}"
+        for c in _CORR_COLS
+    )
+    ndev = ", ".join(
+        f"CAST(CAST(t.n AS BIGINT) * CAST(round(e.{c} * 100) AS BIGINT) - t.s_{c} "
+        f"AS DECIMAL(19,0)) AS d_{c}"
+        for c in _CORR_COLS
+    )
+    sq = ", ".join(
+        f"SUM(d_{c} * d_{c}) AS q_{c}" for c in _CORR_COLS
+    )
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    xs = ", ".join(
+        f"SUM(d_{a} * d_{b}) AS x_{a}_{b}" for a, b in pairs
+    )
+    arms = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+               round(CAST(x_{a}_{b} AS DOUBLE)
+                     / (sqrt(CAST(q_{a} AS DOUBLE)) * sqrt(CAST(q_{b} AS DOUBLE))),
+                     6) AS corr
+        FROM moments"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH totals AS (SELECT count(*) AS n, {sums} FROM lineitem),
+    dev AS (SELECT {ndev} FROM lineitem e, totals t),
+    moments AS (SELECT {sq}, {xs} FROM dev)
+    {arms}
+    """
+
+
+@register(
+    "stats_lineitem_correlations",
+    oracle=None,  # set below (generated pairwise arms)
+    tags=("agg", "statistics", "ml"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def stats_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the fact table's numeric columns
+    — the feature-screening pass an ML pipeline runs before training —
+    computed EXACTLY: values scale to integer cents, deviations are the
+    integer n*x - sum(x) (multiplying by n keeps them integral; the n^2
+    factors cancel in the ratio), and every cross/square moment
+    accumulates in DECIMAL(38,0) — order-independent, so both engines
+    agree bit-for-bit before the one closing sqrt/divide (IEEE sqrt is
+    correctly rounded).  Plan: two fused scans — one for the totals
+    (broadcast back as scalars), one accumulating all {n} squared and
+    cross moments map-side — regardless of how many column pairs are
+    requested; a naive corr() per pair would rescan per pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = {c: F.round(F.col(c) * 100).cast("long") for c in _CORR_COLS}
+    totals = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(cents[c]).alias(f"s_{c}") for c in _CORR_COLS],
+    )
+    dev_cols = [
+        (F.col("n") * cents[c] - F.col(f"s_{c}")).cast("decimal(19,0)").alias(f"d_{c}")
+        for c in _CORR_COLS
+    ]
+    dev = li.crossJoin(F.broadcast(totals)).select(*dev_cols)
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]]
+    moments = dev.agg(
+        *[
+            F.sum(F.col(f"d_{c}") * F.col(f"d_{c}")).alias(f"q_{c}")
+            for c in _CORR_COLS
+        ],
+        *[
+            F.sum(F.col(f"d_{a}") * F.col(f"d_{b}")).alias(f"x_{a}_{b}")
+            for a, b in pairs
+        ],
+    )
+    out = None
+    for a, b in pairs:
+        arm = moments.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.round(
+                F.col(f"x_{a}_{b}").cast("double")
+                / (
+                    F.sqrt(F.col(f"q_{a}").cast("double"))
+                    * F.sqrt(F.col(f"q_{b}").cast("double"))
+                ),
+                6,
+            ).alias("corr"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _RELREG  # noqa: E402
+
+_RELREG["stats_lineitem_correlations"].oracle = " ".join(_corr_oracle().split())
