@@ -692,6 +692,42 @@ class KeyedTable:
             return
         self._write(compacted, "overwrite", repartition=False)
 
+    def maybe_compact(
+        self, max_files_per_bucket: int = 8, target_files_per_bucket: int = 1
+    ) -> bool:
+        """Auto-compaction policy (the OPTIMIZE scheduler): compact only
+        when some bucket's file count exceeds ``max_files_per_bucket``.
+        Merges append task-aligned files per touched bucket, so file
+        counts grow with merge frequency; calling this after every N
+        merges (or from a maintenance cron) bounds read amplification
+        without paying a rewrite on every batch.  Returns whether a
+        compaction ran.  The check is metadata-only: the manifest
+        mapping under the manifest protocol, one directory listing per
+        bucket otherwise."""
+        if not self.exists():
+            return False
+        if self._log is not None:
+            worst = max(
+                (len(fl) for fl in self._log.read().values()), default=0
+            )
+        else:
+            fs, root, jvm = _hadoop_fs(self.spark, self.path)
+            worst = 0
+            for status in fs.listStatus(root):
+                name = status.getPath().getName()
+                if not status.isDirectory() or not name.startswith(BUCKET_COL):
+                    continue
+                n = sum(
+                    1
+                    for f in fs.listStatus(status.getPath())
+                    if f.getPath().getName().endswith(".parquet")
+                )
+                worst = max(worst, n)
+        if worst <= max_files_per_bucket:
+            return False
+        self.compact(target_files_per_bucket)
+        return True
+
     def file_count(self) -> int:
         """Parquet data files currently in the table (all buckets)."""
         if self._log is not None:

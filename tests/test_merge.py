@@ -346,3 +346,48 @@ def test_pre_reduce_upsert_matches_plain_path(spark, tmp_table_dir):
     # the tie rule itself: among the capped-version rows of the hot key,
     # the EARLIEST arrival at the max version wins
     assert states[("plain", True)][7][1] == 50
+
+
+def test_maybe_compact_policy(spark, tmp_table_dir):
+    """Auto-compaction fires only past the per-bucket file threshold,
+    preserves values, and is metadata-cheap when below it."""
+    import os
+    from datetime import datetime
+
+    from quick_stream_spark.operators.merge import KeyedTable
+
+    for protocol in ("direct", "manifest"):
+        t = KeyedTable(
+            spark,
+            os.path.join(tmp_table_dir, f"mc_{protocol}"),
+            keys=("pkey",),
+            version_col="modified_date",
+            arrival_col="arrival",
+            num_buckets=1,  # every merge appends files to the same bucket
+            commit_protocol=protocol,
+        )
+        schema = "pkey long, modified_date timestamp, arrival long, payload string"
+        # AQE coalescing collapses tiny merges to one task file; disable
+        # it so the merge writes several task-aligned files per bucket
+        prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            t.upsert(
+                spark.createDataFrame(
+                    [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(64)],
+                    schema,
+                ).repartition(8)
+            )
+            t.upsert(
+                spark.createDataFrame(
+                    [(k, datetime(2024, 1, 2), 100 + k, f"q{k}") for k in range(64)],
+                    schema,
+                ).repartition(8)
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+        assert t.file_count() > 1
+        before = {r.pkey: r.payload for r in t.read().collect()}
+        assert t.maybe_compact(max_files_per_bucket=100) is False  # under threshold
+        assert t.maybe_compact(max_files_per_bucket=1) is True
+        assert {r.pkey: r.payload for r in t.read().collect()} == before
