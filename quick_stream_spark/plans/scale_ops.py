@@ -1031,3 +1031,120 @@ from quick_stream_spark.plans.text import _curation_report_oracle  # noqa: E402
 _SO_REG["pipeline_curation_report"].oracle = " ".join(
     _curation_report_oracle().split()
 )
+
+
+# -------------------------------------------------- distribution drift (PSI)
+
+PSI_BINS = 16
+_PSI_SPLIT_H = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+
+@register(
+    "monitor_split_drift_psi",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN {_PSI_SPLIT_H} < 90 THEN 'train' ELSE 'holdout' END AS grp,
+             least(CAST(floor({_tx.quality_score_sql('text')} * {PSI_BINS}) AS INT),
+                   {PSI_BINS - 1}) AS bin
+      FROM documents
+    ),
+    counts AS (
+      SELECT grp, bin, CAST(count(*) AS BIGINT) AS c
+      FROM scored GROUP BY grp, bin
+    ),
+    tot AS (SELECT grp, SUM(c) AS t FROM counts GROUP BY grp),
+    bins AS (SELECT unnest(range(0, {PSI_BINS})) AS bin),
+    p AS (
+      SELECT b.bin,
+             (coalesce(tr.c, 0) + 0.5) / (tt.t + {0.5 * PSI_BINS}) AS p_train,
+             (coalesce(ho.c, 0) + 0.5) / (ht.t + {0.5 * PSI_BINS}) AS p_hold
+      FROM bins b
+      LEFT JOIN (SELECT * FROM counts WHERE grp = 'train') tr ON tr.bin = b.bin
+      LEFT JOIN (SELECT * FROM counts WHERE grp = 'holdout') ho ON ho.bin = b.bin,
+      (SELECT t FROM tot WHERE grp = 'train') tt,
+      (SELECT t FROM tot WHERE grp = 'holdout') ht
+    ),
+    terms AS (
+      SELECT bin,
+             CAST(round((p_train - p_hold) * ln(p_train / p_hold) * 1000000000)
+                  AS BIGINT) AS term_nano
+      FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(SUM(term_nano) AS BIGINT) AS psi_nano,
+           round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000, 6) AS psi
+    FROM terms
+    """,
+    tags=("monitoring", "drift", "sampling"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def monitor_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between the train split
+    and its holdout — the standing monitor production ML pipelines run
+    on every refresh (PSI < 0.1 = stable; > 0.25 = investigate): the
+    quality-score distribution bins into {PSI_BINS} buckets per split
+    and PSI = sum (p_i - q_i) ln(p_i / q_i) with add-half smoothing
+    (empty bins cannot blow up the log).  For a content-hash split the
+    two distributions are exchangeable draws, so true drift is zero and
+    the measured PSI is pure small-sample noise — E[PSI] ~ bins/n_hold,
+    measured 0.23 at sf0.01's ~50-doc holdout and shrinking as n grows
+    — which is exactly why production monitors threshold PSI rather
+    than compare it to zero.  The oracle pins the exact value, not
+    just the conclusion.
+
+    Determinism: one transcendental per BIN ({PSI_BINS} of them, never
+    per row), each term scaled to an integer nano-unit so the final
+    sum is order-independent.  Plan: one map-combinable (split, bin)
+    count, a {PSI_BINS}-row dense spine, map-only term math."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    scored = d.select(
+        F.when(h < 90, "train").otherwise("holdout").alias("grp"),
+        F.least(
+            F.floor(_tx.quality_score(F.col("text")) * PSI_BINS).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = scored.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("grp").agg(F.sum("c").alias("t"))
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    tr = counts.filter(F.col("grp") == "train").select("bin", F.col("c").alias("c_tr"))
+    ho = counts.filter(F.col("grp") == "holdout").select("bin", F.col("c").alias("c_ho"))
+    tt = tot.filter(F.col("grp") == "train").select(F.col("t").alias("t_tr"))
+    ht = tot.filter(F.col("grp") == "holdout").select(F.col("t").alias("t_ho"))
+    half = F.lit(0.5 * PSI_BINS)
+    p = (
+        bins.join(F.broadcast(tr), "bin", "left")
+        .join(F.broadcast(ho), "bin", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ht))
+        .select(
+            "bin",
+            ((F.coalesce(F.col("c_tr"), F.lit(0)) + 0.5) / (F.col("t_tr") + half)).alias(
+                "p_train"
+            ),
+            ((F.coalesce(F.col("c_ho"), F.lit(0)) + 0.5) / (F.col("t_ho") + half)).alias(
+                "p_hold"
+            ),
+        )
+    )
+    terms = p.select(
+        F.round(
+            (F.col("p_train") - F.col("p_hold"))
+            * F.log(F.col("p_train") / F.col("p_hold"))
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("term_nano")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("term_nano").alias("psi_nano"),
+        F.round(F.sum("term_nano").cast("double") / 1_000_000_000, 6).alias("psi"),
+    )
