@@ -54,23 +54,43 @@ class _StreamBase:
 
 
 class UpsertQuickStream(_StreamBase):
-    """Single-table upsert pipeline (reference upsert.rs:77-207)."""
+    """Single-table upsert pipeline (reference upsert.rs:77-207).
+
+    ``quarantine`` (optional): a
+    :class:`~quick_stream_spark.streaming.quarantine.BadRecordQuarantine`
+    — rows failing its rules are appended to the dead-letter table with
+    their failure reasons instead of entering the MERGE (a NULL key
+    would otherwise hash into a bucket and silently collide) or killing
+    the stream.  The main table stays exactly-once (idempotent merge +
+    checkpoint); the DLQ is at-least-once by design."""
 
     def __init__(
         self,
         target: KeyedTable,
         config: QuickStreamConfig | None = None,
         newer_wins: bool = False,
+        quarantine=None,
     ) -> None:
         super().__init__(config)
         self.target = target
         self.newer_wins = newer_wins
+        self.quarantine = quarantine
 
     def _foreach_batch(self):
         target, newer_wins = self.target, self.newer_wins
+        quarantine = self.quarantine
 
         def apply(batch: DataFrame, batch_id: int) -> None:
-            target.upsert(batch, newer_wins=newer_wins)
+            if quarantine is None:
+                target.upsert(batch, newer_wins=newer_wins)
+                return
+            batch = batch.persist()
+            try:
+                good, bad = quarantine.split(batch)
+                quarantine.write(bad, batch_id)
+                target.upsert(good, newer_wins=newer_wins)
+            finally:
+                batch.unpersist()
 
         return apply
 
