@@ -99,3 +99,42 @@ def test_requires_manifest_source(spark, tmp_table_dir):
     direct = mk(spark, tmp_table_dir, "d", protocol="direct")
     with pytest.raises(ValueError, match="manifest"):
         ChangeReplicator(direct, mk(spark, tmp_table_dir, "r"))
+
+
+def test_checksums_verify_replica_and_locate_divergence(spark, tmp_table_dir):
+    """The anti-entropy flow: after sync the replica's checksum equals
+    the source's (across commit protocols and different layouts); after
+    tampering with one replica bucket, the full checksums differ and
+    the per-bucket maps pinpoint exactly the divergent bucket."""
+    src = mk(spark, tmp_table_dir, "src")
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    src.upsert(df(spark, B1))
+    src.upsert(df(spark, B2))
+    src.compact()  # different physical layout than the replica
+    rep.sync()
+    assert rep.replica.content_checksum() == src.content_checksum()
+    assert rep.replica.bucket_checksums() == src.bucket_checksums()
+
+    # tamper: silently change one row's payload in the replica
+    from pyspark.sql import functions as F
+
+    replica = rep.replica
+    tampered = replica.read(with_bucket=True).withColumn(
+        "payload",
+        F.when(F.col("pkey") == 1, "TAMPERED").otherwise(F.col("payload")),
+    ).localCheckpoint(eager=True)  # sever lineage from the files we overwrite
+    tampered.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("__qss_bucket").parquet(replica.path)
+
+    assert replica.content_checksum() != src.content_checksum()
+    src_sums, rep_sums = src.bucket_checksums(), replica.bucket_checksums()
+    diff = {
+        b
+        for b in set(src_sums) | set(rep_sums)
+        if src_sums.get(b) != rep_sums.get(b)
+    }
+    expected_bucket = src.read(with_bucket=True).filter("pkey = 1").collect()[0][
+        "__qss_bucket"
+    ]
+    assert diff == {expected_bucket}
