@@ -94,3 +94,38 @@ class ChangeReplicator:
             self.applied_version = v
             applied += 1
         return applied
+
+    def repair(self) -> list[int]:
+        """Anti-entropy repair: compare per-bucket content checksums
+        against the source AT THE APPLIED VERSION (time travel — so a
+        source that has since moved ahead cannot leak future state into
+        the repair) and rewrite ONLY the divergent buckets from that
+        snapshot.  Returns the repaired bucket ids.  Requires matching
+        ``num_buckets`` (bucket = hash(keys) % N must agree); with
+        checksums equal this is two bounded maps and no data movement.
+        """
+        if self.applied_version is None:
+            raise ValueError("repair() needs a completed sync() first")
+        if self.source.num_buckets != self.replica.num_buckets:
+            raise ValueError("repair() requires matching num_buckets")
+        src_sums = self.source.bucket_checksums(version=self.applied_version)
+        rep_sums = self.replica.bucket_checksums()
+        bad = sorted(
+            b
+            for b in set(src_sums) | set(rep_sums)
+            if src_sums.get(b) != rep_sums.get(b)
+        )
+        if not bad:
+            return []
+        from quick_stream_spark.operators.merge import BUCKET_COL
+
+        rows = (
+            self.source.read(version=self.applied_version)
+            .withColumn(BUCKET_COL, self.replica._bucket_expr())
+            .filter(F.col(BUCKET_COL).isin(bad))
+        )
+        if self.replica._log is not None:
+            self.replica._write_manifest_commit(rows, bad)
+        else:
+            self.replica._write(rows, "overwrite")
+        return bad

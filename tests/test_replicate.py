@@ -138,3 +138,33 @@ def test_checksums_verify_replica_and_locate_divergence(spark, tmp_table_dir):
         "__qss_bucket"
     ]
     assert diff == {expected_bucket}
+
+
+def test_repair_rewrites_only_divergent_buckets(spark, tmp_table_dir):
+    """After tampering, repair() locates the bad bucket from the
+    checksum maps and restores it from the source snapshot at the
+    APPLIED version — even though the source has since moved ahead,
+    no future state leaks into the repaired replica."""
+    from pyspark.sql import functions as F
+
+    src = mk(spark, tmp_table_dir, "src")
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    src.upsert(df(spark, B1))
+    rep.sync()
+    synced_state = state(rep.replica)
+
+    # tamper one row, then advance the SOURCE past the synced version
+    tampered = rep.replica.read(with_bucket=True).withColumn(
+        "payload", F.when(F.col("pkey") == 1, "TAMPERED").otherwise(F.col("payload"))
+    ).localCheckpoint(eager=True)
+    tampered.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("__qss_bucket").parquet(rep.replica.path)
+    src.upsert(df(spark, B2))  # future state the repair must NOT pull
+
+    repaired = rep.repair()
+    assert len(repaired) == 1
+    assert state(rep.replica) == synced_state  # restored, not fast-forwarded
+    assert rep.repair() == []  # converged: second repair is a no-op
+    rep.sync()  # catching up still works afterwards
+    assert state(rep.replica) == state(src)
