@@ -168,3 +168,30 @@ def test_repair_rewrites_only_divergent_buckets(spark, tmp_table_dir):
     assert rep.repair() == []  # converged: second repair is a no-op
     rep.sync()  # catching up still works afterwards
     assert state(rep.replica) == state(src)
+
+
+def test_replication_follows_schema_evolution(spark, tmp_table_dir):
+    """A source that evolves its schema mid-history (added column) must
+    replicate: the CDC rows carry the evolved schema, the replica
+    evolves on apply, and pre-evolution keys read NULL for the new
+    column on both sides."""
+    from pyspark.sql import functions as F
+
+    src = mk(spark, tmp_table_dir, "src")
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    src.upsert(df(spark, B1))
+    rep.sync()
+    evolved = df(spark, [(4, datetime(2024, 2, 1), 10, "d1")]).withColumn(
+        "score", F.lit(0.75)
+    )
+    src.upsert(evolved)
+    rep.sync()
+
+    def full(t):
+        return {
+            r.pkey: (r.payload, r.row_active, r.score) for r in t.read().collect()
+        }
+
+    assert full(rep.replica) == full(src)
+    assert full(src)[4][2] == 0.75
+    assert full(src)[1][2] is None  # pre-evolution rows NULL-fill
