@@ -37,8 +37,17 @@ class BadRecordQuarantine:
         self.rules = list(rules)
 
     def _reasons(self) -> Column:
+        # a row PASSES a rule only when its predicate is definitively
+        # TRUE: a NULL predicate (e.g. NULL.isin(...) or NULL >= 0) is
+        # a failure, not a pass — three-valued logic must not let bad
+        # rows slip through as "unknown"
         return F.filter(
-            F.array(*[F.when(~pred, F.lit(name)) for name, pred in self.rules]),
+            F.array(
+                *[
+                    F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                    for name, pred in self.rules
+                ]
+            ),
             lambda x: x.isNotNull(),
         )
 
@@ -65,3 +74,10 @@ class BadRecordQuarantine:
         """Quarantined rows with retry duplicates collapsed (identical
         row + batch id = a replayed epoch)."""
         return self.read(spark).distinct()
+
+
+def in_set(col: str, allowed: list[str]) -> list[tuple[str, "Column"]]:
+    """Rule builder: the column must hold one of the allowed values —
+    the routing guard for multi-table ingestion (an unknown or NULL
+    destination would otherwise be silently dropped by the fan-out)."""
+    return [(f"{col}_routable", F.col(col).isin(list(allowed)))]

@@ -122,23 +122,42 @@ class DeleteQuickStream(_StreamBase):
 
 
 class MultiTableUpsertQuickStream(_StreamBase):
-    """Table-routed upsert (reference multi_table_upsert.rs:72-198)."""
+    """Table-routed upsert (reference multi_table_upsert.rs:72-198).
+
+    ``quarantine`` (optional): rows failing its rules — typically the
+    :func:`~quick_stream_spark.streaming.quarantine.in_set` routing
+    guard on the destination column — are dead-lettered with reasons
+    instead of being silently dropped by the fan-out (the failure mode
+    an explicit table list otherwise has for unknown/NULL
+    destinations)."""
 
     def __init__(
         self,
         router: MultiTableRouter,
         config: QuickStreamConfig | None = None,
         newer_wins: bool = False,
+        quarantine=None,
     ) -> None:
         super().__init__(config)
         self.router = router
         self.newer_wins = newer_wins
+        self.quarantine = quarantine
 
     def _foreach_batch(self):
         router, newer_wins = self.router, self.newer_wins
+        quarantine = self.quarantine
 
         def apply(batch: DataFrame, batch_id: int) -> None:
-            router.upsert_batch(batch, newer_wins=newer_wins)
+            if quarantine is None:
+                router.upsert_batch(batch, newer_wins=newer_wins)
+                return
+            batch = batch.persist()
+            try:
+                good, bad = quarantine.split(batch)
+                quarantine.write(bad, batch_id)
+                router.upsert_batch(good, newer_wins=newer_wins)
+            finally:
+                batch.unpersist()
 
         return apply
 

@@ -80,3 +80,50 @@ def test_multi_failure_row_lists_every_reason(spark, tmp_table_dir):
 def test_requires_rules(spark, tmp_table_dir):
     with pytest.raises(ValueError, match="rule"):
         BadRecordQuarantine(os.path.join(tmp_table_dir, "x"), rules=[])
+
+
+def test_router_quarantines_unroutable_destinations(spark, tmp_table_dir):
+    """Rows with an unknown or NULL destination are dead-lettered with
+    the routing reason instead of being silently dropped by the
+    fan-out; known destinations merge normally."""
+    from quick_stream_spark.operators.router import MultiTableRouter
+    from quick_stream_spark.streaming.quarantine import in_set
+    from quick_stream_spark.streaming.stream import MultiTableUpsertQuickStream
+
+    schema = "dest string, pkey long, modified_date timestamp, arrival long"
+    rows = [
+        ("alpha", 1, datetime(2024, 1, 1), 1),
+        ("beta", 2, datetime(2024, 1, 1), 2),
+        ("gamma", 3, datetime(2024, 1, 1), 3),   # unknown table
+        (None, 4, datetime(2024, 1, 1), 4),      # NULL destination
+    ]
+    src_dir = os.path.join(tmp_table_dir, "rin")
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(src_dir)
+
+    router = MultiTableRouter(
+        spark,
+        os.path.join(tmp_table_dir, "routed"),
+        table_col="dest",
+        tables=["alpha", "beta"],
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    dlq = BadRecordQuarantine(
+        os.path.join(tmp_table_dir, "rdlq"), rules=in_set("dest", ["alpha", "beta"])
+    )
+    stream = stream_parquet_dir(
+        spark, src_dir, spark.createDataFrame([], schema).schema
+    )
+    cfg = QuickStreamConfig(
+        name="rdlq-test", checkpoint_dir=os.path.join(tmp_table_dir, "rckpt")
+    )
+    MultiTableUpsertQuickStream(router, config=cfg, quarantine=dlq).run(
+        stream, available_now=True
+    )
+    routed = {r.dest: r.pkey for r in router.read_union().collect()}
+    assert routed == {"alpha": 1, "beta": 2}
+    bad = dlq.read_distinct(spark).collect()
+    assert {r.pkey for r in bad} == {3, 4}
+    assert all(r._dlq_reasons == ["dest_routable"] for r in bad)
