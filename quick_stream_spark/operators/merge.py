@@ -233,13 +233,23 @@ class KeyedTable:
         )
         new_files = self._log.list_bucket_files(commit_dir)
         mapping = self._log.read()
-        stats = self._log.read_stats() or {}
+        prev_stats = self._log.read_stats()  # {} = no snapshot, None = pre-stats
         for b in replaced_buckets:
             mapping.pop(b, None)
-            stats.pop(b, None)
         for b, fl in new_files.items():
             mapping[b] = fl
-        if new_files:
+        carried = [b for b in mapping if b not in new_files]
+        if prev_stats is None and carried:
+            # pre-stats manifest with carried-forward buckets: publishing
+            # a partial stats dict would make count_fast() silently wrong
+            # (it sums whatever keys exist) — keep the honest scan
+            # fallback by committing without stats
+            stats = None
+        else:
+            stats = dict(prev_stats or {})
+            for b in replaced_buckets:
+                stats.pop(b, None)
+        if new_files and stats is not None:
             counted = (
                 self.spark.read.schema(df.schema)
                 .parquet(commit_dir)
@@ -401,6 +411,10 @@ class KeyedTable:
         real scan only for a manifest written before stats existed."""
         if self._log is None:
             raise ValueError("count_fast requires commit_protocol='manifest'")
+        if version is None and self._log.latest_version() is None:
+            # match read()'s behavior for a missing table instead of
+            # reporting a nonexistent path as an empty (0-row) table
+            raise FileNotFoundError(f"KeyedTable at {self.path} has no snapshot")
         stats = self._log.read_stats(version)
         if stats is None:  # pre-stats manifest: honest fallback
             df = self.read(active_only=active_only, version=version)
@@ -795,7 +809,11 @@ class KeyedTable:
             if self._log is not None:
                 self._write_manifest_commit(merged, touched)
             else:
-                self._write(merged, "overwrite")
+                # like the upsert path (repartition=False): the flag join
+                # keyed on the key columns leaves rows bucket-coherent, so
+                # re-shuffling by bucket before the write would be a full
+                # extra exchange per delete batch purely for file layout
+                self._write(merged, "overwrite", repartition=False)
         finally:
             dk.unpersist()
 
@@ -823,6 +841,8 @@ class KeyedTable:
         kept = [r[0] for r in remaining.select(BUCKET_COL).distinct().collect()]
         emptied = [b for b in touched if b not in kept]
         if kept:
-            self._write(remaining, "overwrite")
+            # anti-join on the key columns keeps rows bucket-coherent —
+            # skip the cosmetic bucket re-shuffle (mirrors upsert)
+            self._write(remaining, "overwrite", repartition=False)
         if emptied:
             self._drop_bucket_dirs(emptied)

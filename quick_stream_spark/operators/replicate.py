@@ -60,25 +60,30 @@ class ChangeReplicator:
 
     ``sync()`` is resumable and idempotent at the commit level: it
     applies only source versions newer than the last applied one and
-    returns how many commits it applied.  A replica that must survive
-    process restarts should persist ``applied_version`` next to itself
-    (the streaming analog stores it in the checkpoint); keeping it on
-    the instance mirrors the single-writer assumption KeyedTable already
-    makes.
+    returns how many commits it applied.  The watermark is persisted in
+    a ``_qss_applied.json`` sidecar next to the replica (written after
+    each applied commit), so a restarted process resumes incrementally
+    instead of re-running the snapshot bootstrap; the bootstrap itself
+    is idempotent (row-image upserts), so a lost sidecar degrades to
+    extra work, never to wrong data.
     """
 
     def __init__(self, source: KeyedTable, replica: KeyedTable) -> None:
         if source._log is None:
             raise ValueError("ChangeReplicator requires a manifest-protocol source")
+        from quick_stream_spark.operators.progress import read_applied
+
         self.source = source
         self.replica = replica
-        self.applied_version: int | None = None
+        self.applied_version: int | None = read_applied(replica.spark, replica.path)
 
     def sync(self) -> int:
         """Bring the replica up to the source's newest snapshot."""
         versions = self.source.snapshot_versions()
         if not versions:
             return 0
+        from quick_stream_spark.operators.progress import write_applied
+
         applied = 0
         if self.applied_version is None:
             # bootstrap: full read of the OLDEST retained snapshot, then
@@ -86,12 +91,14 @@ class ChangeReplicator:
             first = versions[0]
             self.replica.upsert(self.source.read(version=first))
             self.applied_version = first
+            write_applied(self.replica.spark, self.replica.path, first)
             applied += 1
         for v in versions:
             if v <= self.applied_version:
                 continue
             apply_changes(self.replica, self.source.read_changes(self.applied_version, v))
             self.applied_version = v
+            write_applied(self.replica.spark, self.replica.path, v)
             applied += 1
         return applied
 
@@ -128,4 +135,15 @@ class ChangeReplicator:
             self.replica._write_manifest_commit(rows, bad)
         else:
             self.replica._write(rows, "overwrite")
+            # dynamic overwrite only touches buckets PRESENT in `rows`: a
+            # divergent bucket that is empty on the source side (replica
+            # holds spurious rows) would otherwise survive untouched and
+            # be re-reported by every repair — drop those dirs explicitly
+            # (mirrors hard_delete's emptied-bucket cleanup)
+            with_rows = {
+                r[0] for r in rows.select(BUCKET_COL).distinct().collect()
+            }
+            empty_on_source = [b for b in bad if b not in with_rows]
+            if empty_on_source:
+                self.replica._drop_bucket_dirs(empty_on_source)
         return bad

@@ -194,7 +194,13 @@ class CdcAggView:
     aggregate once) and is resumable + commit-idempotent like
     :class:`~quick_stream_spark.operators.replicate.ChangeReplicator`;
     the view's stored ``_src_version`` doubles as the transaction id,
-    so a replayed commit is absorbed as a no-op."""
+    so a replayed commit is absorbed as a no-op.  The watermark is
+    persisted DURABLY (``_qss_applied.json`` sidecar next to the view,
+    written after each apply) because signed deltas — unlike
+    ChangeReplicator's idempotent row images — would double-count if a
+    restarted process re-ran the bootstrap: a new instance loads the
+    sidecar (falling back to ``max(_src_version)`` stored in a legacy
+    view) and resumes instead of re-bootstrapping."""
 
     def __init__(
         self,
@@ -210,6 +216,7 @@ class CdcAggView:
         self.spark = source.spark
         self.group_cols = list(group_cols)
         self.value_col = value_col
+        self.path = path
         self.view = KeyedTable(
             self.spark,
             path,
@@ -217,7 +224,15 @@ class CdcAggView:
             version_col="_src_version",
             num_buckets=num_buckets,
         )
-        self.applied_version: int | None = None
+        from quick_stream_spark.operators.progress import read_applied
+
+        self.applied_version: int | None = read_applied(self.spark, path)
+        if self.applied_version is None and self.view.exists():
+            # legacy view without a sidecar: derive the watermark from
+            # the view itself — every applied version stamps the groups
+            # it touched, so max(_src_version) is the last applied one
+            row = self.view.read().agg(F.max("_src_version").alias("v")).collect()[0]
+            self.applied_version = int(row.v) if row.v is not None else None
 
     def _dec(self, col):
         return F.col(col).cast("decimal(18,2)")
@@ -282,11 +297,14 @@ class CdcAggView:
         versions = self.source.snapshot_versions()
         if not versions:
             return 0
+        from quick_stream_spark.operators.progress import write_applied
+
         applied = 0
         if self.applied_version is None:
             first = versions[0]
             self._apply(self._full_agg(self.source.read(version=first)), first)
             self.applied_version = first
+            write_applied(self.spark, self.path, first)
             applied += 1
         for v in versions:
             if v <= self.applied_version:
@@ -295,6 +313,7 @@ class CdcAggView:
                 self._delta(self.source.read_changes(self.applied_version, v)), v
             )
             self.applied_version = v
+            write_applied(self.spark, self.path, v)
             applied += 1
         return applied
 

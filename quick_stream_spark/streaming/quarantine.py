@@ -58,6 +58,11 @@ class BadRecordQuarantine:
         return good, bad
 
     def write(self, bad: DataFrame, batch_id: int) -> None:
+        if bad.isEmpty():
+            # a healthy stream would otherwise append one empty parquet
+            # file per micro-batch — file-count growth plus a write job
+            # for nothing
+            return
         (
             bad.withColumn("_dlq_batch_id", F.lit(int(batch_id)))
             .write.mode("append")

@@ -104,3 +104,30 @@ def test_requires_manifest_source(spark, tmp_table_dir):
     )
     with pytest.raises(ValueError, match="manifest"):
         CdcAggView(direct, os.path.join(tmp_table_dir, "v"), ["grp"], "amount")
+
+
+def test_view_survives_process_restart_without_double_count(spark, tmp_table_dir):
+    """A NEW CdcAggView instance over an existing view (process
+    restart) must resume from the durable watermark.  Before the fix it
+    re-ran the additive bootstrap + deltas, double-counting every group
+    whose stored _src_version had advanced."""
+    src = mk_source(spark, tmp_table_dir)
+    path = os.path.join(tmp_table_dir, "v")
+    view = CdcAggView(src, path, ["grp"], "amount")
+    src.upsert(df(spark, [
+        (1, datetime(2024, 1, 1), 1, "a", 10.0),
+        (2, datetime(2024, 1, 1), 2, "b", 5.0),
+    ]))
+    view.sync()
+    src.upsert(df(spark, [(3, datetime(2024, 1, 2), 3, "a", 7.0)]))
+    view.sync()
+    assert view_state(view) == direct_agg(src)
+
+    restarted = CdcAggView(src, path, ["grp"], "amount")
+    assert restarted.applied_version == view.applied_version
+    assert restarted.sync() == 0          # nothing new: no re-bootstrap
+    assert view_state(restarted) == direct_agg(src)  # unchanged, not doubled
+
+    src.upsert(df(spark, [(4, datetime(2024, 1, 3), 4, "b", 2.5)]))
+    assert restarted.sync() == 1
+    assert view_state(restarted) == direct_agg(src)

@@ -100,3 +100,37 @@ def test_pre_stats_manifest_falls_back_to_scan(spark, tmp_table_dir):
         json.dump(doc, open(p, "w"))
     assert t._log.read_stats() is None
     assert t.count_fast() == 10  # honest fallback still correct
+
+
+def test_pre_stats_manifest_stays_honest_after_new_commit(spark, tmp_table_dir):
+    """A commit on top of a pre-stats manifest must NOT publish a
+    partial stats dict covering only its own buckets: carried-forward
+    buckets have no entries, and count_fast would silently sum the
+    partial dict.  The fix commits without stats (honest scan
+    fallback) until no pre-stats buckets are carried forward."""
+    import json
+    t = mk(spark, tmp_table_dir)
+    t.upsert(df(spark, B1))
+    mdir = os.path.join(t.path, "_qss_manifest")
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        if name.startswith(".") or not name.endswith(".json"):
+            os.remove(p)
+            continue
+        doc = json.load(open(p))
+        doc.pop("stats", None)
+        json.dump(doc, open(p, "w"))
+    assert t._log.read_stats() is None
+    # incremental commit touches a subset of buckets; others carry forward
+    t.upsert(df(spark, B2))
+    assert t.count_fast() == t.read().count() == 11  # was: partial-sum lie
+    # once a commit replaces EVERY bucket (compaction), stats can resume
+    t.compact()
+    assert t._log.read_stats() is not None
+    assert t.count_fast() == 11
+
+
+def test_count_fast_missing_table_raises_like_read(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, name="never_written")
+    with pytest.raises(FileNotFoundError):
+        t.count_fast()

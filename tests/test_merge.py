@@ -391,3 +391,35 @@ def test_maybe_compact_policy(spark, tmp_table_dir):
         assert t.maybe_compact(max_files_per_bucket=100) is False  # under threshold
         assert t.maybe_compact(max_files_per_bucket=1) is True
         assert {r.pkey: r.payload for r in t.read().collect()} == before
+
+
+def test_delete_paths_skip_cosmetic_bucket_repartition(spark, table):
+    """soft_delete / hard_delete must write with repartition=False like
+    the upsert path: their key-joins already leave rows bucket-coherent,
+    so a bucket re-shuffle before the write is a full extra exchange per
+    delete batch.  Pinned two ways: the _write call's flag, and the
+    absence of a RoundRobin/bucket repartition exchange in the plan
+    actually handed to the writer."""
+    table.upsert(df(spark, [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(20)]))
+    seen = []
+    orig = table._write
+
+    def spy(frame, mode, repartition=True):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        seen.append((repartition, plan))
+        return orig(frame, mode, repartition=repartition)
+
+    table._write = spy
+    try:
+        table.soft_delete(df(spark, [(1, datetime(2024, 2, 1), 30, "x")]))
+        table.hard_delete(df(spark, [(2, datetime(2024, 2, 2), 31, "x")]))
+    finally:
+        table._write = orig
+    assert [flag for flag, _ in seen] == [False, False]
+    for _, plan in seen:
+        # an explicit .repartition(bucket) shuffle would print with the
+        # REPARTITION_BY_COL origin; join-required ENSURE_REQUIREMENTS
+        # exchanges (e.g. the DPP distinct) are legitimate and ignored
+        assert "REPARTITION_BY_COL" not in plan, plan
+    assert state(table)[1] == ("p1", False)
+    assert 2 not in state(table)

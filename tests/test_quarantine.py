@@ -127,3 +127,18 @@ def test_router_quarantines_unroutable_destinations(spark, tmp_table_dir):
     bad = dlq.read_distinct(spark).collect()
     assert {r.pkey for r in bad} == {3, 4}
     assert all(r._dlq_reasons == ["dest_routable"] for r in bad)
+
+
+def test_healthy_batch_appends_nothing_to_the_dlq(spark, tmp_table_dir):
+    """Zero-bad-row batches must not append (empty) files: a healthy
+    stream would otherwise grow the DLQ by one file per micro-batch."""
+    path = os.path.join(tmp_table_dir, "dlq_empty")
+    dlq = BadRecordQuarantine(path, rules=not_null("pkey"))
+    batch = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 1.0)], SCHEMA
+    ).persist()
+    good, bad = dlq.split(batch)
+    dlq.write(bad, 0)
+    assert not os.path.exists(path)
+    assert good.count() == 1
+    batch.unpersist()

@@ -195,3 +195,49 @@ def test_replication_follows_schema_evolution(spark, tmp_table_dir):
     assert full(rep.replica) == full(src)
     assert full(src)[4][2] == 0.75
     assert full(src)[1][2] is None  # pre-evolution rows NULL-fill
+
+
+def test_repair_converges_on_spurious_replica_bucket(spark, tmp_table_dir):
+    """A divergent bucket whose source side is EMPTY (replica holds
+    spurious extra rows) must actually be cleaned by repair() on a
+    direct-protocol replica — dynamic overwrite alone never touches a
+    bucket with no rows to write, so the fix drops those bucket dirs
+    explicitly; before it, the bucket was re-reported forever."""
+    from pyspark.sql import functions as F
+
+    src = mk(spark, tmp_table_dir, "src")
+    src.upsert(df(spark, [(1, datetime(2024, 1, 1), 1, "a1")]))
+    rep = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    rep.sync()
+
+    def bucket_of(k):
+        return (
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(k).cast("long")), F.lit(4)).cast("int"))
+            .collect()[0][0]
+        )
+
+    spurious = next(k for k in range(2, 100) if bucket_of(k) != bucket_of(1))
+    # corrupt the replica: a key in a bucket the source never populates
+    rep.replica.upsert(df(spark, [(spurious, datetime(2024, 1, 2), 9, "ghost")]))
+    assert rep.repair() != []
+    assert state(rep.replica) == state(src)
+    assert rep.repair() == []  # converged, not re-reported
+
+
+def test_replicator_resumes_across_restart(spark, tmp_table_dir):
+    """A new ChangeReplicator over an existing replica must resume from
+    the persisted watermark (incremental), not re-bootstrap."""
+    src = mk(spark, tmp_table_dir, "src")
+    rep_table = mk(spark, tmp_table_dir, "rep", protocol="direct")
+    rep = ChangeReplicator(src, rep_table)
+    src.upsert(df(spark, B1))
+    src.upsert(df(spark, B2))
+    assert rep.sync() == 2
+    # process restart
+    rep2 = ChangeReplicator(src, mk(spark, tmp_table_dir, "rep", protocol="direct"))
+    assert rep2.applied_version == rep.applied_version
+    assert rep2.sync() == 0
+    src.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 9, "x")]))
+    assert rep2.sync() == 1
+    assert state(rep2.replica) == state(src)
