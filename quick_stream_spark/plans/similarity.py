@@ -494,7 +494,8 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, {_sig_sql('v')} AS sig FROM e
     """,
     tags=("similarity", "lsh"),
-    pytest_only=True,  # subsumed by emb_lsh_ann_topk (same signatures)
+    pytest_only=True,  # the bucketing demo; emb_lsh_ann_topk bands a
+    # wider (24-plane) signature for retrieval
 )
 def emb_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane sign-LSH signatures ({vec.NUM_PLANES} deterministic
@@ -505,15 +506,40 @@ def emb_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", vec.hyperplane_signature(F.col("v")).alias("sig"))
 
 
+# Banded sign-LSH for ANN retrieval: more planes than the bucketing
+# signature (finer bits), OR-amplified across bands — candidates share
+# at least ONE band, then exact cosine re-ranks.  Parameters chosen by
+# measurement on the (near-random: exact top-5 cosines 0.25-0.49)
+# synthetic embeddings at sf0.01: 24 planes / 6 bands of 4 bits gives
+# measured recall@5 = 0.65 while touching ~34% of the corpus per query
+# — full-signature matching (the round-2 design) measured recall 0.00
+# because a 2^12 bucket space makes expected collisions ~ n/4096.
+ANN_PLANES = 24
+ANN_BAND_BITS = 4
+ANN_BANDS = ANN_PLANES // ANN_BAND_BITS
+
+_ANN_SIG = vec.hyperplane_signature_sql("v", ANN_PLANES, DIM)
+
+
 @register(
     "emb_lsh_ann_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    s AS (SELECT vec_id, v, {_sig_sql('v')} AS sig FROM e),
-    q AS (SELECT * FROM s WHERE vec_id < {NUM_QUERIES}),
+    s AS (SELECT vec_id, v, {_ANN_SIG} AS sig FROM e),
+    bands AS (
+      SELECT vec_id, b, substring(sig, b * {ANN_BAND_BITS} + 1, {ANN_BAND_BITS}) AS bits
+      FROM s CROSS JOIN (SELECT unnest(range(0, {ANN_BANDS})) AS b) bs
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bits = cb.bits
+      WHERE qb.vec_id < {NUM_QUERIES} AND qb.vec_id <> cb.vec_id
+    ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos_sim
-      FROM q JOIN s c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+      SELECT t.query_id, t.neighbor_id, {vec.cosine_sql('q.v', 'c.v', DIM)} AS cos_sim
+      FROM cand t
+      JOIN e q ON q.vec_id = t.query_id
+      JOIN e c ON c.vec_id = t.neighbor_id
     )
     SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim FROM (
       SELECT *, row_number() OVER (
@@ -524,19 +550,57 @@ def emb_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh", "approx"),
 )
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k through the LSH buckets: candidates share the full
-    signature (equi-join), then exact cosine + top-k within the bucket.
-    Approximate by design (recall < 1 versus emb_cosine_topk) but both
-    engines compute the identical bucketed result."""
+    """Banded (OR-amplified) sign-LSH ANN: each vector's
+    {ANN_PLANES}-plane signature splits into {ANN_BANDS} bands of
+    {ANN_BAND_BITS} bits; a corpus vector is a candidate when it shares
+    ANY band with the query (bucket equi-join on (band, bits) — same
+    banding pattern as the minhash near-dup detector, never the O(n^2)
+    scan), then exact cosine re-ranks the candidate set to top-{TOP_K}.
+
+    Scale design: candidate generation is one equi-join of two
+    band-exploded frames ({ANN_BANDS} rows per vector); the DISTINCT
+    collapses multi-band collisions BEFORE vectors are fetched (ids
+    only cross the shuffle, not the arrays); the exact re-rank touches
+    only candidates.  Recall/selectivity tunes by band width — with
+    4-bit bands the per-band collision rate is ~2^-4 for random pairs
+    but ~p_agree^4 for close ones (p_agree = 1 - angle/pi), so the
+    band join concentrates on true neighbors; measured recall@5 at
+    sf0.01 = 0.65 touching ~34% of a (near-random) corpus — on real
+    clustered embeddings the same machinery is far more selective."""
     e = _emb(spark, sf_dir)
-    s = e.select("vec_id", "v", vec.hyperplane_signature(F.col("v")).alias("sig"))
-    q = s.filter(F.col("vec_id") < NUM_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "sig"
+    s = e.select(
+        "vec_id", vec.hyperplane_signature(F.col("v"), ANN_PLANES).alias("sig")
     )
-    c = s.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "sig")
-    scored = (
-        q.join(c, "sig")
+    bands = s.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", b * ANN_BAND_BITS + 1, ANN_BAND_BITS)
+                    for b in range(ANN_BANDS)
+                ]
+            )
+        ).alias("band", "bits"),
+    )
+    qb = bands.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bits"
+    )
+    cb = bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bits")
+    cand = (
+        qb.join(cb, ["band", "bits"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < NUM_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
         .select("query_id", "neighbor_id", vec.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -749,6 +813,16 @@ _SIMREG["emb_ivf_trained_topk"].oracle = " ".join(_trained_ivf_oracle().split())
 PQ_M = 4  # subspaces
 PQ_SUBDIM = DIM // PQ_M  # 16 dims each
 PQ_K = 16  # codewords per subspace
+# ADC shortlist size for the exact re-rank stage (FAISS refine
+# pattern): PQ distances PRUNE to this many candidates per query, the
+# exact vectors re-rank only those.  Chosen by measurement at sf0.01:
+# pure 16-bit ADC ranking tops out at recall@5 ~ 0.33 on the
+# near-random synthetic embeddings NO MATTER the training budget
+# (extra Lloyd rounds and even 8x more subspaces measured flat — it is
+# a quantization-error ceiling, not a training deficit), while
+# re-ranking the top-50 shortlist lifts recall@5 to 0.78 at ~10% of
+# the exact scan's distance evaluations.
+PQ_SHORTLIST = 50
 
 
 def _sub_slice(col, s: int):
@@ -826,20 +900,24 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list
     pytest_only=True,  # the driver window is full; oracle-checked here
 )
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (the FAISS-style companion to IVF):
-    train PQ_M per-subspace codebooks, encode every vector as PQ_M
-    small codes (here 4 x 4 bits — a ~100x compression of the 64-dim
-    float corpus), then answer top-k by ASYMMETRIC distance: the query
-    stays exact and its distance to a corpus vector is the sum of
-    query-subvector -> codeword distances.  Encoding and distance are
-    ROW-LOCAL literal-array math (the codebook crosses the driver, the
-    corpus never moves); per-subspace terms are scaled to integers
-    before summing so the 4-term total is order-independent and
-    hash-matches the oracle.  Measured recall vs exact-L2 top-5 on the
-    (weakly clustered) synthetic embeddings at sf0.01: 12/40 — the
-    honest ceiling of 20-bit codes on near-random data; the same
-    machinery at 8-bit-per-subspace production settings is a constant
-    change (PQ_K)."""
+    """Product-quantization ANN with exact re-rank (the FAISS
+    IndexPQ + refine pattern): train PQ_M per-subspace codebooks,
+    encode every vector as PQ_M small codes (4 x 4 bits — a ~100x
+    compression of the 64-dim float corpus), SHORTLIST the top
+    {PQ_SHORTLIST} per query by ASYMMETRIC distance (query stays
+    exact; corpus distance is the sum of query-subvector -> codeword
+    distances), then re-rank only the shortlist with exact cosine.
+    Encoding and ADC distance are ROW-LOCAL literal-array math (the
+    codebook crosses the driver, the corpus never moves); per-subspace
+    terms are scaled to integers before summing so the 4-term total is
+    order-independent and hash-matches the oracle; the shortlist
+    boundary is deterministic (integer distance, neighbor-id
+    tie-break).  Measured recall@5 vs exact cosine at sf0.01: 0.78 —
+    up from 0.33 for pure ADC ranking, which is the quantization-error
+    ceiling of 16-bit codes on near-random data (extra Lloyd rounds
+    measured flat).  At 100 TB the shortlist stage reads only the
+    16-bit codes (the compressed index), and the refine join fetches
+    full vectors for shortlist ids only."""
     books = _pq_codebooks(spark, sf_dir)
     e = _emb(spark, sf_dir).select("vec_id", "v")
 
@@ -877,16 +955,27 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = total + t
     scored = joined.select(
         "query_id",
+        "qv",
         "neighbor_id",
         (total.cast("double") / 1_000_000).alias("approx_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
-    return (
+    short = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_SHORTLIST)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    cvec = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    rescored = short.join(cvec, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        vec.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id", "neighbor_id", "rank", F.round("approx_dist", 6).alias("approx_dist")
-        )
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
 
 
@@ -964,13 +1053,31 @@ def _pq_oracle() -> str:
           FROM ({union}) GROUP BY query_id, neighbor_id
         )"""
     )
+    parts.append(
+        f"""short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rn
+            FROM dists
+          ) WHERE rn <= {PQ_SHORTLIST}
+        )"""
+    )
+    parts.append(
+        f"""rescored AS (
+          SELECT s.query_id, s.neighbor_id,
+                 {vec.cosine_sql('q.v', 'c.v', DIM)} AS cos_sim
+          FROM short s
+          JOIN e q ON q.vec_id = s.query_id
+          JOIN e c ON c.vec_id = s.neighbor_id
+        )"""
+    )
     ctes = ",\n".join(parts)
     return f"""
     WITH {ctes}
-    SELECT query_id, neighbor_id, rank, round(approx_dist, 6) AS approx_dist FROM (
+    SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
-      FROM dists
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rescored
     ) WHERE rank <= {TOP_K}
     """
 
@@ -1205,11 +1312,11 @@ def emb_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-bit PQ codes.  Exact result and per-method top-k are each
     computed once; overlap is an equi-join on (query, neighbor) — at
     scale this is the standing eval job every ANN deployment runs after
-    re-indexing.  Measured at sf0.01: IVF 0.90, PQ 0.30, LSH 0.00 mean
-    recall — the full-signature LSH bucket is too selective at this
-    corpus size (expected collisions ~ n/2^planes), exactly the trade
-    its docstring names; the eval exists to make that visible as
-    data."""
+    re-indexing.  Measured at sf0.01: IVF 0.90, PQ 0.78 (ADC shortlist
+    + exact re-rank), LSH 0.65 (banded sign-LSH) mean recall — this
+    eval is what exposed the round-2 designs as decorative
+    (full-signature LSH measured 0.00, pure-ADC PQ 0.30) and what
+    validates their banded/refine replacements."""
     exact = emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     exact = exact.localCheckpoint(eager=True)  # three method joins read it
     ex_n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))

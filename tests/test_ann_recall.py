@@ -1,0 +1,26 @@
+"""ANN index quality floor (plans/similarity.py): every approximate
+index must actually retrieve — mean recall@5 vs the exact cosine top-5
+at sf0.01 must clear 0.6 for ALL three methods.  This is the regression
+gate for the round-2 finding that a correct-per-contract index can
+still be decorative (full-signature LSH measured recall 0.00, pure-ADC
+PQ 0.30); the banded-LSH and shortlist-re-rank designs are held to the
+measured bar, not to prose."""
+
+from pyspark.sql import functions as F
+
+from quick_stream_spark.plans.similarity import emb_ann_quality_eval
+
+SF_EVAL = "/root/testdata/sf0.01"
+
+
+def test_every_ann_index_clears_the_recall_floor(spark):
+    rows = (
+        emb_ann_quality_eval(spark, SF_EVAL)
+        .groupBy("method")
+        .agg(F.avg("recall").alias("mean_recall"))
+        .collect()
+    )
+    got = {r.method: r.mean_recall for r in rows}
+    assert set(got) == {"ivf", "lsh", "pq"}
+    for method, recall in got.items():
+        assert recall >= 0.6, f"{method} mean recall@5 = {recall:.2f} < 0.6"
