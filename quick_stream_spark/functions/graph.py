@@ -11,28 +11,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# After this many plain propagation rounds, add pointer jumping: near-dup
-# clusters are shallow (2-3 hops) so the lean round wins early, but a
-# deep-chain graph needs the O(log diameter) shortcut.
-JUMP_AFTER = 8
+_SELF = "__qss_self"
 
 
 def min_label_components(
     spark: SparkSession, pairs: DataFrame, max_rounds: int = 50
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation: label
-    every vertex of the undirected edge set ``pairs`` (columns id_a,
-    id_b) with the minimum vertex id reachable from it — the standard
-    distributed CC loop (GraphFrames/Pregel shape, O(diameter) rounds,
-    pointer jumping past :data:`JUMP_AFTER` restores O(log diameter)).
+    """Connected components by iterative min-label propagation with
+    per-round pointer jumping: label every vertex of the undirected
+    edge set ``pairs`` (columns id_a, id_b) with the minimum vertex id
+    reachable from it — the distributed CC loop (GraphFrames/Pregel
+    shape) with the label-doubling shortcut folded into every round, so
+    deep chains converge in O(log diameter) rounds instead of
+    O(diameter).
 
-    Scale notes: each round is a join + groupBy-min at the caller's
-    shuffle width; ``localCheckpoint`` truncates lineage so round N's
-    plan does not contain rounds 1..N-1 (analysis time would otherwise
-    grow superlinearly); the fixpoint probe reads the checkpointed
-    frame only and is a narrow ``limit(1).count``.  Only vertices that
-    appear in an edge are labeled (singletons are trivially their own
-    component and never enter the loop)."""
+    Per-round plan (one eager job, two shuffles):
+      1. neighbor labels (edges join labels) UNION self labels, tagged;
+      2. ONE groupBy computing both the new min label and the previous
+         label (the self row carries it) — no separate old-label join;
+      3. pointer jump: shortcut each new label through the PREVIOUS
+         round's checkpointed labels (``labels[label]``), i.e. adopt
+         the grandparent when it is smaller — safe because labels are
+         always in-component vertex ids and only ever decrease;
+      4. ``localCheckpoint(eager=True)`` truncates lineage so round N's
+         plan does not contain rounds 1..N-1, AND doubles as the
+         fixpoint probe: an ``Observation`` on the checkpointed frame
+         counts changed labels during the materialization itself, so
+         there is no second per-round job.
+
+    Only vertices that appear in an edge are labeled (singletons are
+    trivially their own component and never enter the loop)."""
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -46,41 +56,44 @@ def min_label_components(
         .localCheckpoint(eager=True)
     )
     for it in range(max_rounds):
-        msgs = (
-            edges.join(labels, edges.v == labels.id)
-            .select(F.col("u").alias("id"), "component")
-            .unionByName(labels.select("id", "component"))
+        nbr = edges.join(labels, edges.v == labels.id).select(
+            F.col("u").alias("id"), "component", F.lit(0).alias(_SELF)
         )
+        slf = labels.select("id", "component", F.lit(1).alias(_SELF))
         updated = (
-            msgs.groupBy("id")
-            .agg(F.min("component").alias("new_component"))
-            .join(labels, "id")
-            .select(
-                "id",
-                F.col("component").alias("old_component"),
-                F.col("new_component").alias("component"),
+            nbr.unionByName(slf)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col(_SELF) == 1, F.col("component"))).alias(
+                    "old_component"
+                ),
             )
         )
-        if it >= JUMP_AFTER:
-            # pointer jumping: shortcut each label to its label's label
-            # (component ids ARE node ids, so the self-join resolves)
-            lbl = updated.select(
-                F.col("id").alias("component"), F.col("component").alias("comp2")
-            )
-            updated = updated.join(lbl, "component", "left").select(
-                "id",
-                "old_component",
-                F.coalesce("comp2", F.col("component")).alias("component"),
-            )
+        # pointer jumping via the PREVIOUS (checkpointed) labels: the
+        # lookup side is materialized, so this join does not recompute
+        # the aggregation — component ids ARE vertex ids, so the self-
+        # join resolves label -> label's label
+        lbl = labels.select(
+            F.col("id").alias("component"), F.col("component").alias("comp2")
+        )
+        updated = updated.join(lbl, "component", "left").select(
+            "id",
+            "old_component",
+            F.least(F.coalesce("comp2", F.col("component")), F.col("component")).alias(
+                "component"
+            ),
+        )
+        obs = Observation()
+        updated = updated.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("component") != F.col("old_component")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
+        )
         new_labels = updated.localCheckpoint(eager=True)
         labels = new_labels.drop("old_component")
-        if it == 0:
-            continue  # every non-singleton component changes in round 1
-        changed = (
-            new_labels.filter(F.col("component") != F.col("old_component"))
-            .limit(1)
-            .count()
-        )
-        if changed == 0:
+        if int(obs.get["changed"]) == 0:
             break
     return labels.select("id", "component")

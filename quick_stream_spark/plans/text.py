@@ -327,6 +327,12 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # fill the cache EAGERLY: the candidate job consumes `banded`
+        # from three branches (band explode + two shingle join-backs)
+        # that Spark schedules concurrently — racing the lazy cache fill
+        # re-runs the md5 shingle pass per branch (measured ~1.7x on the
+        # cold path); one narrow count() serializes the fill instead
+        banded.count()
         cand = mh.candidate_pairs_lsh(banded, "id", "sh", bands_col="bands")
         j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
         pairs = (

@@ -8,7 +8,7 @@ many singleton edges)."""
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from quick_stream_spark.functions.graph import JUMP_AFTER, min_label_components
+from quick_stream_spark.functions.graph import min_label_components
 
 # small vertex space forces collisions/cycles; up to 24 edges
 edge = st.tuples(
@@ -49,10 +49,10 @@ def test_components_match_union_find(spark, edges):
 
 
 def test_long_chain_exercises_pointer_jumping(spark):
-    # a path graph longer than JUMP_AFTER rounds of plain propagation:
-    # min-label news travels one hop per round, so convergence inside
-    # max_rounds=50 on a 40-vertex chain relies on the jumping shortcut
-    n = max(40, 3 * JUMP_AFTER)
+    # plain one-hop propagation needs one round per hop, so a
+    # 120-vertex chain cannot converge inside max_rounds=50 without
+    # the per-round pointer-jumping shortcut
+    n = 120
     chain = [(i, i + 1) for i in range(n)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     got = {r.id: r.component for r in min_label_components(spark, pairs).collect()}
