@@ -46,11 +46,19 @@ class MultiTableRouter:
         num_buckets: int = 16,
         soft_delete_col: str = "row_active",
         commit_protocol: str = "direct",
+        max_concurrency: int | None = None,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_col = table_col
         self.tables = list(tables) if tables is not None else None
+        # per-table merges are independent jobs; submitting them from a
+        # bounded thread pool lets the Spark scheduler overlap them (the
+        # reference's elastic pool runs destination tables on concurrent
+        # connections, capped by max_con_count — builder.rs).  None =
+        # resolve at stream attach time from config.max_con_count, or
+        # the default below for direct batch use.
+        self.max_concurrency = max_concurrency
         self._kt_kwargs = dict(
             keys=keys,
             version_col=version_col,
@@ -72,14 +80,42 @@ class MultiTableRouter:
             r[0] for r in batch.select(self.table_col).distinct().collect() if r[0] is not None
         )
 
+    _DEFAULT_CONCURRENCY = 4
+
     def _fan_out(self, batch: DataFrame, apply) -> None:
+        """Apply one operation per destination table.  Tables are
+        independent (disjoint row sets, separate paths), so their merge
+        jobs are submitted from a thread pool bounded by
+        ``max_concurrency`` — Spark schedules concurrent jobs from
+        separate threads fine, and with dozens of destinations a serial
+        loop would leave the cluster idle between small per-table jobs.
+        The persisted batch is scanned once per table either way; the
+        pool only overlaps the scheduling.  The first failure
+        propagates (remaining in-flight tables finish their current
+        call)."""
         batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            for t in self._tables_in(batch):
+            names = self._tables_in(batch)
+
+            def run(t: str) -> None:
                 part = batch.filter(F.col(self.table_col) == t).drop(self.table_col)
                 if self.tables is not None and part.isEmpty():
-                    continue
+                    return
                 apply(self.target(t), part)
+
+            width = self.max_concurrency or self._DEFAULT_CONCURRENCY
+            if width <= 1 or len(names) <= 1:
+                for t in names:
+                    run(t)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(width, len(names)),
+                    thread_name_prefix="qss-fanout",
+                ) as pool:
+                    for f in [pool.submit(run, t) for t in names]:
+                        f.result()
         finally:
             batch.unpersist()
 

@@ -865,6 +865,89 @@ def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_image_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+      FROM dims, unnest(range(0, w)) AS xx(x), unnest(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((SUM((x*3 + y*7 + doc_id) % 256) * 1000000) // (w*h) AS DOUBLE)
+             / 1000000 AS mean_r,
+           CAST((SUM((x*5 + y*11 + doc_id*2) % 256) * 1000000) // (w*h) AS DOUBLE)
+             / 1000000 AS mean_g,
+           CAST((SUM((x*13 + y*17 + doc_id*3) % 256) * 1000000) // (w*h) AS DOUBLE)
+             / 1000000 AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # exported via the round-3 rotation below
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a complete valid PNG
+    per document (pixel channels are closed-form functions of
+    (doc_id, x, y); scanline FILTER TYPE cycles doc_id % 5, so all five
+    PNG predictors appear in the corpus), then decode with the
+    pure-stdlib codec (functions/png.py: chunk walk, CRC verify, zlib
+    inflate, inverse filtering) inside an Arrow-batched mapInPandas
+    stage, emitting dimensions + exact per-channel means.  The oracle
+    never decodes: it computes the same statistics FROM THE GENERATIVE
+    FORMULA, so a wrong inverse filter, a mis-ordered chunk walk or a
+    corrupt inflate shows up as a value mismatch — the decode
+    round-trip itself is what's verified.  Means use integer floor
+    division (sum*1e6 // n) in both engines: no float-rounding
+    ambiguity.  Scale: decode is per-payload Python in mapInPandas
+    (CPU-heavy, embarrassingly parallel, no shuffle) and only bounded
+    stats leave the kernel — see functions/multimodal.py."""
+    from quick_stream_spark.functions.multimodal import decode_image_stats
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + did % 11
+
+                def px(x, y, did=did):
+                    return (
+                        (x * 3 + y * 7 + did) % 256,
+                        (x * 5 + y * 11 + did * 2) % 256,
+                        (x * 13 + y * 17 + did * 3) % 256,
+                    )
+
+                rows.append((did, encode_png(w, h, px, filter_type=did % 5)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    stats = decode_image_stats(media)
+
+    def mean_expr(s: str):
+        return (
+            F.expr(f"CAST(({s} * 1000000) DIV n_pixels AS DOUBLE) / 1000000")
+        )
+
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        mean_expr("sum_r").alias("mean_r"),
+        mean_expr("sum_g").alias("mean_g"),
+        mean_expr("sum_b").alias("mean_b"),
+    )
+
+
 # ----------------------------------------------------------- bigram LM
 
 

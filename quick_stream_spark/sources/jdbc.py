@@ -39,6 +39,11 @@ class JdbcSink:
     password: str | None = None
     driver: str = "org.postgresql.Driver"
     ssl: bool = False
+    # root-certificate path for server verification (reference
+    # builder.rs:107-110 accepts a root cert file alongside the ssl
+    # flag); maps to the PostgreSQL JDBC driver's sslrootcert option
+    # and upgrades sslmode to verify-ca
+    ssl_root_cert: str | None = None
 
     def options(self, config: QuickStreamConfig | None = None) -> dict[str, str]:
         cfg = (config or QuickStreamConfig()).validate()
@@ -57,6 +62,12 @@ class JdbcSink:
         if self.ssl:
             opts["ssl"] = "true"
             opts["sslmode"] = "require"
+        if self.ssl_root_cert is not None:
+            opts["ssl"] = "true"
+            opts["sslrootcert"] = self.ssl_root_cert
+            # a pinned root cert means the caller wants the server
+            # verified against it, not just an encrypted channel
+            opts["sslmode"] = "verify-ca"
         return opts
 
     def writer(self, df: DataFrame, config: QuickStreamConfig | None = None):

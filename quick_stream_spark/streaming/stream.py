@@ -142,6 +142,12 @@ class MultiTableUpsertQuickStream(_StreamBase):
         self.router = router
         self.newer_wins = newer_wins
         self.quarantine = quarantine
+        # reference parity: the stream's max_con_count caps how many
+        # destination tables merge concurrently (the elastic pool's
+        # connection cap, builder.rs) unless the router already pinned
+        # its own width
+        if router.max_concurrency is None:
+            router.max_concurrency = self.config.max_con_count
 
     def _foreach_batch(self):
         router, newer_wins = self.router, self.newer_wins

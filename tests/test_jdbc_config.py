@@ -64,3 +64,24 @@ def test_soft_delete_statement_shape():
         "UPDATE t SET row_active = FALSE FROM t__qss_staging "
         "WHERE t.pkey = t__qss_staging.pkey"
     )
+
+
+def test_ssl_root_cert_passthrough():
+    """Reference parity (builder.rs:107-110): a pinned root-cert path
+    emits sslrootcert and upgrades sslmode to server verification."""
+    from quick_stream_spark.sources.jdbc import JdbcSink
+
+    sink = JdbcSink(
+        url="jdbc:postgresql://db:5432/app",
+        table="trax.ftp_current",
+        ssl=True,
+        ssl_root_cert="/etc/certs/root.pem",
+    )
+    opts = sink.options()
+    assert opts["ssl"] == "true"
+    assert opts["sslrootcert"] == "/etc/certs/root.pem"
+    assert opts["sslmode"] == "verify-ca"
+    # without a cert the round-2 behavior is unchanged
+    plain = JdbcSink(url="jdbc:postgresql://db:5432/app", table="t", ssl=True)
+    assert plain.options()["sslmode"] == "require"
+    assert "sslrootcert" not in plain.options()
