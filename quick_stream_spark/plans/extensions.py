@@ -101,7 +101,8 @@ def _connector_agg(df: DataFrame, fmt: str) -> DataFrame:
 
 
 @register(
-    "source_roundtrips", oracle=_CONNECTOR_ORACLE_BOTH, tags=("source", "csv", "json", "orc")
+    "source_roundtrips", oracle=_CONNECTOR_ORACLE_BOTH, tags=("source", "csv", "json", "orc"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV, JSON-lines and ORC connectors in one tagged result: write
@@ -208,6 +209,7 @@ def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("agg", "percentile"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (both engines use the same

@@ -171,7 +171,6 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge", "manifest"),
-    pytest_only=True,
 )
 def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r_upsert_endstate replayed through the MANIFEST commit protocol
@@ -505,7 +504,6 @@ def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1 AND user_id % 7 <> 0
     """,
     tags=("reference", "manifest", "cdc", "replication"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replication end-to-end (operators/replicate.py): a second

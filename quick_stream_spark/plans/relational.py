@@ -229,6 +229,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c FULL OUTER JOIN s ON c.nk = s.nk
     """,
     tags=("join", "agg"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
@@ -815,6 +816,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE prev_ts IS NOT NULL
     """,
     tags=("window", "sessionization"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag gaps + batch sessionization: a session break is a gap over
@@ -892,6 +894,7 @@ def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT SELECT s_nationkey FROM supplier)
     """,
     tags=("setop",),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three set operators (set semantics, like the SQL twins) over
@@ -947,6 +950,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     """,
     tags=("scalar", "string", "math", "regex", "map", "struct", "array"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def scalar_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function families over ``part`` in one wide projection:
@@ -1013,6 +1017,7 @@ def scalar_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("scalar", "json", "bitwise", "null", "date"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function families over ``events`` in one wide projection:

@@ -57,6 +57,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     GROUP BY o_orderpriority
     """,
     tags=("join", "bucketed", "scale"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact join on pre-bucketed catalog tables: both sides are
@@ -482,7 +483,6 @@ def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     GROUP BY 1, 2
     """,
     tags=("analytics", "cohort"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention — the classic product-analytics matrix: users

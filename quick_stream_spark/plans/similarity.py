@@ -138,6 +138,7 @@ def _sig_sql(v: str) -> str:
     FROM q
     """,
     tags=("similarity", "quantize"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of embeddings (the 4x storage
@@ -897,7 +898,6 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list
     "emb_pq_topk",
     oracle=None,  # set at module end (unrolled per-subspace training)
     tags=("similarity", "pq", "ann", "ml"),
-    pytest_only=True,  # the driver window is full; oracle-checked here
 )
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank (the FAISS
@@ -1301,7 +1301,6 @@ _SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
     "emb_ann_quality_eval",
     oracle=None,  # composed below from the exact/LSH/IVF/PQ oracles
     tags=("similarity", "ann", "evaluation"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def emb_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOP_K} of every approximate index against the exact

@@ -489,7 +489,6 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "matview", "incremental"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance

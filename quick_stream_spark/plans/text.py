@@ -526,6 +526,7 @@ VOCAB_TOP_K = 50
     ) WHERE rank <= {VOCAB_TOP_K}
     """,
     tags=("text", "vocab"),
+    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary extraction: token frequencies with a
@@ -887,7 +888,6 @@ def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
-    pytest_only=True,  # exported via the round-3 rotation below
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize a complete valid PNG
@@ -1985,7 +1985,6 @@ def _bpe_oracle() -> str:
     "text_bpe_train",
     oracle=None,  # set below: fully unrolled rounds
     tags=("text", "tokenizer", "iterative", "ml"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,

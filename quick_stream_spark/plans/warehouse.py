@@ -826,7 +826,6 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     """,
     tags=("warehouse", "quality", "constraints"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint checking (the Deequ pattern,
