@@ -2,14 +2,16 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-``decoder="real"`` GENUINELY decodes PNG payloads — full chunk walk,
-CRC verification, zlib inflate, inverse scanline filters — via the
-pure-stdlib codec in :mod:`quick_stream_spark.functions.png` (this
-container has no PIL/ffmpeg, but PNG needs neither).  Non-PNG payloads
-under ``decoder="real"`` raise ``NotImplementedError`` at the exact
-seam where PIL/torchaudio/ffmpeg would slot in for the remaining
-formats.  ``decoder="fake"`` keeps the deterministic hash-derived
-stand-in so plumbing tests run on arbitrary bytes.
+``decoder="real"`` GENUINELY decodes PNG payloads (full chunk walk,
+CRC verification, zlib inflate, inverse scanline filters — see
+:mod:`quick_stream_spark.functions.png`) and PCM WAV audio (RIFF chunk
+walk, fmt validation, sample unpack — see
+:mod:`quick_stream_spark.functions.wav`); this container has no
+PIL/ffmpeg, but neither format needs them.  Other formats under
+``decoder="real"`` raise ``NotImplementedError`` at the exact seam
+where PIL/ffmpeg would slot in.  ``decoder="fake"`` keeps the
+deterministic hash-derived stand-in so plumbing tests run on arbitrary
+bytes.
 
 Scale notes:
   - mapInPandas streams Arrow batches, so one task never materializes
@@ -81,16 +83,24 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int]:
-    """Real decode: PNG via the pure-Python codec; everything else is
-    the PIL/ffmpeg seam."""
-    from quick_stream_spark.functions import png
+    """Real decode: PNG and PCM WAV via the pure-Python codecs; other
+    formats are the PIL/ffmpeg seam.  Audio maps onto the image-shaped
+    schema as (width=0, height=0, n_frames=PCM frame count) — the
+    audio-specific statistics flow through :func:`decode_audio_stats`
+    instead."""
+    from quick_stream_spark.functions import png, wav
 
-    if (payload or b"")[:8] == b"\x89PNG\r\n\x1a\n":
+    head = (payload or b"")[:12]
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
         info = png.decode_png(payload)
         return info["width"], info["height"], 1
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        info = wav.decode_wav(payload)
+        return 0, 0, info["n_samples"]
     raise NotImplementedError(
-        "real decode implements PNG (functions/png.py); JPEG/audio/video "
-        "need PIL/torchaudio/ffmpeg, not present in this environment"
+        "real decode implements PNG (functions/png.py) and PCM WAV "
+        "(functions/wav.py); JPEG/video need PIL/ffmpeg, not present in "
+        "this environment"
     )
 
 
@@ -169,6 +179,56 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         stat_batches, IMAGE_STATS_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Feature-extraction stage over WAV payloads: REAL decode (RIFF
+    chunk walk, fmt validation, PCM unpack — functions/wav.py) emitting
+    bounded per-clip statistics: layout, duration, and exact integer
+    amplitude sum / sum-of-squares totals across channels.  Raw sample
+    arrays never leave the kernel."""
+    from quick_stream_spark.functions import wav
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = wav.decode_wav(payload)
+                rows.append(
+                    (
+                        mid,
+                        info["sample_rate"],
+                        info["channels"],
+                        info["n_samples"],
+                        info["duration_ms"],
+                        sum(info["channel_sums"]),
+                        sum(info["channel_sumsq"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "sum_amp", "sum_sq",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stat_batches, AUDIO_STATS_SCHEMA
     )
 
 

@@ -948,6 +948,80 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             200 + doc_id % 300 AS n_samples,
+             8000 + (doc_id % 4) * 4000 AS sr,
+             1 + doc_id % 2 AS ch
+      FROM documents
+    ),
+    sm AS (
+      SELECT doc_id, n_samples, sr, ch,
+             ((ii.i * 7 + cc.c * 13 + doc_id * 31) % 4001) - 2000 AS v
+      FROM dims, unnest(range(0, n_samples)) AS ii(i),
+                 unnest(range(0, ch)) AS cc(c)
+    )
+    SELECT doc_id,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(SUM(v) AS BIGINT) AS sum_amp,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM sm GROUP BY doc_id, n_samples, sr, ch
+    """,
+    tags=("multimodal", "binary", "decode", "audio"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the WAV twin of mm_image_decode):
+    synthesize a complete 16-bit PCM WAV per document — frame count,
+    sample rate and channel count all vary with doc_id (mono AND
+    stereo), sample values closed-form in (doc_id, frame, channel) —
+    then decode with the pure-stdlib RIFF/PCM codec (functions/wav.py)
+    inside an Arrow-batched mapInPandas stage, emitting layout,
+    duration and exact integer amplitude sums.  The oracle computes
+    the same statistics FROM THE GENERATIVE FORMULA without decoding,
+    so a wrong chunk walk, byte-order slip or sample mis-unpack fails
+    the value check."""
+    from quick_stream_spark.functions.multimodal import decode_audio_stats
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 300
+                sr = 8000 + (did % 4) * 4000
+                ch = 1 + did % 2
+                samples = [
+                    tuple(((i * 7 + c * 13 + did * 31) % 4001) - 2000 for c in range(ch))
+                    for i in range(n)
+                ]
+                rows.append((did, encode_wav(samples, sr, ch)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return decode_audio_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        "sum_amp",
+        "sum_sq",
+    )
+
+
 # ----------------------------------------------------------- bigram LM
 
 

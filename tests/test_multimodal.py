@@ -124,5 +124,46 @@ def test_real_decoder_decodes_png_and_keeps_seam_for_rest(spark):
         [(3, b"\xff\xd8\xff\xe0fakejpeg", "image", "jpeg")],
         "media_id long, payload binary, media_type string, format_hint string",
     )
-    with pytest.raises(Exception, match="PIL/torchaudio/ffmpeg"):
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
         decode_media(not_png, decoder="real").collect()
+
+
+# ----------------------------------------------------- real WAV codec
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from quick_stream_spark.functions.wav import decode_wav, encode_wav
+
+    mono = [((i * 3) % 201) - 100 for i in range(50)]
+    info = decode_wav(encode_wav(mono, 8000, 1))
+    assert info["channels"] == 1 and info["n_samples"] == 50
+    assert info["channel_sums"] == [sum(mono)]
+    assert info["channel_sumsq"] == [sum(v * v for v in mono)]
+    assert info["duration_ms"] == 50 * 1000 // 8000
+
+    stereo = [(i, -i) for i in range(100)]
+    si = decode_wav(encode_wav(stereo, 16000, 2))
+    assert si["channels"] == 2
+    assert si["channel_sums"] == [sum(range(100)), -sum(range(100))]
+
+
+def test_wav_tolerates_extra_chunks_and_rejects_corruption():
+    import struct
+
+    import pytest as _pytest
+
+    from quick_stream_spark.functions.wav import decode_wav, encode_wav
+
+    data = encode_wav([1, 2, 3], 8000, 1)
+    # splice a LIST chunk between fmt and data (real encoders do this)
+    fmt_end = data.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = data[:fmt_end] + extra + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced)["n_samples"] == 3
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + data[4:])
+    # truncate mid-PCM
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(data[:-3])
