@@ -94,13 +94,18 @@ def _real_decode(payload: bytes) -> tuple[int, int, int]:
     if head[:8] == b"\x89PNG\r\n\x1a\n":
         info = png.decode_png(payload)
         return info["width"], info["height"], 1
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        from quick_stream_spark.functions import gif
+
+        ginfo = gif.decode_gif(payload)
+        return ginfo["width"], ginfo["height"], ginfo["n_frames"]
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         info = wav.decode_wav(payload)
         return 0, 0, info["n_samples"]
     raise NotImplementedError(
-        "real decode implements PNG (functions/png.py) and PCM WAV "
-        "(functions/wav.py); JPEG/video need PIL/ffmpeg, not present in "
-        "this environment"
+        "real decode implements PNG (functions/png.py), animated GIF "
+        "(functions/gif.py) and PCM WAV (functions/wav.py); JPEG/MP4 "
+        "need PIL/ffmpeg, not present in this environment"
     )
 
 
@@ -229,6 +234,59 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         stat_batches, AUDIO_STATS_SCHEMA
+    )
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("idx_sum", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_frame_stats(media: DataFrame) -> DataFrame:
+    """Frame-analysis stage over animated-GIF payloads: REAL decode
+    (GIF-LZW with variable code widths, sub-block wire format,
+    per-frame image descriptors — functions/gif.py) emitting bounded
+    per-clip statistics: dimensions, frame count, the exact sum of
+    palette indices across all frames, and total per-channel RGB sums
+    through the palette.  Frames never leave the kernel."""
+    from quick_stream_spark.functions import gif
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = gif.decode_gif(payload)
+                rows.append(
+                    (
+                        mid,
+                        info["width"],
+                        info["height"],
+                        info["n_frames"],
+                        sum(info["frame_index_sums"]),
+                        info["rgb_sums"][0],
+                        info["rgb_sums"][1],
+                        info["rgb_sums"][2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "idx_sum", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stat_batches, FRAME_STATS_SCHEMA
     )
 
 

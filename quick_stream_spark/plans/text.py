@@ -1022,6 +1022,96 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_video_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             6 + doc_id % 10 AS w,
+             5 + doc_id % 7 AS h,
+             1 + doc_id % 5 AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, nf,
+             (xx.x + yy.y * 2 + ff.f * 3 + doc_id) % 16 AS p,
+             ff.f AS f
+      FROM dims, unnest(range(0, w)) AS xx(x),
+                 unnest(range(0, h)) AS yy(y),
+                 unnest(range(0, nf)) AS ff(f)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((nf + 1) // 2 AS BIGINT) AS sampled_frames,
+           CAST(SUM(p) AS BIGINT) AS idx_sum,
+           CAST(SUM((p * 16) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((p * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((p * 11) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h, nf
+    """,
+    tags=("multimodal", "binary", "decode", "video"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-frames decode end-to-end (the GIF/"video" leg of
+    the multimodal trio): synthesize an animated GIF per document —
+    dimensions AND frame count vary with doc_id, palette indices
+    closed-form in (doc_id, x, y, frame) — then decode with the
+    pure-stdlib GIF-LZW codec (functions/gif.py: variable code widths,
+    sub-block reassembly, per-frame descriptors) inside mapInPandas,
+    emitting frame counts + exact palette-index and RGB sums; the
+    frame-sampling stage (functions/multimodal.sample_frames, keep
+    every 2nd frame) runs over the REAL decoded frame counts.  The
+    oracle computes every statistic FROM THE GENERATIVE FORMULA
+    without decoding, so an LZW width-growth bug or a mis-walked
+    sub-block chain fails the value check."""
+    from quick_stream_spark.functions.multimodal import (
+        decode_frame_stats,
+        sample_frames,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.gif import encode_gif
+
+        pal = [(i * 16 % 256, i * 7 % 256, i * 11 % 256) for i in range(16)]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 6 + did % 10, 5 + did % 7, 1 + did % 5
+                frames = [
+                    [(x + y * 2 + f * 3 + did) % 16 for y in range(h) for x in range(w)]
+                    for f in range(nf)
+                ]
+                rows.append((did, encode_gif(w, h, frames, pal)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    stats = decode_frame_stats(media)
+    sampled = (
+        sample_frames(stats, every_nth=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("sampled_frames"))
+    )
+    return stats.join(sampled, "media_id").select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "n_frames",
+        F.col("sampled_frames").cast("long").alias("sampled_frames"),
+        "idx_sum",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    )
+
+
 # ----------------------------------------------------------- bigram LM
 
 

@@ -167,3 +167,61 @@ def test_wav_tolerates_extra_chunks_and_rejects_corruption():
     # truncate mid-PCM
     with _pytest.raises(ValueError, match="truncated"):
         decode_wav(data[:-3])
+
+
+# ----------------------------------------------------- real GIF codec
+
+
+def test_gif_lzw_roundtrip_across_width_growth_and_reset():
+    """The variable-width LZW stream must round-trip exactly, including
+    past the 4096-entry table reset (60k pixels of 4 colors builds far
+    more than 4096 dictionary entries)."""
+    import random
+
+    from quick_stream_spark.functions.gif import lzw_decode, lzw_encode
+
+    rng = random.Random(7)
+    for n, ncolors in [(300, 4), (5000, 16), (60000, 4), (9000, 256)]:
+        mcs = max((ncolors - 1).bit_length(), 2)
+        seq = [rng.randrange(ncolors) for _ in range(n)]
+        assert list(lzw_decode(lzw_encode(seq, mcs), mcs)) == seq, (n, ncolors)
+    rep = [1, 2, 3, 4] * 3000 + [0] * 2000  # long dictionary chains
+    assert list(lzw_decode(lzw_encode(rep, 3), 3)) == rep
+
+
+def test_gif_animation_roundtrip_and_corruption():
+    import pytest as _pytest
+
+    from quick_stream_spark.functions.gif import decode_gif, encode_gif
+
+    pal = [(i * 16 % 256, i * 7 % 256, i * 11 % 256) for i in range(16)]
+    w, h, nf = 13, 9, 4
+    frames = [
+        [(x + y * 2 + f * 3) % 16 for y in range(h) for x in range(w)]
+        for f in range(nf)
+    ]
+    info = decode_gif(encode_gif(w, h, frames, pal))
+    assert (info["width"], info["height"], info["n_frames"]) == (w, h, nf)
+    assert info["frame_index_sums"] == [sum(fr) for fr in frames]
+    want = [0, 0, 0]
+    for fr in frames:
+        for idx in fr:
+            for c in range(3):
+                want[c] += pal[idx][c]
+    assert info["rgb_sums"] == want
+    with _pytest.raises(ValueError, match="magic"):
+        decode_gif(b"BMPxxx")
+
+
+def test_real_decoder_reports_gif_frame_count(spark):
+    from quick_stream_spark.functions.gif import encode_gif
+    from quick_stream_spark.functions.multimodal import decode_media
+
+    pal = [(i, i, i) for i in range(4)]
+    g = encode_gif(5, 4, [[0] * 20, [1] * 20, [2] * 20], pal)
+    media = spark.createDataFrame(
+        [(1, g, "video", "gif")],
+        "media_id long, payload binary, media_type string, format_hint string",
+    )
+    r = decode_media(media, decoder="real").collect()[0]
+    assert (r.width, r.height, r.n_frames) == (5, 4, 3)
