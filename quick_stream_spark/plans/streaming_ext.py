@@ -609,3 +609,139 @@ def stream_matview_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(exact, "event_type")
         .select("event_type", "bitmap_bits", "est_distinct", "exact_distinct")
     )
+
+
+# ------------------------------------------------- streaming ANN index
+
+
+def _emb_dup_corpus_banded_sql() -> str:
+    """Batch-SQL twin of the streaming vector index's final pair set:
+    banded sign-LSH near-dup pairs over the doubled embedding corpus."""
+    from quick_stream_spark.functions import vectors as vec
+    from quick_stream_spark.plans.similarity import (
+        ANN_BAND_BITS,
+        ANN_BANDS,
+        ANN_PLANES,
+        DIM,
+        EMB_DUP_OFFSET,
+        EMB_DUP_THRESHOLD,
+    )
+
+    sig = vec.hyperplane_signature_sql("v", ANN_PLANES, DIM)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM e
+      UNION ALL
+      SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id,
+             list_transform(v, x -> x * 1.02 + 0.01) AS v
+      FROM e
+    ),
+    s AS (SELECT vec_id, v, {sig} AS sig FROM corpus),
+    bands AS (
+      SELECT vec_id, b, substring(sig, b * {ANN_BAND_BITS} + 1, {ANN_BAND_BITS}) AS bits
+      FROM s CROSS JOIN (SELECT unnest(range(0, {ANN_BANDS})) AS b) bs
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM bands a JOIN bands bb ON a.b = bb.b AND a.bits = bb.bits
+      WHERE a.vec_id < bb.vec_id
+    )
+    SELECT id_a, id_b, round({vec.cosine_sql('x.v', 'y.v', DIM)}, 6) AS cos_sim
+    FROM cand
+    JOIN s x ON x.vec_id = id_a
+    JOIN s y ON y.vec_id = id_b
+    WHERE {vec.cosine_sql('x.v', 'y.v', DIM)} >= {EMB_DUP_THRESHOLD}
+    """
+
+
+@register(
+    "stream_emb_neardup_incremental",
+    oracle=None,  # set below (generated from the similarity constants)
+    tags=("streaming", "similarity", "dedup", "lsh"),
+    pytest_only=True,  # the driver window is full; oracle-checked here
+)
+def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup detection: the doubled vector
+    corpus (originals + deterministic perturbations) arrives as three
+    deliveries; each micro-batch signs and bands its vectors, queries
+    the accumulated band index ((band, bits) equi-join — a new vector
+    only meets candidates sharing a band), emits exact-cosine-verified
+    pairs, and appends its entries to the index
+    (streaming/ann_index.py).  The drained pair set is delivery-
+    chunking independent and equals the batch banded-LSH near-dup
+    pairs, which is the oracle — the embedding twin of
+    stream_dedup_minhash_incremental."""
+    import tempfile as _tf
+
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.plans.similarity import EMB_DUP_OFFSET, _emb
+    from quick_stream_spark.sources.readers import write_split_as_files
+    from quick_stream_spark.streaming.ann_index import StreamingAnnIndex
+
+    pin_session(spark)
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    pert = e.select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
+    )
+    corpus = e.unionByName(pert)
+    work = _tf.mkdtemp(prefix="qss-anni-")
+    write_split_as_files(corpus, F.col("vec_id") % 3, 3, work + "/in")
+    idx = StreamingAnnIndex(
+        spark,
+        work + "/state",
+        config=QuickStreamConfig(name="emb-ann-index", checkpoint_dir=work + "/ckpt"),
+    )
+    stream = stream_parquet_dir(spark, work + "/in", corpus.schema)
+    with scoped_shuffle(spark, _stream_parts(spark, sf_dir)):
+        idx.run(stream, available_now=True)
+    return idx.pairs()
+
+
+@register(
+    "stream_emb_ann_topk",
+    oracle=None,  # set below: identical contract to the batch banded LSH
+    tags=("streaming", "similarity", "lsh", "ann"),
+    pytest_only=True,  # the driver window is full; oracle-checked here
+)
+def stream_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval against the INCREMENTALLY built vector index: the
+    embedding corpus arrives as three deliveries appending to the
+    banded sign-LSH index; after the drain, top-k retrieval for the
+    query vectors runs against the accumulated index — candidates by
+    shared band, exact cosine re-rank.  The result is delivery-
+    chunking independent and equals the batch ``emb_lsh_ann_topk``
+    over the same corpus (the oracle is literally that query's SQL):
+    the index you build incrementally answers exactly like the one you
+    would build in batch."""
+    import tempfile as _tf
+
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.plans.similarity import NUM_QUERIES, TOP_K, _emb
+    from quick_stream_spark.sources.readers import write_split_as_files
+    from quick_stream_spark.streaming.ann_index import StreamingAnnIndex
+
+    pin_session(spark)
+    corpus = _emb(spark, sf_dir).select("vec_id", "v")
+    work = _tf.mkdtemp(prefix="qss-annq-")
+    write_split_as_files(corpus, F.col("vec_id") % 3, 3, work + "/in")
+    idx = StreamingAnnIndex(
+        spark,
+        work + "/state",
+        config=QuickStreamConfig(name="emb-ann-topk", checkpoint_dir=work + "/ckpt"),
+    )
+    stream = stream_parquet_dir(spark, work + "/in", corpus.schema)
+    with scoped_shuffle(spark, _stream_parts(spark, sf_dir)):
+        idx.run(stream, available_now=True)
+    return idx.topk(NUM_QUERIES, TOP_K)
+
+
+def _wire_ann_stream_oracles() -> None:
+    _SEREG["stream_emb_neardup_incremental"].oracle = " ".join(
+        _emb_dup_corpus_banded_sql().split()
+    )
+    _SEREG["stream_emb_ann_topk"].oracle = _SEREG["emb_lsh_ann_topk"].oracle
+
+
+_wire_ann_stream_oracles()

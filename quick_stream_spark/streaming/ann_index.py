@@ -1,0 +1,199 @@
+"""Incremental ANN indexing over an embedding stream: the streaming
+twin of the banded sign-LSH retrieval in plans/similarity.py.
+
+Each micro-batch of vectors is signed and banded ROW-LOCALLY (the same
+24-plane / 6x4-bit banding as the batch index), then
+
+1. **queries** the accumulated band index for near-duplicate vectors —
+   an equi-join on (band, bits), so a new vector only meets candidates
+   sharing a band, never the corpus;
+2. emits the **verified** (exact cosine >= threshold) near-dup pairs
+   among (new x indexed) and (new x new) candidates to an append-only
+   pairs log;
+3. **appends** its own (vector, band) entries to the index.
+
+Pair emission is delivery-chunking independent (a pair sharing a band
+is found exactly when its later member arrives, or within one batch),
+so the drained pair set equals the batch banded-LSH near-dup pairs
+over the full corpus — the oracle contract.  The accumulated index
+also serves RETRIEVAL: :meth:`topk` answers banded-LSH top-k against
+everything indexed so far, equal to the batch ``emb_lsh_ann_topk``
+over the delivered corpus.
+
+Scale posture: the index holds (band, bits, vec_id, v) — ``ANN_BANDS``
+rows per vector — as partitioned append-only parquet; each batch join
+shuffles only the batch's band keys against the index.  Hot buckets
+(a viral duplicated vector) are bounded the same way as the near-dup
+text index: a per-band reservoir at ingest if needed (arrival-order
+dependent, so off for the deterministic contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_stream_spark.config import QuickStreamConfig
+from quick_stream_spark.functions import vectors as vec
+from quick_stream_spark.streaming.stream import _StreamBase
+
+
+class StreamingAnnIndex(_StreamBase):
+    """foreachBatch pipeline maintaining a banded sign-LSH vector index
+    plus an append-only verified near-dup pairs log."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "v",
+        threshold: float = 0.99,
+        planes: int | None = None,
+        band_bits: int | None = None,
+        config: QuickStreamConfig | None = None,
+    ) -> None:
+        from quick_stream_spark.plans.similarity import ANN_BAND_BITS, ANN_PLANES
+
+        super().__init__(config)
+        self.spark = spark
+        self.index_path = os.path.join(work_dir, "vec_index")
+        self.pairs_path = os.path.join(work_dir, "pairs")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.planes = planes or ANN_PLANES
+        self.band_bits = band_bits or ANN_BAND_BITS
+        self.n_bands = self.planes // self.band_bits
+        self._index_exists = False
+
+    # ------------------------------------------------------------ state
+
+    def _banded(self, vecs: DataFrame) -> DataFrame:
+        sig = vec.hyperplane_signature(F.col(self.vec_col), self.planes)
+        return vecs.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vec_col).alias("v"),
+            sig.alias("sig"),
+        ).select(
+            "id",
+            "v",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("sig", b * self.band_bits + 1, self.band_bits)
+                        for b in range(self.n_bands)
+                    ]
+                )
+            ).alias("band", "bits"),
+        )
+
+    def _read_index(self) -> DataFrame | None:
+        if not self._index_exists:
+            return None
+        return self.spark.read.parquet(self.index_path)
+
+    def pairs(self) -> DataFrame:
+        """All verified near-dup pairs discovered so far (distinct —
+        a pair found via several bands/batches carries identical
+        values)."""
+        return self.spark.read.parquet(self.pairs_path).distinct()
+
+    # ------------------------------------------------------------ batch
+
+    def _foreach_batch(self):
+        def apply(batch: DataFrame, batch_id: int) -> None:
+            banded = self._banded(batch).persist()
+            try:
+                new_side = banded.select(
+                    "band", "bits", F.col("id").alias("nid"), F.col("v").alias("nv")
+                )
+                cand = new_side.join(
+                    banded.select(
+                        "band", "bits", F.col("id").alias("oid"), F.col("v").alias("ov")
+                    ),
+                    ["band", "bits"],
+                ).filter(F.col("oid") < F.col("nid"))
+                idx = self._read_index()
+                if idx is not None:
+                    # oid != nid: a checkpoint-replayed batch meets its
+                    # own index entries; a vector never pairs with itself
+                    cross = new_side.join(
+                        idx.select(
+                            "band",
+                            "bits",
+                            F.col("id").alias("oid"),
+                            F.col("v").alias("ov"),
+                        ),
+                        ["band", "bits"],
+                    ).filter(F.col("oid") != F.col("nid"))
+                    cand = cand.unionByName(cross)
+                pairs = (
+                    cand.select(
+                        F.least("oid", "nid").alias("id_a"),
+                        F.greatest("oid", "nid").alias("id_b"),
+                        F.col("ov").alias("va"),
+                        F.col("nv").alias("vb"),
+                    )
+                    .distinct()
+                    .withColumn("cos_sim", vec.cosine(F.col("va"), F.col("vb")))
+                    .filter(F.col("cos_sim") >= self.threshold)
+                    .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+                )
+                pairs.write.mode("append").parquet(self.pairs_path)
+                banded.write.mode("append").parquet(self.index_path)
+                self._index_exists = True
+            finally:
+                banded.unpersist()
+
+        return apply
+
+    # -------------------------------------------------------- retrieval
+
+    def topk(self, query_ids_below: int, k: int) -> DataFrame:
+        """Banded-LSH top-k retrieval against everything indexed so
+        far, for the query vectors with id < ``query_ids_below``:
+        candidates share at least one band (equi-join; DISTINCT over
+        ids before vectors are fetched), exact cosine re-ranks.  Equals
+        the batch ``emb_lsh_ann_topk`` over the delivered corpus."""
+        idx = self._read_index()
+        if idx is None:
+            raise ValueError("nothing indexed yet")
+        qb = idx.filter(F.col("id") < query_ids_below).select(
+            F.col("id").alias("query_id"), "band", "bits"
+        )
+        cb = idx.select(F.col("id").alias("neighbor_id"), "band", "bits")
+        cand = (
+            qb.join(cb, ["band", "bits"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        vecs = idx.select("id", "v").distinct()
+        q = F.broadcast(
+            vecs.filter(F.col("id") < query_ids_below).select(
+                F.col("id").alias("query_id"), F.col("v").alias("qv")
+            )
+        )
+        c = vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+        scored = (
+            cand.join(c, "neighbor_id")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                vec.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+            )
+        )

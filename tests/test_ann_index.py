@@ -1,0 +1,58 @@
+"""Streaming ANN index (streaming/ann_index.py): the incrementally
+built banded-LSH vector index must be delivery-chunking independent —
+any way of splitting the corpus into micro-batches yields the same
+pairs log and the same retrieval results."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from quick_stream_spark.config import QuickStreamConfig
+from quick_stream_spark.sources.readers import (
+    stream_parquet_dir,
+    write_split_as_files,
+)
+from quick_stream_spark.streaming.ann_index import StreamingAnnIndex
+from tests.conftest import SF_SMOKE
+
+
+def _corpus(spark):
+    from quick_stream_spark.plans.similarity import EMB_DUP_OFFSET, _emb
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "v")
+    pert = e.select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
+    )
+    return e.unionByName(pert)
+
+
+def _drain(spark, corpus, root, n_chunks):
+    work = os.path.join(root, f"chunks{n_chunks}")
+    write_split_as_files(corpus, F.col("vec_id") % n_chunks, n_chunks, work + "/in")
+    idx = StreamingAnnIndex(
+        spark,
+        work + "/state",
+        config=QuickStreamConfig(
+            name=f"anni-{n_chunks}", checkpoint_dir=work + "/ckpt"
+        ),
+    )
+    idx.run(
+        stream_parquet_dir(spark, work + "/in", corpus.schema), available_now=True
+    )
+    return idx
+
+
+def test_chunking_independence_of_pairs_and_retrieval(spark, tmp_table_dir):
+    corpus = _corpus(spark).persist()
+    try:
+        one = _drain(spark, corpus, tmp_table_dir, 2)
+        other = _drain(spark, corpus, tmp_table_dir, 4)
+        p1 = {tuple(r) for r in one.pairs().collect()}
+        p2 = {tuple(r) for r in other.pairs().collect()}
+        assert p1 == p2 and p1, "pair log depends on delivery chunking"
+        t1 = {tuple(r) for r in one.topk(8, 5).collect()}
+        t2 = {tuple(r) for r in other.topk(8, 5).collect()}
+        assert t1 == t2 and t1, "retrieval depends on delivery chunking"
+    finally:
+        corpus.unpersist()
