@@ -1375,3 +1375,110 @@ def _ann_eval_oracle() -> str:
 
 
 _SIMREG["emb_ann_quality_eval"].oracle = " ".join(_ann_eval_oracle().split())
+
+
+# --------------------------------------------- dimension-truncation eval
+
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_oracle() -> str:
+    """Per-truncation top-k CTEs + recall vs the full-dim exact top-k."""
+    parts = [f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for d in MRL_DIMS:
+        cos = vec.cosine_sql(f"q.v[1:{d}]", f"c.v[1:{d}]", d)
+        parts.append(
+            f"""top_{d} AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+                FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < {NUM_QUERIES}
+              ) WHERE rank <= {TOP_K}
+            )"""
+        )
+    arms = []
+    for d in MRL_DIMS:
+        arms.append(
+            f"""SELECT {d} AS trunc_dim, f.query_id,
+                   CAST(count(t.neighbor_id) AS BIGINT) AS hits,
+                   round(CAST(count(t.neighbor_id) AS DOUBLE) / {TOP_K}, 4) AS recall
+            FROM top_{MRL_DIMS[-1]} f
+            LEFT JOIN top_{d} t
+              ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+            GROUP BY f.query_id"""
+        )
+    ctes = ",\n".join(parts)
+    union = " UNION ALL ".join(arms)
+    return f"WITH {ctes} SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim, query_id, hits, recall FROM ({union}) u"
+
+
+@register(
+    "emb_matryoshka_eval",
+    oracle=None,  # set below (generated per truncation width)
+    tags=("similarity", "evaluation", "mrl"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. 2022,
+    arXiv:2205.13147): recall@{TOP_K} of brute-force cosine retrieval
+    over the FIRST d components (d in {MRL_DIMS}) against the full
+    {DIM}-dim exact top-k, per (truncation, query) — the measurement
+    that tells a pipeline how far it can shrink stored vectors before
+    retrieval degrades (MRL-trained embeddings keep recall high at
+    small d; these synthetic near-random vectors show the opposite,
+    which is exactly what the eval should reveal).  One corpus scan
+    per truncation with the query set broadcast — the same plan shape
+    as emb_cosine_topk; truncation is a row-local slice, so at 100 TB
+    the d-dim tier reads d/{DIM} of the vector bytes."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    q_all = F.broadcast(
+        e.filter(F.col("vec_id") < NUM_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    c_all = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+
+    def top_for(d: int) -> DataFrame:
+        scored = q_all.join(c_all, F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id",
+            "neighbor_id",
+            vec.cosine(F.slice(F.col("qv"), 1, d), F.slice(F.col("cv"), 1, d)).alias(
+                "cos_sim"
+            ),
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = top_for(MRL_DIMS[-1]).localCheckpoint(eager=True)
+    out = None
+    for d in MRL_DIMS:
+        t = full.alias("f").join(
+            top_for(d).alias("t"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        part = (
+            full.join(
+                t.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+            )
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"))
+            .select(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                "query_id",
+                F.col("hits").cast("long").alias("hits"),
+                F.round(F.col("hits").cast("double") / TOP_K, 4).alias("recall"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_SIMREG["emb_matryoshka_eval"].oracle = " ".join(_mrl_oracle().split())
