@@ -34,15 +34,16 @@ def min_label_components(
          the grandparent when it is smaller — safe because labels are
          always in-component vertex ids and only ever decrease;
       4. ``localCheckpoint(eager=True)`` truncates lineage so round N's
-         plan does not contain rounds 1..N-1, AND doubles as the
-         fixpoint probe: an ``Observation`` on the checkpointed frame
-         counts changed labels during the materialization itself, so
-         there is no second per-round job.
+         plan does not contain rounds 1..N-1; the fixpoint probe is a
+         narrow ``limit(1).count`` over the CHECKPOINTED frame (cached
+         partitions, short-circuits on the first changed row).  An
+         ``Observation`` folded into the checkpoint job was measured
+         faster on average but occasionally blocked multi-seconds on a
+         lagging listener bus (``obs.get`` waits for the async
+         QueryExecution event), so the deterministic probe wins.
 
     Only vertices that appear in an edge are labeled (singletons are
     trivially their own component and never enter the loop)."""
-    from pyspark.sql import Observation
-
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -84,16 +85,13 @@ def min_label_components(
                 "component"
             ),
         )
-        obs = Observation()
-        updated = updated.observe(
-            obs,
-            F.coalesce(
-                F.sum((F.col("component") != F.col("old_component")).cast("long")),
-                F.lit(0),
-            ).alias("changed"),
-        )
         new_labels = updated.localCheckpoint(eager=True)
         labels = new_labels.drop("old_component")
-        if int(obs.get["changed"]) == 0:
+        changed = (
+            new_labels.filter(F.col("component") != F.col("old_component"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
             break
     return labels.select("id", "component")

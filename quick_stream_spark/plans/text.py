@@ -307,33 +307,21 @@ _PAIRS_CACHE: dict = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
-        # materialize the band keys on top of the cached shingles first:
-        # the signature/banding expression tree (16 permutations x 8
-        # bands of nested transforms) otherwise lands in the candidate
-        # plan and dominates its one-time Catalyst compilation; as a
-        # column over the persisted corpus it is cheap arithmetic
-        banded = (
-            _shingled_corpus(spark, sf_dir)
-            .select(
-                "id",
-                "sh",
-                mh.lsh_bands(mh.minhash_signature_from_bases(F.col("sh"))).alias(
-                    "bands"
-                ),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # fill the cache EAGERLY: the candidate job consumes `banded`
+        corpus = _shingled_corpus(spark, sf_dir)
+        # fill the cache EAGERLY: the candidate job consumes the corpus
         # from three branches (band explode + two shingle join-backs)
         # that Spark schedules concurrently — racing the lazy cache fill
         # re-runs the md5 shingle pass per branch (measured ~1.7x on the
-        # cold path); one narrow count() serializes the fill instead
-        banded.count()
-        cand = mh.candidate_pairs_lsh(banded, "id", "sh", bands_col="bands")
+        # cold path); one narrow count() serializes the fill instead.
+        # The signature/banding tree computes INLINE in the single band
+        # branch: with prehashed integer shingles it is pure arithmetic
+        # over the cached column (no md5 re-evaluation hazard), so the
+        # former separate banded persist was one full extra cached pass
+        # for nothing.
+        corpus.count()
+        cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
         j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
         pairs = (
             cand.withColumn("jaccard", j)
@@ -342,7 +330,6 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
             _PAIRS_CACHE[key] = pairs.localCheckpoint(eager=True)
-        banded.unpersist()  # the checkpoint carries the result
     return _PAIRS_CACHE[key]
 
 
