@@ -1099,6 +1099,120 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_SYNTH_SQL = """
+  CASE WHEN doc_id % 2 = 0
+    THEN 'https://example' || (doc_id // 2) % 97 || '.com/p/' || (doc_id // 2) % 13
+         || '?b=2&a=1'
+    ELSE 'HTTPS://EXAMPLE' || (doc_id // 2) % 97 || '.COM:443/p/' || (doc_id // 2) % 13
+         || '/?a=1&utm_source=feed&b=2'
+  END
+"""
+
+_URL_PARAMS_SQL = (
+    "array_to_string(list_sort(list_filter(string_split(query, '&'), "
+    "p -> p <> '' AND p NOT LIKE 'utm_%')), '&')"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z]+://([^/:?]+)', 1)) AS host,
+        regexp_extract(url, '^[A-Za-z]+://[^/:?]+:([0-9]+)', 1) AS port,
+        regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?]*(/[^?]*)?', 1),
+                       '/+$', '') AS path,
+        regexp_extract(url, '\\?(.*)$', 1) AS query
+      FROM urls
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' || host ||
+        CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                  OR (scheme = 'http' AND port = '80')
+             THEN '' ELSE ':' || port END ||
+        path ||
+        CASE WHEN {_URL_PARAMS_SQL} = '' THEN ''
+             ELSE '?' || {_URL_PARAMS_SQL} END AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM canon GROUP BY canonical_url HAVING count(*) > 1
+    """,
+    tags=("text", "dedup", "url"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup tier of every
+    web-crawl training pipeline (CommonCrawl-style): lowercase scheme
+    and host, strip default ports (:443/https, :80/http) and trailing
+    slashes, drop tracking params (utm_*), sort the surviving query
+    params, then group by the canonical form and keep the lowest
+    doc_id.  The corpus synthesizes two messy variants per canonical
+    URL (case, default port, trailing slash, param order, utm junk),
+    so the canonicalizer must actually normalize to find them.
+    Entirely JVM-side string built-ins (regexp_extract / split /
+    filter / array_sort) — one map pass + one hash groupBy, no UDF;
+    at 100 TB this is a scan-speed pass."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    base = (F.col("doc_id") / 2).cast("long")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("https://example"), (base % 97).cast("string"),
+            F.lit(".com/p/"), (base % 13).cast("string"), F.lit("?b=2&a=1"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://EXAMPLE"), (base % 97).cast("string"),
+            F.lit(".COM:443/p/"), (base % 13).cast("string"),
+            F.lit("/?a=1&utm_source=feed&b=2"),
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/:?]+)", 1))
+    port = F.regexp_extract("url", r"^[A-Za-z]+://[^/:?]+:([0-9]+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?]*(/[^?]*)?", 1), r"/+$", ""
+    )
+    query = F.regexp_extract("url", r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    default_port = (
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 # ----------------------------------------------------------- bigram LM
 
 
