@@ -1213,6 +1213,174 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- exact substring-span dedup
+
+SUBSTR_W = 10  # duplicated-substring window (tokens)
+_SUBSTR_P = 1_000_000_007
+_SUBSTR_B = 1_000_033
+
+
+def _substr_fold_sql(th: str, i: str) -> str:
+    """Rolling hash of the W-token window starting at 0-based ``i``
+    (DuckDB; 1-based list indexing)."""
+    fold = f"({th})[{i}+1]"
+    for j in range(1, SUBSTR_W):
+        fold = f"(({fold}) * {_SUBSTR_B} + ({th})[{i}+{j + 1}]) % {_SUBSTR_P}"
+    return fold
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH corpus AS ({{corpus}}),
+    th AS (
+      SELECT id,
+        list_transform(
+          CASE WHEN length(trim(text)) = 0 THEN []
+               ELSE regexp_split_to_array(trim(text), '\\s+') END,
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {_SUBSTR_P}) AS th
+      FROM corpus
+    ),
+    sized AS (SELECT id, th, len(th) AS n_tokens FROM th WHERE len(th) >= {SUBSTR_W}),
+    grams AS (
+      SELECT id, n_tokens, ri.i AS pos, {{fold}} AS g
+      FROM sized, unnest(range(0, n_tokens - {SUBSTR_W - 1})) AS ri(i)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT grams.* FROM grams JOIN dup USING (g)),
+    flagged AS (
+      SELECT id, n_tokens, pos,
+             CASE WHEN max(pos + {SUBSTR_W}) OVER (
+                    PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR pos > max(pos + {SUBSTR_W}) OVER (
+                    PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ),
+    spans AS (
+      SELECT id, n_tokens,
+             SUM(new_span) OVER (PARTITION BY id ORDER BY pos) AS grp, pos
+      FROM flagged
+    ),
+    merged AS (
+      SELECT id, n_tokens, grp,
+             min(pos) AS span_start, max(pos) + {SUBSTR_W} AS span_end
+      FROM spans GROUP BY id, n_tokens, grp
+    )
+    SELECT id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS dup_tokens,
+           round(SUM(span_end - span_start) * 1.0 / n_tokens, 6) AS dup_fraction
+    FROM merged GROUP BY id, n_tokens
+    """,
+    tags=("text", "dedup", "substring"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better"): find every >= {SUBSTR_W}-token substring that
+    occurs at least twice ANYWHERE in the corpus, merge the hits into
+    maximal per-document spans, and report each affected document's
+    duplicated-token count and fraction — the statistics that drive
+    span trimming.  The published recipe uses a corpus suffix array;
+    the equi-join restatement here is the shuffle-friendly equivalent:
+    rolling-hash every W-token window (one md5 per token, then
+    arithmetic), group windows by hash keeping only hashes seen >= 2
+    times, and merge each document's surviving window positions into
+    spans with one cumulative-max window pass.  No suffix array, no
+    driver state — three map-combinable shuffles (gram count, hit
+    join, span window), all engine built-ins."""
+    from quick_stream_spark.functions.text import ws_tokens
+
+    corpus = _dup_corpus(spark, sf_dir)
+    th_col = F.transform(
+        ws_tokens(F.col("text")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % _SUBSTR_P,
+    )
+    # materialize token hashes BEFORE the 10-way window zip: as an
+    # inlined expression each of the 10 slice references would re-run
+    # the md5 pass (no subexpression elimination through HOFs)
+    th = (
+        corpus.select("id", th_col.alias("th"))
+        .filter(F.size("th") >= SUBSTR_W)
+        .localCheckpoint(eager=True)
+    )
+    sized = th.select("id", "th", F.size("th").alias("n_tokens"))
+    k = F.col("n_tokens") - (SUBSTR_W - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("th", j + 1, k).alias(f"t{j}") for j in range(SUBSTR_W)]
+    )
+
+    def roll(s):
+        acc = s["t0"]
+        for j in range(1, SUBSTR_W):
+            acc = (acc * _SUBSTR_B + s[f"t{j}"]) % _SUBSTR_P
+        return acc
+
+    grams = sized.select(
+        "id",
+        "n_tokens",
+        F.posexplode(F.transform(zipped, roll)).alias("pos", "g"),
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    hits = grams.join(dup.select("g"), "g")
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + SUBSTR_W).over(w_prev)
+    flagged = hits.select(
+        "id",
+        "n_tokens",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    w_cum = Window.partitionBy("id").orderBy("pos")
+    spans = flagged.withColumn("grp", F.sum("new_span").over(w_cum))
+    merged = spans.groupBy("id", "n_tokens", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + SUBSTR_W).alias("span_end"),
+    )
+    return merged.groupBy("id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        F.round(
+            F.sum(F.col("span_end") - F.col("span_start"))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    ).select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_spans",
+        "dup_tokens",
+        "dup_fraction",
+    )
+
+
+# the oracle template needs the shared dup-corpus SQL and the generated
+# rolling-hash expression spliced in
+_REG4 = __import__(
+    "quick_stream_spark.plans.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG4["dedup_substring_spans"].oracle = " ".join(
+    _REG4["dedup_substring_spans"]
+    .oracle.replace("{corpus}", DUP_CORPUS_SQL)
+    .replace("{fold}", _substr_fold_sql("th", "ri.i"))
+    .split()
+)
+
+
 # ----------------------------------------------------------- bigram LM
 
 
