@@ -1148,3 +1148,72 @@ def monitor_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_nano").alias("psi_nano"),
         F.round(F.sum("term_nano").cast("double") / 1_000_000_000, 6).alias("psi"),
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("analytics", "sessionization"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the canonical event-analytics
+    operator: a user's events split into sessions wherever the gap to
+    the previous event exceeds {SESSION_GAP_MIN} minutes, then one row
+    per session with event count, duration and exact decimal value sum.
+    ONE shuffle on user_id serves both window passes (lag + cumulative
+    session counter share the same partitioning, so Catalyst plans a
+    single Exchange) and the session aggregation arrives pre-partitioned.
+    Deterministic same-ts order via the event_id tie-break.  The batch
+    twin of Structured Streaming's ``session_window`` (which handles
+    the unbounded case with watermark-evicted state)."""
+    ev = load_table(spark, sf_dir, "events")
+    pin_session(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "value", new_session.alias("new_session")
+    ).withColumn("session_seq", F.sum("new_session").over(w))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .alias("duration_s"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            "duration_s",
+            "sum_value",
+        )
+    )

@@ -745,3 +745,69 @@ def _wire_ann_stream_oracles() -> None:
 
 
 _wire_ann_stream_oracles()
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS seq
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, seq
+    """,
+    tags=("streaming", "sessionization", "stateful"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming sessionization: Structured Streaming's
+    ``session_window`` (dynamic gap-merged windows with
+    watermark-evicted state) over a three-delivery replay of the
+    events table — the unbounded-state counterpart of the batch
+    ``events_sessionize`` operator.  A session's window is
+    [first event, last event + 30 min); the oracle restates that as
+    the gap-split interval merge in plain SQL over the whole table,
+    which the drained stream must equal regardless of delivery
+    chunking.  Complete output mode (no watermark): append mode only
+    emits a session once the watermark passes its end, so the corpus's
+    trailing sessions would stay in state forever on a drained replay;
+    complete mode emits the full merged-session state — the right
+    contract for a bounded replay (watermark-driven eviction behavior
+    is covered by stream_late_data_watermark)."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    work = tempfile.mkdtemp(prefix="qss-sess-")
+    from quick_stream_spark.sources.readers import write_split_as_files
+
+    write_split_as_files(ev, F.xxhash64("user_id", "ts") % 3, 3, work + "/in")
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema)
+    sessioned = stream.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("sw"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _run_to_memory(
+        spark,
+        sessioned,
+        f"sess_{abs(hash(work)) % 10**8}",
+        work,
+        "complete",
+        parts=_stream_parts(spark, sf_dir),
+    )
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )
