@@ -184,6 +184,8 @@ def decode_gif(data: bytes) -> dict:
     ``ValueError`` on malformed payloads."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad magic")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
     width, height, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     palette: list[tuple[int, int, int]] = []
@@ -213,6 +215,8 @@ def decode_gif(data: bytes) -> dict:
             continue
         if marker != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
         left, top, fw, fh, fpacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
         local = palette
@@ -225,6 +229,8 @@ def decode_gif(data: bytes) -> dict:
             pos += 3 * n
         if fpacked & 0x40:
             raise ValueError("interlaced GIF not supported")
+        if pos >= len(data):
+            raise ValueError("truncated image data")
         mcs = data[pos]
         pos += 1
         lzw = bytearray()
@@ -243,7 +249,10 @@ def decode_gif(data: bytes) -> dict:
         if not local:
             raise ValueError("frame has no color table")
         frame_sums.append(sum(indices))
+        n_colors = len(local)
         for idx in indices:
+            if idx >= n_colors:
+                raise ValueError("palette index out of range")
             r, g, b = local[idx]
             rgb_sums[0] += r
             rgb_sums[1] += g

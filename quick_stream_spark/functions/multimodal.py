@@ -171,7 +171,12 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 info = png.decode_png(payload)
                 s = info["channel_sums"]
-                r, g, b = (s * 3)[:3] if info["channels"] < 3 else s[:3]
+                if info["channels"] < 3:
+                    # grayscale (and gray+alpha) map the GRAY plane onto
+                    # all three channels; the alpha plane is not a color
+                    r = g = b = s[0]
+                else:
+                    r, g, b = s[:3]
                 rows.append(
                     (mid, info["width"], info["height"], info["n_pixels"], r, g, b)
                 )

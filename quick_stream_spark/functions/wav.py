@@ -77,6 +77,8 @@ def decode_wav(data: bytes) -> dict:
             f"unsupported WAV layout: format={audio_format} bits={bits} "
             f"(PCM 16-bit only)"
         )
+    if sample_rate <= 0:
+        raise ValueError("invalid sample rate")
     if channels < 1 or len(pcm) % (channels * 2) != 0:
         raise ValueError("PCM stream length mismatch")
     n_samples = len(pcm) // (channels * 2)

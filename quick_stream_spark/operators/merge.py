@@ -239,14 +239,17 @@ class KeyedTable:
         for b, fl in new_files.items():
             mapping[b] = fl
         carried = [b for b in mapping if b not in new_files]
-        if prev_stats is None and carried:
-            # pre-stats manifest with carried-forward buckets: publishing
-            # a partial stats dict would make count_fast() silently wrong
-            # (it sums whatever keys exist) — keep the honest scan
-            # fallback by committing without stats
+        # COVERAGE is the invariant, not "a stats key existed": a
+        # carried-forward bucket with no stats entry (pre-stats
+        # manifest, or a partial dict an old engine published) would
+        # make count_fast() silently sum a subset — commit without
+        # stats (honest scan fallback) until every carried bucket is
+        # covered (e.g. after a compaction replaces all buckets)
+        prev = prev_stats or {}
+        if any(b not in prev for b in carried):
             stats = None
         else:
-            stats = dict(prev_stats or {})
+            stats = dict(prev)
             for b in replaced_buckets:
                 stats.pop(b, None)
         if new_files and stats is not None:

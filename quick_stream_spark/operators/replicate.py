@@ -139,11 +139,10 @@ class ChangeReplicator:
             # divergent bucket that is empty on the source side (replica
             # holds spurious rows) would otherwise survive untouched and
             # be re-reported by every repair — drop those dirs explicitly
-            # (mirrors hard_delete's emptied-bucket cleanup)
-            with_rows = {
-                r[0] for r in rows.select(BUCKET_COL).distinct().collect()
-            }
-            empty_on_source = [b for b in bad if b not in with_rows]
+            # (mirrors hard_delete's emptied-bucket cleanup).  src_sums
+            # already names exactly the buckets with source rows, so no
+            # second snapshot scan is needed
+            empty_on_source = [b for b in bad if b not in src_sums]
             if empty_on_source:
                 self.replica._drop_bucket_dirs(empty_on_source)
         return bad

@@ -91,8 +91,9 @@ class MultiTableRouter:
         loop would leave the cluster idle between small per-table jobs.
         The persisted batch is scanned once per table either way; the
         pool only overlaps the scheduling.  The first failure
-        propagates (remaining in-flight tables finish their current
-        call)."""
+        propagates; queued not-yet-started tables are cancelled
+        (in-flight ones finish their current call) so failure latency
+        does not scale with destination count."""
         batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             names = self._tables_in(batch)
@@ -110,12 +111,15 @@ class MultiTableRouter:
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(
+                pool = ThreadPoolExecutor(
                     max_workers=min(width, len(names)),
                     thread_name_prefix="qss-fanout",
-                ) as pool:
+                )
+                try:
                     for f in [pool.submit(run, t) for t in names]:
                         f.result()
+                finally:
+                    pool.shutdown(wait=True, cancel_futures=True)
         finally:
             batch.unpersist()
 

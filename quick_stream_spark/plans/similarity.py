@@ -1459,8 +1459,12 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = top_for(MRL_DIMS[-1]).localCheckpoint(eager=True)
     out = None
     for d in MRL_DIMS:
+        # the full-dim arm IS the reference — reuse the checkpointed
+        # frame instead of re-running the most expensive corpus scan
+        # (its recall is 1.0 by construction)
+        approx = full if d == MRL_DIMS[-1] else top_for(d)
         t = full.alias("f").join(
-            top_for(d).alias("t"),
+            approx.alias("t"),
             ["query_id", "neighbor_id"],
             "left_semi",
         )

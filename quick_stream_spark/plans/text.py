@@ -1108,9 +1108,12 @@ _URL_SYNTH_SQL = """
   END
 """
 
+# '_' is a LIKE wildcard: escape it so the oracle matches the Spark
+# side's LITERAL startswith("utm_") (plain 'utm_%' would also drop
+# e.g. 'utma=1')
 _URL_PARAMS_SQL = (
     "array_to_string(list_sort(list_filter(string_split(query, '&'), "
-    "p -> p <> '' AND p NOT LIKE 'utm_%')), '&')"
+    "p -> p <> '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\')), '&')"
 )
 
 

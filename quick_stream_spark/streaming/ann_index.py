@@ -67,7 +67,13 @@ class StreamingAnnIndex(_StreamBase):
         self.planes = planes or ANN_PLANES
         self.band_bits = band_bits or ANN_BAND_BITS
         self.n_bands = self.planes // self.band_bits
-        self._index_exists = False
+        # a restarted process (streaming checkpoint resume) must see the
+        # index its predecessor built — probe the filesystem once
+        # instead of assuming a fresh instance means an empty index
+        from quick_stream_spark.operators.merge import _hadoop_fs
+
+        fs, p, _ = _hadoop_fs(spark, self.index_path)
+        self._index_exists = bool(fs.exists(p))
 
     # ------------------------------------------------------------ state
 

@@ -78,7 +78,13 @@ class StreamingNearDupIndex(_StreamBase):
         # leave None for the deterministic, delivery-chunking-
         # independent contract the oracle checks.
         self.max_band_entries = max_band_entries
-        self._index_exists = False
+        # a restarted process (streaming checkpoint resume) must see the
+        # index its predecessor built — probe the filesystem once
+        # instead of assuming a fresh instance means an empty index
+        from quick_stream_spark.operators.merge import _hadoop_fs
+
+        fs, p, _ = _hadoop_fs(spark, self.index_path)
+        self._index_exists = bool(fs.exists(p))
 
     # ------------------------------------------------------------ state
 

@@ -56,3 +56,37 @@ def test_chunking_independence_of_pairs_and_retrieval(spark, tmp_table_dir):
         assert t1 == t2 and t1, "retrieval depends on delivery chunking"
     finally:
         corpus.unpersist()
+
+
+def test_restarted_index_sees_prior_entries(spark, tmp_table_dir):
+    """A NEW StreamingAnnIndex over an existing work_dir (process
+    restart / checkpoint resume) must see the index its predecessor
+    built: cross-batch pairs with pre-restart vectors must still be
+    found, and topk() must answer."""
+    corpus = _corpus(spark).persist()
+    try:
+        first_half = corpus.filter(F.col("vec_id") % 2 == 0)
+        second_half = corpus.filter(F.col("vec_id") % 2 == 1)
+        work = os.path.join(tmp_table_dir, "restart")
+        write_split_as_files(first_half, F.col("vec_id") % 1, 1, work + "/in1")
+        idx = StreamingAnnIndex(
+            spark, work + "/state",
+            config=QuickStreamConfig(name="anni-r1", checkpoint_dir=work + "/ck1"),
+        )
+        idx.run(stream_parquet_dir(spark, work + "/in1", corpus.schema),
+                available_now=True)
+        # restart: fresh instance over the same state dir
+        idx2 = StreamingAnnIndex(
+            spark, work + "/state",
+            config=QuickStreamConfig(name="anni-r2", checkpoint_dir=work + "/ck2"),
+        )
+        assert idx2._index_exists, "restarted index forgot its on-disk state"
+        write_split_as_files(second_half, F.col("vec_id") % 1, 1, work + "/in2")
+        idx2.run(stream_parquet_dir(spark, work + "/in2", corpus.schema),
+                 available_now=True)
+        # the batch reference: one-shot drain over everything
+        ref = _drain(spark, corpus, tmp_table_dir, 3)
+        assert ({tuple(r) for r in idx2.pairs().collect()}
+                == {tuple(r) for r in ref.pairs().collect()})
+    finally:
+        corpus.unpersist()

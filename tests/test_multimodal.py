@@ -225,3 +225,48 @@ def test_real_decoder_reports_gif_frame_count(spark):
     )
     r = decode_media(media, decoder="real").collect()[0]
     assert (r.width, r.height, r.n_frames) == (5, 4, 3)
+
+
+def test_codecs_raise_valueerror_on_any_malformation():
+    """The documented contract is ValueError for malformed payloads —
+    never struct.error / IndexError / ZeroDivisionError leaking from
+    the kernels (a DLQ catching ValueError must not crash instead)."""
+    import struct
+
+    import pytest as _pytest
+
+    from quick_stream_spark.functions.gif import decode_gif, encode_gif
+    from quick_stream_spark.functions.png import decode_png, encode_png
+    from quick_stream_spark.functions.wav import decode_wav, encode_wav
+
+    png = encode_png(6, 6, _px)
+    # truncate INSIDE the IDAT chunk's CRC (IEND's length field starts
+    # at rindex-4; the 4 bytes before that are IDAT's CRC)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(png[: png.rindex(b"IEND") - 6])
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x01\x00")  # truncated header
+    gif = bytearray(encode_gif(4, 3, [[0] * 12], [(0, 0, 0), (1, 1, 1)]))
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(gif[:-8]))  # truncated mid-frame
+
+    wav = bytearray(encode_wav([1, 2, 3], 8000, 1))
+    # craft sample_rate = 0 inside the fmt chunk (offset: RIFF(12) +
+    # 'fmt '+len(8) + format/channels(4) = 24)
+    struct.pack_into("<I", wav, 24, 0)
+    with _pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(wav))
+
+
+def test_gray_alpha_stats_use_the_gray_plane(spark):
+    """2-channel (gray+alpha) PNGs must map the GRAY plane onto all
+    three output channels — not leak the alpha plane into sum_g."""
+    from quick_stream_spark.functions.multimodal import decode_image_stats
+    from quick_stream_spark.functions.png import encode_png
+
+    la = encode_png(5, 4, lambda x, y: ((x + y) % 7, 255), color_type=4)
+    media = spark.createDataFrame([(1, la)], "media_id long, payload binary")
+    r = decode_image_stats(media).collect()[0]
+    gray = sum((x + y) % 7 for y in range(4) for x in range(5))
+    assert (r.sum_r, r.sum_g, r.sum_b) == (gray, gray, gray)
