@@ -237,6 +237,13 @@ def _kmeans_oracle() -> str:
     """
 
 
+# Trained models are session artifacts: the scorecard, SemDeDup, IVF
+# and the centroid query all (re)train the same codebook — cache the
+# checkpointed result per (session, sf_dir) so training runs once, the
+# way a production pipeline trains offline and reuses the model.
+_KMEANS_CACHE: dict = {}
+
+
 def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means codebook training (K={KMEANS_K}, {KMEANS_ITERS} Lloyd
     iterations, deterministic first-K init) — the offline step that
@@ -245,7 +252,11 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized literal centroid array — the model crosses the
     driver, never the data) and recomputes exact scaled-integer means.
     Fixed iteration count keeps it SQL-expressible: the oracle unrolls
-    the same three rounds as CTE layers."""
+    the same three rounds as CTE layers.  Trained once per
+    (session, sf_dir) — see _KMEANS_CACHE."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[cache_key]
     e = _emb(spark, sf_dir).select("vec_id", "v")
     init = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cell"), F.posexplode("v").alias("pos", "cv")
@@ -267,7 +278,11 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = _emb_count(spark, sf_dir) * DIM
     with scoped_shuffle(spark, rows_sized_parts(n_rows, 500_000)):
         cents, cr = _lloyd_rounds(spark, e, cents, to_lists)
-    return cr.select("cell", "pos", F.col("cv").alias("centroid"))
+        out = cr.select("cell", "pos", F.col("cv").alias("centroid")).localCheckpoint(
+            eager=True
+        )
+    _KMEANS_CACHE[cache_key] = out
+    return out
 
 
 def _lloyd_rounds(spark: SparkSession, e: DataFrame, cents, to_lists):
@@ -838,12 +853,19 @@ def _sub_sqdist(a, b):
     )
 
 
+_PQ_BOOK_CACHE: dict = {}
+
+
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace PQ codebooks: deterministic first-K init, ONE Lloyd
     refinement round (exact scaled-integer means), collected to the
     driver as bounded model artifacts (PQ_M x PQ_K x PQ_SUBDIM floats).
     One refinement round keeps the unrolled SQL oracle tractable; the
-    iteration count is a constant, not a structural limit."""
+    iteration count is a constant, not a structural limit.  Trained
+    once per (session, sf_dir)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _PQ_BOOK_CACHE:
+        return _PQ_BOOK_CACHE[cache_key]
     e = _emb(spark, sf_dir).select("vec_id", "v")
     books: list[list[tuple[int, list[float]]]] = []
     with scoped_shuffle(
@@ -891,6 +913,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list
                     for cell in sorted(by_cell)
                 ]
             )
+    _PQ_BOOK_CACHE[cache_key] = books
     return books
 
 
