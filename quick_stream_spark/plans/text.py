@@ -1384,6 +1384,72 @@ _REG4["dedup_substring_spans"].oracle = " ".join(
 )
 
 
+@register(
+    "pipeline_multimodal_curation",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
+    ),
+    aud AS (
+      SELECT doc_id,
+             200 + doc_id % 300 AS n_samples,
+             8000 + (doc_id % 4) * 4000 AS sr
+      FROM documents
+    ),
+    vid AS (SELECT doc_id, 1 + doc_id % 5 AS nf FROM documents),
+    verdicts AS (
+      SELECT img.doc_id,
+             img.w * img.h >= 64 AS image_ok,
+             (aud.n_samples * 1000 // aud.sr) >= 20 AS audio_ok,
+             vid.nf >= 2 AS video_ok
+      FROM img JOIN aud ON img.doc_id = aud.doc_id
+               JOIN vid ON img.doc_id = vid.doc_id
+    )
+    SELECT image_ok, audio_ok, video_ok,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM verdicts GROUP BY image_ok, audio_ok, video_ok
+    """,
+    tags=("multimodal", "pipeline", "decode"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation END-TO-END: every document's image, audio
+    clip and animation are synthesized, REALLY decoded (PNG + WAV +
+    GIF codecs through their mapInPandas stages), and filtered on the
+    DECODED properties — image area >= 64 px, clip duration >= 20 ms,
+    animation >= 2 frames — with one verdict-combination census as the
+    curation report (the accept/reject matrix a media pipeline
+    publishes before training).  The oracle derives every verdict from
+    the generative formulas WITHOUT decoding, so the report is only
+    green if all three decoders recover the true properties; the
+    filters run on decoder OUTPUT, making this the composition proof
+    that the decode stats are usable downstream, not just printable."""
+    from quick_stream_spark.plans.registry import REGISTRY as _R
+
+    img = (
+        _R["mm_image_decode"].fn(spark, sf_dir)
+        .select("doc_id", ((F.col("width") * F.col("height")) >= 64).alias("image_ok"))
+    )
+    aud = (
+        _R["mm_audio_decode"].fn(spark, sf_dir)
+        .select("doc_id", (F.col("duration_ms") >= 20).alias("audio_ok"))
+    )
+    vid = (
+        _R["mm_video_frames"].fn(spark, sf_dir)
+        .select("doc_id", (F.col("n_frames") >= 2).alias("video_ok"))
+    )
+    return (
+        img.join(aud, "doc_id")
+        .join(vid, "doc_id")
+        .groupBy("image_ok", "audio_ok", "video_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 # ----------------------------------------------------------- bigram LM
 
 
