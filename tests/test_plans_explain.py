@@ -244,3 +244,28 @@ def test_pre_reduce_collapses_hot_keys_map_side(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "partial_max_by" in plan
+
+
+def test_sessionize_reuses_one_user_exchange(spark):
+    """Both window passes and the session aggregation share the
+    user_id partitioning: exactly ONE hashpartitioning(user_id)
+    Exchange in the whole plan — the gap split, the cumulative session
+    counter and the per-session groupBy must not each re-shuffle."""
+    plan = _formatted(spark, "events_sessionize")
+    # formatted mode lists operator arguments separately: count the
+    # hashpartitioning specs (one per Exchange instance)
+    n = plan.count("hashpartitioning(user_id")
+    assert n == 1, f"expected exactly one user_id exchange, got {n}\n{plan}"
+
+
+def test_new_similarity_and_dedup_plans_avoid_cartesian(spark):
+    """Candidate generation in the banded-LSH and substring-span
+    operators must be equi-joins — a CartesianProduct or
+    BroadcastNestedLoopJoin in these plans is the O(n^2) failure mode
+    the banding/hash-grouping exists to avoid.  (The deliberate
+    broadcast of the 8-row query set in ANN re-ranking is a broadcast
+    HASH join, which remains allowed.)"""
+    for name in ("emb_lsh_ann_topk", "dedup_substring_spans", "dedup_url_canonical"):
+        plan = _formatted(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
