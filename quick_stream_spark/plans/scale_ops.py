@@ -475,7 +475,7 @@ def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFr
       SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
       FROM events
     )
-    SELECT f.cohort_week,
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
            CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
              AS week_offset,
            CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
