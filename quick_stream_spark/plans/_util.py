@@ -98,3 +98,15 @@ SQL_REVENUE = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 )
+
+
+def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Get-or-fill for per-(session, scale-factor) artifacts — the one
+    idiom behind the pairs/corpus/codebook caches: deterministic session
+    artifacts (checkpointed frames, driver-side models) keyed by
+    (applicationId, sf_dir) so a new session or a different scale
+    factor never reads a stale entry."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]

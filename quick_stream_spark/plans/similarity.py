@@ -254,9 +254,14 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed iteration count keeps it SQL-expressible: the oracle unrolls
     the same three rounds as CTE layers.  Trained once per
     (session, sf_dir) — see _KMEANS_CACHE."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    if cache_key in _KMEANS_CACHE:
-        return _KMEANS_CACHE[cache_key]
+    from quick_stream_spark.plans._util import session_cached
+
+    return session_cached(
+        _KMEANS_CACHE, spark, sf_dir, lambda: _kmeans_train_impl(spark, sf_dir)
+    )
+
+
+def _kmeans_train_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "v")
     init = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cell"), F.posexplode("v").alias("pos", "cv")
@@ -281,7 +286,6 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = cr.select("cell", "pos", F.col("cv").alias("centroid")).localCheckpoint(
             eager=True
         )
-    _KMEANS_CACHE[cache_key] = out
     return out
 
 
@@ -863,9 +867,14 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list
     One refinement round keeps the unrolled SQL oracle tractable; the
     iteration count is a constant, not a structural limit.  Trained
     once per (session, sf_dir)."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    if cache_key in _PQ_BOOK_CACHE:
-        return _PQ_BOOK_CACHE[cache_key]
+    from quick_stream_spark.plans._util import session_cached
+
+    return session_cached(
+        _PQ_BOOK_CACHE, spark, sf_dir, lambda: _pq_codebooks_impl(spark, sf_dir)
+    )
+
+
+def _pq_codebooks_impl(spark: SparkSession, sf_dir: str) -> list:
     e = _emb(spark, sf_dir).select("vec_id", "v")
     books: list[list[tuple[int, list[float]]]] = []
     with scoped_shuffle(
@@ -913,7 +922,6 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list
                     for cell in sorted(by_cell)
                 ]
             )
-    _PQ_BOOK_CACHE[cache_key] = books
     return books
 
 

@@ -307,31 +307,35 @@ _PAIRS_CACHE: dict = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PAIRS_CACHE:
-        corpus = _shingled_corpus(spark, sf_dir)
-        # fill the cache EAGERLY: the candidate job consumes the corpus
-        # from three branches (band explode + two shingle join-backs)
-        # that Spark schedules concurrently — racing the lazy cache fill
-        # re-runs the md5 shingle pass per branch (measured ~1.7x on the
-        # cold path); one narrow count() serializes the fill instead.
-        # The signature/banding tree computes INLINE in the single band
-        # branch: with prehashed integer shingles it is pure arithmetic
-        # over the cached column (no md5 re-evaluation hazard), so the
-        # former separate banded persist was one full extra cached pass
-        # for nothing.
-        corpus.count()
-        cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
-        j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
-        pairs = (
-            cand.withColumn("jaccard", j)
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .select("id_a", "id_b", "jaccard")
-        )
-        with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
-            _PAIRS_CACHE[key] = pairs.localCheckpoint(eager=True)
-    return _PAIRS_CACHE[key]
+    from quick_stream_spark.plans._util import session_cached
 
+    return session_cached(
+        _PAIRS_CACHE, spark, sf_dir, lambda: _verified_pairs_impl(spark, sf_dir)
+    )
+
+
+def _verified_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _shingled_corpus(spark, sf_dir)
+    # fill the cache EAGERLY: the candidate job consumes the corpus
+    # from three branches (band explode + two shingle join-backs)
+    # that Spark schedules concurrently — racing the lazy cache fill
+    # re-runs the md5 shingle pass per branch (measured ~1.7x on the
+    # cold path); one narrow count() serializes the fill instead.
+    # The signature/banding tree computes INLINE in the single band
+    # branch: with prehashed integer shingles it is pure arithmetic
+    # over the cached column (no md5 re-evaluation hazard), so the
+    # former separate banded persist was one full extra cached pass
+    # for nothing.
+    corpus.count()
+    cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
+    j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
+    pairs = (
+        cand.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+    with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
+        return pairs.localCheckpoint(eager=True)
 
 @register(
     "dedup_ngram_jaccard",
@@ -1590,6 +1594,12 @@ def text_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame
     by_y: dict[int, dict[int, int]] = {}
     for r in cent_rows:
         by_y.setdefault(int(r.y), {})[int(r.j)] = int(r.c)
+    if 1 not in by_y or -1 not in by_y:
+        raise ValueError(
+            "training split holds a single label class "
+            f"(labels present: {sorted(by_y)}); a nearest-centroid "
+            "classifier needs both — adjust _PCT_THRESH_PPM for this corpus"
+        )
     cp = [by_y[1][j] for j in range(PCT_DIM)]
     cn = [by_y[-1][j] for j in range(PCT_DIM)]
 
