@@ -1517,3 +1517,108 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMREG["emb_matryoshka_eval"].oracle = " ".join(_mrl_oracle().split())
+
+
+# -------------------------------------- embedding-dedup quality eval
+
+
+@register(
+    "dedup_embedding_quality_eval",
+    oracle=None,  # set below (exact brute pairs vs the LSH-blocked set)
+    tags=("similarity", "dedup", "evaluation"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def dedup_embedding_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the LSH-blocked embedding near-dup detector
+    against the EXACT thresholded pair set — the similarity twin of
+    dedup_lsh_quality_eval, computed as data and oracle-checked rather
+    than asserted in prose.  The exact side is the O(n^2) cosine sweep
+    over the doubled corpus (the eval tier can afford it; the detector
+    exists so production never runs it); one full-outer join on the
+    pair key classifies each pair as found/missed/spurious.  The
+    verify step makes precision exactly 1.0 by construction (every
+    emitted pair re-checked with exact cosine) — the eval PROVES that
+    and measures the blocking recall the docstrings claim."""
+    exact_pairs = None
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    pert = e.select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
+    )
+    corpus = e.unionByName(pert)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", vec.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= EMB_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    from quick_stream_spark.plans.registry import REGISTRY as _R
+
+    blocked = _R["dedup_embedding_cosine"].fn(spark, sf_dir).select("id_a", "id_b")
+    ex = exact_pairs.withColumn("__e", F.lit(1))
+    bl = blocked.withColumn("__b", F.lit(1))
+    joined = ex.join(bl, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.sum(F.when(F.col("__e").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("found"),
+        F.sum(F.when(F.col("__e").isNotNull() & F.col("__b").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("missed"),
+        F.sum(F.when(F.col("__e").isNull() & F.col("__b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("spurious"),
+    ).select(
+        "found",
+        "missed",
+        "spurious",
+        ((F.col("found") * 1_000_000 - F.pmod(F.col("found") * 1_000_000, F.greatest(F.col("found") + F.col("missed"), F.lit(1)))) / F.greatest(F.col("found") + F.col("missed"), F.lit(1)))
+        .cast("long")
+        .alias("recall_ppm"),
+        ((F.col("found") * 1_000_000 - F.pmod(F.col("found") * 1_000_000, F.greatest(F.col("found") + F.col("spurious"), F.lit(1)))) / F.greatest(F.col("found") + F.col("spurious"), F.lit(1)))
+        .cast("long")
+        .alias("precision_ppm"),
+    )
+
+
+def _emb_quality_oracle() -> str:
+    blocked_sql = _SIMREG["dedup_embedding_cosine"].oracle
+    cos = vec.cosine_sql("a.v", "b.v", DIM)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM e
+      UNION ALL
+      SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id,
+             list_transform(v, x -> x * 1.02 + 0.01) AS v
+      FROM e
+    ),
+    exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {EMB_DUP_THRESHOLD}
+    ),
+    blocked AS (SELECT id_a, id_b FROM ({blocked_sql}) t),
+    j AS (
+      SELECT coalesce(e.id_a, bl.id_a) AS id_a,
+             e.id_a IS NOT NULL AS in_exact,
+             bl.id_a IS NOT NULL AS in_blocked
+      FROM exact e FULL OUTER JOIN blocked bl
+        ON e.id_a = bl.id_a AND e.id_b = bl.id_b
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN in_exact AND in_blocked THEN 1 ELSE 0 END) AS BIGINT) AS found,
+             CAST(SUM(CASE WHEN in_exact AND NOT in_blocked THEN 1 ELSE 0 END) AS BIGINT) AS missed,
+             CAST(SUM(CASE WHEN NOT in_exact AND in_blocked THEN 1 ELSE 0 END) AS BIGINT) AS spurious
+      FROM j
+    )
+    SELECT found, missed, spurious,
+           CAST(found * 1000000 // greatest(found + missed, 1) AS BIGINT) AS recall_ppm,
+           CAST(found * 1000000 // greatest(found + spurious, 1) AS BIGINT) AS precision_ppm
+    FROM c
+    """
+
+
+_SIMREG["dedup_embedding_quality_eval"].oracle = " ".join(_emb_quality_oracle().split())
