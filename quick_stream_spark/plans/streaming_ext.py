@@ -619,15 +619,15 @@ def _emb_dup_corpus_banded_sql() -> str:
     banded sign-LSH near-dup pairs over the doubled embedding corpus."""
     from quick_stream_spark.functions import vectors as vec
     from quick_stream_spark.plans.similarity import (
-        ANN_BAND_BITS,
-        ANN_BANDS,
-        ANN_PLANES,
         DIM,
+        DUP_BAND_BITS,
+        DUP_BANDS,
+        DUP_PLANES,
         EMB_DUP_OFFSET,
         EMB_DUP_THRESHOLD,
     )
 
-    sig = vec.hyperplane_signature_sql("v", ANN_PLANES, DIM)
+    sig = vec.hyperplane_signature_sql("v", DUP_PLANES, DIM)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     corpus AS (
@@ -639,8 +639,8 @@ def _emb_dup_corpus_banded_sql() -> str:
     ),
     s AS (SELECT vec_id, v, {sig} AS sig FROM corpus),
     bands AS (
-      SELECT vec_id, b, substring(sig, b * {ANN_BAND_BITS} + 1, {ANN_BAND_BITS}) AS bits
-      FROM s CROSS JOIN (SELECT unnest(range(0, {ANN_BANDS})) AS b) bs
+      SELECT vec_id, b, substring(sig, b * {DUP_BAND_BITS} + 1, {DUP_BAND_BITS}) AS bits
+      FROM s CROSS JOIN (SELECT unnest(range(0, {DUP_BANDS})) AS b) bs
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
@@ -668,14 +668,22 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     the accumulated band index ((band, bits) equi-join — a new vector
     only meets candidates sharing a band), emits exact-cosine-verified
     pairs, and appends its entries to the index
-    (streaming/ann_index.py).  The drained pair set is delivery-
-    chunking independent and equals the batch banded-LSH near-dup
-    pairs, which is the oracle — the embedding twin of
-    stream_dedup_minhash_incremental."""
+    (streaming/ann_index.py) — using the NEAR-DUP band geometry (wide
+    12-bit bands over 48 planes, see similarity.DUP_PLANES: dedup
+    targets sit at ~0.997 cosine, where wide bands give ~0.98 recall
+    AND high selectivity), not the retrieval geometry.  The drained
+    pair set is delivery-chunking independent and equals the batch
+    banded-LSH near-dup pairs, which is the oracle — the embedding
+    twin of stream_dedup_minhash_incremental."""
     import tempfile as _tf
 
     from quick_stream_spark.config import QuickStreamConfig
-    from quick_stream_spark.plans.similarity import EMB_DUP_OFFSET, _emb
+    from quick_stream_spark.plans.similarity import (
+        DUP_BAND_BITS,
+        DUP_PLANES,
+        EMB_DUP_OFFSET,
+        _emb,
+    )
     from quick_stream_spark.sources.readers import write_split_as_files
     from quick_stream_spark.streaming.ann_index import StreamingAnnIndex
 
@@ -691,6 +699,8 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     idx = StreamingAnnIndex(
         spark,
         work + "/state",
+        planes=DUP_PLANES,
+        band_bits=DUP_BAND_BITS,
         config=QuickStreamConfig(name="emb-ann-index", checkpoint_dir=work + "/ckpt"),
     )
     stream = stream_parquet_dir(spark, work + "/in", corpus.schema)
