@@ -80,3 +80,58 @@ def test_wav_roundtrip_any_pcm(n, channels, sr, seed):
         assert info["channel_sums"][c] == sum(s[c] for s in samples)
         assert info["channel_sumsq"][c] == sum(s[c] * s[c] for s in samples)
     assert info["duration_ms"] == n * 1000 // sr
+
+
+def test_substring_spans_match_independent_python_reference(spark):
+    """dedup_substring_spans and its oracle share the same rolling-hash
+    construction; this reference implementation shares NOTHING with it
+    (dict counting + brute interval merge in Python), so a bug in the
+    shared construction cannot hide."""
+    import hashlib
+    from collections import Counter
+
+    from quick_stream_spark.plans.text import (
+        SUBSTR_W,
+        _dup_corpus,
+        dedup_substring_spans,
+    )
+    from tests.conftest import SF_SMOKE
+
+    P, B = 1_000_000_007, 1_000_033
+    docs = {r.id: (r.text or "") for r in _dup_corpus(spark, SF_SMOKE).collect()}
+    grams = {}
+    counts = Counter()
+    for did, text in docs.items():
+        toks = text.split()
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P for t in toks]
+        if len(th) < SUBSTR_W:
+            continue
+        gs = []
+        for i in range(len(th) - SUBSTR_W + 1):
+            g = th[i]
+            for j in range(1, SUBSTR_W):
+                g = (g * B + th[i + j]) % P
+            gs.append(g)
+            counts[g] += 1
+        grams[did] = (len(th), gs)
+    expected = {}
+    for did, (n_tokens, gs) in grams.items():
+        hits = [i for i, g in enumerate(gs) if counts[g] >= 2]
+        if not hits:
+            continue
+        spans = []
+        start = prev_end = None
+        for pos in hits:
+            if prev_end is None or pos > prev_end:
+                if start is not None:
+                    spans.append((start, prev_end))
+                start = pos
+            prev_end = max(prev_end or 0, pos + SUBSTR_W)
+        spans.append((start, prev_end))
+        dup_tokens = sum(e - s for s, e in spans)
+        expected[did] = (n_tokens, len(spans), dup_tokens)
+    got = {
+        r.id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in dedup_substring_spans(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
