@@ -62,7 +62,16 @@ class UpsertQuickStream(_StreamBase):
     their failure reasons instead of entering the MERGE (a NULL key
     would otherwise hash into a bucket and silently collide) or killing
     the stream.  The main table stays exactly-once (idempotent merge +
-    checkpoint); the DLQ is at-least-once by design."""
+    checkpoint); the DLQ is at-least-once by design.
+
+    ``auto_compact_every`` (optional): run the target's
+    ``maybe_compact`` policy after every N committed batches.  Merges
+    append task-aligned files per touched bucket (the write-side
+    repartition is deliberately skipped), so a long-lived stream's
+    file counts grow with batch count; periodic policy checks bound
+    read amplification without paying a rewrite per batch.  The check
+    itself is metadata-only; a rewrite runs only when some bucket
+    exceeds ``auto_compact_max_files``."""
 
     def __init__(
         self,
@@ -70,11 +79,28 @@ class UpsertQuickStream(_StreamBase):
         config: QuickStreamConfig | None = None,
         newer_wins: bool = False,
         quarantine=None,
+        auto_compact_every: int | None = None,
+        auto_compact_max_files: int = 8,
     ) -> None:
         super().__init__(config)
         self.target = target
         self.newer_wins = newer_wins
         self.quarantine = quarantine
+        if auto_compact_every is not None and auto_compact_every < 1:
+            raise ValueError("auto_compact_every must be >= 1")
+        self.auto_compact_every = auto_compact_every
+        self.auto_compact_max_files = auto_compact_max_files
+        self._batches_since_compact = 0
+
+    def _maybe_auto_compact(self) -> None:
+        if self.auto_compact_every is None:
+            return
+        self._batches_since_compact += 1
+        if self._batches_since_compact >= self.auto_compact_every:
+            self._batches_since_compact = 0
+            self.target.maybe_compact(
+                max_files_per_bucket=self.auto_compact_max_files
+            )
 
     def _foreach_batch(self):
         target, newer_wins = self.target, self.newer_wins
@@ -83,6 +109,7 @@ class UpsertQuickStream(_StreamBase):
         def apply(batch: DataFrame, batch_id: int) -> None:
             if quarantine is None:
                 target.upsert(batch, newer_wins=newer_wins)
+                self._maybe_auto_compact()
                 return
             batch = batch.persist()
             try:
@@ -91,6 +118,7 @@ class UpsertQuickStream(_StreamBase):
                 target.upsert(good, newer_wins=newer_wins)
             finally:
                 batch.unpersist()
+            self._maybe_auto_compact()
 
         return apply
 

@@ -252,3 +252,53 @@ def test_processing_time_trigger_and_graceful_stop(spark, tmp_path):
         q.awaitTermination()
     assert not q.isActive
     assert {r.pkey for r in target.read().collect()} == {1}
+
+
+def test_auto_compaction_bounds_streaming_file_growth(spark, tmp_table_dir):
+    """A long-lived merge stream appends files per batch; with
+    auto_compact_every the policy check runs after every N batches and
+    rewrites once a bucket exceeds the file cap — file counts stay
+    bounded and the end state is untouched."""
+    import os as _os
+    from datetime import datetime as _dt
+
+    from quick_stream_spark.operators.merge import KeyedTable
+    from quick_stream_spark.sources.readers import (
+        stream_parquet_dir,
+        write_batches_as_files,
+    )
+
+    schema = "pkey long, modified_date timestamp, arrival long, payload string"
+    batches = [
+        spark.createDataFrame(
+            [(k, _dt(2024, 1, 1 + b), b * 100 + k, f"b{b}k{k}") for k in range(6)],
+            schema,
+        )
+        for b in range(6)
+    ]
+    src = _os.path.join(tmp_table_dir, "in")
+    write_batches_as_files(batches, src)
+    target = KeyedTable(
+        spark,
+        _os.path.join(tmp_table_dir, "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    cfg = QuickStreamConfig(
+        name="auto-compact",
+        checkpoint_dir=_os.path.join(tmp_table_dir, "ckpt"),
+        buffer_size=1,  # maxFilesPerTrigger=1: one delivery file per micro-batch
+    )
+    UpsertQuickStream(
+        target, config=cfg, newer_wins=True,
+        auto_compact_every=2, auto_compact_max_files=2,
+    ).run(
+        stream_parquet_dir(spark, src, batches[0].schema),
+        available_now=True,
+        await_termination=True,
+    )
+    assert target.file_count() <= 2 * 2 + 2  # bounded, not ~6 batches' worth
+    got = {r.pkey: r.payload for r in target.read().collect()}
+    assert got == {k: f"b5k{k}" for k in range(6)}
