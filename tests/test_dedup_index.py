@@ -65,3 +65,54 @@ def test_band_reservoir_bounds_hot_bands(spark, tmp_path):
     idx = spark.read.parquet(ndi.index_path)
     per_band = idx.groupBy("band").count().agg(F.max("count")).collect()[0][0]
     assert per_band <= 2
+
+
+def test_restarted_near_dup_index_sees_prior_entries(spark, tmp_table_dir):
+    """A NEW StreamingNearDupIndex over an existing work_dir must see
+    the band index its predecessor built: pairs spanning the restart
+    boundary must still be found (the fixed filesystem-probed
+    _index_exists; before the fix a restarted process silently skipped
+    every cross-boundary candidate)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.plans.text import _dup_corpus
+    from quick_stream_spark.sources.readers import (
+        stream_parquet_dir,
+        write_split_as_files,
+    )
+    from quick_stream_spark.streaming.dedup_index import StreamingNearDupIndex
+    from tests.conftest import SF_SMOKE
+
+    corpus = _dup_corpus(spark, SF_SMOKE)
+    work = _os.path.join(tmp_table_dir, "ndi-restart")
+    evens = corpus.filter(F.col("id") % 2 == 0)
+    odds = corpus.filter(F.col("id") % 2 == 1)
+    write_split_as_files(evens, F.col("id") % 1, 1, work + "/in1")
+    idx = StreamingNearDupIndex(
+        spark, work + "/state",
+        config=QuickStreamConfig(name="ndi-r1", checkpoint_dir=work + "/ck1"),
+    )
+    idx.run(stream_parquet_dir(spark, work + "/in1", corpus.schema),
+            available_now=True)
+    idx2 = StreamingNearDupIndex(
+        spark, work + "/state",
+        config=QuickStreamConfig(name="ndi-r2", checkpoint_dir=work + "/ck2"),
+    )
+    assert idx2._index_exists
+    write_split_as_files(odds, F.col("id") % 1, 1, work + "/in2")
+    idx2.run(stream_parquet_dir(spark, work + "/in2", corpus.schema),
+             available_now=True)
+    # one-shot reference over the full corpus
+    ref_work = _os.path.join(tmp_table_dir, "ndi-ref")
+    write_split_as_files(corpus, F.col("id") % 2, 2, ref_work + "/in")
+    ref = StreamingNearDupIndex(
+        spark, ref_work + "/state",
+        config=QuickStreamConfig(name="ndi-ref", checkpoint_dir=ref_work + "/ck"),
+    )
+    ref.run(stream_parquet_dir(spark, ref_work + "/in", corpus.schema),
+            available_now=True)
+    assert ({tuple(r) for r in idx2.pairs().collect()}
+            == {tuple(r) for r in ref.pairs().collect()})
