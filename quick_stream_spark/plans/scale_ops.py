@@ -1217,3 +1217,74 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+EWMA_LAGS = 16  # truncated horizon; weight of lag k is 2^(15-k)
+
+
+@register(
+    "events_ewma_smooth",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             {", ".join(
+                 f"lag(CAST(round(value * 100) AS BIGINT), {k}) OVER w AS l{k}"
+                 for k in range(EWMA_LAGS)
+             )}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    acc AS (
+      SELECT user_id, event_id, ts,
+             {" + ".join(
+                 f"coalesce(l{k} * {1 << (EWMA_LAGS - 1 - k)}, 0)"
+                 for k in range(EWMA_LAGS)
+             )} AS num,
+             {" + ".join(
+                 f"CASE WHEN l{k} IS NOT NULL THEN {1 << (EWMA_LAGS - 1 - k)} ELSE 0 END"
+                 for k in range(EWMA_LAGS)
+             )} AS den
+      FROM lagged
+    )
+    SELECT user_id, event_id, ts,
+           CAST(num * 10000 // den AS BIGINT) AS smoothed_microcents
+    FROM acc
+    """,
+    tags=("analytics", "timeseries", "smoothing"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted smoothing per series — the classic
+    monitoring/forecasting primitive — in an EXACTLY replayable form:
+    a {EWMA_LAGS}-lag truncated EWMA with alpha=1/2, so every weight
+    is a power of two and the weighted sum over integer cents stays
+    in exact int64 arithmetic (the recursive float EWMA is
+    order-sensitive in its rounding and could never hash-match across
+    engines; truncation at 16 lags discards weight < 2^-16 — below
+    cent resolution anyway).  Early rows renormalize over the lags
+    that exist (den sums the present weights).  ONE window pass
+    computes all 16 lags on a single user_id shuffle; the weighted
+    fold is row-local integer math, and the final ratio is integer
+    floor division — bit-identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    pin_session(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    lags = [F.lag(cents, k).over(w) for k in range(EWMA_LAGS)]
+    num = None
+    den = None
+    for k, lk in enumerate(lags):
+        wt = 1 << (EWMA_LAGS - 1 - k)
+        term = F.coalesce(lk * wt, F.lit(0).cast("long"))
+        dterm = F.when(lk.isNotNull(), F.lit(wt).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    smoothed = ((num * 10_000) - F.pmod(num * 10_000, den)) / den
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        smoothed.cast("long").alias("smoothed_microcents"),
+    )
