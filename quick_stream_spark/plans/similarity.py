@@ -1667,3 +1667,103 @@ def _emb_quality_oracle() -> str:
 
 
 _SIMREG["dedup_embedding_quality_eval"].oracle = " ".join(_emb_quality_oracle().split())
+
+
+# ------------------------------------------------ hard-negative mining
+
+HN_LO = 0.25  # hard-negative band: similar enough to be confusable...
+HN_HI = 0.95  # ...but below the near-duplicate threshold
+HN_PER_ANCHOR = 3
+
+
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {_ANN_SIG} AS sig FROM e),
+    bands AS (
+      SELECT vec_id, b, substring(sig, b * {ANN_BAND_BITS} + 1, {ANN_BAND_BITS}) AS bits
+      FROM s CROSS JOIN (SELECT unnest(range(0, {ANN_BANDS})) AS b) bs
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, bb.vec_id AS negative_id
+      FROM bands a JOIN bands bb ON a.b = bb.b AND a.bits = bb.bits
+      WHERE a.vec_id <> bb.vec_id
+    ),
+    scored AS (
+      SELECT c.anchor_id, c.negative_id,
+             {vec.cosine_sql('x.v', 'y.v', DIM)} AS cos_sim
+      FROM cand c JOIN e x ON x.vec_id = c.anchor_id
+                  JOIN e y ON y.vec_id = c.negative_id
+    ),
+    banded_hard AS (
+      SELECT * FROM scored WHERE cos_sim >= {HN_LO} AND cos_sim < {HN_HI}
+    )
+    SELECT anchor_id, negative_id, rank, round(cos_sim, 6) AS cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id ASC) AS rank
+      FROM banded_hard
+    ) WHERE rank <= {HN_PER_ANCHOR}
+    """,
+    tags=("similarity", "mining", "training-pairs"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training companion of
+    the dedup/retrieval family: for EVERY vector (not just a query
+    set), the top {HN_PER_ANCHOR} most-similar OTHER vectors inside
+    the confusable band [{HN_LO}, {HN_HI}) — similar enough that a
+    model must learn to separate them, but below the near-duplicate
+    threshold (a dup as a negative would poison training).  Candidates
+    come from the banded sign-LSH index (the retrieval geometry: the
+    band join IS the 'confusably similar' filter — uncollided pairs
+    are easy negatives not worth mining), exact cosine scores the
+    band, the per-anchor window keeps the hardest.
+
+    Scale design: all-pairs never materializes — only band collisions
+    are scored; the per-anchor top-k partitions by anchor (no global
+    sort).  At 100 TB this is the standing mining job between
+    re-trainings, over the same index the retrieval tier maintains."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    s = e.select(
+        "vec_id", vec.hyperplane_signature(F.col("v"), ANN_PLANES).alias("sig")
+    )
+    bands = s.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", b * ANN_BAND_BITS + 1, ANN_BAND_BITS)
+                    for b in range(ANN_BANDS)
+                ]
+            )
+        ).alias("band", "bits"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bits"])
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("anchor_id"),
+            F.col("y.vec_id").alias("negative_id"),
+        )
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
+    vb = e.select(F.col("vec_id").alias("negative_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(va, "anchor_id")
+        .join(vb, "negative_id")
+        .select(
+            "anchor_id",
+            "negative_id",
+            vec.cosine(F.col("av"), F.col("nv")).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= HN_LO) & (F.col("cos_sim") < HN_HI))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_PER_ANCHOR)
+        .select("anchor_id", "negative_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
