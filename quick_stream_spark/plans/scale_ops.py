@@ -1247,7 +1247,8 @@ EWMA_LAGS = 16  # truncated horizon; weight of lag k is 2^(15-k)
       FROM lagged
     )
     SELECT user_id, event_id, ts,
-           CAST(num * 10000 // den AS BIGINT) AS smoothed_microcents
+           CASE WHEN den > 0 THEN CAST(num * 10000 // den AS BIGINT) END
+             AS smoothed_microcents
     FROM acc
     """,
     tags=("analytics", "timeseries", "smoothing"),
@@ -1281,7 +1282,13 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
-    smoothed = ((num * 10_000) - F.pmod(num * 10_000, den)) / den
+    # a row whose lags are ALL NULL (nullable value column) has den=0:
+    # emit NULL like the oracle's // does, instead of an ANSI
+    # divide-by-zero killing the query
+    safe_den = F.greatest(den, F.lit(1).cast("long"))
+    smoothed = F.when(
+        den > 0, ((num * 10_000) - F.pmod(num * 10_000, safe_den)) / safe_den
+    )
     return ev.select(
         "user_id",
         "event_id",

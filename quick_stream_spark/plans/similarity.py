@@ -762,6 +762,40 @@ DUP_BANDS = DUP_PLANES // DUP_BAND_BITS
 _DUP_SIG = vec.hyperplane_signature_sql("v", DUP_PLANES, DIM)
 
 
+def _dup_vec_corpus(e: DataFrame) -> DataFrame:
+    """The doubled near-dup corpus every embedding-dedup query, its
+    quality eval and the streaming twin share: originals plus one
+    deterministic affine perturbation per vector (x*1.02 + 0.01,
+    cosine ~0.997 to its original — identical IEEE ops in both
+    engines).  One definition so detector, eval and streaming twin can
+    never measure different corpora."""
+    pert = e.select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
+    )
+    return e.unionByName(pert)
+
+
+def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
+    """(vec_id, band, bits) rows of the banded sign-LSH signature —
+    the candidate-generation primitive shared by the retrieval index,
+    the near-dup detector and hard-negative mining (and mirrored by
+    streaming/ann_index.StreamingAnnIndex._banded)."""
+    n_bands = planes // band_bits
+    sig = vec.hyperplane_signature(F.col("v"), planes)
+    return df.select("vec_id", sig.alias("sig")).select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", b * band_bits + 1, band_bits)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bits"),
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -808,25 +842,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine where per-plane agreement is ~0.975 (see the constant
     block).  Zero false positives by construction (exact verify)."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    pert = e.select(
-        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
-    )
-    corpus = e.unionByName(pert)
-    s = corpus.select(
-        "vec_id", "v", vec.hyperplane_signature(F.col("v"), DUP_PLANES).alias("sig")
-    )
-    bands = s.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("sig", b * DUP_BAND_BITS + 1, DUP_BAND_BITS)
-                    for b in range(DUP_BANDS)
-                ]
-            )
-        ).alias("band", "bits"),
-    )
+    corpus = _dup_vec_corpus(e)
+    bands = _band_explode(corpus, DUP_PLANES, DUP_BAND_BITS)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bits"])
@@ -1584,13 +1601,8 @@ def dedup_embedding_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step makes precision exactly 1.0 by construction (every
     emitted pair re-checked with exact cosine) — the eval PROVES that
     and measures the blocking recall the docstrings claim."""
-    exact_pairs = None
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    pert = e.select(
-        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * 1.02 + 0.01).alias("v"),
-    )
-    corpus = e.unionByName(pert)
+    corpus = _dup_vec_corpus(e)
     a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     exact_pairs = (
@@ -1605,7 +1617,7 @@ def dedup_embedding_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = exact_pairs.withColumn("__e", F.lit(1))
     bl = blocked.withColumn("__b", F.lit(1))
     joined = ex.join(bl, ["id_a", "id_b"], "full_outer")
-    return joined.agg(
+    joined_agg = joined.agg(
         F.sum(F.when(F.col("__e").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("found"),
@@ -1615,16 +1627,18 @@ def dedup_embedding_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__e").isNull() & F.col("__b").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("spurious"),
-    ).select(
+    )
+
+    def ppm(num, den):
+        d = F.greatest(den, F.lit(1))
+        return ((num * 1_000_000 - F.pmod(num * 1_000_000, d)) / d).cast("long")
+
+    return joined_agg.select(
         "found",
         "missed",
         "spurious",
-        ((F.col("found") * 1_000_000 - F.pmod(F.col("found") * 1_000_000, F.greatest(F.col("found") + F.col("missed"), F.lit(1)))) / F.greatest(F.col("found") + F.col("missed"), F.lit(1)))
-        .cast("long")
-        .alias("recall_ppm"),
-        ((F.col("found") * 1_000_000 - F.pmod(F.col("found") * 1_000_000, F.greatest(F.col("found") + F.col("spurious"), F.lit(1)))) / F.greatest(F.col("found") + F.col("spurious"), F.lit(1)))
-        .cast("long")
-        .alias("precision_ppm"),
+        ppm(F.col("found"), F.col("found") + F.col("missed")).alias("recall_ppm"),
+        ppm(F.col("found"), F.col("found") + F.col("spurious")).alias("precision_ppm"),
     )
 
 
@@ -1725,20 +1739,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort).  At 100 TB this is the standing mining job between
     re-trainings, over the same index the retrieval tier maintains."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    s = e.select(
-        "vec_id", vec.hyperplane_signature(F.col("v"), ANN_PLANES).alias("sig")
-    )
-    bands = s.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("sig", b * ANN_BAND_BITS + 1, ANN_BAND_BITS)
-                    for b in range(ANN_BANDS)
-                ]
-            )
-        ).alias("band", "bits"),
-    )
+    bands = _band_explode(e, ANN_PLANES, ANN_BAND_BITS)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bits"])

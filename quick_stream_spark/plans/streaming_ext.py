@@ -682,6 +682,7 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         DUP_BAND_BITS,
         DUP_PLANES,
         EMB_DUP_OFFSET,
+        EMB_DUP_THRESHOLD,
         _emb,
     )
     from quick_stream_spark.sources.readers import write_split_as_files
@@ -701,6 +702,9 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         work + "/state",
         planes=DUP_PLANES,
         band_bits=DUP_BAND_BITS,
+        threshold=EMB_DUP_THRESHOLD,  # pin the verify threshold to the
+        # same constant the oracle filters on — geometry AND threshold
+        # must move together
         config=QuickStreamConfig(name="emb-ann-index", checkpoint_dir=work + "/ckpt"),
     )
     stream = stream_parquet_dir(spark, work + "/in", corpus.schema)

@@ -908,27 +908,59 @@ FUZZY_OFFSET = 1_000_000
 FUZZY_MAX_DIST = 2
 
 
-@register(
-    "join_fuzzy_part_names",
-    oracle=f"""
-    WITH base AS (
+# ONE definition of the corrupted-duplicate corpus shared by the fuzzy
+# join and the entity-resolution pipeline (Spark side AND both oracles):
+# a formula change here cannot desynchronize pair edges from cluster
+# membership.
+_FUZZY_CORPUS_CTES = """
+    base AS (
       SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name
     ),
     corrupted AS (
-      SELECT id + {FUZZY_OFFSET} AS id,
+      SELECT id + {off} AS id,
              substr(name, 1, CAST(id % (strpos(name, ' ') - 1) AS INT))
              || substr(name, CAST(id % (strpos(name, ' ') - 1) AS INT) + 2)
                AS name
       FROM base
     ),
-    corpus AS (
+    fuzzy_corpus AS (
       SELECT id, name, substr(name, strpos(name, ' ') + 1) AS noun FROM (
         SELECT id, name FROM base UNION ALL SELECT id, name FROM corrupted
       )
+    )"""
+
+
+def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _FUZZY_CORPUS_CTES: (id, name, noun)."""
+    p = load_table(spark, sf_dir, "part")
+    base = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("id")
     )
+    corrupted = base.select(
+        (F.col("id") + FUZZY_OFFSET).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, id % (instr(name, ' ') - 1))"),
+            F.expr("substring(name, (id % (instr(name, ' ') - 1)) + 2)"),
+        ).alias("name"),
+    )
+    return (
+        base.select("id", "name")
+        .unionByName(corrupted)
+        .select(
+            "id",
+            "name",
+            F.expr("substring(name, instr(name, ' ') + 1)").alias("noun"),
+        )
+    )
+
+
+@register(
+    "join_fuzzy_part_names",
+    oracle=f"""
+    WITH {_FUZZY_CORPUS_CTES.format(off=FUZZY_OFFSET)}
     SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
            CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-    FROM corpus a JOIN corpus b ON a.noun = b.noun AND a.id < b.id
+    FROM fuzzy_corpus a JOIN fuzzy_corpus b ON a.noun = b.noun AND a.id < b.id
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
     """,
     tags=("warehouse", "join", "fuzzy", "entity-resolution"),
@@ -951,26 +983,7 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets the same salting/cap treatment as an LSH bucket).  The verify
     is row-local integer DP; nothing is approximate after blocking."""
     pin_session(spark)
-    p = load_table(spark, sf_dir, "part")
-    base = p.groupBy(F.col("p_name").alias("name")).agg(
-        F.min("p_partkey").alias("id")
-    )
-    corrupted = base.select(
-        (F.col("id") + FUZZY_OFFSET).alias("id"),
-        F.concat(
-            F.expr("substring(name, 1, id % (instr(name, ' ') - 1))"),
-            F.expr("substring(name, (id % (instr(name, ' ') - 1)) + 2)"),
-        ).alias("name"),
-    )
-    corpus = (
-        base.select("id", "name")
-        .unionByName(corrupted)
-        .select(
-            "id",
-            "name",
-            F.expr("substring(name, instr(name, ' ') + 1)").alias("noun"),
-        )
-    )
+    corpus = _fuzzy_corpus(spark, sf_dir)
     a = corpus.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"), "noun"
     )
@@ -1194,33 +1207,14 @@ _WREG["join_scd2_point_in_time"].oracle = " ".join(_scd2_pit_oracle().split())
 # ------------------------------------------------- entity resolution
 
 
-def _er_corpus_sql() -> str:
-    return f"""
-    base AS (
-      SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name
-    ),
-    corrupted AS (
-      SELECT id + {FUZZY_OFFSET} AS id,
-             substr(name, 1, CAST(id % (strpos(name, ' ') - 1) AS INT))
-             || substr(name, CAST(id % (strpos(name, ' ') - 1) AS INT) + 2)
-               AS name
-      FROM base
-    ),
-    er_corpus AS (
-      SELECT id, name, substr(name, strpos(name, ' ') + 1) AS noun FROM (
-        SELECT id, name FROM base UNION ALL SELECT id, name FROM corrupted
-      )
-    )"""
-
-
 @register(
     "pipeline_entity_resolution",
     oracle=f"""
     WITH RECURSIVE
-    {_er_corpus_sql()},
+    {_FUZZY_CORPUS_CTES.format(off=FUZZY_OFFSET)},
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b
-      FROM er_corpus a JOIN er_corpus b ON a.noun = b.noun AND a.id < b.id
+      FROM fuzzy_corpus a JOIN fuzzy_corpus b ON a.noun = b.noun AND a.id < b.id
       WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
     ),
     nodes AS (
@@ -1240,12 +1234,12 @@ def _er_corpus_sql() -> str:
     comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
     labeled AS (
       SELECT c.id, coalesce(comp.component, c.id) AS entity_id, c.name
-      FROM er_corpus c LEFT JOIN comp ON comp.id = c.id
+      FROM fuzzy_corpus c LEFT JOIN comp ON comp.id = c.id
     )
     SELECT l.entity_id,
            CAST(count(*) AS BIGINT) AS n_members,
            cn.name AS canonical_name
-    FROM labeled l JOIN er_corpus cn ON cn.id = l.entity_id
+    FROM labeled l JOIN fuzzy_corpus cn ON cn.id = l.entity_id
     GROUP BY l.entity_id, cn.name
     HAVING count(*) > 1
     """,
@@ -1277,16 +1271,7 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = load_table(spark, sf_dir, "part").count()
     with scoped_shuffle(spark, rows_sized_parts(n_parts * 2, 20_000)):
         labels = min_label_components(spark, pairs)
-    p = load_table(spark, sf_dir, "part")
-    base = p.groupBy(F.col("p_name").alias("name")).agg(F.min("p_partkey").alias("id"))
-    corrupted = base.select(
-        (F.col("id") + FUZZY_OFFSET).alias("id"),
-        F.concat(
-            F.expr("substring(name, 1, id % (instr(name, ' ') - 1))"),
-            F.expr("substring(name, (id % (instr(name, ' ') - 1)) + 2)"),
-        ).alias("name"),
-    )
-    corpus = base.select("id", "name").unionByName(corrupted)
+    corpus = _fuzzy_corpus(spark, sf_dir).select("id", "name")
     labeled = (
         corpus.join(labels, corpus.id == labels.id, "left")
         .select(
