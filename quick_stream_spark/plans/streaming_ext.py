@@ -825,3 +825,73 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_quality_filter",
+    oracle=None,  # set below from the classifier's shared CTE stack
+    tags=("streaming", "text", "ml", "classifier"),
+    pytest_only=True,  # the driver window is full; oracle-checked here
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPLOY the trained quality classifier on a document stream —
+    the other half of the distillation story: train the Rocchio
+    centroids once on the static even-doc_id split
+    (text_quality_classifier_train's model), then score every arriving
+    document in-stream and keep only the accepted ones.  Scoring is
+    ROW-LOCAL literal-array math (the centroids ride the closure), so
+    the accepted set is delivery-chunking independent and equals the
+    batch scoring of the whole corpus — the oracle restates exactly
+    that with the shared train+predict CTE stack.  The emitted rows
+    carry the heuristic label too, so the stream's live
+    accept-vs-label confusion is auditable downstream."""
+    from quick_stream_spark.plans.text import (
+        _docs,
+        _pct_features,
+        _pct_predict,
+        _pct_train_centroids,
+    )
+    from quick_stream_spark.sources.readers import write_split_as_files
+
+    pin_session(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cp, cn = _pct_train_centroids(
+        _pct_features(docs).filter(F.col("doc_id") % 2 == 0)
+    )
+    work = tempfile.mkdtemp(prefix="qss-sqf-")
+    write_split_as_files(docs, F.col("doc_id") % 3, 3, work + "/in")
+    stream = stream_parquet_dir(spark, work + "/in", docs.schema)
+    out_path = work + "/accepted"
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        scored = _pct_features(batch).select(
+            "doc_id", "y", _pct_predict(cp, cn).alias("yhat")
+        )
+        scored.filter(F.col("yhat") == 1).select("doc_id", "y").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    with scoped_shuffle(spark, _stream_parts(spark, sf_dir)):
+        q = (
+            stream.writeStream.queryName(f"sqf_{abs(hash(work)) % 10**8}")
+            .foreachBatch(score_batch)
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_path).distinct()
+
+
+def _wire_quality_filter_oracle() -> None:
+    from quick_stream_spark.plans.text import _pct_oracle_ctes
+
+    _SEREG["stream_quality_filter"].oracle = " ".join(
+        f"""
+        WITH {_pct_oracle_ctes()}
+        SELECT doc_id, y FROM pred WHERE yhat = 1
+        """.split()
+    )
+
+
+_wire_quality_filter_oracle()

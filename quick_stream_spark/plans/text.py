@@ -1462,14 +1462,16 @@ _PCT_STOP = ("the", "a")  # the labeling function's stopword set
 _PCT_THRESH_PPM = 60_000  # stop-fraction >= 6% -> positive label
 
 
-def _pct_oracle() -> str:
+def _pct_oracle_ctes() -> str:
+    """Shared CTE stack: features + heuristic label + trained centroids
+    + per-doc prediction (through the ``pred`` relation)."""
     toks_expr = (
         "CASE WHEN length(trim(text)) = 0 THEN [] "
         "ELSE regexp_split_to_array(trim(text), '\\s+') END"
     )
     stop_set = ", ".join(f"'{t}'" for t in _PCT_STOP)
     return f"""
-    WITH base AS (
+    base AS (
       SELECT doc_id, {toks_expr} AS toks FROM documents
     ),
     hashed AS (
@@ -1507,7 +1509,12 @@ def _pct_oracle() -> str:
       FROM feats f
       CROSS JOIN (SELECT c FROM cents WHERE y = 1) cp
       CROSS JOIN (SELECT c FROM cents WHERE y = -1) cn
-    )
+    )"""
+
+
+def _pct_oracle() -> str:
+    return f"""
+    WITH {_pct_oracle_ctes()}
     SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'eval' END AS stage,
            CAST(SUM(CASE WHEN yhat <> y THEN 1 ELSE 0 END) AS BIGINT) AS errors,
            CAST(count(*) AS BIGINT) AS n,
@@ -1517,37 +1524,13 @@ def _pct_oracle() -> str:
     """
 
 
-@register(
-    "text_quality_classifier_train",
-    oracle=None,  # set below (generated)
-    tags=("text", "ml", "classifier"),
-    pytest_only=True,  # driver window is full after the r03 rotation
-)
-def text_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a document quality classifier IN THE ENGINE — the
-    fasttext-style distillation every curation pipeline runs: an
-    expensive labeling function (here a stopword-density heuristic,
-    stop-fraction >= 6%) labels the training split, and a cheap
-    hashed-feature model learns to reproduce it for scan-speed
-    application.  The model is a ROCCHIO (nearest-centroid) classifier
-    over {PCT_DIM} hashed token-count features length-normalized to
-    integer ppm: per-class centroids are exact integer floor-means
-    (one map-combinable pass), prediction is the nearer centroid by
-    integer squared distance — every number is an int64, so training
-    AND evaluation replay exactly in the SQL oracle.  Measured at
-    sf0.01: eval accuracy 0.792 vs 0.518 base rate.  (A batch
-    perceptron was tried first and measured AT CHANCE — full-batch
-    integer updates oscillate on this geometry; the measured-not-
-    asserted lesson from the round-2 LSH index applied to model
-    choice.)
-
-    Scale design: labeling + featurization are one map pass; training
-    is one groupBy(y) aggregation ({PCT_DIM} sums x 2 classes — a
-    bounded model artifact over the driver); scoring is row-local
-    literal-array math.  Train on even doc_ids, evaluate on odd."""
+def _pct_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x): the heuristic label (stopword density >=
+    {_PCT_THRESH_PPM} ppm, integer-exact) and the hashed token-count
+    features length-normalized to integer ppm — one map pass, shared by
+    training, evaluation and streaming application."""
     from quick_stream_spark.functions.text import ws_tokens
 
-    d = _docs(spark, sf_dir)
     toks = ws_tokens(F.col("text"))
     th = F.transform(
         toks,
@@ -1579,16 +1562,24 @@ def text_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame
     x = F.transform(
         counts, lambda c: ((c * 1_000_000) - F.pmod(c * 1_000_000, n_toks)) / n_toks
     )
-    feats = d.select(
-        "doc_id", label.alias("y"), x.cast("array<long>").alias("x")
-    ).localCheckpoint(eager=True)
+    return docs.select("doc_id", label.alias("y"), x.cast("array<long>").alias("x"))
 
-    train = feats.filter(F.col("doc_id") % 2 == 0)
+
+def _pct_train_centroids(train_feats: DataFrame) -> tuple[list[int], list[int]]:
+    """Exact integer floor-mean centroids per class — one
+    map-combinable aggregation, collected as the bounded model
+    artifact (2 x PCT_DIM ints)."""
     cent_rows = (
-        train.select("y", F.posexplode("x").alias("j", "v"))
+        train_feats.select("y", F.posexplode("x").alias("j", "v"))
         .groupBy("y", "j")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("y", "j", ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n")).cast("long").alias("c"))
+        .select(
+            "y",
+            "j",
+            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+            .cast("long")
+            .alias("c"),
+        )
         .collect()
     )
     by_y: dict[int, dict[int, int]] = {}
@@ -1602,6 +1593,12 @@ def text_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     cp = [by_y[1][j] for j in range(PCT_DIM)]
     cn = [by_y[-1][j] for j in range(PCT_DIM)]
+    return cp, cn
+
+
+def _pct_predict(cp: list[int], cn: list[int]):
+    """Row-local nearest-centroid verdict over the ``x`` column — the
+    scan-speed scoring expression (the centroids are literals)."""
 
     def d2(cent: list[int]):
         carr = F.array(*[F.lit(v).cast("long") for v in cent])
@@ -1611,7 +1608,40 @@ def text_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda acc, v: acc + v,
         )
 
-    yhat = F.when(d2(cp) < d2(cn), 1).otherwise(-1).cast("long")
+    return F.when(d2(cp) < d2(cn), 1).otherwise(-1).cast("long")
+
+
+@register(
+    "text_quality_classifier_train",
+    oracle=None,  # set below (generated)
+    tags=("text", "ml", "classifier"),
+    pytest_only=True,  # driver window is full after the r03 rotation
+)
+def text_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a document quality classifier IN THE ENGINE — the
+    fasttext-style distillation every curation pipeline runs: an
+    expensive labeling function (here a stopword-density heuristic,
+    stop-fraction >= 6%) labels the training split, and a cheap
+    hashed-feature model learns to reproduce it for scan-speed
+    application.  The model is a ROCCHIO (nearest-centroid) classifier
+    over {PCT_DIM} hashed token-count features length-normalized to
+    integer ppm: per-class centroids are exact integer floor-means
+    (one map-combinable pass), prediction is the nearer centroid by
+    integer squared distance — every number is an int64, so training
+    AND evaluation replay exactly in the SQL oracle.  Measured at
+    sf0.01: eval accuracy 0.792 vs 0.518 base rate.  (A batch
+    perceptron was tried first and measured AT CHANCE — full-batch
+    integer updates oscillate on this geometry; the measured-not-
+    asserted lesson from the round-2 LSH index applied to model
+    choice.)
+
+    Scale design: labeling + featurization are one map pass; training
+    is one groupBy(y) aggregation ({PCT_DIM} sums x 2 classes — a
+    bounded model artifact over the driver); scoring is row-local
+    literal-array math.  Train on even doc_ids, evaluate on odd."""
+    feats = _pct_features(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    cp, cn = _pct_train_centroids(feats.filter(F.col("doc_id") % 2 == 0))
+    yhat = _pct_predict(cp, cn)
     stage = F.when(F.col("doc_id") % 2 == 0, "train").otherwise("eval")
     return (
         feats.select(stage.alias("stage"), "y", yhat.alias("yhat"))
