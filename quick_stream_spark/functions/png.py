@@ -143,6 +143,8 @@ def decode_png(data: bytes) -> dict:
         if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
             raise ValueError(f"CRC mismatch in {tag!r}")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR body must be 13 bytes, got {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat.extend(body)
@@ -157,9 +159,14 @@ def decode_png(data: bytes) -> dict:
             f"unsupported PNG layout: depth={bit_depth} color={color_type} "
             f"interlace={interlace}"
         )
+    if not idat:
+        raise ValueError("missing IDAT")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT zlib stream: {e}") from e
     if len(raw) != height * (stride + 1):
         raise ValueError("pixel stream length mismatch")
     sums = [0] * ch

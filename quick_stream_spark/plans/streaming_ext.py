@@ -862,6 +862,12 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_split_as_files(docs, F.col("doc_id") % 3, 3, work + "/in")
     stream = stream_parquet_dir(spark, work + "/in", docs.schema)
     out_path = work + "/accepted"
+    # seed the output path schema-only: if every micro-batch rejects
+    # everything (or the stream is empty) the final read must return an
+    # empty (doc_id, y) frame, not a path-not-found AnalysisException
+    _pct_features(docs.limit(0)).select("doc_id", "y").write.mode(
+        "append"
+    ).parquet(out_path)
 
     def score_batch(batch: DataFrame, batch_id: int) -> None:
         scored = _pct_features(batch).select(

@@ -1223,8 +1223,13 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- exact substring-span dedup
 
 SUBSTR_W = 10  # duplicated-substring window (tokens)
-_SUBSTR_P = 1_000_000_007
-_SUBSTR_B = 1_000_033
+# Rolling-hash space: P ~ 1e12 (prime) keeps birthday collisions between
+# distinct windows negligible at corpus scale (W^2/2P ~ 0.5 expected
+# false pairs at 1M windows vs hundreds under the former 2^30 space),
+# while staying int64-safe: (P-1)*B + (P-1) ~ 1.0e18 < 2^63-1, so the
+# fold arithmetic is exact in both Spark LongType and DuckDB BIGINT.
+_SUBSTR_P = 1_000_000_000_039
+_SUBSTR_B = 1_000_003
 
 
 def _substr_fold_sql(th: str, i: str) -> str:
@@ -1298,9 +1303,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling-hash every W-token window (one md5 per token, then
     arithmetic), group windows by hash keeping only hashes seen >= 2
     times, and merge each document's surviving window positions into
-    spans with one cumulative-max window pass.  No suffix array, no
-    driver state — three map-combinable shuffles (gram count, hit
-    join, span window), all engine built-ins."""
+    spans with one cumulative-max window pass.  Hashing makes this
+    exact-up-to-collisions: with the ~1e12 modulus the expected number
+    of false window pairs is W_total^2/2P (~0.5 at a million windows,
+    ~5e4 even at 1e10 windows — vanishing per-document).  No suffix
+    array, no driver state — three map-combinable shuffles (gram
+    count, hit join, span window), all engine built-ins."""
     from quick_stream_spark.functions.text import ws_tokens
 
     corpus = _dup_corpus(spark, sf_dir)

@@ -74,6 +74,8 @@ class StreamingAnnIndex(_StreamBase):
 
         fs, p, _ = _hadoop_fs(spark, self.index_path)
         self._index_exists = bool(fs.exists(p))
+        fs2, p2, _ = _hadoop_fs(spark, self.pairs_path)
+        self._pairs_exists = bool(fs2.exists(p2))
 
     # ------------------------------------------------------------ state
 
@@ -148,7 +150,21 @@ class StreamingAnnIndex(_StreamBase):
                     .filter(F.col("cos_sim") >= self.threshold)
                     .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
                 )
-                pairs.write.mode("append").parquet(self.pairs_path)
+                # a batch with zero verified pairs must not leave an
+                # empty file behind (one-file-per-batch growth — same
+                # guard as the DLQ's bad.isEmpty()); the pairs dir is
+                # still created once, schema-only, so pairs() can read
+                pairs = pairs.persist()
+                try:
+                    if not self._pairs_exists:
+                        pairs.limit(0).write.mode("append").parquet(
+                            self.pairs_path
+                        )
+                        self._pairs_exists = True
+                    if not pairs.isEmpty():
+                        pairs.write.mode("append").parquet(self.pairs_path)
+                finally:
+                    pairs.unpersist()
                 banded.write.mode("append").parquet(self.index_path)
                 self._index_exists = True
             finally:

@@ -58,6 +58,38 @@ def test_chunking_independence_of_pairs_and_retrieval(spark, tmp_table_dir):
         corpus.unpersist()
 
 
+def test_pairless_batches_do_not_grow_the_pairs_log(spark, tmp_table_dir):
+    """Regression (r3 ADVICE): a micro-batch that verifies ZERO pairs
+    must not append an empty parquet file — the pairs dir would grow
+    one file per batch forever on a duplicate-free stream.  The dir is
+    still created (schema-only) so pairs() always reads."""
+    from quick_stream_spark.plans.similarity import _emb
+
+    # base embeddings only, no perturbed twins -> no pair clears 0.99
+    corpus = _emb(spark, SF_SMOKE).select("vec_id", "v").limit(24)
+    work = os.path.join(tmp_table_dir, "pairless")
+    write_split_as_files(corpus, F.col("vec_id") % 4, 4, work + "/in")
+    idx = StreamingAnnIndex(
+        spark,
+        work + "/state",
+        config=QuickStreamConfig(name="anni-p0", checkpoint_dir=work + "/ckpt"),
+    )
+    idx.run(
+        stream_parquet_dir(spark, work + "/in", corpus.schema),
+        available_now=True,
+    )
+    assert idx.pairs().count() == 0  # readable, empty
+    part_files = [
+        f
+        for f in os.listdir(idx.pairs_path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    assert len(part_files) <= 1, (
+        f"{len(part_files)} pair files after 4 pairless batches "
+        "(expected only the schema seed)"
+    )
+
+
 def test_restarted_index_sees_prior_entries(spark, tmp_table_dir):
     """A NEW StreamingAnnIndex over an existing work_dir (process
     restart / checkpoint resume) must see the index its predecessor

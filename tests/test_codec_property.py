@@ -92,12 +92,18 @@ def test_substring_spans_match_independent_python_reference(spark):
 
     from quick_stream_spark.plans.text import (
         SUBSTR_W,
+        _SUBSTR_B,
+        _SUBSTR_P,
         _dup_corpus,
         dedup_substring_spans,
     )
     from tests.conftest import SF_SMOKE
 
-    P, B = 1_000_000_007, 1_000_033
+    # the window hash is shared by construction (the algorithm IS
+    # hash-bucketing); what this reference keeps independent is the
+    # counting + span-merge logic.  P ~ 1e12 makes cross-window
+    # collisions negligible, so sharing the hash no longer hides them.
+    P, B = _SUBSTR_P, _SUBSTR_B
     docs = {r.id: (r.text or "") for r in _dup_corpus(spark, SF_SMOKE).collect()}
     grams = {}
     counts = Counter()

@@ -104,6 +104,48 @@ def test_png_rejects_corruption():
         decode_png(bytes(data))
 
 
+def test_png_rejects_structurally_valid_but_malformed_chunks():
+    """Regression (r3 ADVICE): payloads whose chunks carry CORRECT CRCs
+    but are semantically broken must still raise ValueError, never leak
+    struct.error / zlib.error into a DLQ flow that catches ValueError."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from quick_stream_spark.functions.png import (
+        _PNG_SIG,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    # IHDR body that is not 13 bytes (valid CRC) -> used to struct.error
+    short_ihdr = _PNG_SIG + _chunk(b"IHDR", b"\x00" * 7) + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="IHDR body"):
+        decode_png(short_ihdr)
+
+    ihdr13 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    # no IDAT chunk at all -> used to zlib.error on empty stream
+    no_idat = _PNG_SIG + _chunk(b"IHDR", ihdr13) + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="IDAT"):
+        decode_png(no_idat)
+
+    # garbage IDAT bytes with a correct chunk CRC -> used to zlib.error
+    bad_idat = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr13)
+        + _chunk(b"IDAT", b"not a zlib stream")
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="zlib"):
+        decode_png(bad_idat)
+
+    # sanity: a well-formed payload still decodes after the guards
+    assert decode_png(encode_png(6, 6, _px))["n_pixels"] == 36
+
+
 def test_real_decoder_decodes_png_and_keeps_seam_for_rest(spark):
     """decoder='real' genuinely decodes PNG payloads through the
     mapInPandas stage; non-PNG payloads still raise at the PIL/ffmpeg
