@@ -109,4 +109,29 @@ def hyperplane_signature_sql(v: str, num_planes: int = NUM_PLANES, dim: int = 64
         warr = "[" + ", ".join(str(w) for w in weights[p]) + "]"
         s = f"list_sum(list_transform(range(1, {dim + 1}), j -> ({v})[j] * ({warr})[j]))"
         bits.append(f"CASE WHEN {s} > 0 THEN '1' ELSE '0' END")
-    return " || ".join(bits)
+    # varargs concat, not a `||` chain: DuckDB binds a || b || c as a
+    # left-nested binary tree and hits its 128-deep binder recursion
+    # limit near 128 planes; concat(...) is one node with n children
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def plane_weights_values_sql(num_planes: int = NUM_PLANES, dim: int = 64) -> str:
+    """``(p, wv)`` VALUES rows for a hyperplane-weights CTE table —
+    the fast DuckDB twin for LARGE plane counts.  Indexing a literal
+    list inside the per-plane lambda (hyperplane_signature_sql's
+    shape) rebuilds the list per element — measured 400x slower at 192
+    planes than joining a weights table and indexing its column list:
+
+        lshw(p, wv) AS (VALUES {...}),
+        pbits AS (SELECT vec_id, p, CASE WHEN list_sum(list_transform(
+          range(1, dim+1), j -> v[j] * wv[j])) > 0 THEN '1' ELSE '0'
+          END AS bit FROM e CROSS JOIN lshw)
+
+    The per-bit arithmetic (same left-to-right list_sum fold over
+    v[j] * w[j]) is identical to hyperplane_signature_sql, so bits
+    match the Spark side bit-for-bit either way."""
+    weights = plane_weights(num_planes, dim)
+    return ", ".join(
+        f"({p}, [{', '.join(str(w) for w in row)}])"
+        for p, row in enumerate(weights)
+    )

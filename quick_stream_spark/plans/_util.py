@@ -100,6 +100,45 @@ SQL_REVENUE = (
 )
 
 
+# Every per-(session, sf) artifact cache in the plans package registers
+# itself here, so the bench harness can clear ALL shared state between
+# timed queries: each bench entry then computes its own shared stages
+# and per-query timings are independent of execution order (r3's
+# minhash/CC lines swung 10x across rounds purely from cache order).
+_SESSION_CACHES: list[dict] = []
+
+
+def shared_cache(cache: dict) -> dict:
+    """Declare a per-(session, scale-factor) artifact cache.  Returns
+    the dict so declarations read ``_X_CACHE = shared_cache({})``."""
+    _SESSION_CACHES.append(cache)
+    return cache
+
+
+def _release(value) -> None:
+    """Best-effort release of cached Spark resources (persisted /
+    localCheckpointed frames hold storage blocks beyond their Python
+    reference)."""
+    if hasattr(value, "unpersist"):
+        try:
+            value.unpersist()
+        except Exception:
+            pass
+    elif isinstance(value, (tuple, list)):
+        for v in value:
+            _release(v)
+
+
+def clear_session_caches() -> None:
+    """Drop every registered shared artifact (and unpersist any cached
+    frames).  Correctness never depends on these caches — they only
+    save recomputation — so clearing at any point is safe."""
+    for cache in _SESSION_CACHES:
+        for v in cache.values():
+            _release(v)
+        cache.clear()
+
+
 def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
     """Get-or-fill for per-(session, scale-factor) artifacts — the one
     idiom behind the pairs/corpus/codebook caches: deterministic session

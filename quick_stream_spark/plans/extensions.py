@@ -163,6 +163,7 @@ def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE m.var > 0
     """,
     tags=("pandas", "grouped-map"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas UDF (applyInPandas): per-user z-score of event
@@ -267,7 +268,6 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gen
     """,
     tags=("source", "python-datasource"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source connector (sources/pyds.py): a pure-
@@ -412,7 +412,6 @@ UDTF_CHUNK = 32
     WHERE n > 0
     """,
     tags=("pandas", "udtf"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python user-defined TABLE function (Spark 4 @udtf) invoked as a

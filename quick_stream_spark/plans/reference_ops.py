@@ -19,7 +19,7 @@ from quick_stream_spark.config import QuickStreamConfig
 from quick_stream_spark.operators.dedup import latest_per_key
 from quick_stream_spark.operators.merge import KeyedTable
 from quick_stream_spark.operators.router import MultiTableRouter
-from quick_stream_spark.plans._util import pin_session, rows_sized_parts, scoped_shuffle
+from quick_stream_spark.plans._util import pin_session, rows_sized_parts, scoped_shuffle, shared_cache
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import (
     load_table,
@@ -37,7 +37,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-_EVENTS_COUNT_CACHE: dict = {}
+_EVENTS_COUNT_CACHE: dict = shared_cache({})
 
 
 def _events_scope(spark: SparkSession, sf_dir: str):
@@ -349,6 +349,155 @@ def r_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
         target.upsert(evolved, newer_wins=True)
     return target.read().select(*EVENT_COLS, "score", "row_active")
+
+
+# --------------------------------------------------------------------------
+# wide-row parity: the reference's flagship integration fixture is a
+# 45-column rail-tracking table (lib.rs:108-178, ``ftp_current``) —
+# replay that width through upsert + schema evolution + soft delete.
+#
+# Every column is derived from the events row by an expression written
+# ONCE in the SQL subset both engines share, evaluated by Spark via
+# F.expr and spliced verbatim into the DuckDB oracle — the two sides
+# cannot drift.  The mix deliberately covers the reference row's type
+# surface: bigints, ints, strings, 'Y'/'N' flags, timestamps (+interval
+# arithmetic), doubles-derived ints, and five distinct NULL patterns
+# (including two always-NULL typed columns, the reference's perpetually
+# NULL Option<> fields).
+#
+# Dialect-shared subset notes: CAST(floor(x) AS INT), never
+# CAST(double AS INT) (DuckDB rounds, Spark truncates); INTERVAL n UNIT
+# (both accept the unquoted form); STRING type alias (both).
+
+_WIDE_COLS: tuple[tuple[str, str], ...] = (
+    ("ftpc_tripplannumber", "user_id * 1000 + event_id % 997"),
+    ("ftpc_tripplanversion", "CAST(1 + event_id % 3 AS INT)"),
+    ("ftpc_scheduleeventseq", "CAST(event_id % 50 AS INT)"),
+    ("ftpc_scheduleeventcode",
+     "CASE WHEN event_id % 2 = 0 THEN 'ARV' ELSE 'DEP' END"),
+    ("ftpc_scheduleeventtype",
+     "CASE WHEN user_id % 5 = 0 THEN NULL ELSE event_type END"),
+    ("ftpc_scheduleeventcity", "concat('CITY', CAST(user_id % 100 AS STRING))"),
+    ("ftpc_scheduleeventstate",
+     "CASE WHEN user_id % 3 = 0 THEN 'MO' WHEN user_id % 3 = 1 THEN 'TX' "
+     "ELSE 'IL' END"),
+    ("ftpc_schedulerailcarrier",
+     "CASE WHEN user_id % 4 = 0 THEN 'KCS' WHEN user_id % 4 = 1 THEN 'UP' "
+     "WHEN user_id % 4 = 2 THEN 'BNSF' ELSE 'CN' END"),
+    ("ftpc_scheduletrainid",
+     "CASE WHEN event_id % 7 = 0 THEN NULL "
+     "ELSE concat('T', CAST(event_id % 9000 AS STRING)) END"),
+    ("ftpc_scheduledatetime", "ts"),
+    ("ftpc_scheduletimemillis", "event_id * 60000"),
+    ("ftpc_estimatedetadatetime",
+     "CASE WHEN user_id % 9 = 0 THEN NULL ELSE ts + INTERVAL 4 HOUR END"),
+    ("ftpc_estimatedetatimemillis",
+     "CASE WHEN user_id % 9 = 0 THEN NULL ELSE event_id * 60000 + 240000 END"),
+    ("ftpc_eventtimezone",
+     "CASE WHEN user_id % 3 = 0 THEN 'EST' WHEN user_id % 3 = 1 THEN 'CST' "
+     "ELSE 'MST' END"),
+    ("ftpc_actualeventdatetime",
+     "CASE WHEN event_id % 2 = 0 THEN NULL ELSE ts + INTERVAL 30 MINUTE END"),
+    ("ftpc_actualtimemillis",
+     "CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_id * 1800 END"),
+    ("ftpc_scheduledaynumber", "CAST(1 + user_id % 7 AS INT)"),
+    ("ftpc_schedulecutofftime",
+     "CASE WHEN user_id % 2 = 0 THEN NULL ELSE '17:00' END"),
+    ("ftpc_schedulecutoffday",
+     "CASE WHEN user_id % 2 = 0 THEN NULL ELSE CAST(user_id % 7 AS INT) END"),
+    ("ftpc_operationmon", "CASE WHEN user_id % 2 = 0 THEN 'Y' ELSE 'N' END"),
+    ("ftpc_operationtue", "CASE WHEN user_id % 3 = 0 THEN 'Y' ELSE 'N' END"),
+    ("ftpc_operationwed", "CASE WHEN user_id % 4 = 0 THEN 'Y' ELSE 'N' END"),
+    ("ftpc_operationthu", "CASE WHEN user_id % 5 = 0 THEN 'Y' ELSE 'N' END"),
+    ("ftpc_operationfri", "CASE WHEN user_id % 6 = 0 THEN 'Y' ELSE 'N' END"),
+    ("ftpc_operationsat", "CASE WHEN user_id % 7 = 0 THEN 'Y' ELSE 'N' END"),
+    ("ftpc_operationsun", "CASE WHEN user_id % 8 = 0 THEN 'Y' ELSE 'N' END"),
+    ("ftpc_comments",
+     "CASE WHEN event_id % 3 = 0 THEN substring(props, 1, 16) ELSE NULL END"),
+    ("ftpc_actualeventcode",
+     "CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'ARV' END"),
+    ("ftpc_actualtrainid", "CAST(NULL AS STRING)"),
+    ("ftpc_optn_prfmnce_ind",
+     "CASE WHEN value >= 0 THEN 'ONTIME' ELSE 'LATE' END"),
+    ("ftpc_optn_prfmnce_minutes", "CAST(floor(value) AS INT) % 600"),
+    ("ftpc_ovrl_prfmnce_ind",
+     "CASE WHEN value >= 50 THEN 'ONTIME' ELSE 'LATE' END"),
+    ("ftpc_ovrl_prfmnce_minutes", "CAST(floor(value * 2) AS INT) % 600"),
+    ("ftpc_consignee_id", "(user_id * 31) % 1000003"),
+    ("ftpc_shipper_id", "(user_id * 37) % 999983"),
+    ("ftpc_close_ind", "CASE WHEN user_id % 10 = 0 THEN '1' ELSE '0' END"),
+    ("ftpc_clm_load_status",
+     "CASE WHEN event_id % 4 = 0 THEN 'L' WHEN event_id % 4 = 1 THEN 'E' "
+     "ELSE NULL END"),
+    ("ftpc_clm_destination", "CAST(NULL AS STRING)"),
+    ("id", "user_id"),
+    ("modified_date", "ts"),
+    ("ev_date_time",
+     "CASE WHEN user_id % 11 = 0 THEN NULL ELSE ts - INTERVAL 1 HOUR END"),
+    ("trax_created_date_time", "ts - INTERVAL 2 DAY"),
+    ("trax_updated_date_time", "CAST(NULL AS TIMESTAMP)"),
+    ("created_date", "ts - INTERVAL 3 DAY"),
+    ("record_synced_datetime", "ts + INTERVAL 5 MINUTE"),
+)
+
+assert len(_WIDE_COLS) == 45, len(_WIDE_COLS)
+
+_WIDE_SELECT_SQL = ",\n".join(f"{sql} AS {name}" for name, sql in _WIDE_COLS)
+
+
+@register(
+    "r_wide_row_endstate",
+    oracle=f"""
+    SELECT {_WIDE_SELECT_SQL},
+           CASE WHEN event_id % 2 = 1 THEN 'cdc-replay' END AS ftpc_sync_source,
+           user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+             AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "merge", "wide-row", "schema-evolution", "delete"),
+)
+def r_wide_row_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-row parity at the reference's flagship integration width
+    (lib.rs:108-178: the 45-column ``ftp_current`` INSERT): a
+    ``ftp_current``-shaped record per event — same column names, same
+    type mix, five NULL patterns including always-NULL ``Option<>``
+    twins — replayed through the full merge surface: two-batch upsert
+    (even event_ids, then odd) with the newer-wins guard, schema
+    evolution (batch two adds ``ftpc_sync_source``; batch-one winners
+    and untouched buckets read NULL back), and a soft delete of every
+    key that ever errored.  Pins wide-schema column ordering,
+    nullability, and NULL-fill semantics that the narrow fixtures
+    cannot.  Keys follow the reference's MockData contract
+    (lib.rs:96-106): pkey = ``id``, version = ``modified_date``."""
+    ev = _events(spark, sf_dir)
+    wide = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        *[F.expr(sql).alias(name) for name, sql in _WIDE_COLS],
+    )
+    target = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/wide",
+        keys=("id",),
+        version_col="modified_date",
+        arrival_col="event_id",
+        num_buckets=8,
+    )
+    evolved = wide.filter(F.col("event_id") % 2 == 1).withColumn(
+        "ftpc_sync_source", F.lit("cdc-replay")
+    )
+    with _events_scope(spark, sf_dir):
+        target.upsert(wide.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(evolved, newer_wins=True)
+        target.soft_delete(wide.filter(F.col("event_type") == "error"))
+    return target.read().select(
+        *[name for name, _ in _WIDE_COLS], "ftpc_sync_source", "row_active"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -187,6 +187,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     tags=("join", "semi", "anti"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (parts with a heavy shipment) and LEFT ANTI (customers
@@ -260,6 +261,7 @@ def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFra
     GROUP BY o_orderkey
     """,
     tags=("join", "range"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join: events occurring within a day of the
@@ -291,6 +293,7 @@ def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "agg", "topk"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned the most revenue."""
@@ -474,6 +477,7 @@ _ABOVE_AVG_SQL = """
     "subquery_orders_above_customer_avg",
     oracle=_ABOVE_AVG_SQL,
     tags=("subquery", "sql"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through the SQL front end — Catalyst
@@ -502,6 +506,7 @@ def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> Data
                             (l_returnflag), (l_linestatus), ())
     """,
     tags=("agg", "sql", "grouping"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def agg_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping analytics through the SQL front end: the full
@@ -577,6 +582,7 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
     tags=("agg", "argmax", "distinct", "skew", "scale"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type event profile combining three aggregation families:
@@ -700,6 +706,7 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       ws AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
     tags=("window", "rank"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function families in one pass over orders: running
@@ -1061,7 +1068,6 @@ def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("scalar", "variant", "json"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through Spark 4's VARIANT type: the JSON
@@ -1101,7 +1107,6 @@ _RECURSIVE_HIERARCHY_SQL = """
     "recursive_cte_hierarchy",
     oracle=_RECURSIVE_HIERARCHY_SQL,
     tags=("sql", "recursive"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE through Spark's SQL front end (WITH RECURSIVE,
@@ -1135,7 +1140,6 @@ _LATERAL_TOPK_SQL = """
     "join_lateral_topk_per_nation",
     oracle=_LATERAL_TOPK_SQL,
     tags=("join", "lateral", "sql"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery in the FROM clause: the two

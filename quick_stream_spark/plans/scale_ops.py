@@ -101,6 +101,7 @@ _FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     FROM documents
     """,
     tags=("sampling", "pipeline", "stratified"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed sampling, three shapes in one pass: the
@@ -483,6 +484,7 @@ def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     GROUP BY 1, 2
     """,
     tags=("analytics", "cohort"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention — the classic product-analytics matrix: users
@@ -1178,7 +1180,6 @@ SESSION_GAP_MIN = 30
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("analytics", "sessionization"),
-    pytest_only=True,  # driver window is full after the r03 rotation
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the canonical event-analytics

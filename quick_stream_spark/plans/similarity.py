@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_stream_spark.functions import vectors as vec
-from quick_stream_spark.plans._util import pin_session, rows_sized_parts, scoped_shuffle
+from quick_stream_spark.plans._util import pin_session, rows_sized_parts, scoped_shuffle, shared_cache
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
 
@@ -30,7 +30,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_COUNT_CACHE: dict = {}
+_EMB_COUNT_CACHE: dict = shared_cache({})
 
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
@@ -241,7 +241,7 @@ def _kmeans_oracle() -> str:
 # and the centroid query all (re)train the same codebook — cache the
 # checkpointed result per (session, sf_dir) so training runs once, the
 # way a production pipeline trains offline and reuses the model.
-_KMEANS_CACHE: dict = {}
+_KMEANS_CACHE: dict = shared_cache({})
 
 
 def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +336,7 @@ def _lloyd_rounds(spark: SparkSession, e: DataFrame, cents, to_lists):
     "emb_centroids",
     oracle=None,  # set at module end (kmeans side is generated, unrolled)
     tags=("similarity", "agg", "ivf", "iterative", "ml"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both codebook constructions, tagged by method:
@@ -526,35 +527,104 @@ def emb_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", vec.hyperplane_signature(F.col("v")).alias("sig"))
 
 
-# Banded sign-LSH for ANN retrieval: more planes than the bucketing
-# signature (finer bits), OR-amplified across bands — candidates share
-# at least ONE band, then exact cosine re-ranks.  Parameters chosen by
-# measurement on the (near-random: exact top-5 cosines 0.25-0.49)
-# synthetic embeddings at sf0.01: 24 planes / 6 bands of 4 bits gives
-# measured recall@5 = 0.65 while touching ~34% of the corpus per query
-# — full-signature matching (the round-2 design) measured recall 0.00
-# because a 2^12 bucket space makes expected collisions ~ n/4096.
+# Confusable-pair banding (24 planes / 6 OR-bands of 4 bits): the
+# geometry behind hard-negative MINING and the streaming vector index,
+# where "shares any band" is the desired loose filter (~34% of random
+# pairs collide — deliberately broad: a confusability net, not a
+# retrieval index).
 ANN_PLANES = 24
 ANN_BAND_BITS = 4
 ANN_BANDS = ANN_PLANES // ANN_BAND_BITS
 
 _ANN_SIG = vec.hyperplane_signature_sql("v", ANN_PLANES, DIM)
 
+# RETRIEVAL banding (r4): pure OR-amplification cannot be selective on
+# this adversarially near-random corpus (exact top-5 cosines 0.25-0.49
+# -> per-plane agreement only 0.58-0.66 vs 0.50 random; the r3 design
+# measured recall 0.65 at the cost of touching ~34% of the corpus).
+# The fix is collision-COUNT thresholding: band the signature into
+# MANY narrow bands and keep only candidate pairs sharing >= T bands —
+# statistically a Hamming test on the full 192-bit sketch, but
+# computed as an ids-only equi-join + count (never all-pairs, vectors
+# fetched only for survivors).  Parameters from the binomial model
+# sweep-measured at sf0.01 (see /tmp-sweep in the r4 changelog): with
+# 48 bands x 4 bits, T=7 measures recall@5 = 0.625 at candidate
+# fraction 0.060; T=6 measured 0.725 / 0.130 and fails the fraction
+# gate (the binomial model under-predicts the fraction ~1.7x because
+# somewhat-similar non-top-5 pairs also clear the count — which is the
+# filter working as intended).  tests/test_ann_recall.py holds BOTH
+# gates: recall >= 0.6 AND re-ranked fraction <= 0.10.
+LSH_ANN_PLANES = 192
+LSH_ANN_BAND_BITS = 4
+LSH_ANN_BANDS = LSH_ANN_PLANES // LSH_ANN_BAND_BITS
+LSH_ANN_MIN_BANDS = 7  # T: min shared bands for a pair to be re-ranked
+
+
+_LSH_CAND_SQL = f"""
+    lshw(p, wv) AS (VALUES {vec.plane_weights_values_sql(LSH_ANN_PLANES, DIM)}),
+    pbits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),
+               j -> v[j] * wv[j])) > 0 THEN '1' ELSE '0' END AS bit
+      FROM e CROSS JOIN lshw
+    ),
+    bands AS (
+      SELECT vec_id, p // {LSH_ANN_BAND_BITS} AS b,
+             string_agg(bit, '' ORDER BY p) AS bits
+      FROM pbits GROUP BY vec_id, p // {LSH_ANN_BAND_BITS}
+    ),
+    cand AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bits = cb.bits
+      WHERE qb.vec_id < {NUM_QUERIES} AND qb.vec_id <> cb.vec_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {LSH_ANN_MIN_BANDS}
+    )
+"""
+
+
+def _lsh_candidates(e: DataFrame) -> DataFrame:
+    """Collision-count candidate generation: (query_id, neighbor_id)
+    pairs sharing >= {LSH_ANN_MIN_BANDS} of the {LSH_ANN_BANDS} 4-bit
+    bands.  Ids-only throughout — the band join and the count shuffle
+    carry (band, bits, id) rows; vectors are fetched downstream, only
+    for survivors."""
+    s = e.select(
+        "vec_id",
+        vec.hyperplane_signature(F.col("v"), LSH_ANN_PLANES).alias("sig"),
+    )
+    bands = s.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        "sig", b * LSH_ANN_BAND_BITS + 1, LSH_ANN_BAND_BITS
+                    )
+                    for b in range(LSH_ANN_BANDS)
+                ]
+            )
+        ).alias("band", "bits"),
+    )
+    qb = bands.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bits"
+    )
+    cb = bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bits")
+    return (
+        qb.join(cb, ["band", "bits"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= LSH_ANN_MIN_BANDS)
+        .select("query_id", "neighbor_id")
+    )
+
 
 @register(
     "emb_lsh_ann_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    s AS (SELECT vec_id, v, {_ANN_SIG} AS sig FROM e),
-    bands AS (
-      SELECT vec_id, b, substring(sig, b * {ANN_BAND_BITS} + 1, {ANN_BAND_BITS}) AS bits
-      FROM s CROSS JOIN (SELECT unnest(range(0, {ANN_BANDS})) AS b) bs
-    ),
-    cand AS (
-      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-      FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bits = cb.bits
-      WHERE qb.vec_id < {NUM_QUERIES} AND qb.vec_id <> cb.vec_id
-    ),
+    {_LSH_CAND_SQL},
     scored AS (
       SELECT t.query_id, t.neighbor_id, {vec.cosine_sql('q.v', 'c.v', DIM)} AS cos_sim
       FROM cand t
@@ -568,50 +638,31 @@ _ANN_SIG = vec.hyperplane_signature_sql("v", ANN_PLANES, DIM)
     ) WHERE rank <= {TOP_K}
     """,
     tags=("similarity", "lsh", "approx"),
+    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
 )
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded (OR-amplified) sign-LSH ANN: each vector's
-    {ANN_PLANES}-plane signature splits into {ANN_BANDS} bands of
-    {ANN_BAND_BITS} bits; a corpus vector is a candidate when it shares
-    ANY band with the query (bucket equi-join on (band, bits) — same
-    banding pattern as the minhash near-dup detector, never the O(n^2)
-    scan), then exact cosine re-ranks the candidate set to top-{TOP_K}.
+    """Sign-LSH ANN by collision-count thresholding: each vector's
+    {LSH_ANN_PLANES}-plane signature splits into {LSH_ANN_BANDS} bands
+    of {LSH_ANN_BAND_BITS} bits; a corpus vector is a candidate when
+    it shares >= {LSH_ANN_MIN_BANDS} bands with the query (equi-join
+    on (band, bits) + per-pair count — statistically a Hamming-
+    similarity test on the whole sketch, but never an all-pairs
+    comparison), then exact cosine re-ranks survivors to top-{TOP_K}.
 
-    Scale design: candidate generation is one equi-join of two
-    band-exploded frames ({ANN_BANDS} rows per vector); the DISTINCT
-    collapses multi-band collisions BEFORE vectors are fetched (ids
-    only cross the shuffle, not the arrays); the exact re-rank touches
-    only candidates.  Recall/selectivity tunes by band width — with
-    4-bit bands the per-band collision rate is ~2^-4 for random pairs
-    but ~p_agree^4 for close ones (p_agree = 1 - angle/pi), so the
-    band join concentrates on true neighbors; measured recall@5 at
-    sf0.01 = 0.65 touching ~34% of a (near-random) corpus — on real
-    clustered embeddings the same machinery is far more selective."""
+    Scale design: candidate generation is one ids-only equi-join of
+    two band-exploded frames + a map-combinable pair count; full
+    vectors are fetched only for count survivors (measured 6.0% of
+    the corpus per query at recall@5 = 0.625 on this adversarially
+    near-random corpus — see emb_ann_quality_eval's cand_frac column;
+    the r3 OR-amplified design touched ~34%).  The count threshold is the
+    selectivity dial: on real clustered embeddings the same machinery
+    runs with wider bands for a sub-1% fraction.  The band join emits
+    ~{LSH_ANN_BANDS}/2^{LSH_ANN_BAND_BITS} narrow rows per (query,
+    corpus vector) — linear in corpus size with a tiny constant, the
+    standard cost shape of batch LSH retrieval; per-query sublinear
+    serving would move the same index into a key-value store."""
     e = _emb(spark, sf_dir)
-    s = e.select(
-        "vec_id", vec.hyperplane_signature(F.col("v"), ANN_PLANES).alias("sig")
-    )
-    bands = s.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("sig", b * ANN_BAND_BITS + 1, ANN_BAND_BITS)
-                    for b in range(ANN_BANDS)
-                ]
-            )
-        ).alias("band", "bits"),
-    )
-    qb = bands.filter(F.col("vec_id") < NUM_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "band", "bits"
-    )
-    cb = bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bits")
-    cand = (
-        qb.join(cb, ["band", "bits"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    cand = _lsh_candidates(e)
     q = F.broadcast(
         e.filter(F.col("vec_id") < NUM_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -632,7 +683,7 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_IVF_TAIL_SQL = f"""
+_IVF_PROBE_CTES = f"""
     dists AS (
       SELECT e.vec_id, e.v, cents.cell, {_sqdist_sql('e.v', 'cents.c')} AS d
       FROM e CROSS JOIN cents
@@ -648,7 +699,11 @@ _IVF_TAIL_SQL = f"""
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
         FROM dists
       ) WHERE rn <= {N_PROBE} AND vec_id < {NUM_QUERIES}
-    ),
+    )
+"""
+
+_IVF_TAIL_SQL = f"""
+    {_IVF_PROBE_CTES},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {vec.cosine_sql('q.v', 'c.v', DIM)} AS cos_sim
@@ -662,9 +717,12 @@ _IVF_TAIL_SQL = f"""
 """
 
 
-def _ivf_probe_topk(e: DataFrame, cents: list) -> DataFrame:
-    """Shared IVF probe: assign corpus to nearest cell, probe N_PROBE
-    nearest cells per query, exact cosine top-k within them."""
+def _ivf_probe_frames(e: DataFrame, cents: list) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF probe frames: ``(probes, assigned)`` — the query
+    probe list (query_id, qv, cell) over the N_PROBE nearest cells and
+    the corpus cell assignment (vec_id, v, cell).  Their cell equi-join
+    IS the candidate set; both the top-k and the quality eval's
+    candidate-fraction measurement derive from these same frames."""
     cells_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
     cell_ids = [cell for cell, _ in cents]
 
@@ -696,6 +754,29 @@ def _ivf_probe_topk(e: DataFrame, cents: list) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
     )
+    return probes, assigned
+
+
+def _ivf_candidates(e: DataFrame, cents: list) -> DataFrame:
+    """Distinct (query_id, neighbor_id) pairs the IVF probe re-ranks —
+    the corpus vectors living in each query's probed cells."""
+    probes, assigned = _ivf_probe_frames(e, cents)
+    return (
+        probes.select("query_id", "cell")
+        .join(
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
+def _ivf_probe_topk(e: DataFrame, cents: list) -> DataFrame:
+    """Shared IVF probe: assign corpus to nearest cell, probe N_PROBE
+    nearest cells per query, exact cosine top-k within them."""
+    probes, assigned = _ivf_probe_frames(e, cents)
     scored = (
         probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -721,6 +802,23 @@ def _trained_ivf_oracle() -> str:
     cents AS (SELECT cell, list(cv ORDER BY pos) AS c
               FROM cr_{KMEANS_ITERS} GROUP BY cell),
     {_IVF_TAIL_SQL}
+    """
+
+
+def _trained_ivf_cand_sql() -> str:
+    """Per-query candidate COUNTS of the trained IVF probe (same CTE
+    stack as the top-k oracle, counting the probe join instead of
+    ranking it) — feeds emb_ann_quality_eval's cand_frac column."""
+    ctes = ",\n".join(_kmeans_ctes())
+    return f"""
+    WITH {ctes},
+    cents AS (SELECT cell, list(cv ORDER BY pos) AS c
+              FROM cr_{KMEANS_ITERS} GROUP BY cell),
+    {_IVF_PROBE_CTES}
+    SELECT query_id, count(*) AS n_cand FROM (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ) GROUP BY query_id
     """
 
 
@@ -825,6 +923,7 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     FROM scored WHERE cos_sim >= {EMB_DUP_THRESHOLD}
     """,
     tags=("similarity", "dedup", "lsh", "approx"),
+    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the semantic-dedup
@@ -919,7 +1018,7 @@ def _sub_sqdist(a, b):
     )
 
 
-_PQ_BOOK_CACHE: dict = {}
+_PQ_BOOK_CACHE: dict = shared_cache({})
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list[float]]]]:
@@ -1396,44 +1495,78 @@ _SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
     tags=("similarity", "ann", "evaluation"),
 )
 def emb_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} of every approximate index against the exact
-    cosine top-k — the index-quality scorecard, computed as DATA and
-    oracle-checked rather than asserted in prose (the similarity twin
-    of dedup_lsh_quality_eval).  One row per (method, query): hit count
-    and recall for the sign-LSH buckets, the trained IVF probe, and the
-    20-bit PQ codes.  Exact result and per-method top-k are each
+    """Recall@{TOP_K} AND candidate fraction of every approximate
+    index against the exact cosine top-k — the index-quality
+    scorecard, computed as DATA and oracle-checked rather than
+    asserted in prose (the similarity twin of dedup_lsh_quality_eval).
+    One row per (method, query): hits, recall, n_cand (vectors the
+    exact re-rank fetches) and cand_frac (n_cand / corpus) for the
+    count-thresholded sign-LSH index, the trained IVF probe, and the
+    PQ ADC shortlist.  Exact result and per-method top-k are each
     computed once; overlap is an equi-join on (query, neighbor) — at
-    scale this is the standing eval job every ANN deployment runs after
-    re-indexing.  Measured at sf0.01: IVF 0.90, PQ 0.78 (ADC shortlist
-    + exact re-rank), LSH 0.65 (banded sign-LSH) mean recall — this
-    eval is what exposed the round-2 designs as decorative
-    (full-signature LSH measured 0.00, pure-ADC PQ 0.30) and what
-    validates their banded/refine replacements."""
+    scale this is the standing eval job every ANN deployment runs
+    after re-indexing.  Measured at sf0.01: IVF recall 0.90, PQ 0.78,
+    LSH 0.625 at cand_frac 0.060 (the r3 OR-banded LSH touched ~34% —
+    cand_frac is the column that exposed it; the round-2 evals are
+    what exposed full-signature LSH at recall 0.00 and pure-ADC PQ at
+    0.30).  tests/test_ann_recall.py gates recall >= 0.6 for all
+    three AND lsh cand_frac <= 0.10."""
     exact = emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     exact = exact.localCheckpoint(eager=True)  # three method joins read it
     ex_n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_corpus = _emb_count(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    km = emb_kmeans_train(spark, sf_dir)
+    by_cell: dict = {}
+    for r in km.collect():
+        by_cell.setdefault(r.cell, {})[r.pos] = float(r.centroid)
+    cents = [(cell, [by_cell[cell][p] for p in range(DIM)]) for cell in sorted(by_cell)]
+    # per-method candidate counts: what the exact re-rank actually
+    # touches (full-vector fetches) — PQ's ADC stage scans codes (a
+    # ~100x-compressed sketch, like LSH's band rows), so its re-rank
+    # candidate count is the shortlist size by construction
+    pq_cands = ex_n.select(
+        "query_id",
+        F.least(F.lit(PQ_SHORTLIST), F.lit(n_corpus - 1))
+        .cast("long")
+        .alias("n_cand"),
+    )
     methods = [
-        ("ivf", emb_ivf_trained_topk),
-        ("lsh", emb_lsh_ann_topk),
-        ("pq", emb_pq_topk),
+        ("ivf", emb_ivf_trained_topk,
+         _ivf_candidates(e, cents).groupBy("query_id").agg(
+             F.count(F.lit(1)).alias("n_cand"))),
+        ("lsh", emb_lsh_ann_topk,
+         _lsh_candidates(e).groupBy("query_id").agg(
+             F.count(F.lit(1)).alias("n_cand"))),
+        ("pq", emb_pq_topk, pq_cands),
     ]
     out = None
-    for name, fn in methods:
+    for name, fn, cands in methods:
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
         hits = (
             exact.join(approx, ["query_id", "neighbor_id"])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("hits"))
         )
-        part = ex_n.join(hits, "query_id", "left").select(
-            F.lit(name).alias("method"),
-            "query_id",
-            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0).cast("long")).cast("double")
-                / F.col("n_exact"),
-                4,
-            ).alias("recall"),
+        part = (
+            ex_n.join(hits, "query_id", "left")
+            .join(cands, "query_id", "left")
+            .select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0).cast("long")).cast("double")
+                    / F.col("n_exact"),
+                    4,
+                ).alias("recall"),
+                F.coalesce(F.col("n_cand"), F.lit(0).cast("long")).alias("n_cand"),
+                F.round(
+                    F.coalesce(F.col("n_cand"), F.lit(0).cast("long")).cast("double")
+                    / F.lit(n_corpus),
+                    4,
+                ).alias("cand_frac"),
+            )
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -1441,23 +1574,37 @@ def emb_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_eval_oracle() -> str:
     exact_sql = _SIMREG["emb_cosine_topk"].oracle
+    lsh_cand_sql = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_LSH_CAND_SQL}
+        SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id
+    """
+    pq_cand_sql = f"""
+        SELECT DISTINCT query_id,
+               least({PQ_SHORTLIST}, (SELECT count(*) FROM embeddings) - 1) AS n_cand
+        FROM exact
+    """
     method_sql = {
-        "ivf": _SIMREG["emb_ivf_trained_topk"].oracle,
-        "lsh": _SIMREG["emb_lsh_ann_topk"].oracle,
-        "pq": _SIMREG["emb_pq_topk"].oracle,
+        "ivf": (_SIMREG["emb_ivf_trained_topk"].oracle, _trained_ivf_cand_sql()),
+        "lsh": (_SIMREG["emb_lsh_ann_topk"].oracle, lsh_cand_sql),
+        "pq": (_SIMREG["emb_pq_topk"].oracle, pq_cand_sql),
     }
     arms = []
-    for name, sql in method_sql.items():
+    for name, (sql, cand_sql) in method_sql.items():
         arms.append(
             f"""SELECT '{name}' AS method, e.query_id,
                    CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-                   round(CAST(coalesce(h.hits, 0) AS DOUBLE) / e.n_exact, 4) AS recall
+                   round(CAST(coalesce(h.hits, 0) AS DOUBLE) / e.n_exact, 4) AS recall,
+                   CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_cand,
+                   round(CAST(coalesce(cc.n_cand, 0) AS DOUBLE)
+                         / (SELECT count(*) FROM embeddings), 4) AS cand_frac
             FROM ex_n e LEFT JOIN (
               SELECT x.query_id, count(*) AS hits
               FROM exact x JOIN (SELECT query_id, neighbor_id FROM ({sql}) m) a
                 USING (query_id, neighbor_id)
               GROUP BY x.query_id
-            ) h USING (query_id)"""
+            ) h USING (query_id)
+            LEFT JOIN ({cand_sql}) cc USING (query_id)"""
         )
     union = " UNION ALL ".join(arms)
     return f"""

@@ -16,6 +16,7 @@ from quick_stream_spark.plans._util import (
     pin_session,
     rows_sized_parts,
     scoped_shuffle,
+    shared_cache,
     sql_dsum,
 )
 from quick_stream_spark.plans.registry import register
@@ -23,7 +24,7 @@ from quick_stream_spark.sources.readers import load_table, stream_parquet_dir, w
 
 SESSION_GAP = "30 minutes"
 
-_EVENT_COUNT_CACHE: dict = {}
+_EVENT_COUNT_CACHE: dict = shared_cache({})
 
 
 def _stream_parts(spark: SparkSession, sf_dir: str) -> int:
@@ -359,7 +360,6 @@ _SEREG["stream_dedup_clusters_incremental"].oracle = " ".join(
      AND p.ts <= v.ts + INTERVAL '30 minutes'
     """,
     tags=("streaming", "join"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join — the canonical funnel query: each
@@ -722,17 +722,26 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 def stream_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval against the INCREMENTALLY built vector index: the
     embedding corpus arrives as three deliveries appending to the
-    banded sign-LSH index; after the drain, top-k retrieval for the
-    query vectors runs against the accumulated index — candidates by
-    shared band, exact cosine re-rank.  The result is delivery-
-    chunking independent and equals the batch ``emb_lsh_ann_topk``
-    over the same corpus (the oracle is literally that query's SQL):
-    the index you build incrementally answers exactly like the one you
-    would build in batch."""
+    banded sign-LSH index (built with the batch RETRIEVAL geometry —
+    192 planes, 48 x 4-bit bands, collision-count threshold, no pair
+    emission); after the drain, top-k retrieval for the query vectors
+    runs against the accumulated index — candidates share >=
+    LSH_ANN_MIN_BANDS bands, exact cosine re-ranks.  The result is
+    delivery-chunking independent and equals the batch
+    ``emb_lsh_ann_topk`` over the same corpus (the oracle is literally
+    that query's SQL): the index you build incrementally answers
+    exactly like the one you would build in batch."""
     import tempfile as _tf
 
     from quick_stream_spark.config import QuickStreamConfig
-    from quick_stream_spark.plans.similarity import NUM_QUERIES, TOP_K, _emb
+    from quick_stream_spark.plans.similarity import (
+        LSH_ANN_BAND_BITS,
+        LSH_ANN_MIN_BANDS,
+        LSH_ANN_PLANES,
+        NUM_QUERIES,
+        TOP_K,
+        _emb,
+    )
     from quick_stream_spark.sources.readers import write_split_as_files
     from quick_stream_spark.streaming.ann_index import StreamingAnnIndex
 
@@ -743,6 +752,10 @@ def stream_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = StreamingAnnIndex(
         spark,
         work + "/state",
+        planes=LSH_ANN_PLANES,
+        band_bits=LSH_ANN_BAND_BITS,
+        min_bands=LSH_ANN_MIN_BANDS,
+        emit_pairs=False,
         config=QuickStreamConfig(name="emb-ann-topk", checkpoint_dir=work + "/ckpt"),
     )
     stream = stream_parquet_dir(spark, work + "/in", corpus.schema)

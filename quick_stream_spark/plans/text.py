@@ -20,6 +20,7 @@ from quick_stream_spark.plans._util import (
     pin_session,
     rows_sized_parts,
     scoped_shuffle as _scoped_shuffle,
+    shared_cache,
 )
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
@@ -165,7 +166,7 @@ def _perturbed_text(col) -> F.Column:
 # partitions, at bench scale the floor — shuffle width follows the
 # DATA, not a static conf (see _util.scoped_shuffle).
 _DOCS_PER_REDUCER = 20_000
-_DOC_COUNT_CACHE: dict = {}
+_DOC_COUNT_CACHE: dict = shared_cache({})
 
 
 def _corpus_parts(spark: SparkSession, sf_dir: str) -> int:
@@ -185,7 +186,7 @@ def _corpus_parts(spark: SparkSession, sf_dir: str) -> int:
 # token-hash array a constant 3x per row (see its docstring); a chain
 # of separate text -> token-hash -> shingle persists costs two extra
 # full passes of task scheduling + cache writes.  ~4 KB/doc cached.
-_CORPUS_CACHE: dict = {}
+_CORPUS_CACHE: dict = shared_cache({})
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,7 +304,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders of magnitude smaller than the corpus — a bounded artifact even
 # at 100 TB.  Eager execution also lets the shuffle width follow the
 # corpus size (see _scoped_shuffle: the conf must be live at execution).
-_PAIRS_CACHE: dict = {}
+_PAIRS_CACHE: dict = shared_cache({})
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,6 +363,7 @@ def _verified_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(inter * 1.0 / greatest(na.n + nb.n - inter, 1), 6) >= {JACCARD_THRESHOLD}
     """,
     tags=("text", "dedup"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard dedup (full recall, unlike LSH): explode
@@ -465,6 +467,7 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
     FROM chunks
     """,
     tags=("text", "chunking"),
+    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking for LLM training: overlapping windows of
@@ -1289,7 +1292,6 @@ def _substr_fold_sql(th: str, i: str) -> str:
     FROM merged GROUP BY id, n_tokens
     """,
     tags=("text", "dedup", "substring"),
-    pytest_only=True,  # driver window is full after the r03 rotation
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring detection (Lee et al. 2022,
@@ -2715,6 +2717,7 @@ def _bpe_oracle() -> str:
     "text_bpe_train",
     oracle=None,  # set below: fully unrolled rounds
     tags=("text", "tokenizer", "iterative", "ml"),
+    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
@@ -2744,7 +2747,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # trained merge tables per (session, sf_dir): training costs one job per
 # round, and the tokenize query replays the same merges
-_BPE_CACHE: dict = {}
+_BPE_CACHE: dict = shared_cache({})
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str):

@@ -71,7 +71,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "window", "tpch"),
-    pytest_only=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: supply cost := min lineitem price per
@@ -592,7 +591,6 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "agg", "topk", "tpch"),
-    pytest_only=True,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with very large orders.  The HAVING
@@ -691,7 +689,6 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     """,
     tags=("join", "semi", "anti", "agg", "tpch"),
-    pytest_only=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: a returned line in a failed order

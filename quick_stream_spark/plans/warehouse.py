@@ -826,6 +826,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     """,
     tags=("warehouse", "quality", "constraints"),
+    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
 )
 def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint checking (the Deequ pattern,
@@ -1244,7 +1245,6 @@ _WREG["join_scd2_point_in_time"].oracle = " ".join(_scd2_pit_oracle().split())
     HAVING count(*) > 1
     """,
     tags=("warehouse", "entity-resolution", "pipeline", "iterative"),
-    pytest_only=True,  # driver window is full after the r03 rotation
 )
 def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution END-TO-END — the warehouse MDM pipeline:

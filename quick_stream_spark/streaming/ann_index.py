@@ -1,8 +1,10 @@
 """Incremental ANN indexing over an embedding stream: the streaming
 twin of the banded sign-LSH retrieval in plans/similarity.py.
 
-Each micro-batch of vectors is signed and banded ROW-LOCALLY (the same
-24-plane / 6x4-bit banding as the batch index), then
+Each micro-batch of vectors is signed and banded ROW-LOCALLY (default:
+the 24-plane / 6x4-bit confusable-pair geometry; the retrieval
+use-case passes the batch retrieval geometry — 192 planes, 48 bands,
+collision-count threshold — plus ``emit_pairs=False``), then
 
 1. **queries** the accumulated band index for near-duplicate vectors —
    an equi-join on (band, bits), so a new vector only meets candidates
@@ -17,8 +19,8 @@ is found exactly when its later member arrives, or within one batch),
 so the drained pair set equals the batch banded-LSH near-dup pairs
 over the full corpus — the oracle contract.  The accumulated index
 also serves RETRIEVAL: :meth:`topk` answers banded-LSH top-k against
-everything indexed so far, equal to the batch ``emb_lsh_ann_topk``
-over the delivered corpus.
+everything indexed so far — equal to the batch ``emb_lsh_ann_topk``
+over the delivered corpus when built with the retrieval geometry.
 
 Scale posture: the index holds (band, bits, vec_id, v) — ``ANN_BANDS``
 rows per vector — as partitioned append-only parquet; each batch join
@@ -53,8 +55,18 @@ class StreamingAnnIndex(_StreamBase):
         threshold: float = 0.99,
         planes: int | None = None,
         band_bits: int | None = None,
+        min_bands: int = 1,
+        emit_pairs: bool = True,
         config: QuickStreamConfig | None = None,
     ) -> None:
+        """``min_bands``: collision-count threshold for :meth:`topk`
+        candidates (1 = classic OR-amplification, the near-dup
+        geometry; the retrieval tier passes LSH_ANN_MIN_BANDS to match
+        the batch index's selectivity).  ``emit_pairs=False`` skips the
+        per-batch near-dup pair emission entirely — the retrieval
+        use-case maintains only the band index (a retrieval index at
+        48 bands would otherwise verify a near-all-pairs candidate set
+        per batch at the 0.99 threshold for nothing)."""
         from quick_stream_spark.plans.similarity import ANN_BAND_BITS, ANN_PLANES
 
         super().__init__(config)
@@ -66,6 +78,8 @@ class StreamingAnnIndex(_StreamBase):
         self.threshold = threshold
         self.planes = planes or ANN_PLANES
         self.band_bits = band_bits or ANN_BAND_BITS
+        self.min_bands = min_bands
+        self.emit_pairs = emit_pairs
         self.n_bands = self.planes // self.band_bits
         # a restarted process (streaming checkpoint resume) must see the
         # index its predecessor built — probe the filesystem once
@@ -115,6 +129,10 @@ class StreamingAnnIndex(_StreamBase):
         def apply(batch: DataFrame, batch_id: int) -> None:
             banded = self._banded(batch).persist()
             try:
+                if not self.emit_pairs:
+                    banded.write.mode("append").parquet(self.index_path)
+                    self._index_exists = True
+                    return
                 new_side = banded.select(
                     "band", "bits", F.col("id").alias("nid"), F.col("v").alias("nv")
                 )
@@ -177,9 +195,12 @@ class StreamingAnnIndex(_StreamBase):
     def topk(self, query_ids_below: int, k: int) -> DataFrame:
         """Banded-LSH top-k retrieval against everything indexed so
         far, for the query vectors with id < ``query_ids_below``:
-        candidates share at least one band (equi-join; DISTINCT over
-        ids before vectors are fetched), exact cosine re-ranks.  Equals
-        the batch ``emb_lsh_ann_topk`` over the delivered corpus."""
+        candidates share at least ``min_bands`` bands (ids-only
+        equi-join + per-pair count; vectors fetched only for
+        survivors), exact cosine re-ranks.  With the retrieval
+        geometry (LSH_ANN_PLANES / LSH_ANN_BAND_BITS /
+        LSH_ANN_MIN_BANDS) this equals the batch ``emb_lsh_ann_topk``
+        over the delivered corpus."""
         idx = self._read_index()
         if idx is None:
             raise ValueError("nothing indexed yet")
@@ -190,8 +211,15 @@ class StreamingAnnIndex(_StreamBase):
         cand = (
             qb.join(cb, ["band", "bits"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
+            # defensive distinct at band grain: the count must see each
+            # (pair, band) collision once even if an at-least-once
+            # replay double-appended an index row
+            .select("query_id", "neighbor_id", "band")
             .distinct()
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .filter(F.col("n_shared_bands") >= self.min_bands)
+            .select("query_id", "neighbor_id")
         )
         vecs = idx.select("id", "v").distinct()
         q = F.broadcast(

@@ -17,10 +17,20 @@ def test_every_ann_index_clears_the_recall_floor(spark):
     rows = (
         emb_ann_quality_eval(spark, SF_EVAL)
         .groupBy("method")
-        .agg(F.avg("recall").alias("mean_recall"))
+        .agg(
+            F.avg("recall").alias("mean_recall"),
+            F.avg("cand_frac").alias("mean_cand_frac"),
+        )
         .collect()
     )
-    got = {r.method: r.mean_recall for r in rows}
+    got = {r.method: (r.mean_recall, r.mean_cand_frac) for r in rows}
     assert set(got) == {"ivf", "lsh", "pq"}
-    for method, recall in got.items():
+    for method, (recall, frac) in got.items():
         assert recall >= 0.6, f"{method} mean recall@5 = {recall:.2f} < 0.6"
+    # the r4 selectivity gate: an index must not be a disguised scan —
+    # the LSH re-rank may touch at most 10% of the corpus per query
+    # (r3's OR-banded design measured ~34%)
+    assert got["lsh"][1] <= 0.10, (
+        f"lsh mean cand_frac = {got['lsh'][1]:.3f} > 0.10"
+    )
+    assert got["pq"][1] <= 0.10 + 1e-9, f"pq cand_frac {got['pq'][1]}"
