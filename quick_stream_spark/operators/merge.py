@@ -76,11 +76,19 @@ class KeyedTable:
         num_buckets: int = 16,
         soft_delete_col: str = "row_active",
         commit_protocol: str = "direct",
+        store=None,
     ) -> None:
         if commit_protocol not in ("direct", "manifest"):
             raise ValueError(
                 f"commit_protocol must be 'direct' or 'manifest', got {commit_protocol!r}"
             )
+        # pluggable physical storage (operators/backends.py BucketStore):
+        # None = the inline bucket-partitioned parquet layout.  The
+        # manifest commit protocol is part of the parquet layout, not of
+        # the merge contract, so the two don't compose.
+        if store is not None and commit_protocol != "direct":
+            raise ValueError("a custom store implies commit_protocol='direct'")
+        self._store = store
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -119,7 +127,9 @@ class KeyedTable:
     def exists(self) -> bool:
         if self._exists_cache:
             return True
-        if self._log is not None:
+        if self._store is not None:
+            found = self._store.exists()
+        elif self._log is not None:
             found = self._log.latest_version() is not None
         else:
             fs, p, _ = _hadoop_fs(self.spark, self.path)
@@ -155,6 +165,13 @@ class KeyedTable:
         if version is not None:
             raise ValueError("version time travel requires commit_protocol='manifest'")
         schema = self._read_schema_sidecar()
+        if self._store is not None:
+            df = self._store.read(schema)
+            if active_only:
+                df = df.filter(F.col(self.soft_delete_col))
+            if not with_bucket:
+                df = df.drop(BUCKET_COL)
+            return df
         try:
             reader = self.spark.read
             if schema is not None:
@@ -443,6 +460,11 @@ class KeyedTable:
         the merge is idempotent under ``newer_wins``; for stronger
         guarantees swap the backend for Delta/Iceberg behind this same
         interface (their commit protocol makes the overwrite atomic)."""
+        if self._store is not None:
+            self._store.write(df, mode)
+            self._exists_cache = True
+            self._write_schema_sidecar(df.schema)
+            return
         if repartition:
             df = df.repartition(F.col(BUCKET_COL))
         (
@@ -460,6 +482,10 @@ class KeyedTable:
     def _write_schema_sidecar(self, schema) -> None:
         if self._schema_cache is not None and self._schema_cache.json() == schema.json():
             return  # unchanged since we last wrote it — skip the FS round-trip
+        if self._store is not None:
+            self._store.write_schema(schema)
+            self._schema_cache = schema
+            return
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
         p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._SCHEMA_SIDECAR))
         out = fs.create(p, True)
@@ -471,6 +497,9 @@ class KeyedTable:
         from pyspark.sql.types import StructType
 
         if self._schema_cache is not None:
+            return self._schema_cache
+        if self._store is not None:
+            self._schema_cache = self._store.read_schema()
             return self._schema_cache
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
         p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._SCHEMA_SIDECAR))
@@ -490,6 +519,9 @@ class KeyedTable:
     def _drop_bucket_dirs(self, bucket_ids: list[int]) -> None:
         """Remove partition directories that became empty (dynamic
         overwrite only replaces partitions present in the written data)."""
+        if self._store is not None:
+            self._store.drop_buckets(bucket_ids)
+            return
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
         for b in bucket_ids:
             p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, f"{BUCKET_COL}={b}"))

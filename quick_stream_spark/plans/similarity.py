@@ -589,9 +589,16 @@ def _lsh_candidates(e: DataFrame) -> DataFrame:
     bands.  Ids-only throughout — the band join and the count shuffle
     carry (band, bits, id) rows; vectors are fetched downstream, only
     for survivors."""
+    # the small-SF embeddings table is ONE parquet file -> one input
+    # split — spread the CPU-bound signature across the cores (tiny
+    # rows; the round-robin shuffle is noise next to the math), and
+    # compute it with the Arrow-batched matmul twin (~40x the
+    # interpreted 192-fold expression; bit-identical, see
+    # hyperplane_signature_fast).
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     s = e.select(
         "vec_id",
-        vec.hyperplane_signature(F.col("v"), LSH_ANN_PLANES).alias("sig"),
+        vec.hyperplane_signature_fast(F.col("v"), LSH_ANN_PLANES).alias("sig"),
     )
     bands = s.select(
         "vec_id",
@@ -880,7 +887,11 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     the near-dup detector and hard-negative mining (and mirrored by
     streaming/ann_index.StreamingAnnIndex._banded)."""
     n_bands = planes // band_bits
-    sig = vec.hyperplane_signature(F.col("v"), planes)
+    # Arrow-batched matmul signature (bit-identical to the fold form,
+    # pinned by test) + core spread: the small-SF corpus is one input
+    # split and the signature is the CPU-heavy stage
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sig = vec.hyperplane_signature_fast(F.col("v"), planes)
     return df.select("vec_id", sig.alias("sig")).select(
         "vec_id",
         F.posexplode(

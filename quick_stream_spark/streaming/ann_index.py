@@ -94,7 +94,10 @@ class StreamingAnnIndex(_StreamBase):
     # ------------------------------------------------------------ state
 
     def _banded(self, vecs: DataFrame) -> DataFrame:
-        sig = vec.hyperplane_signature(F.col(self.vec_col), self.planes)
+        # Arrow-batched signature (bit-identical to the fold form —
+        # see hyperplane_signature_fast); at the 192-plane retrieval
+        # geometry the interpreted expression would dominate the batch
+        sig = vec.hyperplane_signature_fast(F.col(self.vec_col), self.planes)
         return vecs.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vec_col).alias("v"),

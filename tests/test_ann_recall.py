@@ -13,6 +13,28 @@ from quick_stream_spark.plans.similarity import emb_ann_quality_eval
 SF_EVAL = "/root/testdata/sf0.01"
 
 
+def test_fast_signature_is_bit_identical_to_the_fold_form(spark):
+    """hyperplane_signature_fast (numpy matmul, pairwise summation)
+    must produce the exact bits of hyperplane_signature (pinned
+    left-to-right fold) on the real test embeddings — the safety net
+    for the documented sign-margin argument (min |dot| ~ 3.8e-6 >>
+    double rounding).  A regenerated corpus that violates the margin
+    fails here instead of silently mis-bucketing."""
+    from pyspark.sql import functions as F
+
+    from quick_stream_spark.functions import vectors as vec
+    from quick_stream_spark.plans.similarity import _emb
+    from tests.conftest import SF_SMOKE
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "v")
+    for planes in (48, 192):
+        diff = e.select(
+            vec.hyperplane_signature(F.col("v"), planes).alias("a"),
+            vec.hyperplane_signature_fast(F.col("v"), planes).alias("b"),
+        ).filter(F.col("a") != F.col("b"))
+        assert diff.count() == 0, f"bit mismatch at {planes} planes"
+
+
 def test_every_ann_index_clears_the_recall_floor(spark):
     rows = (
         emb_ann_quality_eval(spark, SF_EVAL)

@@ -13,8 +13,41 @@ from quick_stream_spark.operators.merge import BUCKET_COL, KeyedTable
 SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
 
 
+def _store_kw(spark, backend: str) -> dict:
+    if backend == "memory":
+        from quick_stream_spark.operators.backends import InMemoryBucketStore
+
+        return {"store": InMemoryBucketStore(spark)}
+    return {}
+
+
+@pytest.fixture(params=["parquet", "memory"])
+def store_kw(spark, request):
+    """Storage-backend axis: the MERGE contract tests run against BOTH
+    the bucket-partitioned parquet layout and the in-memory
+    dict-of-buckets store (operators/backends.py), proving the
+    KeyedTable storage seam — the merge semantics may not depend on
+    the physical layer."""
+    return _store_kw(spark, request.param)
+
+
 @pytest.fixture()
-def table(spark, tmp_table_dir):
+def table(spark, tmp_table_dir, store_kw):
+    return KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        **store_kw,
+    )
+
+
+@pytest.fixture()
+def ptable(spark, tmp_table_dir):
+    """Parquet-only table, for tests of the physical layout itself
+    (partition pruning, file mtimes, compaction, write-plan shape)."""
     return KeyedTable(
         spark,
         os.path.join(tmp_table_dir, "t"),
@@ -104,27 +137,27 @@ def test_hard_delete_all_rows_empties_table(spark, table):
     assert remaining == []
 
 
-def test_merge_touches_only_affected_buckets(spark, table):
+def test_merge_touches_only_affected_buckets(spark, ptable):
     """Scale contract: a batch rewrites only the bucket partitions its
     keys hash into — untouched partition files must be byte-identical."""
-    table.upsert(df(spark, [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(64)]))
-    before = _partition_mtimes(table.path)
+    ptable.upsert(df(spark, [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(64)]))
+    before = _partition_mtimes(ptable.path)
     assert len(before) == 4  # all buckets populated
 
     one_key = df(spark, [(0, datetime(2024, 1, 2), 999, "upd")])
     bucket_of_0 = one_key.select(
         F.pmod(F.xxhash64(F.col("pkey")), F.lit(4)).cast("int")
     ).collect()[0][0]
-    table.upsert(one_key)
+    ptable.upsert(one_key)
 
-    after = _partition_mtimes(table.path)
+    after = _partition_mtimes(ptable.path)
     for part, files in before.items():
         if part == f"{BUCKET_COL}={bucket_of_0}":
             continue
         assert after[part] == files, f"untouched partition {part} was rewritten"
 
 
-def test_merge_read_is_partition_pruned(spark, table):
+def test_merge_read_is_partition_pruned(spark, ptable):
     """The touched-bucket read must prune at the partition level — the
     scan's PartitionFilters must carry the bucket predicate, so a merge
     never lists or reads untouched bucket directories."""
@@ -132,8 +165,8 @@ def test_merge_read_is_partition_pruned(spark, table):
     import io
     from datetime import datetime as dt
 
-    table.upsert(df(spark, [(k, dt(2024, 1, 1), k, f"p{k}") for k in range(64)]))
-    pruned = table._current_in([1])
+    ptable.upsert(df(spark, [(k, dt(2024, 1, 1), k, f"p{k}") for k in range(64)]))
+    pruned = ptable._current_in([1])
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         pruned.explain("formatted")
@@ -159,7 +192,7 @@ def _partition_mtimes(path):
     return out
 
 
-def test_compact_restores_one_file_per_bucket(spark, table):
+def test_compact_restores_one_file_per_bucket(spark, ptable):
     """Merges append files to touched buckets; compact() must rewrite
     each bucket to one file with values untouched."""
     # AQE coalesces tiny merges to one task per bucket, so force the
@@ -168,7 +201,7 @@ def test_compact_restores_one_file_per_bucket(spark, table):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for b in range(4):
-            table.upsert(
+            ptable.upsert(
                 df(
                     spark,
                     [(k, datetime(2024, 1, 1 + b), 100 * b + k, f"v{b}-{k}") for k in range(16)],
@@ -176,15 +209,15 @@ def test_compact_restores_one_file_per_bucket(spark, table):
             )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
-    before_rows = {(r.pkey, r.payload) for r in table.read().collect()}
-    assert table.file_count() > 4  # merge growth happened
-    table.compact()
-    assert table.file_count() == 4  # one file per bucket
-    after_rows = {(r.pkey, r.payload) for r in table.read().collect()}
+    before_rows = {(r.pkey, r.payload) for r in ptable.read().collect()}
+    assert ptable.file_count() > 4  # merge growth happened
+    ptable.compact()
+    assert ptable.file_count() == 4  # one file per bucket
+    after_rows = {(r.pkey, r.payload) for r in ptable.read().collect()}
     assert after_rows == before_rows
 
 
-def test_composite_keys(spark, tmp_table_dir):
+def test_composite_keys(spark, tmp_table_dir, store_kw):
     t = KeyedTable(
         spark,
         os.path.join(tmp_table_dir, "ck"),
@@ -192,6 +225,7 @@ def test_composite_keys(spark, tmp_table_dir):
         version_col="modified_date",
         arrival_col="arrival",
         num_buckets=2,
+        **store_kw,
     )
     schema = "k1 long, k2 string, modified_date timestamp, arrival long, v string"
     t.upsert(spark.createDataFrame([(1, "x", datetime(2024, 1, 1), 1, "a")], schema))
@@ -240,7 +274,7 @@ def test_merge_scan_uses_dynamic_partition_pruning(spark, tmp_table_dir):
     assert BUCKET_COL in plan
 
 
-def test_schema_evolution_adds_column(spark, tmp_table_dir):
+def test_schema_evolution_adds_column(spark, tmp_table_dir, store_kw):
     """A batch with a new column evolves the table; old winners read
     back NULL for it — including rows in buckets the evolving batch
     never rewrote (NULL-filled via the sidecar schema at read time)."""
@@ -253,6 +287,7 @@ def test_schema_evolution_adds_column(spark, tmp_table_dir):
         version_col="modified_date",
         arrival_col="arrival",
         num_buckets=4,
+        **store_kw,
     )
     base = df(spark, [(k, datetime(2024, 1, 1), k, f"v{k}") for k in range(16)])
     t.upsert(base, newer_wins=True)
@@ -267,7 +302,7 @@ def test_schema_evolution_adds_column(spark, tmp_table_dir):
     assert len(rows) == 16
 
 
-def test_missing_columns_fail_fast_unless_allowed(spark, tmp_table_dir):
+def test_missing_columns_fail_fast_unless_allowed(spark, tmp_table_dir, store_kw):
     import pytest as _pytest
 
     t = KeyedTable(
@@ -277,6 +312,7 @@ def test_missing_columns_fail_fast_unless_allowed(spark, tmp_table_dir):
         version_col="modified_date",
         arrival_col="arrival",
         num_buckets=2,
+        **store_kw,
     )
     t.upsert(df(spark, [(1, datetime(2024, 1, 1), 1, "a")]))
     partial = spark.createDataFrame(
@@ -393,33 +429,33 @@ def test_maybe_compact_policy(spark, tmp_table_dir):
         assert {r.pkey: r.payload for r in t.read().collect()} == before
 
 
-def test_delete_paths_skip_cosmetic_bucket_repartition(spark, table):
+def test_delete_paths_skip_cosmetic_bucket_repartition(spark, ptable):
     """soft_delete / hard_delete must write with repartition=False like
     the upsert path: their key-joins already leave rows bucket-coherent,
     so a bucket re-shuffle before the write is a full extra exchange per
     delete batch.  Pinned two ways: the _write call's flag, and the
     absence of a RoundRobin/bucket repartition exchange in the plan
     actually handed to the writer."""
-    table.upsert(df(spark, [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(20)]))
+    ptable.upsert(df(spark, [(k, datetime(2024, 1, 1), k, f"p{k}") for k in range(20)]))
     seen = []
-    orig = table._write
+    orig = ptable._write
 
     def spy(frame, mode, repartition=True):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         seen.append((repartition, plan))
         return orig(frame, mode, repartition=repartition)
 
-    table._write = spy
+    ptable._write = spy
     try:
-        table.soft_delete(df(spark, [(1, datetime(2024, 2, 1), 30, "x")]))
-        table.hard_delete(df(spark, [(2, datetime(2024, 2, 2), 31, "x")]))
+        ptable.soft_delete(df(spark, [(1, datetime(2024, 2, 1), 30, "x")]))
+        ptable.hard_delete(df(spark, [(2, datetime(2024, 2, 2), 31, "x")]))
     finally:
-        table._write = orig
+        ptable._write = orig
     assert [flag for flag, _ in seen] == [False, False]
     for _, plan in seen:
         # an explicit .repartition(bucket) shuffle would print with the
         # REPARTITION_BY_COL origin; join-required ENSURE_REQUIREMENTS
         # exchanges (e.g. the DPP distinct) are legitimate and ignored
         assert "REPARTITION_BY_COL" not in plan, plan
-    assert state(table)[1] == ("p1", False)
-    assert 2 not in state(table)
+    assert state(ptable)[1] == ("p1", False)
+    assert 2 not in state(ptable)
