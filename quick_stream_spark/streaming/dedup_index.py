@@ -22,11 +22,12 @@ Scale posture: the index holds (band, id, shingles) — one row per
 (doc, band), the same order of storage as the corpus's shingle column —
 partitioned append-only parquet; the per-batch join shuffles only the
 batch's band keys against the index (band-key equi-join, AQE-sized).
-The batch path's viral-bucket cap has no deterministic online
-equivalent (an arrival-order cap would make results depend on delivery
-chunking), so this operator indexes uncapped and a production
-deployment bounds hot bands with a per-band reservoir instead — see
-the class docstring.
+The batch path's viral-bucket cap has no arrival-order-free EXACT
+online equivalent, so the default indexes uncapped (the deterministic,
+delivery-chunking-independent contract the oracle checks); at 100 TB
+set ``max_band_entries`` for the seed-deterministic per-band reservoir
+— bounded hot bands, recall traded only inside them — see the class
+docstring.
 """
 
 from __future__ import annotations
@@ -47,12 +48,24 @@ class StreamingNearDupIndex(_StreamBase):
 
     Viral buckets: unlike the batch query (which drops band buckets over
     ``minhash.MAX_BUCKET_SIZE`` — deterministic because final sizes are
-    known), an online cap would depend on arrival order, so this index
-    is uncapped and deterministic.  At 100 TB bound hot bands with a
-    per-band reservoir (index only the first R entries per band,
-    querying still sees all R) and accept the recall trade the batch
-    docstring describes.
+    known), an online cap must decide per arrival.  ``max_band_entries``
+    bounds hot bands with a DETERMINISTIC-BY-SEED reservoir: each index
+    entry carries ``rank = xxhash64(id, seed)``, and a band admits a new
+    entry only while it holds fewer than R entries or the newcomer's
+    rank beats the band's current R-th smallest.  The CONVERGED
+    reservoir per band is therefore exactly {R smallest rank-hashes ever
+    seen} — a uniform, seed-reproducible sample independent of arrival
+    order — while the stored superset grows only O(R log(N/R)) under an
+    N-fold viral band (each admission must beat the current top-R);
+    :meth:`compact_reservoir` rewrites it down to exactly R.  Arriving
+    docs always QUERY everything stored, so recall degrades only for
+    pairs whose EARLIER member was refused by a full band — i.e. only
+    inside viral bands, the trade the batch docstring describes.  Leave
+    ``None`` for the uncapped, delivery-chunking-independent contract
+    the oracle checks.
     """
+
+    RESERVOIR_SEED = 0x5EED
 
     def __init__(
         self,
@@ -71,12 +84,6 @@ class StreamingNearDupIndex(_StreamBase):
         self.id_col = id_col
         self.text_col = text_col
         self.jaccard_threshold = jaccard_threshold
-        # per-band reservoir: bands already holding this many index
-        # entries accept no more (arriving docs still QUERY the full
-        # reservoir, so recall degrades only for pairs whose EARLIER
-        # member overflowed).  Arrival-order dependent by nature —
-        # leave None for the deterministic, delivery-chunking-
-        # independent contract the oracle checks.
         self.max_band_entries = max_band_entries
         # a restarted process (streaming checkpoint resume) must see the
         # index its predecessor built — probe the filesystem once
@@ -104,7 +111,13 @@ class StreamingNearDupIndex(_StreamBase):
         sh = mh.hashed_shingles(mh.token_hash_array(F.col(self.text_col)))
         with_sh = docs.select(F.col(self.id_col).alias("id"), sh.alias("sh"))
         bands = mh.lsh_bands(mh.minhash_signature_from_bases(F.col("sh")))
-        return with_sh.select("id", "sh", F.explode(bands).alias("band"))
+        return with_sh.select(
+            "id",
+            "sh",
+            F.explode(bands).alias("band"),
+            # reservoir rank: seed-deterministic, arrival-order free
+            F.xxhash64(F.col("id"), F.lit(self.RESERVOIR_SEED)).alias("rank"),
+        )
 
     def _foreach_batch(self):
         def apply(batch: DataFrame, batch_id: int) -> None:
@@ -150,23 +163,82 @@ class StreamingNearDupIndex(_StreamBase):
                 )
                 pairs.write.mode("append").parquet(self.pairs_path)
                 to_index = banded
-                if self.max_band_entries is not None and idx is not None:
-                    # reservoir: drop entries for bands already at
-                    # capacity (an anti-join against the full-band set —
-                    # band counts, never documents, cross the shuffle)
-                    full = (
-                        idx.groupBy("band")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .filter(F.col("n") >= self.max_band_entries)
-                        .select("band")
+                if self.max_band_entries is not None:
+                    # deterministic-by-seed reservoir admission, two
+                    # stages (only (band, rank) scalars cross the
+                    # shuffles, never shingle arrays):
+                    #
+                    # 1. cross-batch: a band already holding >= R
+                    #    entries admits a newcomer only if its rank
+                    #    beats the band's current R-th smallest;
+                    # 2. within-batch: keep at most the R smallest-rank
+                    #    admitted rows per band from THIS batch (a
+                    #    viral batch would otherwise flood an empty
+                    #    band wholesale).
+                    #
+                    # Convergence-safe: any element of the global
+                    # top-R per band beats every interim cutoff (stage
+                    # 1) and is within its own batch's top-R (global
+                    # top-R ∩ batch ⊆ batch top-R), so the converged
+                    # reservoir is exactly the R smallest rank-hashes
+                    # ever seen — arrival-order independent.  Stored
+                    # rows are bounded by R per band per batch before
+                    # compact_reservoir()'s hard bound.
+                    from pyspark.sql import Window
+
+                    R = self.max_band_entries
+                    if idx is not None:
+                        w = Window.partitionBy("band").orderBy("rank", "id")
+                        cutoff = (
+                            idx.select("band", "rank", "id")
+                            .withColumn("__rn", F.row_number().over(w))
+                            .filter(F.col("__rn") <= R)
+                            .groupBy("band")
+                            .agg(
+                                F.max("rank").alias("__cut"),
+                                F.count(F.lit(1)).alias("__n"),
+                            )
+                        )
+                        to_index = (
+                            to_index.join(cutoff, "band", "left")
+                            .filter(
+                                F.col("__cut").isNull()
+                                | (F.col("__n") < R)
+                                | (F.col("rank") < F.col("__cut"))
+                            )
+                            .drop("__cut", "__n")
+                        )
+                    wb = Window.partitionBy("band").orderBy("rank", "id")
+                    to_index = (
+                        to_index.withColumn("__bn", F.row_number().over(wb))
+                        .filter(F.col("__bn") <= R)
+                        .drop("__bn")
                     )
-                    to_index = banded.join(full, "band", "left_anti")
                 to_index.write.mode("append").parquet(self.index_path)
                 self._index_exists = True
             finally:
                 banded.unpersist()
 
         return apply
+
+    def compact_reservoir(self) -> None:
+        """Rewrite the band index down to exactly ``max_band_entries``
+        per band (the R smallest rank-hashes) — the maintenance pass
+        that turns the O(R log N/R) admission superset into the hard
+        bound.  No-op when uncapped."""
+        if self.max_band_entries is None or not self._index_exists:
+            return
+        from pyspark.sql import Window
+
+        idx = self._read_index()
+        w = Window.partitionBy("band").orderBy("rank", "id")
+        kept = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.max_band_entries)
+            .drop("__rn")
+            .localCheckpoint(eager=True)  # sever lineage from the files
+        )
+        kept.write.mode("overwrite").parquet(self.index_path)
 
     # ---------------------------------------------------------- clusters
 

@@ -46,25 +46,53 @@ def test_redelivered_batch_changes_nothing(spark, tmp_path):
     assert after == before
 
 
-def test_band_reservoir_bounds_hot_bands(spark, tmp_path):
-    """With max_band_entries set, a viral duplicate cluster stops
-    growing the index: later copies still query (and pair with) the
-    reservoir but are not indexed themselves."""
-    ndi = StreamingNearDupIndex(
-        spark, str(tmp_path / "state"), max_band_entries=2
-    )
+def test_band_reservoir_bounds_hot_bands_under_viral_feed(spark, tmp_path):
+    """The seed-deterministic reservoir (r3 verdict ask #8): a 1000x
+    viral duplicate must not grow the index linearly — admissions are
+    bounded O(R log N/R) and compact_reservoir() enforces the hard
+    R-per-band bound — while pairs OUTSIDE the viral bands are
+    unaffected, and the converged reservoir is independent of delivery
+    order (it is exactly the R smallest xxhash64(id, seed) per band)."""
+    import math
+
+    R, N = 4, 1000
+    viral = [(i, DOC) for i in range(N)]
+    quiet = [(2000, NEAR + " zebra"), (2001, NEAR + " zebra!"), (3000, OTHER)]
+    chunks = [
+        docs(spark, viral[i : i + N // 5] + (quiet if i == 0 else []))
+        for i in range(0, N, N // 5)
+    ]
+
+    ndi = StreamingNearDupIndex(spark, str(tmp_path / "s1"), max_band_entries=R)
     apply = ndi._foreach_batch()
-    apply(docs(spark, [(1, DOC), (2, DOC)]), 0)  # reservoir fills to 2
-    apply(docs(spark, [(3, DOC)]), 1)  # hot band full -> 3 not indexed
-    apply(docs(spark, [(4, DOC)]), 2)
-    got = {(r.id_a, r.id_b) for r in ndi.pairs().collect()}
-    # every later copy pairs with the reservoir members...
-    assert {(1, 3), (2, 3), (1, 4), (2, 4)} <= got
-    # ...but (3, 4) is lost: 3 overflowed, so 4 never meets it
-    assert (3, 4) not in got
+    for b, chunk in enumerate(chunks):
+        apply(chunk, b)
+
     idx = spark.read.parquet(ndi.index_path)
-    per_band = idx.groupBy("band").count().agg(F.max("count")).collect()[0][0]
-    assert per_band <= 2
+    hottest = idx.groupBy("band").count().agg(F.max("count")).collect()[0][0]
+    bound = int(R * (1 + math.log(N / R)) * 3)  # generous slack on E[admissions]
+    assert hottest <= bound, f"viral band stored {hottest} rows (bound {bound})"
+    assert hottest < N / 5, "reservoir admission is not actually bounding"
+
+    ndi.compact_reservoir()
+    idx = spark.read.parquet(ndi.index_path)
+    assert idx.groupBy("band").count().agg(F.max("count")).collect()[0][0] <= R
+
+    got = {(r.id_a, r.id_b) for r in ndi.pairs().collect()}
+    assert (2000, 2001) in got  # non-viral band pair unaffected
+    assert not any(3000 in p for p in got)
+    # viral copies pair with the reservoir members visible at arrival
+    assert sum(1 for a, b in got if a < N and b < N) >= N - R
+
+    # delivery-order independence of the CONVERGED reservoir
+    ndi2 = StreamingNearDupIndex(spark, str(tmp_path / "s2"), max_band_entries=R)
+    apply2 = ndi2._foreach_batch()
+    for b, chunk in enumerate(reversed(chunks)):
+        apply2(chunk, b)
+    ndi2.compact_reservoir()
+    res1 = {(r.band, r.id) for r in spark.read.parquet(ndi.index_path).collect()}
+    res2 = {(r.band, r.id) for r in spark.read.parquet(ndi2.index_path).collect()}
+    assert res1 == res2, "converged reservoir depends on delivery order"
 
 
 def test_restarted_near_dup_index_sees_prior_entries(spark, tmp_table_dir):

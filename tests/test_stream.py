@@ -254,6 +254,80 @@ def test_processing_time_trigger_and_graceful_stop(spark, tmp_path):
     assert {r.pkey for r in target.read().collect()} == {1}
 
 
+def test_lag_cycle_accumulation_under_real_trigger(spark, tmp_path):
+    """O4's lag-cycle contract under REAL wall-clock triggering: the
+    trigger interval is lag_ms x cycles (upsert.rs:158-204 accumulation
+    window), so deliveries available within one cycle merge as ONE
+    batch.  Four pre-written deliveries must arrive as a single
+    micro-batch (pinned via the progress log's numInputRows, not via
+    timing guesses), and deliveries written mid-flight must land in
+    LATER cycles and reach the same deterministic end state."""
+    import time
+
+    cfg = QuickStreamConfig(
+        name="rt-lag",
+        checkpoint_dir=str(tmp_path / "ckpt-rt-lag"),
+        introduced_lag_in_millies=250,
+        introduced_lag_cycles=2,
+        buffer_size=64,
+    )
+    assert cfg.trigger_kwargs() == {"processingTime": "500 milliseconds"}
+
+    src = str(tmp_path / "rt-src")
+    wave1 = [
+        df(spark, [(k, datetime(2024, 1, 1), k, f"w1-{k}")]) for k in range(4)
+    ]
+    write_batches_as_files(wave1, src)
+    target = KeyedTable(
+        spark,
+        str(tmp_path / "rt-target"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+    )
+    stream = stream_parquet_dir(
+        spark,
+        src,
+        wave1[0].schema,
+        max_files_per_trigger=int(cfg.source_options()["maxFilesPerTrigger"]),
+    )
+    q = UpsertQuickStream(target, config=cfg, newer_wins=True).run(stream)
+    try:
+
+        def rows() -> int:
+            try:
+                return target.read().count()
+            except Exception:
+                return 0
+
+        deadline = time.time() + 120
+        while time.time() < deadline and rows() < 4:
+            time.sleep(0.2)
+        assert rows() == 4
+        # mid-flight deliveries: a later cycle must pick them up
+        for i, rec in enumerate([(10, "w2-a"), (11, "w2-b")]):
+            df(spark, [(rec[0], datetime(2024, 1, 2), 100 + i, rec[1])]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(src, f"late-{i}"))
+        while time.time() < deadline and rows() < 6:
+            time.sleep(0.2)
+        assert rows() == 6
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # ACCUMULATION pin: the first data-carrying micro-batch merged all
+    # four pre-available deliveries at once — one cycle, one merge
+    with_input = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert with_input, "no progress recorded"
+    assert with_input[0]["numInputRows"] == 4, [
+        p["numInputRows"] for p in with_input
+    ]
+    # and the late wave arrived in LATER cycles, not the first
+    assert sum(p["numInputRows"] for p in with_input) == 6
+    assert {r.pkey for r in target.read().collect()} == {0, 1, 2, 3, 10, 11}
+
+
 def test_auto_compaction_bounds_streaming_file_growth(spark, tmp_table_dir):
     """A long-lived merge stream appends files per batch; with
     auto_compact_every the policy check runs after every N batches and
