@@ -179,3 +179,27 @@ def plane_weights_values_sql(num_planes: int = NUM_PLANES, dim: int = 64) -> str
         f"({p}, [{', '.join(str(w) for w in row)}])"
         for p, row in enumerate(weights)
     )
+
+
+def banded_sig_ctes_sql(
+    src: str, num_planes: int, band_bits: int, dim: int = 64
+) -> str:
+    """CTE stack ending in ``bands(vec_id, b, bits)`` — the banded
+    sign-LSH signature of CTE ``src`` (vec_id, v) in the fast
+    weights-table formulation (see plane_weights_values_sql).  Splice
+    after a WITH list; downstream CTEs join ``bands`` on (b, bits).
+    Bit and band order match the Spark side exactly: bit p = the same
+    list_sum fold, band b = planes [b*band_bits, (b+1)*band_bits)."""
+    return f"""
+    sigw(p, wv) AS (VALUES {plane_weights_values_sql(num_planes, dim)}),
+    sigbits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+               j -> v[j] * wv[j])) > 0 THEN '1' ELSE '0' END AS bit
+      FROM {src} CROSS JOIN sigw
+    ),
+    bands AS (
+      SELECT vec_id, p // {band_bits} AS b,
+             string_agg(bit, '' ORDER BY p) AS bits
+      FROM sigbits GROUP BY vec_id, p // {band_bits}
+    )"""

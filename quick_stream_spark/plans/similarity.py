@@ -536,8 +536,6 @@ ANN_PLANES = 24
 ANN_BAND_BITS = 4
 ANN_BANDS = ANN_PLANES // ANN_BAND_BITS
 
-_ANN_SIG = vec.hyperplane_signature_sql("v", ANN_PLANES, DIM)
-
 # RETRIEVAL banding (r4): pure OR-amplification cannot be selective on
 # this adversarially near-random corpus (exact top-5 cosines 0.25-0.49
 # -> per-plane agreement only 0.58-0.66 vs 0.50 random; the r3 design
@@ -561,18 +559,7 @@ LSH_ANN_MIN_BANDS = 7  # T: min shared bands for a pair to be re-ranked
 
 
 _LSH_CAND_SQL = f"""
-    lshw(p, wv) AS (VALUES {vec.plane_weights_values_sql(LSH_ANN_PLANES, DIM)}),
-    pbits AS (
-      SELECT vec_id, p,
-             CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),
-               j -> v[j] * wv[j])) > 0 THEN '1' ELSE '0' END AS bit
-      FROM e CROSS JOIN lshw
-    ),
-    bands AS (
-      SELECT vec_id, p // {LSH_ANN_BAND_BITS} AS b,
-             string_agg(bit, '' ORDER BY p) AS bits
-      FROM pbits GROUP BY vec_id, p // {LSH_ANN_BAND_BITS}
-    ),
+    {vec.banded_sig_ctes_sql('e', LSH_ANN_PLANES, LSH_ANN_BAND_BITS, DIM)},
     cand AS (
       SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
       FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bits = cb.bits
@@ -864,9 +851,6 @@ DUP_PLANES = 48
 DUP_BAND_BITS = 12
 DUP_BANDS = DUP_PLANES // DUP_BAND_BITS
 
-_DUP_SIG = vec.hyperplane_signature_sql("v", DUP_PLANES, DIM)
-
-
 def _dup_vec_corpus(e: DataFrame) -> DataFrame:
     """The doubled near-dup corpus every embedding-dedup query, its
     quality eval and the streaming twin share: originals plus one
@@ -916,11 +900,7 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
              list_transform(v, x -> x * 1.02 + 0.01) AS v
       FROM e
     ),
-    s AS (SELECT vec_id, v, {_DUP_SIG} AS sig FROM corpus),
-    bands AS (
-      SELECT vec_id, b, substring(sig, b * {DUP_BAND_BITS} + 1, {DUP_BAND_BITS}) AS bits
-      FROM s CROSS JOIN (SELECT unnest(range(0, {DUP_BANDS})) AS b) bs
-    ),
+    {vec.banded_sig_ctes_sql('corpus', DUP_PLANES, DUP_BAND_BITS, DIM)},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
       FROM bands a JOIN bands bb ON a.b = bb.b AND a.bits = bb.bits
@@ -928,7 +908,8 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     ),
     scored AS (
       SELECT c.id_a, c.id_b, {vec.cosine_sql('x.v', 'y.v', DIM)} AS cos_sim
-      FROM cand c JOIN s x ON x.vec_id = c.id_a JOIN s y ON y.vec_id = c.id_b
+      FROM cand c JOIN corpus x ON x.vec_id = c.id_a
+                  JOIN corpus y ON y.vec_id = c.id_b
     )
     SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
     FROM scored WHERE cos_sim >= {EMB_DUP_THRESHOLD}
@@ -1852,11 +1833,7 @@ HN_PER_ANCHOR = 3
     "emb_hard_negatives",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    s AS (SELECT vec_id, v, {_ANN_SIG} AS sig FROM e),
-    bands AS (
-      SELECT vec_id, b, substring(sig, b * {ANN_BAND_BITS} + 1, {ANN_BAND_BITS}) AS bits
-      FROM s CROSS JOIN (SELECT unnest(range(0, {ANN_BANDS})) AS b) bs
-    ),
+    {vec.banded_sig_ctes_sql('e', ANN_PLANES, ANN_BAND_BITS, DIM)},
     cand AS (
       SELECT DISTINCT a.vec_id AS anchor_id, bb.vec_id AS negative_id
       FROM bands a JOIN bands bb ON a.b = bb.b AND a.bits = bb.bits

@@ -627,7 +627,6 @@ def _emb_dup_corpus_banded_sql() -> str:
         EMB_DUP_THRESHOLD,
     )
 
-    sig = vec.hyperplane_signature_sql("v", DUP_PLANES, DIM)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     corpus AS (
@@ -637,11 +636,7 @@ def _emb_dup_corpus_banded_sql() -> str:
              list_transform(v, x -> x * 1.02 + 0.01) AS v
       FROM e
     ),
-    s AS (SELECT vec_id, v, {sig} AS sig FROM corpus),
-    bands AS (
-      SELECT vec_id, b, substring(sig, b * {DUP_BAND_BITS} + 1, {DUP_BAND_BITS}) AS bits
-      FROM s CROSS JOIN (SELECT unnest(range(0, {DUP_BANDS})) AS b) bs
-    ),
+    {vec.banded_sig_ctes_sql('corpus', DUP_PLANES, DUP_BAND_BITS, DIM)},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
       FROM bands a JOIN bands bb ON a.b = bb.b AND a.bits = bb.bits
@@ -649,8 +644,8 @@ def _emb_dup_corpus_banded_sql() -> str:
     )
     SELECT id_a, id_b, round({vec.cosine_sql('x.v', 'y.v', DIM)}, 6) AS cos_sim
     FROM cand
-    JOIN s x ON x.vec_id = id_a
-    JOIN s y ON y.vec_id = id_b
+    JOIN corpus x ON x.vec_id = id_a
+    JOIN corpus y ON y.vec_id = id_b
     WHERE {vec.cosine_sql('x.v', 'y.v', DIM)} >= {EMB_DUP_THRESHOLD}
     """
 
