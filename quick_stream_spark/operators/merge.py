@@ -720,6 +720,20 @@ class KeyedTable:
         finally:
             up.unpersist()
 
+    def _require_parquet_layout(self, op: str) -> None:
+        """Layout-maintenance ops (compact/file_count) manage the
+        inline bucket-partitioned parquet directory; a custom
+        ``BucketStore`` owns its own physical layout, so these ops
+        have nothing to act on — fail with a contract error instead
+        of an opaque JVM path error on the never-created self.path."""
+        if self._store is not None:
+            raise ValueError(
+                f"{op}() is a parquet-layout maintenance op and does not "
+                "apply to a KeyedTable with a custom store= backend; "
+                "physical layout (file counts, compaction) is the "
+                "BucketStore implementation's responsibility"
+            )
+
     def compact(self, target_files_per_bucket: int = 1) -> None:
         """Rewrite every bucket partition down to
         ``target_files_per_bucket`` files.  Merges skip the write-side
@@ -728,6 +742,7 @@ class KeyedTable:
         this is the periodic maintenance pass that restores scan
         efficiency — the parquet analog of Delta OPTIMIZE.  Values are
         untouched; only layout changes."""
+        self._require_parquet_layout("compact")
         if not self.exists():
             return
         current = self.read(with_bucket=True)
@@ -778,6 +793,7 @@ class KeyedTable:
         compaction ran.  The check is metadata-only: the manifest
         mapping under the manifest protocol, one directory listing per
         bucket otherwise."""
+        self._require_parquet_layout("maybe_compact")
         if not self.exists():
             return False
         if self._log is not None:
@@ -804,6 +820,7 @@ class KeyedTable:
 
     def file_count(self) -> int:
         """Parquet data files currently in the table (all buckets)."""
+        self._require_parquet_layout("file_count")
         if self._log is not None:
             return sum(len(fl) for fl in self._log.read().values())
         fs, root, jvm = _hadoop_fs(self.spark, self.path)

@@ -631,7 +631,11 @@ def _lsh_candidates(e: DataFrame) -> DataFrame:
       FROM scored
     ) WHERE rank <= {TOP_K}
     """,
-    tags=("similarity", "lsh", "approx"),
+    # 'arrow': declared Arrow-batched seam — hyperplane_signature_fast is a
+    # vectorized pandas_udf (ArrowEvalPython), pinned bit-identical to the
+    # JVM fold by tests/test_ann_recall.py; the plan-purity guard allows
+    # ArrowEvalPython only under this tag (BatchEvalPython is always banned).
+    tags=("similarity", "lsh", "approx", "arrow"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
 )
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,7 +918,9 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
     FROM scored WHERE cos_sim >= {EMB_DUP_THRESHOLD}
     """,
-    tags=("similarity", "dedup", "lsh", "approx"),
+    # 'arrow': declared Arrow seam (fast hyperplane signature) — see
+    # emb_lsh_ann_topk's tag note.
+    tags=("similarity", "dedup", "lsh", "approx", "arrow"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,7 +1490,7 @@ _SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
 @register(
     "emb_ann_quality_eval",
     oracle=None,  # composed below from the exact/LSH/IVF/PQ oracles
-    tags=("similarity", "ann", "evaluation"),
+    tags=("similarity", "ann", "evaluation", "arrow"),
 )
 def emb_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOP_K} AND candidate fraction of every approximate
@@ -1726,7 +1732,9 @@ _SIMREG["emb_matryoshka_eval"].oracle = " ".join(_mrl_oracle().split())
 @register(
     "dedup_embedding_quality_eval",
     oracle=None,  # set below (exact brute pairs vs the LSH-blocked set)
-    tags=("similarity", "dedup", "evaluation"),
+    # 'arrow': inherits the fast-signature Arrow seam via its call into
+    # dedup_embedding_cosine's registered plan.
+    tags=("similarity", "dedup", "evaluation", "arrow"),
     pytest_only=True,  # driver window is full after the r03 rotation
 )
 def dedup_embedding_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,7 +1862,7 @@ HN_PER_ANCHOR = 3
       FROM banded_hard
     ) WHERE rank <= {HN_PER_ANCHOR}
     """,
-    tags=("similarity", "mining", "training-pairs"),
+    tags=("similarity", "mining", "training-pairs", "arrow"),
     pytest_only=True,  # driver window is full after the r03 rotation
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:

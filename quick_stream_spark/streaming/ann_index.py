@@ -124,6 +124,18 @@ class StreamingAnnIndex(_StreamBase):
         """All verified near-dup pairs discovered so far (distinct —
         a pair found via several bands/batches carries identical
         values)."""
+        if not self.emit_pairs:
+            # retrieval-geometry indexes never seed the pairs directory;
+            # reading it would raise an opaque path-not-found
+            raise ValueError(
+                "this index was built with emit_pairs=False (retrieval "
+                "geometry) — no pairs log exists; use topk() instead"
+            )
+        if not self._pairs_exists:
+            # emit_pairs=True but no batch has run yet: typed empty frame
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double"
+            )
         return self.spark.read.parquet(self.pairs_path).distinct()
 
     # ------------------------------------------------------------ batch

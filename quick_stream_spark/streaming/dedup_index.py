@@ -165,16 +165,21 @@ class StreamingNearDupIndex(_StreamBase):
                 to_index = banded
                 if self.max_band_entries is not None:
                     # deterministic-by-seed reservoir admission, two
-                    # stages (only (band, rank) scalars cross the
-                    # shuffles, never shingle arrays):
+                    # stages:
                     #
                     # 1. cross-batch: a band already holding >= R
                     #    entries admits a newcomer only if its rank
-                    #    beats the band's current R-th smallest;
+                    #    beats the band's current R-th smallest — this
+                    #    cutoff computation shuffles only (band, rank,
+                    #    id) scalars, never shingle arrays;
                     # 2. within-batch: keep at most the R smallest-rank
                     #    admitted rows per band from THIS batch (a
                     #    viral batch would otherwise flood an empty
-                    #    band wholesale).
+                    #    band wholesale).  NOTE: this window
+                    #    repartitions the batch's full to_index rows
+                    #    (shingle arrays included) by band — one
+                    #    batch-local shuffle, bounded by the micro-batch
+                    #    size, not by the corpus.
                     #
                     # Convergence-safe: any element of the global
                     # top-R per band beats every interim cutoff (stage
@@ -191,6 +196,13 @@ class StreamingNearDupIndex(_StreamBase):
                         w = Window.partitionBy("band").orderBy("rank", "id")
                         cutoff = (
                             idx.select("band", "rank", "id")
+                            # at-least-once foreachBatch replay appends
+                            # duplicate (band, id) rows to the index;
+                            # counting them toward R would tighten the
+                            # cutoff and displace distinct ids from the
+                            # converged top-R (rank is a pure function
+                            # of id, so duplicates are exact copies)
+                            .dropDuplicates(["band", "id"])
                             .withColumn("__rn", F.row_number().over(w))
                             .filter(F.col("__rn") <= R)
                             .groupBy("band")
@@ -233,7 +245,11 @@ class StreamingNearDupIndex(_StreamBase):
         idx = self._read_index()
         w = Window.partitionBy("band").orderBy("rank", "id")
         kept = (
-            idx.withColumn("__rn", F.row_number().over(w))
+            # replayed batches append exact-duplicate (band, id) rows;
+            # dedup first so duplicates can't consume reservoir slots
+            # and shrink the distinct top-R below R
+            idx.dropDuplicates(["band", "id"])
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= self.max_band_entries)
             .drop("__rn")
             .localCheckpoint(eager=True)  # sever lineage from the files

@@ -88,6 +88,13 @@ class UpsertQuickStream(_StreamBase):
         self.quarantine = quarantine
         if auto_compact_every is not None and auto_compact_every < 1:
             raise ValueError("auto_compact_every must be >= 1")
+        if auto_compact_every is not None and getattr(target, "_store", None) is not None:
+            # surface the layout/store contract mismatch at build time,
+            # not as a mid-stream failure inside foreachBatch
+            raise ValueError(
+                "auto_compact_every requires the inline parquet layout; "
+                "a custom store= backend owns its own compaction"
+            )
         self.auto_compact_every = auto_compact_every
         self.auto_compact_max_files = auto_compact_max_files
         self._batches_since_compact = 0

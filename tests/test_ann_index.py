@@ -122,3 +122,33 @@ def test_restarted_index_sees_prior_entries(spark, tmp_table_dir):
                 == {tuple(r) for r in ref.pairs().collect()})
     finally:
         corpus.unpersist()
+
+
+def test_pairs_guard_for_retrieval_geometry_and_empty_index(spark, tmp_table_dir):
+    """pairs() on an emit_pairs=False (retrieval-geometry) index must
+    raise a clear contract error, not an opaque path-not-found; on an
+    emit_pairs=True index before any batch it returns a typed empty
+    frame."""
+    import pytest
+
+    from quick_stream_spark.plans.similarity import (
+        LSH_ANN_BAND_BITS,
+        LSH_ANN_MIN_BANDS,
+        LSH_ANN_PLANES,
+    )
+
+    retrieval = StreamingAnnIndex(
+        spark,
+        os.path.join(tmp_table_dir, "ret"),
+        planes=LSH_ANN_PLANES,
+        band_bits=LSH_ANN_BAND_BITS,
+        min_bands=LSH_ANN_MIN_BANDS,
+        emit_pairs=False,
+    )
+    with pytest.raises(ValueError, match="emit_pairs=False"):
+        retrieval.pairs()
+
+    fresh = StreamingAnnIndex(spark, os.path.join(tmp_table_dir, "fresh"))
+    empty = fresh.pairs()
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id_a", "id_b", "cos_sim"]

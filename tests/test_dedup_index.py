@@ -144,3 +144,37 @@ def test_restarted_near_dup_index_sees_prior_entries(spark, tmp_table_dir):
             available_now=True)
     assert ({tuple(r) for r in idx2.pairs().collect()}
             == {tuple(r) for r in ref.pairs().collect()})
+
+
+def test_replayed_batches_cannot_shrink_the_distinct_reservoir(spark, tmp_path):
+    """At-least-once foreachBatch replay appends duplicate (band, id)
+    rows to the index; the admission cutoff and compact_reservoir()
+    must dedup at (band, id) grain so duplicates never consume
+    reservoir slots — the converged reservoir still holds R DISTINCT
+    ids per band (the R smallest rank-hashes), not R physical rows."""
+    R, N = 4, 40
+    viral = [(i, DOC) for i in range(N)]
+    ndi = StreamingNearDupIndex(
+        spark, str(tmp_path / "state"), max_band_entries=R
+    )
+    apply = ndi._foreach_batch()
+    apply(docs(spark, viral), 0)
+    # crash-replay of the SAME delivery, twice — every admitted row now
+    # has rank below any interim cutoff, so without the dedup each
+    # replay re-admits copies that row_number would count toward R
+    apply(docs(spark, viral), 1)
+    apply(docs(spark, viral), 2)
+    ndi.compact_reservoir()
+    idx = ndi._read_index().select("band", "id")
+    per_band = (
+        idx.distinct()
+        .groupBy("band")
+        .count()
+        .agg(F.min("count").alias("lo"), F.max("count").alias("hi"))
+        .collect()[0]
+    )
+    # hard bound holds AND every band keeps R distinct ids (N >> R)
+    assert per_band.hi <= R
+    assert per_band.lo == R, "duplicates displaced distinct ids from the top-R"
+    # physical rows equal distinct rows after compaction (no copies kept)
+    assert idx.count() == idx.distinct().count()

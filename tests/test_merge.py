@@ -459,3 +459,28 @@ def test_delete_paths_skip_cosmetic_bucket_repartition(spark, ptable):
         assert "REPARTITION_BY_COL" not in plan, plan
     assert state(ptable)[1] == ("p1", False)
     assert 2 not in state(ptable)
+
+
+def test_layout_maintenance_ops_reject_custom_store(spark, tmp_table_dir):
+    """compact/maybe_compact/file_count manage the inline parquet
+    layout; on a store-backed KeyedTable they must fail with a clear
+    contract error (ADVICE r4), and composing a custom store with
+    streaming auto-compaction must fail at BUILD time, not mid-stream
+    inside foreachBatch."""
+    from quick_stream_spark.operators.backends import InMemoryBucketStore
+    from quick_stream_spark.streaming.stream import UpsertQuickStream
+
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "stored"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+        store=InMemoryBucketStore(spark),
+    )
+    for op in (t.compact, t.maybe_compact, t.file_count):
+        with pytest.raises(ValueError, match="BucketStore"):
+            op()
+    with pytest.raises(ValueError, match="auto_compact_every"):
+        UpsertQuickStream(t, auto_compact_every=2)

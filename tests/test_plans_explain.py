@@ -47,15 +47,35 @@ def test_topk_uses_take_ordered(spark):
 
 
 def test_no_python_udf_in_jvm_paths(spark):
-    """Text/similarity/relational queries must stay JVM-side (built-ins
-    only) — BatchEvalPython/ArrowEvalPython in a plan means a row-level
-    Python UDF crept into a hot path.  Queries tagged 'pandas' are the
-    declared Arrow-batched seams (grouped-map / stateful) and exempt."""
+    """Plan-purity contract, two tiers:
+
+    1. ``BatchEvalPython`` (row-at-a-time interpreted Python UDF) is
+       banned in EVERY registered query's plan, unconditionally — there
+       is no hot path where a per-row Python UDF is acceptable at 100 TB.
+    2. ``ArrowEvalPython`` (vectorized pandas_udf, Arrow batch transfer)
+       is allowed ONLY for queries tagged 'arrow' or 'pandas' — the
+       declared Arrow-batched seams (fast hyperplane signature,
+       grouped-map / stateful pandas).  Any other query sprouting an
+       ArrowEvalPython stage fails: the JVM built-in path regressed."""
     for name, spec in REGISTRY.items():
-        if "pandas" in spec.tags:
-            continue
         plan = _formatted(spark, name)
-        assert "EvalPython" not in plan, f"{name} contains a Python UDF stage"
+        # BatchEvalPythonUDTF is the (distinct) Python table-function
+        # node — allowed only under the 'udtf' tag; mask it so the
+        # scalar-UDF check below can't confuse the two.
+        scalar_plan = plan.replace("BatchEvalPythonUDTF", "")
+        assert "BatchEvalPython" not in scalar_plan, (
+            f"{name} contains a row-at-a-time Python UDF stage"
+        )
+        if "udtf" not in spec.tags:
+            assert "BatchEvalPythonUDTF" not in plan, (
+                f"{name} contains an undeclared Python UDTF stage"
+            )
+        if "pandas" in spec.tags or "arrow" in spec.tags:
+            continue
+        assert "ArrowEvalPython" not in plan, (
+            f"{name} contains an undeclared Arrow UDF stage "
+            "(tag it 'arrow' if this is an intentional vectorized seam)"
+        )
 
 
 def test_bucketed_join_has_no_join_shuffle(spark):

@@ -264,6 +264,15 @@ def test_lag_cycle_accumulation_under_real_trigger(spark, tmp_path):
     LATER cycles and reach the same deterministic end state."""
     import time
 
+    # recentProgress is a bounded ring (default ~100 entries); a slow
+    # run near the 120 s deadline fires 200+ empty 500 ms cycles, which
+    # would evict the first data-carrying entry and break the
+    # with_input[0] assertion — widen the ring past the worst case
+    prev_rpu = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+
     cfg = QuickStreamConfig(
         name="rt-lag",
         checkpoint_dir=str(tmp_path / "ckpt-rt-lag"),
@@ -316,6 +325,9 @@ def test_lag_cycle_accumulation_under_real_trigger(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_rpu
+        )
     # ACCUMULATION pin: the first data-carrying micro-batch merged all
     # four pre-available deliveries at once — one cycle, one merge
     with_input = [p for p in q.recentProgress if p["numInputRows"] > 0]
