@@ -82,7 +82,17 @@ def main() -> None:
         sf_dir
     )
 
+    # Variance-aware timing (r4 verdict ask #2): one measured run per
+    # round cannot distinguish a real regression from driver-machine
+    # load — r4's 34.5s driver run vs the builder's 25.2s on identical
+    # code was unadjudicable.  Each query therefore runs REPEATS times;
+    # the canonical figure is the MEDIAN (robust to a single noisy
+    # run), and the JSON carries every run plus the relative spread
+    # (max-min)/median so the next round can tell noise from change.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    runs_all: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
         if do_warm:
@@ -90,19 +100,28 @@ def main() -> None:
                 fn(spark, warm_sf).count()
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
-        # Independent attribution: clear every shared artifact cache
-        # (pair sets, codebooks, corpora, counts) so each timed query
-        # computes its own shared stages — per-query lines are then
-        # reproducible under reordering, instead of billing a shared
-        # stage to whichever consumer happens to run first.  The JVM
-        # codegen cache warmed above is unaffected (that's harness
-        # noise we DO want excluded).
-        clear_session_caches()
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        n = -1
+        for _ in range(repeats):
+            # Independent attribution: clear every shared artifact cache
+            # (pair sets, codebooks, corpora, counts) so each timed run
+            # computes its own shared stages — per-query lines are then
+            # reproducible under reordering, instead of billing a shared
+            # stage to whichever consumer happens to run first.  The JVM
+            # codegen cache warmed above is unaffected (that's harness
+            # noise we DO want excluded).
+            clear_session_caches()
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            runs.append(round(time.perf_counter() - start, 3))
+        med = sorted(runs)[len(runs) // 2]
+        timings[name] = med
+        runs_all[name] = runs
+        spread[name] = round((max(runs) - min(runs)) / med, 3) if med else 0.0
+        print(
+            f"# {name}: {med}s median of {runs} ({n} rows)", file=sys.stderr
+        )
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -127,6 +146,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
+                "repeats": repeats,
+                "runs": runs_all,
+                "spread": spread,
                 **extras,
             }
         )

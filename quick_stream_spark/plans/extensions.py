@@ -29,6 +29,7 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       ON orders.o_custkey = ev.user_id AND ev.ts <= orders.o_orderdate
     """,
     tags=("join", "asof"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each order, the latest event of that user at or

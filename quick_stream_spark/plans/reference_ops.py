@@ -147,6 +147,7 @@ def r_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 with the newer-wins idempotency guard: end state is the global
@@ -171,6 +172,7 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge", "manifest"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r_upsert_endstate replayed through the MANIFEST commit protocol
@@ -331,6 +333,7 @@ def r_multi_table_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge", "schema-evolution"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def r_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution through the merge path (the reference's

@@ -106,6 +106,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "agg", "topk"),
     bench=True,
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2000-03-15 00:00:00").cast("timestamp")
@@ -325,7 +326,6 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     tags=("agg", "tpch"),
-    pytest_only=True,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue-change forecast — a pure
@@ -765,6 +765,7 @@ def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "topk", "sort"),
     bench=True,
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k both ways: per-customer top-3 (row_number window + filter —

@@ -434,6 +434,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type FROM events
     """,
     tags=("streaming", "dedup"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on the event key: keeps the first

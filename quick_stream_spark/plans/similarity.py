@@ -824,6 +824,7 @@ def _trained_ivf_cand_sql() -> str:
     "emb_ivf_trained_topk",
     oracle=None,  # assigned below from the generated CTE stack
     tags=("similarity", "ivf", "approx", "ml"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete ANN story end-to-end: TRAIN the coarse codebook
@@ -1657,7 +1658,6 @@ def _mrl_oracle() -> str:
     "emb_matryoshka_eval",
     oracle=None,  # set below (generated per truncation width)
     tags=("similarity", "evaluation", "mrl"),
-    pytest_only=True,  # driver window is full after the r03 rotation
 )
 def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation evaluation (Kusupati et al. 2022,
@@ -1863,7 +1863,6 @@ HN_PER_ANCHOR = 3
     ) WHERE rank <= {HN_PER_ANCHOR}
     """,
     tags=("similarity", "mining", "training-pairs", "arrow"),
-    pytest_only=True,  # driver window is full after the r03 rotation
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining — the contrastive-training companion of

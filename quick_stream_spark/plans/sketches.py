@@ -389,7 +389,6 @@ _LC_KEYS = (  # (tag, table, column)
     FROM agg
     """,
     tags=("sketch", "distinct", "linear-counting"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by linear counting (Whang et al. 1990)

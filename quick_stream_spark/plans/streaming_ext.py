@@ -110,6 +110,7 @@ def _run_to_memory(
     )
     """,
     tags=("streaming", "window", "session"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation through REAL streaming queries,
@@ -489,6 +490,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "matview", "incremental"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance

@@ -240,6 +240,7 @@ def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corpus GROUP BY 1 HAVING count(*) > 1
     """,
     tags=("text", "dedup"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-content fingerprint
@@ -551,6 +552,7 @@ SIMHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 => >= 1 band equal
     "dedup_simhash_pairs",
     oracle=None,  # set below (built from the simhash CTE)
     tags=("text", "dedup", "simhash"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the duplicated corpus: 60-bit document
@@ -641,6 +643,7 @@ _SPLIT_HASH_ID = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT %
     "pipeline_decontamination",
     oracle=None,  # set below (composes the minhash oracle with splits)
     tags=("text", "dedup", "pipeline", "contamination"),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: near-dup pairs that STRADDLE the
@@ -763,6 +766,7 @@ _REG2["pipeline_decontamination"].oracle = " ".join(_decontamination_oracle().sp
     FROM documents
     """,
     tags=("multimodal",),
+    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque payload column — the pattern for

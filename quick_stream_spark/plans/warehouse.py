@@ -42,7 +42,6 @@ BASKET_TOPK = 30
     LIMIT {BASKET_TOPK}
     """,
     tags=("warehouse", "affinity", "basket"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: the top-{BASKET_TOPK} co-purchased part
@@ -139,7 +138,6 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM collapsed
     """,
     tags=("warehouse", "scd2", "window"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from an event log: per
@@ -231,7 +229,6 @@ def _bloom_pos(j: int, key) -> F.Column:
     FROM probe pr LEFT JOIN probe_hits ph ON pr.o_custkey = ph.o_custkey
     """,
     tags=("warehouse", "bloom", "join-pruning"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning, the runtime-filter pattern Spark
@@ -364,7 +361,6 @@ def _interleave_spark(x: str, y: str) -> F.Column:
     FROM filed GROUP BY file_id
     """,
     tags=("warehouse", "zorder", "data-skipping"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering for data skipping (Delta OPTIMIZE ZORDER BY
@@ -1050,7 +1046,6 @@ _PROFILE_ARMS_SQL = """
     FROM stats s JOIN tops t ON s.col_name = t.col_name
     """,
     tags=("warehouse", "quality", "profiling"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the Deequ/Glue-crawler analyzer pattern): per
@@ -1142,7 +1137,6 @@ def _scd2_pit_oracle() -> str:
     "join_scd2_point_in_time",
     oracle=None,  # set below: SCD2 CTE + ASOF lookup
     tags=("warehouse", "scd2", "join", "asof"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup — the query SCD2 histories exist
