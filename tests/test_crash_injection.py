@@ -1,0 +1,204 @@
+"""Crash-injection for the manifest commit protocol (r4 verdict ask #4):
+the reference gets merge atomicity from Postgres transactions
+(upsert.rs:287 executes the prepared statement transactionally); our
+files-based translation claims the same contract via the append-only
+commit-dir + atomic manifest publish (operators/commitlog.py).  These
+tests PROVE the claim instead of asserting it: a crash injected between
+the bucket-data write and the manifest publish must leave readers on the
+pre-merge snapshot with honest metadata counts, a retry must converge to
+the single-application end state, and vacuum must reclaim the orphaned
+commit files."""
+
+import os
+from datetime import datetime
+
+import pytest
+
+from quick_stream_spark.operators.commitlog import ManifestLog
+from quick_stream_spark.operators.merge import KeyedTable
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+def _table(spark, root):
+    return KeyedTable(
+        spark,
+        os.path.join(root, "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        commit_protocol="manifest",
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(k, datetime(2024, 1, d), a, p) for (k, d, a, p) in rows], SCHEMA
+    )
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def test_crash_between_data_write_and_manifest_publish(spark, tmp_table_dir, monkeypatch):
+    """Kill the writer AFTER the commit dir's bucket files are fully
+    written but BEFORE the snapshot manifest publishes.  A concurrent
+    reader must see the pre-merge state (rows, checksum AND the
+    metadata-only count_fast), and the orphaned data files must stay
+    invisible."""
+    t = _table(spark, tmp_table_dir)
+    t.upsert(_batch(spark, [(1, 1, 1, "a1"), (2, 1, 2, "b1"), (3, 1, 3, "c1")]))
+    pre_state = {r.pkey: r.payload for r in t.read().collect()}
+    pre_checksum = t.content_checksum()
+    pre_versions = t.snapshot_versions()
+
+    real_commit = ManifestLog.commit
+
+    def crash(self, mapping, stats=None):
+        raise _InjectedCrash("injected: process died before manifest publish")
+
+    monkeypatch.setattr(ManifestLog, "commit", crash)
+    with pytest.raises(_InjectedCrash):
+        t.upsert(_batch(spark, [(2, 2, 4, "b2"), (4, 2, 5, "d1")]))
+    monkeypatch.setattr(ManifestLog, "commit", real_commit)
+
+    # a separate reader instance (no shared caches with the writer)
+    reader = _table(spark, tmp_table_dir)
+    assert {r.pkey: r.payload for r in reader.read().collect()} == pre_state
+    assert reader.content_checksum() == pre_checksum
+    assert reader.count_fast() == len(pre_state) == reader.read().count()
+    assert reader.snapshot_versions() == pre_versions
+    # the failed commit's data files exist on disk (the crash happened
+    # after the write) — but no snapshot references them
+    commits_root = os.path.join(t.path, "_qss_commits")
+    orphan_files = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(commits_root)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    assert len(orphan_files) > 0, "injection fired before the data write?"
+
+    # retry on a FRESH instance (the restarted process) converges to the
+    # exact single-application end state, with honest metadata
+    retry = _table(spark, tmp_table_dir)
+    retry.upsert(_batch(spark, [(2, 2, 4, "b2"), (4, 2, 5, "d1")]))
+    end = {r.pkey: r.payload for r in retry.read().collect()}
+    assert end == {1: "a1", 2: "b2", 3: "c1", 4: "d1"}
+    assert retry.count_fast() == 4 == retry.read().count()
+    # vacuum reclaims the crash orphans; the surviving state is untouched
+    removed = retry.vacuum(keep_versions=1)
+    assert removed > 0
+    assert {r.pkey: r.payload for r in retry.read().collect()} == end
+
+
+def test_crash_before_data_write_leaves_no_trace(spark, tmp_table_dir, monkeypatch):
+    """Kill the writer BEFORE any commit file lands (staging-dir
+    allocation): nothing changes on disk at all — no orphan files, no
+    manifest, same snapshot list."""
+    t = _table(spark, tmp_table_dir)
+    t.upsert(_batch(spark, [(1, 1, 1, "a1")]))
+    pre_versions = t.snapshot_versions()
+
+    def crash(self):
+        raise _InjectedCrash("injected: process died before staging write")
+
+    monkeypatch.setattr(ManifestLog, "new_commit_dir", crash)
+    with pytest.raises(_InjectedCrash):
+        t.upsert(_batch(spark, [(2, 2, 2, "b1")]))
+    monkeypatch.undo()
+
+    reader = _table(spark, tmp_table_dir)
+    assert reader.snapshot_versions() == pre_versions
+    assert {r.pkey for r in reader.read().collect()} == {1}
+
+
+def test_double_crash_then_retry_still_converges(spark, tmp_table_dir, monkeypatch):
+    """Two consecutive crashed attempts (each leaving its own orphaned
+    commit dir) followed by a successful retry: the end state equals
+    one clean application, count_fast stays honest, and vacuum removes
+    BOTH orphan sets."""
+    t = _table(spark, tmp_table_dir)
+    t.upsert(_batch(spark, [(1, 1, 1, "a1"), (2, 1, 2, "b1")]))
+
+    def crash(self, mapping, stats=None):
+        raise _InjectedCrash("injected")
+
+    real_commit = ManifestLog.commit
+    for _ in range(2):
+        monkeypatch.setattr(ManifestLog, "commit", crash)
+        with pytest.raises(_InjectedCrash):
+            t.upsert(_batch(spark, [(1, 3, 9, "a3")]))
+        monkeypatch.setattr(ManifestLog, "commit", real_commit)
+
+    retry = _table(spark, tmp_table_dir)
+    retry.upsert(_batch(spark, [(1, 3, 9, "a3")]))
+    assert {r.pkey: r.payload for r in retry.read().collect()} == {1: "a3", 2: "b1"}
+    assert retry.count_fast() == 2 == retry.read().count()
+    assert retry.vacuum(keep_versions=1) > 0
+    assert {r.pkey: r.payload for r in retry.read().collect()} == {1: "a3", 2: "b1"}
+
+
+def test_crash_during_streaming_merge_then_resume(spark, tmp_table_dir, monkeypatch):
+    """The streaming composition of the same claim: a foreachBatch merge
+    whose manifest publish dies mid-stream must not corrupt the table —
+    restarting the stream from the SAME checkpoint replays the failed
+    micro-batch and the end state equals a clean run (at-least-once
+    foreachBatch + state-based MERGE = effectively-once table state)."""
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.sources.readers import write_batches_as_files
+
+    batches = [
+        _batch(spark, [(1, 1, 1, "a1"), (2, 1, 2, "b1")]),
+        _batch(spark, [(2, 2, 3, "b2"), (3, 2, 4, "c1")]),
+    ]
+    src = os.path.join(tmp_table_dir, "in")
+    write_batches_as_files(batches, src)
+    t = _table(spark, tmp_table_dir)
+    cfg = QuickStreamConfig(
+        name="crash-stream",
+        checkpoint_dir=os.path.join(tmp_table_dir, "ckpt"),
+        buffer_size=1,  # one delivery file per micro-batch
+    )
+
+    real_commit = ManifestLog.commit
+    calls = {"n": 0}
+
+    def crash_on_second(self, mapping, stats=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _InjectedCrash("injected mid-stream")
+        return real_commit(self, mapping, stats=stats)
+
+    monkeypatch.setattr(ManifestLog, "commit", crash_on_second)
+    with pytest.raises(Exception):  # StreamingQueryException wrapping the crash
+        _run_stream(spark, t, src, batches[0].schema, cfg)
+    monkeypatch.setattr(ManifestLog, "commit", real_commit)
+
+    # mid-crash visibility: only batch 1 landed
+    reader = _table(spark, tmp_table_dir)
+    assert {r.pkey: r.payload for r in reader.read().collect()} == {1: "a1", 2: "b1"}
+    assert reader.count_fast() == 2
+
+    # resume from the SAME checkpoint: the failed micro-batch replays
+    fresh = _table(spark, tmp_table_dir)
+    _run_stream(spark, fresh, src, batches[0].schema, cfg)
+    assert {r.pkey: r.payload for r in fresh.read().collect()} == {
+        1: "a1",
+        2: "b2",
+        3: "c1",
+    }
+    assert fresh.count_fast() == 3 == fresh.read().count()
+
+
+def _run_stream(spark, target, src, schema, cfg):
+    from quick_stream_spark.sources.readers import stream_parquet_dir
+    from quick_stream_spark.streaming.stream import UpsertQuickStream
+
+    UpsertQuickStream(target, config=cfg, newer_wins=True).run(
+        stream_parquet_dir(spark, src, schema),
+        available_now=True,
+        await_termination=True,
+    )
