@@ -202,3 +202,57 @@ def _run_stream(spark, target, src, schema, cfg):
         available_now=True,
         await_termination=True,
     )
+
+
+def test_logstore_backend_survives_publish_crash(spark, tmp_table_dir, monkeypatch):
+    """The LogStructuredBucketStore (third backend) makes store-backed
+    tables crash-atomic via the same manifest publish: a crash between
+    its commit-dir write and the snapshot publish leaves a reader on the
+    pre-merge state; retry converges; vacuum reclaims the orphans."""
+    from quick_stream_spark.operators.backends import LogStructuredBucketStore
+
+    store = LogStructuredBucketStore(spark, os.path.join(tmp_table_dir, "log"))
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        store=store,
+    )
+    t.upsert(_batch(spark, [(1, 1, 1, "a1"), (2, 1, 2, "b1")]))
+    real_commit = ManifestLog.commit
+
+    def crash(self, mapping, stats=None):
+        raise _InjectedCrash("injected")
+
+    monkeypatch.setattr(ManifestLog, "commit", crash)
+    with pytest.raises(_InjectedCrash):
+        t.upsert(_batch(spark, [(2, 2, 3, "b2"), (3, 2, 4, "c1")]))
+    monkeypatch.setattr(ManifestLog, "commit", real_commit)
+
+    reader = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "t"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        store=LogStructuredBucketStore(spark, os.path.join(tmp_table_dir, "log")),
+    )
+    assert {r.pkey: r.payload for r in reader.read().collect()} == {1: "a1", 2: "b1"}
+
+    t2 = reader
+    t2.upsert(_batch(spark, [(2, 2, 3, "b2"), (3, 2, 4, "c1")]))
+    assert {r.pkey: r.payload for r in t2.read().collect()} == {
+        1: "a1",
+        2: "b2",
+        3: "c1",
+    }
+    assert store.vacuum(keep_versions=1) > 0
+    assert {r.pkey: r.payload for r in t2.read().collect()} == {
+        1: "a1",
+        2: "b2",
+        3: "c1",
+    }

@@ -13,22 +13,26 @@ from quick_stream_spark.operators.merge import BUCKET_COL, KeyedTable
 SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
 
 
-def _store_kw(spark, backend: str) -> dict:
+def _store_kw(spark, backend: str, root: str = "") -> dict:
     if backend == "memory":
         from quick_stream_spark.operators.backends import InMemoryBucketStore
 
         return {"store": InMemoryBucketStore(spark)}
+    if backend == "logstore":
+        from quick_stream_spark.operators.backends import LogStructuredBucketStore
+
+        return {"store": LogStructuredBucketStore(spark, os.path.join(root, "log"))}
     return {}
 
 
-@pytest.fixture(params=["parquet", "memory"])
-def store_kw(spark, request):
-    """Storage-backend axis: the MERGE contract tests run against BOTH
-    the bucket-partitioned parquet layout and the in-memory
-    dict-of-buckets store (operators/backends.py), proving the
-    KeyedTable storage seam — the merge semantics may not depend on
-    the physical layer."""
-    return _store_kw(spark, request.param)
+@pytest.fixture(params=["parquet", "memory", "logstore"])
+def store_kw(spark, tmp_table_dir, request):
+    """Storage-backend axis: the MERGE contract tests run against the
+    bucket-partitioned parquet layout, the in-memory dict-of-buckets
+    store, and the log-structured ACID store (operators/backends.py),
+    proving the KeyedTable storage seam — the merge semantics may not
+    depend on the physical layer."""
+    return _store_kw(spark, request.param, tmp_table_dir)
 
 
 @pytest.fixture()
