@@ -86,7 +86,18 @@ class IncrementalAggView:
         return batch.groupBy(*self.group_cols).agg(*aggs)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        part = self._partial(batch)
+        # one materialization of the (touched-groups-bounded) partial
+        # serves every downstream consumer — the DPP bucket broadcast,
+        # the touched-group join and the merge write each re-executed
+        # the batch's SOURCE SCAN otherwise (~3 reads of every input
+        # file per micro-batch, and inflated numInputRows metrics)
+        part = self._partial(batch).persist()
+        try:
+            self._apply_partial(part, batch_id)
+        finally:
+            part.unpersist()
+
+    def _apply_partial(self, part: DataFrame, batch_id: int) -> None:
         if self.table.exists():
             cur_cols = [
                 F.col("n").alias("_n_cur"),

@@ -141,3 +141,92 @@ def test_view_matches_model_under_random_batches_and_retries(spark, batches):
             model[g] = (n + 1, s + v)
     got = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
     assert got == model
+
+
+def test_matview_lag_cycle_accumulation_under_real_trigger(spark, tmp_path):
+    """r4 verdict ask #8 — the wall-clock trigger contract pinned on a
+    SECOND operator family: an IncrementalAggView fed through a real
+    processingTime trigger (lag_ms x cycles, O4's accumulation window)
+    must absorb all pre-available deliveries as ONE micro-batch (pinned
+    via the progress log, not timing guesses), admit mid-flight
+    deliveries in LATER cycles, and converge to the direct aggregate."""
+    import os
+    import time
+
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.sources.readers import (
+        stream_parquet_dir,
+        write_batches_as_files,
+    )
+
+    prev_rpu = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+
+    cfg = QuickStreamConfig(
+        name="rt-matview",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        introduced_lag_in_millies=250,
+        introduced_lag_cycles=2,
+        buffer_size=64,
+    )
+    src = str(tmp_path / "src")
+    wave1 = [
+        _batch(spark, [("a", 1.0)]),
+        _batch(spark, [("a", 2.0)]),
+        _batch(spark, [("b", 3.0)]),
+        _batch(spark, [("b", 4.0)]),
+    ]
+    write_batches_as_files(wave1, src)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), group_cols=["g"], value_col="value"
+    )
+    stream = stream_parquet_dir(
+        spark,
+        src,
+        wave1[0].schema,
+        max_files_per_trigger=int(cfg.source_options()["maxFilesPerTrigger"]),
+    )
+    q = (
+        stream.writeStream.queryName(cfg.name)
+        .foreachBatch(view.foreach_batch())
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(**cfg.trigger_kwargs())
+        .start()
+    )
+    try:
+
+        def total_n() -> int:
+            try:
+                return sum(r.n for r in view.read().collect())
+            except Exception:
+                return 0
+
+        deadline = time.time() + 120
+        while time.time() < deadline and total_n() < 4:
+            time.sleep(0.2)
+        assert total_n() == 4
+        # mid-flight deliveries: later cycles must pick them up
+        for i, rec in enumerate([("c", 10.0), ("a", 5.0)]):
+            _batch(spark, [rec]).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"late-{i}")
+            )
+        while time.time() < deadline and total_n() < 6:
+            time.sleep(0.2)
+        assert total_n() == 6
+    finally:
+        q.stop()
+        q.awaitTermination()
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_rpu
+        )
+    with_input = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert with_input, "no progress recorded"
+    # ACCUMULATION pin: the 4 pre-available deliveries merged in ONE cycle
+    assert with_input[0]["numInputRows"] == 4, [
+        p["numInputRows"] for p in with_input
+    ]
+    assert sum(p["numInputRows"] for p in with_input) == 6
+    got = {r.g: (r.n, r.sum_value) for r in view.read().collect()}
+    assert got == {"a": (3, 8.0), "b": (2, 7.0), "c": (1, 10.0)}
