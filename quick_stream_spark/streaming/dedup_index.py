@@ -103,6 +103,15 @@ class StreamingNearDupIndex(_StreamBase):
     def pairs(self) -> DataFrame:
         """All verified pairs discovered so far (distinct — a pair found
         via several bands/batches carries identical values)."""
+        from quick_stream_spark.operators.merge import _hadoop_fs
+
+        fs, p, _ = _hadoop_fs(self.spark, self.pairs_path)
+        if not fs.exists(p):
+            # no batch has run yet: typed empty frame, not an opaque
+            # path-not-found (same guard as StreamingAnnIndex.pairs)
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double"
+            )
         return self.spark.read.parquet(self.pairs_path).distinct()
 
     # ------------------------------------------------------------ batch

@@ -178,3 +178,10 @@ def test_replayed_batches_cannot_shrink_the_distinct_reservoir(spark, tmp_path):
     assert per_band.lo == R, "duplicates displaced distinct ids from the top-R"
     # physical rows equal distinct rows after compaction (no copies kept)
     assert idx.count() == idx.distinct().count()
+
+
+def test_pairs_before_first_batch_returns_typed_empty(spark, tmp_path):
+    ndi = StreamingNearDupIndex(spark, str(tmp_path / "state"))
+    empty = ndi.pairs()
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id_a", "id_b", "jaccard"]

@@ -289,3 +289,25 @@ def test_new_similarity_and_dedup_plans_avoid_cartesian(spark):
         plan = _formatted(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_scd2_build_uses_one_key_exchange(spark):
+    """The SCD2 history build must shuffle ONCE on the dimension key:
+    the run-boundary window, cumulative version counter, per-version
+    groupBy and validity lead all share the user_id partitioning."""
+    import re
+
+    plan = _formatted(spark, "events_scd2_intervals")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_scd2_point_in_time_avoids_interval_range_join(spark):
+    """The point-in-time lookup must use the union+window as-of shape —
+    one user_id exchange carries the version fill-forward; never an
+    interval range join (Cartesian/BNLJ pair enumeration)."""
+    plan = _formatted(spark, "join_scd2_point_in_time")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
