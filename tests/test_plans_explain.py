@@ -59,6 +59,15 @@ def test_no_python_udf_in_jvm_paths(spark):
        ArrowEvalPython stage fails: the JVM built-in path regressed."""
     for name, spec in REGISTRY.items():
         plan = _formatted(spark, name)
+        # global structural gate, same walk (plan builds are the cost):
+        # no registered query may plan a CartesianProduct — the O(n^2)
+        # pair-enumeration failure mode.  (BroadcastNestedLoopJoin is
+        # allowed where it appears: every instance broadcasts a bounded
+        # artifact — a one-row aggregate, the 8-vector query set, a
+        # scalar-cutoff frame.)
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans a CartesianProduct"
+        )
         # BatchEvalPythonUDTF is the (distinct) Python table-function
         # node — allowed only under the 'udtf' tag; mask it so the
         # scalar-UDF check below can't confuse the two.
@@ -311,3 +320,8 @@ def test_scd2_point_in_time_avoids_interval_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+# (the global no-CartesianProduct gate rides inside
+# test_no_python_udf_in_jvm_paths's registry walk — one plan build per
+# query instead of two)
