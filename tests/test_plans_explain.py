@@ -325,3 +325,26 @@ def test_scd2_point_in_time_avoids_interval_range_join(spark):
 # (the global no-CartesianProduct gate rides inside
 # test_no_python_udf_in_jvm_paths's registry walk — one plan build per
 # query instead of two)
+
+
+def test_new_tpch_exports_broadcast_dims_and_partial_aggregate(spark):
+    """The r5-exported TPC-H breadth (q7/q8/q9/q13) must keep the
+    plan shape that survives 100 TB: every dimension leg broadcasts
+    (q7: 10 BHJs, q8: 14, q9: 8 at audit time — gate on a floor), the
+    aggregation partial-reduces map-side, and the whole query runs on
+    ONE post-join exchange (q13's grouped count needs two: the outer
+    join's build + the distribution)."""
+    import re
+
+    floors = {
+        "q7_volume_shipping": (4, 1),
+        "q8_market_share": (6, 1),
+        "q9_product_type_profit": (4, 1),
+        "q13_customer_distribution": (1, 2),
+    }
+    for name, (min_bhj, max_exch) in floors.items():
+        plan = _formatted(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "partial_sum" in plan or "partial_count" in plan, name
+        exch = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert exch <= max_exch, f"{name}: {exch} exchanges\n{plan}"
