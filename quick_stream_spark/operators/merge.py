@@ -880,21 +880,34 @@ class KeyedTable:
         dk = self._dedup(deletes).select(*self.keys).withColumn(BUCKET_COL, self._bucket_expr())
         if not self.exists():
             return
-        touched = self._touched(dk)
-        if not touched:
-            return
-        if self._log is not None:
-            current = self._read_manifest(with_bucket=True, bucket_ids=touched)
-            remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")
-            self._write_manifest_commit(remaining, touched)
-            return
-        current = self._current_in(touched)
-        remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")
-        kept = [r[0] for r in remaining.select(BUCKET_COL).distinct().collect()]
-        emptied = [b for b in touched if b not in kept]
-        if kept:
-            # anti-join on the key columns keeps rows bucket-coherent —
-            # skip the cosmetic bucket re-shuffle (mirrors upsert)
-            self._write(remaining, "overwrite", repartition=False)
-        if emptied:
-            self._drop_bucket_dirs(emptied)
+        dk = dk.persist()  # consumers: _touched collect + the anti-join
+        try:
+            touched = self._touched(dk)
+            if not touched:
+                return
+            if self._log is not None:
+                current = self._read_manifest(with_bucket=True, bucket_ids=touched)
+                remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")
+                self._write_manifest_commit(remaining, touched)
+                return
+            current = self._current_in(touched)
+            # one materialization serves the emptied-bucket probe AND the
+            # rewrite — without it the touched buckets are scanned and
+            # anti-joined twice (once for the distinct-bucket collect,
+            # once for the write)
+            remaining = current.join(
+                dk.drop(BUCKET_COL), on=self.keys, how="left_anti"
+            ).persist()
+            try:
+                kept = [r[0] for r in remaining.select(BUCKET_COL).distinct().collect()]
+                emptied = [b for b in touched if b not in kept]
+                if kept:
+                    # anti-join on the key columns keeps rows bucket-coherent —
+                    # skip the cosmetic bucket re-shuffle (mirrors upsert)
+                    self._write(remaining, "overwrite", repartition=False)
+                if emptied:
+                    self._drop_bucket_dirs(emptied)
+            finally:
+                remaining.unpersist()
+        finally:
+            dk.unpersist()
