@@ -256,3 +256,54 @@ def test_logstore_backend_survives_publish_crash(spark, tmp_table_dir, monkeypat
         2: "b2",
         3: "c1",
     }
+
+
+def test_matview_publish_crash_then_epoch_retry_does_not_double_count(
+    spark, tmp_table_dir, monkeypatch
+):
+    """IncrementalAggView's docstring claims the combination of the
+    manifest protocol and the _batch_id epoch guard absorbs a
+    crash-and-retry without double-counting.  Prove it: crash the
+    snapshot publish mid-apply for epoch 1, then re-apply epoch 1 (the
+    foreachBatch retry).  The additive merge must land exactly once —
+    and the crashed attempt must not have leaked a partial snapshot."""
+    from quick_stream_spark.streaming.matview import IncrementalAggView
+
+    view = IncrementalAggView(
+        spark,
+        os.path.join(tmp_table_dir, "v"),
+        group_cols=["g"],
+        value_col="value",
+        commit_protocol="manifest",
+    )
+
+    def b(rows):
+        return spark.createDataFrame(rows, "g string, value double")
+
+    view.apply_batch(b([("a", 1.0), ("b", 2.0)]), 0)
+
+    real_commit = ManifestLog.commit
+
+    def crash(self, mapping, stats=None):
+        raise _InjectedCrash("injected")
+
+    monkeypatch.setattr(ManifestLog, "commit", crash)
+    with pytest.raises(_InjectedCrash):
+        view.apply_batch(b([("a", 10.0), ("c", 5.0)]), 1)
+    monkeypatch.setattr(ManifestLog, "commit", real_commit)
+
+    # crashed attempt invisible
+    assert {r.g: (r.n, r.sum_value) for r in view.read().collect()} == {
+        "a": (1, 1.0),
+        "b": (1, 2.0),
+    }
+    # the retry of the SAME epoch applies exactly once
+    view.apply_batch(b([("a", 10.0), ("c", 5.0)]), 1)
+    # ... and a DUPLICATE delivery of that epoch (at-least-once
+    # foreachBatch) is absorbed by the _batch_id guard
+    view.apply_batch(b([("a", 10.0), ("c", 5.0)]), 1)
+    assert {r.g: (r.n, r.sum_value) for r in view.read().collect()} == {
+        "a": (2, 11.0),
+        "b": (1, 2.0),
+        "c": (1, 5.0),
+    }
