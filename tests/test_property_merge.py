@@ -75,7 +75,7 @@ class Model:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("protocol", ["direct", "manifest"])
+@pytest.mark.parametrize("protocol", ["direct", "manifest", "logstore"])
 @settings(
     max_examples=12,
     deadline=None,
@@ -83,10 +83,16 @@ class Model:
 )
 @given(scenario=scenario)
 def test_end_state_matches_reference_model(spark, tmp_path_factory, protocol, scenario):
-    """Runs under BOTH commit protocols: the manifest snapshot path must
-    reproduce the reference end-state semantics row for row."""
+    """Runs under both commit protocols AND the log-structured store
+    backend: every storage path must reproduce the reference end-state
+    semantics row for row."""
     ops, newer_wins = scenario
     work = tmp_path_factory.mktemp("prop")
+    store_kw = {}
+    if protocol == "logstore":
+        from quick_stream_spark.operators.backends import LogStructuredBucketStore
+
+        store_kw = {"store": LogStructuredBucketStore(spark, str(work / "log"))}
     table = KeyedTable(
         spark,
         str(work / "t"),
@@ -94,7 +100,8 @@ def test_end_state_matches_reference_model(spark, tmp_path_factory, protocol, sc
         version_col="modified_date",
         arrival_col="arrival",
         num_buckets=2,
-        commit_protocol=protocol,
+        commit_protocol="direct" if protocol == "logstore" else protocol,
+        **store_kw,
     )
     model = Model(newer_wins)
     arrival_base = 0
