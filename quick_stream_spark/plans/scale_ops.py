@@ -27,7 +27,12 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     metadata; a real deployment uses the metastore/Delta the same way.)
     """
     pin_session(spark)
-    suffix = abs(hash(sf_dir)) % 10**8
+    # STABLE per-sf_dir suffix: Python's str hash is randomized per
+    # process (PYTHONHASHSEED), which minted a fresh table pair every
+    # run — unbounded warehouse growth and zero cross-process reuse
+    import hashlib
+
+    suffix = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16)
     o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
     if not spark.catalog.tableExists(o_name):
         (
