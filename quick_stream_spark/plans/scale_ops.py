@@ -34,7 +34,24 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
 
     suffix = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16)
     o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+
+    def _clear_stale_location(name: str) -> None:
+        # the stable name persists its warehouse dir across processes,
+        # but the in-memory catalog does not: a fresh session would hit
+        # "managed table location already exists" on saveAsTable and
+        # silently fall back to the shuffled join — drop the orphan dir
+        # (it is a cache of a dead catalog, cheap to rebuild)
+        from quick_stream_spark.operators.merge import _hadoop_fs
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        fs, p, _ = _hadoop_fs(spark, f"{wh.rstrip('/')}/{name.lower()}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
     if not spark.catalog.tableExists(o_name):
+        _clear_stale_location(o_name)
         (
             load_table(spark, sf_dir, "orders")
             .write.bucketBy(N_BUCKETS, "o_orderkey")
@@ -43,6 +60,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             .saveAsTable(o_name)
         )
     if not spark.catalog.tableExists(l_name):
+        _clear_stale_location(l_name)
         (
             load_table(spark, sf_dir, "lineitem")
             .write.bucketBy(N_BUCKETS, "l_orderkey")
