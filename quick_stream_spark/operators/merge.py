@@ -97,6 +97,17 @@ class KeyedTable:
         self.tie_break = tie_break
         self.num_buckets = int(num_buckets)
         self.soft_delete_col = soft_delete_col
+        # Bucketing-properties guard: bucket = hash(keys) % num_buckets
+        # is BAKED INTO the physical layout, so reopening an existing
+        # table with different keys or bucket count silently corrupts
+        # (the merge prunes to the wrong buckets and a key gains a
+        # second row — reproduced in tests/test_table_properties.py).
+        # First write persists the properties next to the data; every
+        # construction over an existing table validates against them.
+        # A custom store owns its own layout and is exempt.
+        self._props_written = False
+        if store is None:
+            self._check_table_properties()
         # "direct" = in-place dynamic partition overwrite (fast, but a
         # crash mid-write can mix old and new buckets); "manifest" =
         # append-only data files published by an atomic snapshot
@@ -478,6 +489,86 @@ class KeyedTable:
 
     # underscore-prefixed => invisible to Spark's file listing
     _SCHEMA_SIDECAR = "_qss_schema.json"
+    _PROPS_SIDECAR = "_qss_table.json"
+
+    def _read_table_properties(self) -> dict | None:
+        import json as _json
+
+        fs, _, jvm = _hadoop_fs(self.spark, self.path)
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._PROPS_SIDECAR))
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        return _json.loads(data.decode("utf-8"))
+
+    def _write_table_properties(self) -> None:
+        import json as _json
+
+        body = _json.dumps(
+            {"keys": list(self.keys), "num_buckets": int(self.num_buckets)}
+        ).encode("utf-8")
+        fs, _, jvm = _hadoop_fs(self.spark, self.path)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.path))
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.path, self._PROPS_SIDECAR))
+        out = fs.create(p, True)
+        out.write(bytearray(body))
+        out.close()
+
+    def _check_table_properties(self) -> None:
+        props = self._read_table_properties()
+        if props is None:
+            return  # fresh table (or pre-props layout): first write records
+        self._props_written = True
+        if list(props.get("keys", [])) != self.keys or int(
+            props.get("num_buckets", self.num_buckets)
+        ) != self.num_buckets:
+            raise ValueError(
+                f"KeyedTable at {self.path} was written with "
+                f"keys={props.get('keys')} num_buckets={props.get('num_buckets')} "
+                f"but was opened with keys={self.keys} "
+                f"num_buckets={self.num_buckets}; bucket assignment is baked "
+                "into the layout, so merging under different bucketing "
+                "corrupts the table — reopen with the recorded properties, "
+                "or resize explicitly with rebucket()"
+            )
+
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Change the table's bucket count — the sanctioned resize for a
+        growing table (bucket counts should track volume, ~1 GB/bucket).
+        One full rewrite under the new ``hash(keys) % N`` assignment
+        (same maintenance class as :meth:`compact`); under the manifest
+        protocol the switch is a single atomic snapshot.  Properties
+        sidecar is updated so subsequent opens validate against the new
+        count."""
+        self._require_parquet_layout("rebucket")
+        new_n = int(new_num_buckets)
+        if new_n < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        if not self.exists():
+            self.num_buckets = new_n
+            return
+        old_n = self.num_buckets
+        current = self.read()
+        self.num_buckets = new_n
+        df = current.withColumn(BUCKET_COL, self._bucket_expr()).repartition(
+            F.col(BUCKET_COL)
+        )
+        if self._log is not None:
+            # every old bucket is replaced; the new snapshot holds only
+            # the new assignment (atomic: readers see old or new, never
+            # a mix)
+            self._write_manifest_commit(df, list(self._log.read().keys()))
+        else:
+            self._write(df, "overwrite", repartition=False)
+            if new_n < old_n:
+                # dynamic overwrite only replaces buckets present in the
+                # output — shrinking leaves the tail dirs behind
+                self._drop_bucket_dirs(list(range(new_n, old_n)))
+        self._write_table_properties()
 
     def _write_schema_sidecar(self, schema) -> None:
         if self._schema_cache is not None and self._schema_cache.json() == schema.json():
@@ -492,6 +583,9 @@ class KeyedTable:
         out.write(bytearray(schema.json().encode("utf-8")))
         out.close()
         self._schema_cache = schema
+        if not self._props_written:
+            self._write_table_properties()
+            self._props_written = True
 
     def _read_schema_sidecar(self):
         from pyspark.sql.types import StructType

@@ -1,0 +1,89 @@
+"""Bucketing-properties guard + rebucket maintenance op (merge.py):
+bucket = hash(keys) % num_buckets is baked into the physical layout, so
+reopening a table under different bucketing silently corrupts — the
+merge prunes to the wrong buckets and a key gains a second row.  The
+properties sidecar turns that misconfiguration into a construction-time
+error, and rebucket() is the sanctioned resize."""
+
+import os
+from datetime import datetime
+
+import pytest
+
+from quick_stream_spark.operators.merge import KeyedTable
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(
+        [(k, datetime(2024, 1, v), a, p) for (k, v, a, p) in rows], SCHEMA
+    )
+
+
+def _t(spark, root, **kw):
+    args = dict(
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+    )
+    args.update(kw)
+    return KeyedTable(spark, os.path.join(root, "t"), **args)
+
+
+@pytest.mark.parametrize("protocol", ["direct", "manifest"])
+def test_reopening_with_different_bucketing_fails_fast(
+    spark, tmp_table_dir, protocol
+):
+    t = _t(spark, tmp_table_dir, commit_protocol=protocol)
+    t.upsert(_b(spark, [(k, 1, k, f"v1-{k}") for k in range(20)]))
+    # without the guard this exact sequence produced a duplicate key
+    # (key 0's %8 bucket differs from its %4 bucket): reproduced before
+    # the fix as 21 rows / 1 dup
+    with pytest.raises(ValueError, match="rebucket"):
+        _t(spark, tmp_table_dir, num_buckets=8, commit_protocol=protocol)
+    with pytest.raises(ValueError, match="rebucket"):
+        _t(spark, tmp_table_dir, keys=("arrival",), commit_protocol=protocol)
+    # matching properties reopen fine
+    again = _t(spark, tmp_table_dir, commit_protocol=protocol)
+    assert again.read().count() == 20
+
+
+@pytest.mark.parametrize("protocol", ["direct", "manifest"])
+@pytest.mark.parametrize("new_n", [8, 2])
+def test_rebucket_preserves_content_and_future_merges(
+    spark, tmp_table_dir, protocol, new_n
+):
+    """Grow and shrink: content checksum is invariant across the
+    rewrite, the properties sidecar tracks the new count (old count
+    rejected, new accepted), and a post-rebucket merge under the new
+    assignment stays correct — including for the keys whose bucket
+    moved."""
+    t = _t(spark, tmp_table_dir, commit_protocol=protocol)
+    t.upsert(_b(spark, [(k, 1, k, f"v1-{k}") for k in range(20)]))
+    before = t.content_checksum()
+    t.rebucket(new_n)
+    assert t.content_checksum() == before
+    assert t.read().count() == 20
+    with pytest.raises(ValueError, match="rebucket"):
+        _t(spark, tmp_table_dir, num_buckets=4, commit_protocol=protocol)
+    t2 = _t(spark, tmp_table_dir, num_buckets=new_n, commit_protocol=protocol)
+    t2.upsert(_b(spark, [(k, 2, 100 + k, f"v2-{k}") for k in range(0, 20, 2)]))
+    state = t2.read()
+    assert state.count() == 20
+    assert state.groupBy("pkey").count().filter("count > 1").count() == 0
+    got = {r.pkey: r.payload for r in state.collect()}
+    assert got == {
+        k: (f"v2-{k}" if k % 2 == 0 else f"v1-{k}") for k in range(20)
+    }
+    if protocol == "manifest":
+        assert t2.count_fast() == 20
+
+
+def test_rebucket_rejected_for_store_backends(spark, tmp_table_dir):
+    from quick_stream_spark.operators.backends import InMemoryBucketStore
+
+    t = _t(spark, tmp_table_dir, store=InMemoryBucketStore(spark))
+    with pytest.raises(ValueError, match="BucketStore"):
+        t.rebucket(8)
