@@ -828,6 +828,54 @@ class KeyedTable:
                 "BucketStore implementation's responsibility"
             )
 
+    def total_bytes(self) -> int:
+        """On-disk bytes of the table's live data files (manifest mode:
+        only files referenced by the current snapshot).  Metadata-only:
+        one FS listing (or manifest resolve + getFileStatus)."""
+        self._require_parquet_layout("total_bytes")
+        if not self.exists():
+            return 0
+        fs, root, jvm = _hadoop_fs(self.spark, self.path)
+        total = 0
+        if self._log is not None:
+            for f in self._log.resolve(self._log.read()):
+                total += fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(f)
+                ).getLen()
+            return total
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not status.isDirectory() or not name.startswith(BUCKET_COL):
+                continue
+            for f in fs.listStatus(status.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    total += f.getLen()
+        return total
+
+    def maybe_rebucket(
+        self,
+        target_bucket_bytes: int = 1 << 30,
+        max_num_buckets: int = 1 << 20,
+    ) -> bool:
+        """Auto-resize policy — the mechanism behind "bucket count
+        scales with table size (~1 GB/bucket)": when the average live
+        bucket exceeds ``target_bucket_bytes``, grow the bucket count
+        to the next power-of-two multiple that brings it back under
+        target, via one :meth:`rebucket` rewrite.  The check is
+        metadata-only; call it from the same maintenance cadence as
+        :meth:`maybe_compact`.  Returns whether a resize ran."""
+        self._require_parquet_layout("maybe_rebucket")
+        if not self.exists():
+            return False
+        total = self.total_bytes()
+        if total <= target_bucket_bytes * self.num_buckets:
+            return False
+        n = self.num_buckets
+        while total > target_bucket_bytes * n and n < max_num_buckets:
+            n *= 2
+        self.rebucket(n)
+        return True
+
     def compact(self, target_files_per_bucket: int = 1) -> None:
         """Rewrite every bucket partition down to
         ``target_files_per_bucket`` files.  Merges skip the write-side

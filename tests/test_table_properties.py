@@ -87,3 +87,27 @@ def test_rebucket_rejected_for_store_backends(spark, tmp_table_dir):
     t = _t(spark, tmp_table_dir, store=InMemoryBucketStore(spark))
     with pytest.raises(ValueError, match="BucketStore"):
         t.rebucket(8)
+
+
+@pytest.mark.parametrize("protocol", ["direct", "manifest"])
+def test_maybe_rebucket_grows_with_volume(spark, tmp_table_dir, protocol):
+    """The auto-resize policy: with a tiny per-bucket byte target the
+    table must grow its bucket count (power-of-two) in one rewrite,
+    preserve content, and report the resize; a table under target is
+    untouched.  (Manifest mode measures only LIVE snapshot files, so
+    superseded commit files don't trigger phantom resizes.)"""
+    t = _t(spark, tmp_table_dir, num_buckets=2, commit_protocol=protocol)
+    t.upsert(_b(spark, [(k, 1, k, "x" * 64) for k in range(200)]))
+    before = t.content_checksum()
+    assert t.maybe_rebucket(target_bucket_bytes=1 << 60) is False
+    assert t.num_buckets == 2
+    assert t.maybe_rebucket(target_bucket_bytes=2048) is True
+    assert t.num_buckets > 2 and (t.num_buckets & (t.num_buckets - 1)) == 0
+    assert t.content_checksum() == before
+    # the new count is persisted: stale opens fail, fresh opens work
+    with pytest.raises(ValueError, match="rebucket"):
+        _t(spark, tmp_table_dir, num_buckets=2, commit_protocol=protocol)
+    t2 = _t(
+        spark, tmp_table_dir, num_buckets=t.num_buckets, commit_protocol=protocol
+    )
+    assert t2.read().count() == 200
