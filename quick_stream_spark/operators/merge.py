@@ -563,11 +563,23 @@ class KeyedTable:
             # a mix)
             self._write_manifest_commit(df, list(self._log.read().keys()))
         else:
-            self._write(df, "overwrite", repartition=False)
-            if new_n < old_n:
-                # dynamic overwrite only replaces buckets present in the
-                # output — shrinking leaves the tail dirs behind
-                self._drop_bucket_dirs(list(range(new_n, old_n)))
+            df = df.persist()
+            try:
+                # dynamic overwrite replaces only buckets PRESENT in the
+                # output: an old dir whose id receives no rows under the
+                # new assignment would silently keep its stale copies
+                # (shrink tail dirs always; grow dirs whenever the
+                # hash happens to skip an id) — drop every old dir the
+                # write didn't replace
+                kept = {
+                    int(r[0]) for r in df.select(BUCKET_COL).distinct().collect()
+                }
+                self._write(df, "overwrite", repartition=False)
+                self._drop_bucket_dirs(
+                    [b for b in range(old_n) if b not in kept]
+                )
+            finally:
+                df.unpersist()
         self._write_table_properties()
 
     def _write_schema_sidecar(self, schema) -> None:

@@ -71,7 +71,15 @@ class UpsertQuickStream(_StreamBase):
     file counts grow with batch count; periodic policy checks bound
     read amplification without paying a rewrite per batch.  The check
     itself is metadata-only; a rewrite runs only when some bucket
-    exceeds ``auto_compact_max_files``."""
+    exceeds ``auto_compact_max_files``.
+
+    ``auto_rebucket_target_bytes`` (optional): on the same maintenance
+    cadence, run the target's ``maybe_rebucket`` policy — a long-lived
+    ingest stream's table grows without bound, and bucket count must
+    grow with it (~1 GB/bucket) or per-bucket merge partitions
+    eventually stop fitting in executor memory.  The check is one FS
+    stat; a rewrite runs only when the average live bucket exceeds the
+    target.  Requires ``auto_compact_every`` (the shared cadence)."""
 
     def __init__(
         self,
@@ -81,6 +89,7 @@ class UpsertQuickStream(_StreamBase):
         quarantine=None,
         auto_compact_every: int | None = None,
         auto_compact_max_files: int = 8,
+        auto_rebucket_target_bytes: int | None = None,
     ) -> None:
         super().__init__(config)
         self.target = target
@@ -95,8 +104,14 @@ class UpsertQuickStream(_StreamBase):
                 "auto_compact_every requires the inline parquet layout; "
                 "a custom store= backend owns its own compaction"
             )
+        if auto_rebucket_target_bytes is not None and auto_compact_every is None:
+            raise ValueError(
+                "auto_rebucket_target_bytes rides the auto_compact_every "
+                "maintenance cadence; set both"
+            )
         self.auto_compact_every = auto_compact_every
         self.auto_compact_max_files = auto_compact_max_files
+        self.auto_rebucket_target_bytes = auto_rebucket_target_bytes
         self._batches_since_compact = 0
 
     def _maybe_auto_compact(self) -> None:
@@ -105,6 +120,13 @@ class UpsertQuickStream(_StreamBase):
         self._batches_since_compact += 1
         if self._batches_since_compact >= self.auto_compact_every:
             self._batches_since_compact = 0
+            if self.auto_rebucket_target_bytes is not None:
+                # resize first: rebucket's rewrite also compacts, so a
+                # resize batch skips the separate compaction pass
+                if self.target.maybe_rebucket(
+                    target_bucket_bytes=self.auto_rebucket_target_bytes
+                ):
+                    return
             self.target.maybe_compact(
                 max_files_per_bucket=self.auto_compact_max_files
             )

@@ -111,3 +111,70 @@ def test_maybe_rebucket_grows_with_volume(spark, tmp_table_dir, protocol):
         spark, tmp_table_dir, num_buckets=t.num_buckets, commit_protocol=protocol
     )
     assert t2.read().count() == 200
+
+
+def test_streaming_auto_rebucket_grows_bucket_count(spark, tmp_table_dir):
+    """A long-lived ingest stream with auto_rebucket on the maintenance
+    cadence must grow the table's bucket count as volume accumulates,
+    with the end state untouched and properties persisted."""
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.sources.readers import (
+        stream_parquet_dir,
+        write_batches_as_files,
+    )
+    from quick_stream_spark.streaming.stream import UpsertQuickStream
+
+    batches = [
+        _b(spark, [(b * 100 + k, 1, b * 100 + k, "x" * 64) for k in range(100)])
+        for b in range(4)
+    ]
+    src = os.path.join(tmp_table_dir, "in")
+    write_batches_as_files(batches, src)
+    t = _t(spark, tmp_table_dir, num_buckets=2)
+    cfg = QuickStreamConfig(
+        name="auto-rebucket",
+        checkpoint_dir=os.path.join(tmp_table_dir, "ckpt"),
+        buffer_size=1,
+    )
+    UpsertQuickStream(
+        t,
+        config=cfg,
+        newer_wins=True,
+        auto_compact_every=1,
+        auto_rebucket_target_bytes=1024,
+    ).run(
+        stream_parquet_dir(spark, src, batches[0].schema),
+        available_now=True,
+        await_termination=True,
+    )
+    assert t.num_buckets > 2
+    assert t.read().count() == 400
+    # persisted: a fresh open must use the grown count
+    t2 = _t(spark, tmp_table_dir, num_buckets=t.num_buckets)
+    assert t2.read().count() == 400
+
+
+def test_auto_rebucket_requires_the_maintenance_cadence(spark, tmp_table_dir):
+    import pytest as _pytest
+
+    from quick_stream_spark.streaming.stream import UpsertQuickStream
+
+    with _pytest.raises(ValueError, match="cadence"):
+        UpsertQuickStream(
+            _t(spark, tmp_table_dir), auto_rebucket_target_bytes=1024
+        )
+
+
+@pytest.mark.parametrize("protocol", ["direct", "manifest"])
+def test_rebucket_growth_replaces_every_old_dir(spark, tmp_table_dir, protocol):
+    """The stale-dir hazard: growing to a much larger count with few
+    keys leaves some OLD bucket ids with no rows under the new
+    assignment — dynamic overwrite would keep those dirs' stale copies
+    (caught as 405/400 rows in the streaming test before the fix).
+    Five keys into 64 buckets makes the skip near-certain."""
+    t = _t(spark, tmp_table_dir, commit_protocol=protocol)
+    t.upsert(_b(spark, [(k, 1, k, f"v-{k}") for k in range(5)]))
+    t.rebucket(64)
+    state = t.read()
+    assert state.count() == 5
+    assert state.groupBy("pkey").count().filter("count > 1").count() == 0
