@@ -437,3 +437,314 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_distinct"),
         (est - F.col("exact_distinct")).alias("err"),
     )
+
+
+# ------------------------------------------------- HyperLogLog registers
+
+HLL_P = 12  # bucket bits
+HLL_M = 4096  # registers = 2^p (~4 KB of byte registers in a real impl)
+HLL_RMAX = 37  # max rank: 36 remainder bits (48-bit hash - p) + 1
+# Flajolet et al. 2007 bias constant for m >= 128; the Python repr is
+# inlined into BOTH engines' expressions so they parse the same double.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha's companion scale: m^2 * 2^37 = 2^61 — an exact power of two,
+# exactly representable as a double in both engines.
+HLL_C = 2305843009213693952
+
+
+def _hll_h_sql(tag: str, key_expr: str) -> str:
+    """48-bit positive hash (12 md5 hex chars) — bucket = low 12 bits,
+    rank comes from the 36-bit remainder."""
+    return (
+        f"(('0x' || substr(md5('hll:{tag}:' || CAST({key_expr} AS VARCHAR)), 1, 12))"
+        f"::BIGINT)"
+    )
+
+
+def _hll_h(tag: str, key) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"hll:{tag}:"), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
+_HLL_RHO_SQL = (
+    f"CASE WHEN h // {HLL_M} = 0 THEN {HLL_RMAX} "
+    f"ELSE {HLL_RMAX} - length(bin(h // {HLL_M})) END"
+)
+
+
+@register(
+    "sketch_hll_registers",
+    oracle=f"""
+    WITH base AS (
+      {" UNION ALL ".join(f"SELECT '{t}' AS key_name, {_hll_h_sql(t, c)} AS h, {c} AS k FROM {tbl}" for t, tbl, c in _LC_KEYS)}
+    ),
+    regs AS (
+      SELECT key_name, h % {HLL_M} AS bucket, MAX({_HLL_RHO_SQL}) AS r
+      FROM base GROUP BY key_name, h % {HLL_M}
+    ),
+    agg AS (
+      SELECT key_name, CAST(count(*) AS BIGINT) AS filled,
+             CAST(SUM(1::BIGINT << ({HLL_RMAX} - r)) AS BIGINT) AS s_part
+      FROM regs GROUP BY key_name
+    ),
+    ex AS (
+      SELECT key_name, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+      FROM base GROUP BY key_name
+    ),
+    est AS (
+      SELECT a.key_name, a.filled, e.exact_distinct,
+             CAST(round({HLL_ALPHA!r} * CAST({HLL_C} AS DOUBLE)
+                        / CAST(a.s_part + ({HLL_M} - a.filled)
+                               * (1::BIGINT << {HLL_RMAX}) AS DOUBLE))
+                  AS BIGINT) AS raw_est
+      FROM agg a JOIN ex e USING (key_name)
+    ),
+    corrected AS (
+      SELECT key_name, filled, exact_distinct, raw_est,
+             CASE WHEN filled < {HLL_M} AND raw_est * 2 < 5 * {HLL_M}
+                  THEN CAST(round(-{HLL_M} * ln(CAST({HLL_M} - filled AS DOUBLE)
+                                                / {HLL_M})) AS BIGINT)
+                  ELSE raw_est END AS est_distinct
+      FROM est
+    )
+    SELECT key_name, {HLL_M} AS m, filled, raw_est, est_distinct, exact_distinct,
+           est_distinct - exact_distinct AS err
+    FROM corrected
+    """,
+    tags=("sketch", "distinct", "hll"),
+    pytest_only=True,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation by explicit HyperLogLog registers
+    (Flajolet et al. 2007) with the small-range linear-counting
+    correction — the oracle-checkable counterpart of
+    ``agg_approx_distinct_users`` (whose engine-internal HLL++ sketch
+    bytes are not portable, forcing a rows-only check).  Here the full
+    register pipeline is md5-derived integer arithmetic both engines
+    replay bit-exactly: a 48-bit hash splits into a {HLL_P}-bit bucket
+    and a 36-bit remainder whose leading-zero rank is
+    ``{HLL_RMAX} - bit_length`` (bit_length = ``length(bin(w))`` —
+    string length of the binary rendering, no float log2 anywhere), and
+    the harmonic mean is computed on INTEGERS by scaling 2^-r terms by
+    2^{HLL_RMAX} (empty registers contribute 2^{HLL_RMAX} each; the sum
+    is <= m * 2^{HLL_RMAX} = 2^49, well inside BIGINT).  The only float
+    ops are the final alpha*2^61/s estimate and the small-range ln, each
+    a single correctly-rounded-literal expression evaluated identically
+    by both engines and immediately rounded to an integer.
+
+    Scale design: registers reduce by MAX — map-side partial max bounds
+    reduce input at (tasks x m) rows regardless of data volume, and
+    sketches for different days/streams/partitions merge by the same
+    register-wise max (the HLL merge law), making this a one-pass,
+    shuffle-bounded, associatively-mergeable distinct count.  Checked
+    against the exact distinct count for three lineitem key columns
+    whose cardinalities straddle the correction cutoff (2.5m), so BOTH
+    the raw-harmonic path and the linear-counting path execute.
+
+    Reference scope note: the reference engine (quick-stream) has no
+    sketch layer; this extends the warehouse tier per SURVEY §2.3."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    sides = []
+    for tag, _tbl, c in _LC_KEYS:
+        h = _hll_h(tag, F.col(c))
+        sides.append(
+            li.select(
+                F.lit(tag).alias("key_name"),
+                (h % HLL_M).alias("bucket"),
+                F.when(F.shiftright(h, HLL_P) == 0, F.lit(HLL_RMAX))
+                .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(F.shiftright(h, HLL_P))))
+                .alias("rho"),
+                F.col(c).alias("k"),
+            )
+        )
+    base = sides[0]
+    for s in sides[1:]:
+        base = base.unionByName(s)
+    regs = base.groupBy("key_name", "bucket").agg(F.max("rho").alias("r"))
+    agg = regs.groupBy("key_name").agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - r)")).alias("s_part"),
+    )
+    ex = base.groupBy("key_name").agg(F.count_distinct("k").alias("exact_distinct"))
+    s_full = F.col("s_part") + (F.lit(HLL_M) - F.col("filled")) * F.lit(1 << HLL_RMAX)
+    raw = F.round(
+        F.lit(HLL_ALPHA) * F.lit(HLL_C).cast("double") / s_full.cast("double")
+    ).cast("long")
+    est = agg.join(ex, "key_name").withColumn("raw_est", raw)
+    lc = F.round(
+        -F.lit(HLL_M)
+        * F.log((F.lit(HLL_M) - F.col("filled")).cast("double") / HLL_M)
+    ).cast("long")
+    corrected = F.when(
+        (F.col("filled") < HLL_M) & (F.col("raw_est") * 2 < 5 * HLL_M), lc
+    ).otherwise(F.col("raw_est"))
+    return est.select(
+        "key_name",
+        F.lit(HLL_M).alias("m"),
+        "filled",
+        "raw_est",
+        corrected.alias("est_distinct"),
+        "exact_distinct",
+        (corrected - F.col("exact_distinct")).alias("err"),
+    )
+
+
+# ------------------------------------- sketch set operations (theta-style)
+
+SO_M = 16384  # bitmap bits: load stays < 1 per segment at test SF
+SO_PIVOT = "1998-05-28"  # lineitem shipdate median: h1/h2 segments
+
+
+def _so_pos_sql(key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('so:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SO_M})"
+    )
+
+
+_SO_EST_SQL = "CAST(round(-{m} * ln(CAST({m} - {f} AS DOUBLE) / {m})) AS BIGINT)".format
+
+
+@register(
+    "sketch_set_ops_distinct",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_so_pos_sql("l_orderkey")} AS p, l_orderkey AS k,
+             l_shipdate < DATE '{SO_PIVOT}' AS in_h1
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT
+        CAST(count(DISTINCT CASE WHEN in_h1 THEN p END) AS BIGINT) AS f1,
+        CAST(count(DISTINCT CASE WHEN NOT in_h1 THEN p END) AS BIGINT) AS f2,
+        CAST(count(DISTINCT p) AS BIGINT) AS fu,
+        CAST(count(DISTINCT CASE WHEN in_h1 THEN k END) AS BIGINT) AS x1,
+        CAST(count(DISTINCT CASE WHEN NOT in_h1 THEN k END) AS BIGINT) AS x2,
+        CAST(count(DISTINCT k) AS BIGINT) AS xu
+      FROM base
+    ),
+    est AS (
+      SELECT {_SO_EST_SQL(m=SO_M, f="f1")} AS e1,
+             {_SO_EST_SQL(m=SO_M, f="f2")} AS e2,
+             {_SO_EST_SQL(m=SO_M, f="fu")} AS eu,
+             x1, x2, xu
+      FROM agg
+    )
+    SELECT 'ship_h1' AS set_name, e1 AS est_distinct, x1 AS exact_distinct,
+           e1 - x1 AS err FROM est
+    UNION ALL
+    SELECT 'ship_h2', e2, x2, e2 - x2 FROM est
+    UNION ALL
+    SELECT 'union', eu, xu, eu - xu FROM est
+    UNION ALL
+    SELECT 'intersect', e1 + e2 - eu, x1 + x2 - xu,
+           (e1 + e2 - eu) - (x1 + x2 - xu) FROM est
+    """,
+    tags=("sketch", "distinct", "set-ops"),
+    pytest_only=True,
+)
+def sketch_set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on distinct-count sketches — the theta-sketch
+    workload (Dasgupta et al., DataSketches): how many distinct orders
+    shipped lineitems in BOTH halves of the time range (the straddling
+    band), without ever materializing
+    the intersection?  Each segment keeps a {SO_M}-bit linear-counting
+    bitmap (segment bitmaps merge by OR, so the union estimate comes
+    from the OR'd bitmap = the distinct positions over both segments in
+    one pass) and the intersection is inclusion-exclusion over the three
+    ROUNDED integer estimates — pure integer arithmetic after three
+    single-ln estimates, deterministic in both engines.  The exact
+    side (distinct parts per segment) verifies every leg, intersection
+    included, via the same inclusion-exclusion identity on exact counts.
+    Orders are the key precisely because most ship entirely on one side
+    of the pivot: the segments genuinely partially overlap, so the
+    intersection estimate is a real derived quantity, not a subset
+    degenerate.
+
+    Scale design: ONE pass over lineitem; the shuffle carries at most
+    3 x {SO_M} distinct (segment, bit) pairs per map task regardless of
+    volume (map-side-combinable distinct), and per-segment bitmaps are
+    the persistable state — daily sketches union by bit-OR exactly like
+    production theta/HLL set-op pipelines, with intersection always
+    derived, never joined.
+
+    Reference scope note: extends the warehouse tier per SURVEY §2.3;
+    no counterpart in the reference engine."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("so:"), F.col("l_orderkey").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SO_M
+    )
+    in_h1 = F.col("l_shipdate") < F.lit(SO_PIVOT).cast("date")
+    base = li.select(
+        pos.alias("p"), F.col("l_orderkey").alias("k"), in_h1.alias("in_h1")
+    )
+    agg = base.agg(
+        F.count_distinct(F.when(F.col("in_h1"), F.col("p"))).alias("f1"),
+        F.count_distinct(F.when(~F.col("in_h1"), F.col("p"))).alias("f2"),
+        F.count_distinct("p").alias("fu"),
+        F.count_distinct(F.when(F.col("in_h1"), F.col("k"))).alias("x1"),
+        F.count_distinct(F.when(~F.col("in_h1"), F.col("k"))).alias("x2"),
+        F.count_distinct("k").alias("xu"),
+    )
+
+    def _est(f: str) -> F.Column:
+        return F.round(
+            -F.lit(SO_M) * F.log((F.lit(SO_M) - F.col(f)).cast("double") / SO_M)
+        ).cast("long")
+
+    one = agg.select(
+        _est("f1").alias("e1"),
+        _est("f2").alias("e2"),
+        _est("fu").alias("eu"),
+        "x1",
+        "x2",
+        "xu",
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ship_h1").alias("set_name"),
+                    F.col("e1").alias("est_distinct"),
+                    F.col("x1").alias("exact_distinct"),
+                    (F.col("e1") - F.col("x1")).alias("err"),
+                ),
+                F.struct(
+                    F.lit("ship_h2").alias("set_name"),
+                    F.col("e2").alias("est_distinct"),
+                    F.col("x2").alias("exact_distinct"),
+                    (F.col("e2") - F.col("x2")).alias("err"),
+                ),
+                F.struct(
+                    F.lit("union").alias("set_name"),
+                    F.col("eu").alias("est_distinct"),
+                    F.col("xu").alias("exact_distinct"),
+                    (F.col("eu") - F.col("xu")).alias("err"),
+                ),
+                F.struct(
+                    F.lit("intersect").alias("set_name"),
+                    (F.col("e1") + F.col("e2") - F.col("eu")).alias("est_distinct"),
+                    (F.col("x1") + F.col("x2") - F.col("xu")).alias("exact_distinct"),
+                    (
+                        (F.col("e1") + F.col("e2") - F.col("eu"))
+                        - (F.col("x1") + F.col("x2") - F.col("xu"))
+                    ).alias("err"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows
