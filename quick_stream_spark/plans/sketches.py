@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quick_stream_spark.functions import hll as _hll
 from quick_stream_spark.plans._util import pin_session
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
@@ -440,39 +441,20 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- HyperLogLog registers
+# Arithmetic lives in functions/hll.py, shared with the streaming
+# counter (streaming/distinct_index.py); this query instantiates it at
+# p=12 over three lineitem key columns and pins it against the exact
+# distinct counts.
 
 HLL_P = 12  # bucket bits
-HLL_M = 4096  # registers = 2^p (~4 KB of byte registers in a real impl)
-HLL_RMAX = 37  # max rank: 36 remainder bits (48-bit hash - p) + 1
-# Flajolet et al. 2007 bias constant for m >= 128; the Python repr is
-# inlined into BOTH engines' expressions so they parse the same double.
-HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
-# alpha's companion scale: m^2 * 2^37 = 2^61 — an exact power of two,
-# exactly representable as a double in both engines.
-HLL_C = 2305843009213693952
+HLL_M = 1 << HLL_P  # 4096 registers (~4 KB of byte registers for real)
+HLL_RMAX = _hll.rmax(HLL_P)  # 37: 36 remainder bits (48-bit hash - p) + 1
+HLL_ALPHA = _hll.alpha(HLL_P)  # Flajolet bias constant, repr-inlined
+HLL_C = _hll.scale_c(HLL_P)  # m^2 * 2^37 = 2^61, double-exact
 
-
-def _hll_h_sql(tag: str, key_expr: str) -> str:
-    """48-bit positive hash (12 md5 hex chars) — bucket = low 12 bits,
-    rank comes from the 36-bit remainder."""
-    return (
-        f"(('0x' || substr(md5('hll:{tag}:' || CAST({key_expr} AS VARCHAR)), 1, 12))"
-        f"::BIGINT)"
-    )
-
-
-def _hll_h(tag: str, key) -> F.Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"hll:{tag}:"), key.cast("string"))), 1, 12),
-        16,
-        10,
-    ).cast("long")
-
-
-_HLL_RHO_SQL = (
-    f"CASE WHEN h // {HLL_M} = 0 THEN {HLL_RMAX} "
-    f"ELSE {HLL_RMAX} - length(bin(h // {HLL_M})) END"
-)
+_hll_h = _hll.hash48
+_hll_h_sql = _hll.hash48_sql
+_HLL_RHO_SQL = _hll.rho_sql(HLL_P)
 
 
 @register(
@@ -550,48 +532,33 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey"
     )
-    sides = []
+    reg_sides, ex_sides = [], []
     for tag, _tbl, c in _LC_KEYS:
-        h = _hll_h(tag, F.col(c))
-        sides.append(
-            li.select(
-                F.lit(tag).alias("key_name"),
-                (h % HLL_M).alias("bucket"),
-                F.when(F.shiftright(h, HLL_P) == 0, F.lit(HLL_RMAX))
-                .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(F.shiftright(h, HLL_P))))
-                .alias("rho"),
-                F.col(c).alias("k"),
+        reg_sides.append(
+            _hll.register_table(li, tag, F.col(c), HLL_P).select(
+                F.lit(tag).alias("key_name"), "bucket", "r"
             )
         )
-    base = sides[0]
-    for s in sides[1:]:
-        base = base.unionByName(s)
-    regs = base.groupBy("key_name", "bucket").agg(F.max("rho").alias("r"))
-    agg = regs.groupBy("key_name").agg(
-        F.count(F.lit(1)).alias("filled"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - r)")).alias("s_part"),
-    )
-    ex = base.groupBy("key_name").agg(F.count_distinct("k").alias("exact_distinct"))
-    s_full = F.col("s_part") + (F.lit(HLL_M) - F.col("filled")) * F.lit(1 << HLL_RMAX)
-    raw = F.round(
-        F.lit(HLL_ALPHA) * F.lit(HLL_C).cast("double") / s_full.cast("double")
-    ).cast("long")
-    est = agg.join(ex, "key_name").withColumn("raw_est", raw)
-    lc = F.round(
-        -F.lit(HLL_M)
-        * F.log((F.lit(HLL_M) - F.col("filled")).cast("double") / HLL_M)
-    ).cast("long")
-    corrected = F.when(
-        (F.col("filled") < HLL_M) & (F.col("raw_est") * 2 < 5 * HLL_M), lc
-    ).otherwise(F.col("raw_est"))
+        ex_sides.append(
+            li.groupBy()
+            .agg(F.count_distinct(c).alias("exact_distinct"))
+            .select(F.lit(tag).alias("key_name"), "exact_distinct")
+        )
+    regs = reg_sides[0]
+    for s in reg_sides[1:]:
+        regs = regs.unionByName(s)
+    ex = ex_sides[0]
+    for s in ex_sides[1:]:
+        ex = ex.unionByName(s)
+    est = _hll.estimate(regs, HLL_P, ("key_name",)).join(ex, "key_name")
     return est.select(
         "key_name",
         F.lit(HLL_M).alias("m"),
         "filled",
         "raw_est",
-        corrected.alias("est_distinct"),
+        "est_distinct",
         "exact_distinct",
-        (corrected - F.col("exact_distinct")).alias("err"),
+        (F.col("est_distinct") - F.col("exact_distinct")).alias("err"),
     )
 
 

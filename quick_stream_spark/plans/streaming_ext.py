@@ -613,6 +613,93 @@ def stream_matview_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+STREAM_HLL_P = 10  # m=1024 registers per event_type
+
+
+@register(
+    "stream_distinct_hll",
+    oracle=None,  # set below: shared HLL CTE stack + exact join
+    tags=("streaming", "sketch", "distinct", "hll"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct counting with HyperLogLog register state
+    (streaming/distinct_index.py) — the scale-independent sibling of
+    ``stream_matview_distinct_users``: the LC bitmap's estimate
+    saturates as cardinality approaches m, HLL registers keep ~1.04/
+    sqrt(m) relative error at ANY cardinality from the same 2^p rows of
+    state per group.  Distinct event_ids per event_type maintained
+    across a 3-delivery replay via an append-only register log (each
+    batch appends its own bounded (group, bucket, max-rank) table;
+    readers max-merge on scan).  Max-merge is idempotent + commutative
+    + associative, so the drained state equals the one-shot batch
+    sketch regardless of delivery chunking OR at-least-once replays —
+    exactly what the oracle states by replaying the register math on
+    the whole table at once (functions/hll.py, shared with
+    ``sketch_hll_registers``)."""
+    import tempfile as _tf
+
+    from quick_stream_spark.streaming.distinct_index import (
+        StreamingDistinctCounter,
+    )
+
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = _tf.mkdtemp(prefix="qss-hll-")
+    from quick_stream_spark.sources.readers import write_split_as_files
+
+    write_split_as_files(ev, F.col("event_id") % 3, 3, work + "/in")
+    counter = StreamingDistinctCounter(
+        spark,
+        work + "/state",
+        key_col="event_id",
+        group_cols=("event_type",),
+        p=STREAM_HLL_P,
+        tag="stream",
+    )
+    counter.config.checkpoint_dir = work + "/ckpt"
+    stream = stream_parquet_dir(spark, work + "/in", ev.schema)
+    with scoped_shuffle(spark, _stream_parts(spark, sf_dir)):
+        counter.run(stream, available_now=True)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("exact_distinct")
+    )
+    return (
+        counter.estimate()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "filled",
+            "raw_est",
+            "est_distinct",
+            "exact_distinct",
+            (F.col("est_distinct") - F.col("exact_distinct")).alias("err"),
+        )
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from quick_stream_spark.functions import hll as _hll
+
+    est = _hll.estimate_sql(
+        STREAM_HLL_P, "stream", "event_id", "events", ("event_type",)
+    )
+    return f"""
+    SELECT e.event_type, e.filled, e.raw_est, e.est_distinct,
+           x.exact_distinct, e.est_distinct - x.exact_distinct AS err
+    FROM ({est}) e
+    JOIN (SELECT event_type,
+                 CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+          FROM events GROUP BY event_type) x
+    USING (event_type)
+    """
+
+
+from quick_stream_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["stream_distinct_hll"].oracle = " ".join(_stream_hll_oracle().split())
+
+
 # ------------------------------------------------- streaming ANN index
 
 
