@@ -160,6 +160,67 @@ def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORDER_HASH_SQL = (
+    "(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+)
+ORDER_BUCKET_BITS = 6  # 64 range buckets over the hash's high bits
+
+
+@register(
+    "sample_training_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_ORDER_HASH_SQL} AS hv FROM documents
+    )
+    SELECT doc_id,
+           hv // {1 << (60 - ORDER_BUCKET_BITS)} AS bucket,
+           CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("sampling", "pipeline", "ordering"),
+    pytest_only=True,
+)
+def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — every document gets
+    a stable position 0..N-1 in hash order (the epoch-shuffle a training
+    pipeline materializes so examples stream in a reproducible
+    pseudo-random order) — WITHOUT the global sort a naive
+    ``row_number() OVER (ORDER BY hash)`` plans (one reducer holding
+    the corpus).  The hash's {ORDER_BUCKET_BITS} high bits are
+    order-preserving range buckets, so the global position decomposes
+    into (sum of earlier buckets' counts) + (rank within the bucket):
+    the counts make a {1 << ORDER_BUCKET_BITS}-row offset artifact (the
+    only single-partition step — bounded by the bucket count, not the
+    data) broadcast back onto a bucket-partitioned window.  The data
+    never range-shuffles to one machine; per-bucket load is uniform
+    because md5 is.  At 100 TB the bucket count is the parallelism
+    dial (high bits, so more buckets still nest inside the same
+    order).  Seeded re-shuffles are a tag change ('order:' -> epoch
+    tag); ties broken by doc_id in both engines for total order."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    base = d.select("doc_id", hv.alias("hv"), F.shiftright(hv, 60 - ORDER_BUCKET_BITS).alias("bucket"))
+    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off")
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy(F.asc("hv"), F.asc("doc_id"))
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("off") + F.row_number().over(in_bucket) - 1).alias("pos"),
+        )
+    )
+
+
 @register(
     "pipeline_training_data",
     oracle=None,  # set below: assembled from the same function twins

@@ -348,3 +348,15 @@ def test_new_tpch_exports_broadcast_dims_and_partial_aggregate(spark):
         assert "partial_sum" in plan or "partial_count" in plan, name
         exch = len(re.findall(r"\(\d+\) Exchange", plan))
         assert exch <= max_exch, f"{name}: {exch} exchanges\n{plan}"
+
+
+def test_training_order_avoids_global_sort(spark):
+    """The global training-order enumeration must never plan a
+    rangepartitioning (the one-reducer global sort a naive
+    row_number-over-hash would take): positions come from
+    bucket-partitioned windows plus the broadcast 64-row offset
+    artifact — only hashpartitioning(bucket) exchanges touch data."""
+    plan = _formatted(spark, "sample_training_order")
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(bucket" in plan
+    assert "BroadcastExchange" in plan  # offsets ride a broadcast, not a shuffle join
