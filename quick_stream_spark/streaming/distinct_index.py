@@ -9,8 +9,8 @@ Design: an append-only *register log*.  Each micro-batch reduces to its
 own (group..., bucket, max-rank) register table — at most groups x m
 rows regardless of batch volume — and APPENDS it (one bounded parquet
 append per batch, no read-modify-write).  Readers max-merge on scan;
-:meth:`compact` rewrites the log down to one merged register table
-under an atomic snapshot swap so storage stays bounded across many
+:meth:`compact` (a between-batches maintenance pass) rewrites the log
+down to one merged register table so storage stays bounded across many
 batches.
 
 Replay safety falls out of the algebra instead of needing a dedup
@@ -30,7 +30,6 @@ drained stream state is pinned equal to the one-shot batch sketch.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,22 +89,16 @@ class StreamingDistinctCounter(_StreamBase):
 
     def compact(self) -> None:
         """Rewrite the log to its merged form (bounded at groups x m
-        rows) under an atomic directory swap: readers see either the
-        old log or the merged one, never a partial state."""
+        rows).  Maintenance pass — run it between micro-batches or with
+        the stream stopped, like the near-dup index's
+        ``compact_reservoir`` (a batch appending concurrently with the
+        rewrite could land in the replaced directory).  Skipping it is
+        always SAFE for correctness: readers max-merge the raw log; the
+        rewrite only bounds storage."""
         if not self._log_exists:
             return
-        merged = self.registers()
-        tmp = self.log_path + f"._compact-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        from quick_stream_spark.operators.merge import _hadoop_fs
-
-        fs, cur, _ = _hadoop_fs(self.spark, self.log_path)
-        _, tmp_p, _ = _hadoop_fs(self.spark, tmp)
-        trash = self.log_path + f"._old-{uuid.uuid4().hex[:8]}"
-        _, trash_p, _ = _hadoop_fs(self.spark, trash)
-        fs.rename(cur, trash_p)
-        fs.rename(tmp_p, cur)
-        fs.delete(trash_p, True)
+        merged = self.registers().localCheckpoint(eager=True)  # sever lineage
+        merged.write.mode("overwrite").parquet(self.log_path)
 
     # ------------------------------------------------------------ batch
 
