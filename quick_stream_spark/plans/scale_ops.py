@@ -894,6 +894,82 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_HASH_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+_MIX_RATE_SQL = "(1 + (CAST(substr(source, 4, 10) AS INT) % 4) * 0.5)"
+
+
+@register(
+    "sample_mixture_upsample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, {_MIX_RATE_SQL} AS rate,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_MIX_HASH_SQL}, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, source, rate,
+             CAST(floor(rate) + CASE WHEN rk <= ceil((rate - floor(rate)) * n)
+                                     THEN 1 ELSE 0 END AS INT) AS repeats
+      FROM ranked
+    )
+    SELECT doc_id, source, rate, repeats, CAST(u.c AS INT) AS copy
+    FROM rep, UNNEST(range(repeats)) AS u(c)
+    """,
+    tags=("sampling", "pipeline", "mixture"),
+    pytest_only=True,
+)
+def sample_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture UPSAMPLING materializer — the other half of the training
+    mix: ``sample_domain_mixture`` downsamples over-represented sources
+    (rate <= 1, keep flag), this repeats under-represented ones (rate >
+    1, e.g. a curated source run for 2.5 epochs) by materializing one
+    row per (doc, epoch copy).  Exact per-source totals: every doc gets
+    floor(rate) copies, and the fractional remainder goes to the first
+    ceil(frac x n) docs by content-hash rank within the source — so the
+    output size is exactly floor(rate)*n + ceil(frac*n) per source,
+    reproducible across runs/engines/cluster sizes, and a doc's repeat
+    count never changes when OTHER sources grow.  Rates here derive
+    from the source id (1.0/1.5/2.0/2.5) standing in for a mixture
+    config; fractional parts are exact binary halves, so floor/ceil are
+    engine-stable.
+
+    Scale design: ONE rank shuffle partitioned by source (per-reducer
+    load bounded by the largest source), then a row-local
+    explode(sequence(...)) — the repeat materialization never
+    shuffles.  At 100 TB you'd keep (doc_id, repeats) as the artifact
+    and explode lazily at read time; both shapes are this plan."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    rate = 1 + (F.substring("source", 4, 10).cast("int") % 4) * F.lit(0.5)
+    full_h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(full_h.asc(), F.col("doc_id").asc())
+    stratum = Window.partitionBy("source")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        rate.alias("rate"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(stratum).alias("n"),
+    )
+    repeats = (
+        F.floor("rate")
+        + F.when(
+            F.col("rk") <= F.ceil((F.col("rate") - F.floor("rate")) * F.col("n")), 1
+        ).otherwise(0)
+    ).cast("int")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rate",
+        repeats.alias("repeats"),
+        F.explode(F.sequence(F.lit(0), repeats - 1)).alias("copy"),
+    )
+
+
 # --------------------------------------------- quality-stratified sampling
 
 # keep-rates per quality tier: all of the best, half of the middle
