@@ -700,6 +700,116 @@ from quick_stream_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 _REG["stream_distinct_hll"].oracle = " ".join(_stream_hll_oracle().split())
 
 
+def _stream_cms_oracle() -> str:
+    from quick_stream_spark.plans.sketches import (
+        CMS_TOPK,
+        _cms_counters_sql,
+        _cms_probe_sql,
+    )
+
+    return f"""
+    WITH counters AS ({_cms_counters_sql()}),
+    exact AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    top AS (
+      SELECT l_partkey, exact_n FROM exact
+      ORDER BY exact_n DESC, l_partkey ASC LIMIT {CMS_TOPK}
+    ),
+    probe AS ({_cms_probe_sql()})
+    SELECT p.l_partkey, p.exact_n,
+           min(c.c) AS cms_n,
+           min(c.c) - p.exact_n AS overestimate
+    FROM probe p JOIN counters c ON c.j = p.j AND c.idx = p.idx
+    GROUP BY p.l_partkey, p.exact_n
+    """
+
+
+@register(
+    "stream_countmin_heavy_hitters",
+    oracle=None,  # set below: identical to the batch CMS oracle
+    tags=("streaming", "sketch", "countmin", "heavy-hitters"),
+    pytest_only=True,  # driver window is full; oracle-checked locally
+)
+def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters maintained over a STREAM — the
+    sum-monoid member completing the streaming-sketch family (bitmap
+    union in ``stream_matview_distinct_users``, register max in
+    ``stream_distinct_hll``): CMS counters are ADDITIVE, so unlike the
+    other two monoids a replayed delivery would double-count — which is
+    exactly why the counters live in an :class:`IncrementalAggView`
+    (its stored ``_batch_id`` transaction id makes retried epochs
+    no-ops, the idempotent-foreachBatch recipe pinned by
+    test_matview.py).  Each micro-batch explodes its rows into
+    {CMS_D}x(row, index) keys and additively merges at most
+    {CMS_D}x{CMS_W} touched counters; the drained counter table equals
+    the one-shot batch sketch (additivity = chunking independence), so
+    the oracle is byte-identical to ``sketch_countmin_heavy_hitters``'s
+    and the probe reads min-over-rows for the exact top parts."""
+    import tempfile as _tf
+
+    from quick_stream_spark.plans.sketches import CMS_D, CMS_TOPK, _cms_idx
+    from quick_stream_spark.sources.readers import write_split_as_files
+    from quick_stream_spark.streaming.matview import IncrementalAggView
+
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    work = _tf.mkdtemp(prefix="qss-cms-")
+    write_split_as_files(li, F.col("l_orderkey") % 3, 3, work + "/in")
+
+    def hashes(key) -> F.Column:
+        return F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cms_idx(j, key).alias("idx"))
+                for j in range(CMS_D)
+            ]
+        )
+
+    view = IncrementalAggView(
+        spark, work + "/view", group_cols=["j", "idx"], value_col="w"
+    )
+    stream = stream_parquet_dir(spark, work + "/in", li.schema)
+    keyed = (
+        stream.select(F.explode(hashes(F.col("l_partkey"))).alias("p"))
+        .select("p.j", "p.idx", F.lit(1.0).alias("w"))
+    )
+    with scoped_shuffle(spark, _stream_parts(spark, sf_dir)):
+        q = (
+            keyed.writeStream.queryName(f"cms_{abs(hash(work)) % 10**8}")
+            .foreachBatch(view.foreach_batch())
+            .option("checkpointLocation", work + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    counters = view.read().select("j", "idx", F.col("n").alias("c"))
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("l_partkey")).limit(CMS_TOPK)
+    probe = top.select(
+        "l_partkey", "exact_n", F.explode(hashes(F.col("l_partkey"))).alias("p")
+    ).select("l_partkey", "exact_n", "p.j", "p.idx")
+    return (
+        probe.join(F.broadcast(counters), ["j", "idx"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .select(
+            "l_partkey",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+_REG2 = __import__(
+    "quick_stream_spark.plans.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG2["stream_countmin_heavy_hitters"].oracle = " ".join(
+    _stream_cms_oracle().split()
+)
+
+
 # ------------------------------------------------- streaming ANN index
 
 

@@ -1284,3 +1284,63 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(canon, "entity_id")
         .select("entity_id", "n_members", "canonical_name")
     )
+
+
+# --------------------------------------------- privacy / governance audit
+
+PRIV_K = 10  # k-anonymity floor per quasi-identifier cell
+PRIV_L = 2  # l-diversity floor for the sensitive attribute
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) < {PRIV_K} AS k_violation,
+           CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) AS l_distinct,
+           count(DISTINCT c_acctbal < 0) < {PRIV_L} AS l_violation
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    tags=("warehouse", "privacy", "governance"),
+    pytest_only=True,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) — the release-gating check a data-governance pipeline
+    runs before publishing quasi-identified records: a cell of the
+    quasi-identifier grid (nation x market segment) violates
+    k-anonymity when fewer than k={PRIV_K} records share it (those
+    records are re-identifiable), and violates l-diversity when the
+    sensitive attribute (here the account-balance sign, standing in
+    for any binary sensitive flag) takes fewer than l={PRIV_L} distinct
+    values inside the cell — the homogeneity attack: an attacker who
+    only knows the QI learns the sensitive bit even though the cell is
+    k-anonymous.  Emits one row per cell so the suppression /
+    generalization step can act on exactly the violating cells.
+
+    Scale design: ONE map-side-combinable groupBy over the QI columns
+    — reduce input bounded by (tasks x |QI grid|), independent of row
+    count; both checks ride the same aggregate.  At 100 TB this is the
+    same one-pass shape as any profiling aggregate."""
+    pin_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nation_key"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("c_acctbal") < 0).alias("l_distinct"),
+        )
+        .select(
+            "nation_key",
+            "segment",
+            "n",
+            (F.col("n") < PRIV_K).alias("k_violation"),
+            "l_distinct",
+            (F.col("l_distinct") < PRIV_L).alias("l_violation"),
+        )
+    )
