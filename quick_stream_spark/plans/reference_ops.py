@@ -618,7 +618,6 @@ _CDC_S2_SQL = """
     WHERE s1.event_id <> s2.event_id
     """,
     tags=("reference", "merge", "manifest", "cdc"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed over the two-commit replay: commit 1 merges the
@@ -701,11 +700,11 @@ def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM latest
-    WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+    WHERE user_id NOT IN (SELECT user_id FROM events
+                          WHERE event_type = 'error' AND user_id % 5 = 0)
     GROUP BY event_type
     """,
     tags=("reference", "manifest", "cdc", "matview", "incremental"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-driven incremental view maintenance
@@ -715,10 +714,12 @@ def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     matview cannot: UPDATES move (+post − pre) between groups and
     soft deletes subtract, with per-commit work bounded by change
     volume (read_changes prunes to changed buckets).  Three source
-    commits (even events, odd events batch-wins, soft-delete of error
-    users) with a mid-history sync; the oracle is the direct aggregate
-    of the final active state — equality IS the IVM correctness
-    contract."""
+    commits (even events, odd events batch-wins, soft-delete of the
+    error users in the ``user_id % 5 == 0`` slice — a subset, so the
+    final state stays non-empty at every SF and the equality actually
+    constrains the deltas) with a mid-history sync; the oracle is the
+    direct aggregate of the final active state — equality IS the IVM
+    correctness contract."""
     from quick_stream_spark.streaming.matview import CdcAggView
 
     ev = _events(spark, sf_dir)
@@ -729,7 +730,9 @@ def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         source.upsert(ev.filter(F.col("event_id") % 2 == 0))
         view.sync()
         source.upsert(ev.filter(F.col("event_id") % 2 == 1))
-        source.soft_delete(ev.filter(F.col("event_type") == "error"))
+        source.soft_delete(
+            ev.filter((F.col("event_type") == "error") & (F.col("user_id") % 5 == 0))
+        )
         view.sync()
     return view.read()
 

@@ -358,7 +358,6 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotion revenue share — conditional decimal
@@ -1069,6 +1068,7 @@ def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("scalar", "variant", "json"),
+    pytest_only=True,
 )
 def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through Spark 4's VARIANT type: the JSON
@@ -1108,6 +1108,7 @@ _RECURSIVE_HIERARCHY_SQL = """
     "recursive_cte_hierarchy",
     oracle=_RECURSIVE_HIERARCHY_SQL,
     tags=("sql", "recursive"),
+    pytest_only=True,
 )
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE through Spark's SQL front end (WITH RECURSIVE,
@@ -1141,6 +1142,7 @@ _LATERAL_TOPK_SQL = """
     "join_lateral_topk_per_nation",
     oracle=_LATERAL_TOPK_SQL,
     tags=("join", "lateral", "sql"),
+    pytest_only=True,
 )
 def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery in the FROM clause: the two

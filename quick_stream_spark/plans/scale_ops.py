@@ -178,7 +178,6 @@ ORDER_BUCKET_BITS = 6  # 64 range buckets over the hash's high bits
     FROM h
     """,
     tags=("sampling", "pipeline", "ordering"),
-    pytest_only=True,
 )
 def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle — every document gets
@@ -895,7 +894,9 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_HASH_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
-_MIX_RATE_SQL = "(1 + (CAST(substr(source, 4, 10) AS INT) % 4) * 0.5)"
+_MIX_RATE_SQL = (
+    "CAST(1 + (CAST(substr(source, 4, 10) AS INT) % 4) * 0.5 AS DOUBLE)"
+)
 
 
 @register(
@@ -918,7 +919,6 @@ _MIX_RATE_SQL = "(1 + (CAST(substr(source, 4, 10) AS INT) % 4) * 0.5)"
     FROM rep, UNNEST(range(repeats)) AS u(c)
     """,
     tags=("sampling", "pipeline", "mixture"),
-    pytest_only=True,
 )
 def sample_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture UPSAMPLING materializer — the other half of the training

@@ -62,6 +62,7 @@ _COS = vec.cosine_sql("q.v", "c.v", DIM)
     """,
     tags=("similarity",),
     bench=True,
+    pytest_only=True,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
@@ -1089,6 +1090,7 @@ def _pq_codebooks_impl(spark: SparkSession, sf_dir: str) -> list:
     "emb_pq_topk",
     oracle=None,  # set at module end (unrolled per-subspace training)
     tags=("similarity", "pq", "ann", "ml"),
+    pytest_only=True,
 )
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank (the FAISS
@@ -1492,6 +1494,7 @@ _SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
     "emb_ann_quality_eval",
     oracle=None,  # composed below from the exact/LSH/IVF/PQ oracles
     tags=("similarity", "ann", "evaluation", "arrow"),
+    pytest_only=True,
 )
 def emb_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOP_K} AND candidate fraction of every approximate

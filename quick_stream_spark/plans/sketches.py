@@ -497,7 +497,6 @@ _HLL_RHO_SQL = _hll.rho_sql(HLL_P)
     FROM corrected
     """,
     tags=("sketch", "distinct", "hll"),
-    pytest_only=True,
 )
 def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by explicit HyperLogLog registers
@@ -614,7 +613,6 @@ _SO_EST_SQL = "CAST(round(-{m} * ln(CAST({m} - {f} AS DOUBLE) / {m})) AS BIGINT)
            (e1 + e2 - eu) - (x1 + x2 - xu) FROM est
     """,
     tags=("sketch", "distinct", "set-ops"),
-    pytest_only=True,
 )
 def sketch_set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations on distinct-count sketches — the theta-sketch

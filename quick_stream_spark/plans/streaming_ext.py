@@ -620,7 +620,6 @@ STREAM_HLL_P = 10  # m=1024 registers per event_type
     "stream_distinct_hll",
     oracle=None,  # set below: shared HLL CTE stack + exact join
     tags=("streaming", "sketch", "distinct", "hll"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct counting with HyperLogLog register state
@@ -730,7 +729,6 @@ def _stream_cms_oracle() -> str:
     "stream_countmin_heavy_hitters",
     oracle=None,  # set below: identical to the batch CMS oracle
     tags=("streaming", "sketch", "countmin", "heavy-hitters"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters maintained over a STREAM — the

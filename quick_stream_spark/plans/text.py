@@ -1296,6 +1296,7 @@ def _substr_fold_sql(th: str, i: str) -> str:
     FROM merged GROUP BY id, n_tokens
     """,
     tags=("text", "dedup", "substring"),
+    pytest_only=True,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring detection (Lee et al. 2022,
@@ -2722,6 +2723,7 @@ def _bpe_oracle() -> str:
     oracle=None,  # set below: fully unrolled rounds
     tags=("text", "tokenizer", "iterative", "ml"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
+    pytest_only=True,
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,

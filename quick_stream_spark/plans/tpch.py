@@ -71,6 +71,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "window", "tpch"),
+    pytest_only=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: supply cost := min lineitem price per
@@ -131,7 +132,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     tags=("join", "semi", "agg", "tpch"),
-    pytest_only=True,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS over lineitem (adapted predicate:
@@ -408,7 +408,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_linestatus
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,
 )
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (adapted: line status classes stand in for ship
@@ -493,7 +492,6 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     """,
     tags=("join", "agg", "subquery", "tpch"),
-    pytest_only=True,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
@@ -538,7 +536,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
     """,
     tags=("join", "agg", "subquery", "tpch"),
-    pytest_only=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders far below a part's average
@@ -587,6 +584,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "agg", "topk", "tpch"),
+    pytest_only=True,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with very large orders.  The HAVING
@@ -685,6 +683,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     """,
     tags=("join", "semi", "anti", "agg", "tpch"),
+    pytest_only=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: a returned line in a failed order

@@ -1239,6 +1239,7 @@ _WREG["join_scd2_point_in_time"].oracle = " ".join(_scd2_pit_oracle().split())
     HAVING count(*) > 1
     """,
     tags=("warehouse", "entity-resolution", "pipeline", "iterative"),
+    pytest_only=True,
 )
 def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution END-TO-END — the warehouse MDM pipeline:
@@ -1304,7 +1305,6 @@ PRIV_L = 2  # l-diversity floor for the sensitive attribute
     GROUP BY c_nationkey, c_mktsegment
     """,
     tags=("warehouse", "privacy", "governance"),
-    pytest_only=True,
 )
 def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
