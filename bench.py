@@ -100,6 +100,20 @@ def main() -> None:
                 fn(spark, warm_sf).count()
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+        # Discarded cold pass at the TARGET sf (r5 verdict ask #6): the
+        # first post-cache-clear execution pays one-time costs that
+        # survive the sf0.001 plan warmup — OS page cache for the
+        # target-SF parquet, file-footer reads, JIT of data-dependent
+        # paths.  pipeline_training_data's monotone 8.3→5.2→3.4s decay
+        # showed those costs landing inside the timed window and
+        # inflating its spread to 0.95; one untimed pass moves them out
+        # without changing what the timed runs measure (each still
+        # starts from a cleared artifact cache).
+        try:
+            clear_session_caches()
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # cold pass must never fail the bench
+            print(f"# cold pass {name} failed: {exc}", file=sys.stderr)
         runs: list[float] = []
         n = -1
         for _ in range(repeats):
