@@ -92,6 +92,10 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     runs_all: dict[str, list[float]] = {}
+    # minimum alongside median (r6 verdict ask #8): under environmental
+    # load the MIN is the load-robust floor — two rounds whose mins agree
+    # but medians drift point at machine noise, not a plan change.
+    mins: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -112,8 +116,13 @@ def main() -> None:
         try:
             clear_session_caches()
             fn(spark, sf_dir).count()
-        except Exception as exc:  # cold pass must never fail the bench
-            print(f"# cold pass {name} failed: {exc}", file=sys.stderr)
+        except Exception as exc:
+            # A query broken at the target SF would also raise in every
+            # timed run below, crashing the bench mid-loop and losing
+            # every other query's numbers — skip its timed runs instead
+            # and leave it absent from the JSON (absent == failed).
+            print(f"# cold pass {name} failed, skipping: {exc}", file=sys.stderr)
+            continue
         runs: list[float] = []
         n = -1
         for _ in range(repeats):
@@ -132,6 +141,7 @@ def main() -> None:
         med = sorted(runs)[len(runs) // 2]
         timings[name] = med
         runs_all[name] = runs
+        mins[name] = min(runs)
         spread[name] = round((max(runs) - min(runs)) / med, 3) if med else 0.0
         print(
             f"# {name}: {med}s median of {runs} ({n} rows)", file=sys.stderr
@@ -162,7 +172,12 @@ def main() -> None:
                 "sf": float(sf) if sf else sf_dir,
                 "repeats": repeats,
                 "runs": runs_all,
+                "min": mins,
                 "spread": spread,
+                # methodology marker (r6 ADVICE): since r6 an untimed
+                # cold pass at the target SF precedes the timed runs, so
+                # medians are not comparable to r5-and-earlier numbers
+                "cold_pass": True,
                 **extras,
             }
         )

@@ -30,7 +30,9 @@ class QuerySpec:
     # kept to the distinct-operator set and variants/subsumed shapes
     # stay here (e.g. the DataFrame-API rollup/cube twins of the
     # grouping-sets query, the label-cell IVF subsumed by the trained
-    # one).
+    # one).  ORTHOGONAL to ``bench``: bench.py selects on spec.bench
+    # regardless of pytest_only, so a query can be excluded from the
+    # driver's export window yet still run in the headline bench set.
     pytest_only: bool = False
 
 

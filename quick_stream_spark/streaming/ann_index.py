@@ -58,6 +58,7 @@ class StreamingAnnIndex(_StreamBase):
         min_bands: int = 1,
         emit_pairs: bool = True,
         config: QuickStreamConfig | None = None,
+        auto_compact_every: int | None = None,
     ) -> None:
         """``min_bands``: collision-count threshold for :meth:`topk`
         candidates (1 = classic OR-amplification, the near-dup
@@ -81,6 +82,15 @@ class StreamingAnnIndex(_StreamBase):
         self.min_bands = min_bands
         self.emit_pairs = emit_pairs
         self.n_bands = self.planes // self.band_bits
+        # maintenance cadence (same contract as the near-dup index):
+        # replay-duplicate index rows and duplicate pair emissions are
+        # pruned by the stream itself every N batches.  Unlike the HLL
+        # counter, the index's first-order size is O(corpus x bands) by
+        # design — compaction bounds the REDUNDANCY, not the index.
+        if auto_compact_every is not None and auto_compact_every < 1:
+            raise ValueError("auto_compact_every must be >= 1")
+        self.auto_compact_every = auto_compact_every
+        self._batches_since_compact = 0
         # a restarted process (streaming checkpoint resume) must see the
         # index its predecessor built — probe the filesystem once
         # instead of assuming a fresh instance means an empty index
@@ -140,6 +150,33 @@ class StreamingAnnIndex(_StreamBase):
 
     # ------------------------------------------------------------ batch
 
+    def _maybe_auto_compact(self) -> None:
+        if self.auto_compact_every is None:
+            return
+        self._batches_since_compact += 1
+        if self._batches_since_compact >= self.auto_compact_every:
+            self._batches_since_compact = 0
+            self.compact()
+
+    def compact(self) -> None:
+        """Prune replay-duplicate ``(band, id)`` index rows and rewrite
+        the pairs log to its distinct form.  Crash-safe via
+        append-then-prune
+        (:func:`~quick_stream_spark.streaming.stream.replace_log_contents`)
+        — a crash mid-compact leaves duplicates the read paths already
+        collapse (``topk`` counts collisions at distinct band grain,
+        ``pairs()`` reads distinct), never lost state."""
+        from quick_stream_spark.operators.merge import _hadoop_fs
+        from quick_stream_spark.streaming.stream import replace_log_contents
+
+        if self._index_exists:
+            idx = self._read_index().dropDuplicates(["band", "id"])
+            replace_log_contents(self.spark, self.index_path, idx)
+        if self.emit_pairs:
+            fs, p, _ = _hadoop_fs(self.spark, self.pairs_path)
+            if fs.exists(p):
+                replace_log_contents(self.spark, self.pairs_path, self.pairs())
+
     def _foreach_batch(self):
         def apply(batch: DataFrame, batch_id: int) -> None:
             banded = self._banded(batch).persist()
@@ -147,6 +184,7 @@ class StreamingAnnIndex(_StreamBase):
                 if not self.emit_pairs:
                     banded.write.mode("append").parquet(self.index_path)
                     self._index_exists = True
+                    self._maybe_auto_compact()
                     return
                 new_side = banded.select(
                     "band", "bits", F.col("id").alias("nid"), F.col("v").alias("nv")
@@ -200,6 +238,7 @@ class StreamingAnnIndex(_StreamBase):
                     pairs.unpersist()
                 banded.write.mode("append").parquet(self.index_path)
                 self._index_exists = True
+                self._maybe_auto_compact()
             finally:
                 banded.unpersist()
 

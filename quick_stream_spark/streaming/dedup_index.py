@@ -76,6 +76,7 @@ class StreamingNearDupIndex(_StreamBase):
         jaccard_threshold: float = 0.35,
         max_band_entries: int | None = None,
         config: QuickStreamConfig | None = None,
+        auto_compact_every: int | None = None,
     ) -> None:
         super().__init__(config)
         self.spark = spark
@@ -85,6 +86,15 @@ class StreamingNearDupIndex(_StreamBase):
         self.text_col = text_col
         self.jaccard_threshold = jaccard_threshold
         self.max_band_entries = max_band_entries
+        # maintenance cadence (same contract as UpsertQuickStream's
+        # auto_compact_every): run compact() inside foreachBatch after
+        # every N committed batches — the reservoir's O(R log N/R)
+        # admission superset and the pairs log's duplicate emissions are
+        # then bounded by the stream itself instead of a manual pass.
+        if auto_compact_every is not None and auto_compact_every < 1:
+            raise ValueError("auto_compact_every must be >= 1")
+        self.auto_compact_every = auto_compact_every
+        self._batches_since_compact = 0
         # a restarted process (streaming checkpoint resume) must see the
         # index its predecessor built — probe the filesystem once
         # instead of assuming a fresh instance means an empty index
@@ -237,19 +247,66 @@ class StreamingNearDupIndex(_StreamBase):
                     )
                 to_index.write.mode("append").parquet(self.index_path)
                 self._index_exists = True
+                if self.auto_compact_every is not None:
+                    self._batches_since_compact += 1
+                    if self._batches_since_compact >= self.auto_compact_every:
+                        self._batches_since_compact = 0
+                        self.compact()
             finally:
                 banded.unpersist()
 
         return apply
 
+    def compact(self) -> None:
+        """Full maintenance pass — runs automatically on the
+        ``auto_compact_every`` cadence, or call it manually between
+        micro-batches / with the stream stopped:
+
+        1. band index: drop replay-duplicate ``(band, id)`` rows, and
+           when capped keep only the ``max_band_entries`` smallest
+           rank-hashes per band (the reservoir's hard bound);
+        2. pairs log: rewrite to its distinct form (a pair found via
+           several bands/batches appends identical rows every time —
+           correctness is untouched because ``pairs()`` reads distinct,
+           but a long-lived stream's pairs log would otherwise grow with
+           discovery count, not pair count).
+
+        Both rewrites are crash-safe via append-then-prune
+        (:func:`~quick_stream_spark.streaming.stream.replace_log_contents`):
+        a crash mid-compact leaves duplicate rows the read paths already
+        collapse, never lost state."""
+        from quick_stream_spark.streaming.stream import replace_log_contents
+
+        if self._index_exists:
+            idx = self._read_index().dropDuplicates(["band", "id"])
+            if self.max_band_entries is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("band").orderBy("rank", "id")
+                idx = (
+                    idx.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= self.max_band_entries)
+                    .drop("__rn")
+                )
+            replace_log_contents(self.spark, self.index_path, idx)
+        from quick_stream_spark.operators.merge import _hadoop_fs
+
+        fs, p, _ = _hadoop_fs(self.spark, self.pairs_path)
+        if fs.exists(p):
+            replace_log_contents(self.spark, self.pairs_path, self.pairs())
+
     def compact_reservoir(self) -> None:
         """Rewrite the band index down to exactly ``max_band_entries``
         per band (the R smallest rank-hashes) — the maintenance pass
         that turns the O(R log N/R) admission superset into the hard
-        bound.  No-op when uncapped."""
+        bound.  No-op when uncapped.  Subsumed by :meth:`compact` (which
+        also dedups the uncapped index and the pairs log); kept as the
+        narrow reservoir-only entry point."""
         if self.max_band_entries is None or not self._index_exists:
             return
         from pyspark.sql import Window
+
+        from quick_stream_spark.streaming.stream import replace_log_contents
 
         idx = self._read_index()
         w = Window.partitionBy("band").orderBy("rank", "id")
@@ -261,9 +318,8 @@ class StreamingNearDupIndex(_StreamBase):
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= self.max_band_entries)
             .drop("__rn")
-            .localCheckpoint(eager=True)  # sever lineage from the files
         )
-        kept.write.mode("overwrite").parquet(self.index_path)
+        replace_log_contents(self.spark, self.index_path, kept)
 
     # ---------------------------------------------------------- clusters
 

@@ -56,6 +56,7 @@ class StreamingDistinctCounter(_StreamBase):
         p: int = 12,
         tag: str = "stream",
         config: QuickStreamConfig | None = None,
+        auto_compact_every: int | None = None,
     ) -> None:
         super().__init__(config)
         self.spark = spark
@@ -64,6 +65,16 @@ class StreamingDistinctCounter(_StreamBase):
         self.group_cols = tuple(group_cols)
         self.p = p
         self.tag = tag
+        # maintenance cadence (same contract as UpsertQuickStream's
+        # auto_compact_every): run compact() inside foreachBatch after
+        # every N committed batches, so "bounded state" is ENFORCED by
+        # the stream itself, not a docstring asking callers to remember
+        # a manual pass.  foreachBatch callbacks are serial per query,
+        # so the between-batches requirement of compact() holds.
+        if auto_compact_every is not None and auto_compact_every < 1:
+            raise ValueError("auto_compact_every must be >= 1")
+        self.auto_compact_every = auto_compact_every
+        self._batches_since_compact = 0
         # checkpoint-resumed instances must see their predecessor's log
         from quick_stream_spark.operators.merge import _hadoop_fs
 
@@ -89,16 +100,19 @@ class StreamingDistinctCounter(_StreamBase):
 
     def compact(self) -> None:
         """Rewrite the log to its merged form (bounded at groups x m
-        rows).  Maintenance pass — run it between micro-batches or with
-        the stream stopped, like the near-dup index's
-        ``compact_reservoir`` (a batch appending concurrently with the
-        rewrite could land in the replaced directory).  Skipping it is
-        always SAFE for correctness: readers max-merge the raw log; the
-        rewrite only bounds storage."""
+        rows).  Maintenance pass — runs automatically on the
+        ``auto_compact_every`` cadence, or call it manually between
+        micro-batches / with the stream stopped.  Skipping it is always
+        SAFE for correctness: readers max-merge the raw log; the rewrite
+        only bounds storage.  Crash-safe via append-then-prune
+        (:func:`~quick_stream_spark.streaming.stream.replace_log_contents`):
+        a crash mid-compact leaves redundant register rows that
+        max-merge collapses, never a lost register."""
         if not self._log_exists:
             return
-        merged = self.registers().localCheckpoint(eager=True)  # sever lineage
-        merged.write.mode("overwrite").parquet(self.log_path)
+        from quick_stream_spark.streaming.stream import replace_log_contents
+
+        replace_log_contents(self.spark, self.log_path, self.registers())
 
     # ------------------------------------------------------------ batch
 
@@ -111,5 +125,10 @@ class StreamingDistinctCounter(_StreamBase):
             regs = self._batch_registers(batch)
             regs.write.mode("append").parquet(self.log_path)
             self._log_exists = True
+            if self.auto_compact_every is not None:
+                self._batches_since_compact += 1
+                if self._batches_since_compact >= self.auto_compact_every:
+                    self._batches_since_compact = 0
+                    self.compact()
 
         return apply

@@ -24,6 +24,45 @@ from quick_stream_spark.operators.merge import KeyedTable
 from quick_stream_spark.operators.router import MultiTableRouter
 
 
+def replace_log_contents(spark, log_path: str, merged: DataFrame) -> None:
+    """Crash-safe rewrite of an append-only state log: materialize the
+    merged/kept rows, APPEND them as one new segment, then delete the
+    files that pre-existed the append.
+
+    Safe at every crash point because the state-log read paths are
+    idempotent under duplicate rows (HLL registers max-merge; band-index
+    consumers dedup ``(band, id)``; pairs logs are read ``.distinct()``):
+
+    - crash before the append: nothing changed;
+    - crash mid-append: partial task output stays under ``_temporary``,
+      which parquet readers ignore;
+    - crash between append and prune (or mid-prune): old and merged
+      segments coexist — redundant rows, never lost state — and the next
+      compaction pass removes the remainder.
+
+    Contrast ``mode("overwrite")``, which deletes the directory before
+    writing and so has a crash window where the ONLY copy of the state
+    is a severed in-JVM checkpoint.  Run between micro-batches (the
+    foreachBatch callback is serial per query) or with the stream
+    stopped — a CONCURRENT appender's files written after the listing
+    survive the prune untouched, but its mid-flight ``_temporary``
+    output would collide with the rewrite job's.
+    """
+    from quick_stream_spark.operators.merge import _hadoop_fs
+
+    fs, p, _ = _hadoop_fs(spark, log_path)
+    old = [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    ]
+    # sever lineage from the files about to be pruned BEFORE writing
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("append").parquet(log_path)
+    for f in old:
+        fs.delete(f, False)
+
+
 class _StreamBase:
     def __init__(self, config: QuickStreamConfig | None = None) -> None:
         self.config = (config or QuickStreamConfig()).validate()

@@ -258,6 +258,167 @@ def test_logstore_backend_survives_publish_crash(spark, tmp_table_dir, monkeypat
     }
 
 
+def test_register_log_append_crash_then_checkpoint_replay_converges(
+    spark, tmp_table_dir, monkeypatch
+):
+    """r6 verdict ask #2 — the streaming state logs' replay claim,
+    proven like the matview's: kill the HLL counter AFTER its
+    register-log append but BEFORE the streaming checkpoint commits the
+    batch.  The crashed batch's registers are then on disk (the
+    at-least-once window); resuming from the SAME checkpoint replays
+    that batch and appends them AGAIN — and the drained state must
+    still equal the one-shot batch sketch, because max-merge is
+    idempotent (the docstring's argument, here executed)."""
+    from pyspark.sql import functions as F
+
+    from quick_stream_spark.functions import hll
+    from quick_stream_spark.sources.readers import (
+        stream_parquet_dir,
+        write_batches_as_files,
+    )
+    from quick_stream_spark.streaming.distinct_index import StreamingDistinctCounter
+
+    ev_schema = "event_id long, event_type string"
+    batches = [
+        spark.createDataFrame(
+            [(i, str(i % 3)) for i in range(b * 100, b * 100 + 150)], ev_schema
+        )
+        for b in range(3)  # overlapping ids across deliveries
+    ]
+    src = os.path.join(tmp_table_dir, "in")
+    write_batches_as_files(batches, src)
+
+    def counter():
+        c = StreamingDistinctCounter(
+            spark,
+            os.path.join(tmp_table_dir, "state"),
+            key_col="event_id",
+            group_cols=("event_type",),
+            p=8,
+            auto_compact_every=2,  # the cadence must also survive replay
+        )
+        c.config.checkpoint_dir = os.path.join(tmp_table_dir, "ckpt")
+        return c
+
+    real_fb = StreamingDistinctCounter._foreach_batch
+
+    def crashing(self):
+        inner = real_fb(self)
+
+        def apply(batch, batch_id):
+            inner(batch, batch_id)  # the append COMMITS to the log
+            if batch_id == 1:
+                raise _InjectedCrash("injected after append, before ckpt commit")
+
+        return apply
+
+    monkeypatch.setattr(StreamingDistinctCounter, "_foreach_batch", crashing)
+    with pytest.raises(Exception):  # StreamingQueryException wrapping the crash
+        counter().run(
+            stream_parquet_dir(spark, src, batches[0].schema), available_now=True
+        )
+    monkeypatch.setattr(StreamingDistinctCounter, "_foreach_batch", real_fb)
+
+    # mid-crash: batch 1's registers landed without a checkpoint commit
+    resumed = counter()
+    resumed.run(
+        stream_parquet_dir(spark, src, batches[0].schema), available_now=True
+    )
+
+    all_ev = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    batch_regs = hll.register_table(
+        all_ev, resumed.tag, F.col("event_id"), 8, ("event_type",)
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(resumed.registers()) == rows(hll.merge_registers(batch_regs, ("event_type",)))
+    assert rows(resumed.estimate()) == rows(
+        hll.estimate(batch_regs, 8, ("event_type",))
+    )
+
+
+def test_dedup_index_append_crash_then_checkpoint_replay_converges(
+    spark, tmp_table_dir, monkeypatch
+):
+    """Same kill-between-append-and-commit injection for the near-dup
+    index's TWO state logs (pairs + band index): the crashed batch
+    appends both, the checkpoint replay appends both again, and the
+    drained pair set must equal the one-shot contract — duplicate
+    emissions collapse on read, and compact() then removes them from
+    disk without changing anything."""
+    from quick_stream_spark.config import QuickStreamConfig
+    from quick_stream_spark.sources.readers import (
+        stream_parquet_dir,
+        write_batches_as_files,
+    )
+    from quick_stream_spark.streaming.dedup_index import StreamingNearDupIndex
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long song about distributed systems and late "
+    )
+    schema = "id long, text string"
+    batches = [
+        spark.createDataFrame([(1, base + "data"), (2, base + "arrivals")], schema),
+        spark.createDataFrame([(3, base + "data")], schema),
+        spark.createDataFrame([(4, base + "arrivals")], schema),
+    ]
+    src = os.path.join(tmp_table_dir, "in")
+    write_batches_as_files(batches, src)
+
+    def index(name):
+        return StreamingNearDupIndex(
+            spark,
+            os.path.join(tmp_table_dir, "state"),
+            config=QuickStreamConfig(
+                name=name, checkpoint_dir=os.path.join(tmp_table_dir, "ckpt")
+            ),
+        )
+
+    real_fb = StreamingNearDupIndex._foreach_batch
+
+    def crashing(self):
+        inner = real_fb(self)
+
+        def apply(batch, batch_id):
+            inner(batch, batch_id)  # pairs AND band entries appended
+            if batch_id == 1:
+                raise _InjectedCrash("injected after appends, before ckpt commit")
+
+        return apply
+
+    monkeypatch.setattr(StreamingNearDupIndex, "_foreach_batch", crashing)
+    with pytest.raises(Exception):
+        index("ndi-crash").run(
+            stream_parquet_dir(spark, src, batches[0].schema), available_now=True
+        )
+    monkeypatch.setattr(StreamingNearDupIndex, "_foreach_batch", real_fb)
+
+    # the at-least-once window is real: the crashed (uncommitted)
+    # batch's index rows are on disk alongside the committed batch's
+    crashed_idx = spark.read.parquet(
+        os.path.join(tmp_table_dir, "state", "band_index")
+    )
+    assert crashed_idx.select("id").distinct().count() >= 2
+
+    resumed = index("ndi-resume")
+    resumed.run(
+        stream_parquet_dir(spark, src, batches[0].schema), available_now=True
+    )
+    expected = {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert {(r.id_a, r.id_b) for r in resumed.pairs().collect()} == expected
+
+    # replay left duplicate (band, id) rows on disk; compact removes
+    # them and the contract is unchanged
+    raw = spark.read.parquet(resumed.index_path)
+    assert raw.count() > raw.dropDuplicates(["band", "id"]).count()
+    resumed.compact()
+    raw = spark.read.parquet(resumed.index_path)
+    assert raw.count() == raw.dropDuplicates(["band", "id"]).count()
+    raw_pairs = spark.read.parquet(resumed.pairs_path)
+    assert raw_pairs.count() == raw_pairs.distinct().count()
+    assert {(r.id_a, r.id_b) for r in resumed.pairs().collect()} == expected
+
+
 def test_matview_publish_crash_then_epoch_retry_does_not_double_count(
     spark, tmp_table_dir, monkeypatch
 ):

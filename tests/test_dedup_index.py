@@ -95,6 +95,51 @@ def test_band_reservoir_bounds_hot_bands_under_viral_feed(spark, tmp_path):
     assert res1 == res2, "converged reservoir depends on delivery order"
 
 
+def test_auto_compact_prunes_index_and_pairs_log(spark, tmp_path):
+    """r6 verdict ask #1: the cadence knob must bound BOTH state logs
+    with no manual call — after a feed containing a replayed delivery
+    (at-least-once duplicates) ending on a cadence hit, the on-disk
+    band index holds no duplicate (band, id) rows, the on-disk pairs
+    log holds no duplicate rows, and the discovered pair set is exactly
+    the batch contract."""
+    ndi = StreamingNearDupIndex(
+        spark, str(tmp_path / "state"), auto_compact_every=2
+    )
+    apply = ndi._foreach_batch()
+    apply(docs(spark, [(1, DOC), (2, NEAR)]), 0)
+    apply(docs(spark, [(3, DOC)]), 1)  # cadence hit
+    apply(docs(spark, [(1, DOC), (2, NEAR)]), 2)  # checkpoint replay
+    apply(docs(spark, [(4, NEAR), (5, OTHER)]), 3)  # cadence hit
+
+    raw_idx = spark.read.parquet(ndi.index_path)
+    assert raw_idx.count() == raw_idx.dropDuplicates(["band", "id"]).count()
+    raw_pairs = spark.read.parquet(ndi.pairs_path)
+    assert raw_pairs.count() == raw_pairs.distinct().count()
+
+    got = {(r.id_a, r.id_b) for r in ndi.pairs().collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+
+
+def test_auto_compact_with_reservoir_enforces_hard_bound(spark, tmp_path):
+    """Capped + auto cadence: a viral feed ending on a cadence hit
+    leaves every band at <= R stored entries with no manual
+    compact_reservoir() call."""
+    R = 4
+    viral = [(i, DOC) for i in range(200)]
+    ndi = StreamingNearDupIndex(
+        spark,
+        str(tmp_path / "state"),
+        max_band_entries=R,
+        auto_compact_every=2,
+    )
+    apply = ndi._foreach_batch()
+    for b in range(4):
+        apply(docs(spark, viral[b * 50 : (b + 1) * 50]), b)
+    idx = spark.read.parquet(ndi.index_path)
+    hottest = idx.groupBy("band").count().agg(F.max("count")).collect()[0][0]
+    assert hottest <= R
+
+
 def test_restarted_near_dup_index_sees_prior_entries(spark, tmp_table_dir):
     """A NEW StreamingNearDupIndex over an existing work_dir must see
     the band index its predecessor built: pairs spanning the restart

