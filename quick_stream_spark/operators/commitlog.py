@@ -26,10 +26,14 @@ they never observe a half-written table; old manifests stay readable
 Scale notes: a manifest holds file PATHS (bounded by file count, never
 data); at 100 TB with ~100k buckets of ~1 GB this is a few MB of JSON —
 the same order as a Delta checkpoint — and listing is one read of
-``_qss_manifest/`` (no recursive data-dir listing).  The single-writer
-assumption of KeyedTable stands (one QuickStream owns its target,
-matching the reference); the atomic no-overwrite rename turns a second
-concurrent writer into a loud failure instead of silent corruption.
+``_qss_manifest/`` (no recursive data-dir listing).  Concurrency: the
+atomic no-overwrite rename arbitrates racing publishes, and
+:meth:`ManifestLog.commit` resolves a lost race OPTIMISTICALLY when the
+writers' bucket sets are disjoint (re-read the winner's snapshot,
+re-point untouched buckets, retry — the Delta disjoint-AddFile rebase);
+overlapping-bucket races still fail loudly, since the loser's MERGE
+resolved against a bucket state that no longer exists.  The reference
+gets the equivalent from Postgres row locks (upsert.rs:287).
 """
 
 from __future__ import annotations
@@ -42,6 +46,12 @@ from pyspark.sql import SparkSession
 
 MANIFEST_DIR = "_qss_manifest"
 COMMITS_DIR = "_qss_commits"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced a snapshot publish and the conflict is not
+    resolvable by re-pointing (overlapping buckets, no transaction
+    declaration, or retry exhaustion)."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -122,18 +132,17 @@ class ManifestLog:
             return None
         return {int(b): list(s) for b, s in raw["stats"].items()}
 
-    def commit(
+    def _try_publish(
         self,
         mapping: dict[int, list[str]],
-        stats: dict[int, list[int]] | None = None,
-    ) -> int:
-        """Publish ``mapping`` as the next snapshot.  Write-temp +
-        atomic no-overwrite rename: the snapshot either fully exists or
-        not at all, and a racing writer fails loudly instead of
-        clobbering.  ``stats`` (per-bucket ``[rows, active_rows]``)
-        rides in the same atomic publish, so metadata counts can never
-        disagree with the snapshot they describe."""
-        version = (self.latest_version() or 0) + 1
+        stats: dict[int, list[int]] | None,
+        version: int,
+    ) -> bool:
+        """Atomically publish one snapshot attempt at ``version``:
+        write-temp + no-overwrite rename, so the snapshot either fully
+        exists or not at all, and a racing writer's rename FAILS instead
+        of clobbering (rename-if-absent is the commit arbiter, the same
+        primitive Delta's log store uses)."""
         fs, _, jvm = _fs(self.spark, self.dir)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.dir))
         doc = {"version": version, "buckets": {str(b): f for b, f in sorted(mapping.items())}}
@@ -147,13 +156,94 @@ class ManifestLog:
         out.write(bytearray(body))
         out.close()
         final = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
-        if not fs.rename(tmp, final):
-            fs.delete(tmp, False)
-            raise RuntimeError(
-                f"concurrent commit detected: {final} already exists "
-                f"(KeyedTable assumes a single writer)"
+        if fs.rename(tmp, final):
+            return True
+        fs.delete(tmp, False)
+        return False
+
+    def commit(
+        self,
+        mapping: dict[int, list[str]],
+        stats: dict[int, list[int]] | None = None,
+        touched: set[int] | None = None,
+        base_version: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Publish ``mapping`` as the next snapshot.  ``stats``
+        (per-bucket ``[rows, active_rows]``) rides in the same atomic
+        publish, so metadata counts can never disagree with the snapshot
+        they describe.
+
+        **Optimistic concurrency** (the files-based stand-in for the
+        Postgres row locks the reference gets for free, upsert.rs:287):
+        when the caller declares its transaction — ``touched`` (the
+        bucket ids this commit replaces or writes) and ``base_version``
+        (the snapshot its carried-forward entries came from; ``None``
+        for a table-creating commit) — a lost rename race is resolved
+        the way Delta resolves disjoint AddFile conflicts: re-read the
+        winner's snapshot, and if the buckets that changed since
+        ``base_version`` are DISJOINT from ``touched``, re-point the
+        untouched buckets at the winner's entries and retry; on any
+        overlap raise ``ConcurrentCommitError`` loudly (two writers
+        merged the same bucket — one of them resolved MERGE semantics
+        against a stale bucket state, and no file-level rebase can fix
+        that).  Without the declaration, any lost race raises — the
+        conservative single-writer contract."""
+        version = (self.latest_version() or 0) + 1
+        if self._try_publish(mapping, stats, version):
+            return version
+        if touched is None:
+            raise ConcurrentCommitError(
+                f"concurrent commit detected: v{version} already exists in "
+                f"{self.dir} (commit carried no transaction declaration, so "
+                f"the single-writer contract applies)"
             )
-        return version
+        base_map = self.read(base_version) if base_version is not None else {}
+        touched = set(touched)
+        for _ in range(max_retries):
+            cur_v = self.latest_version()
+            cur_map = self.read(cur_v)
+            changed = {
+                b
+                for b in set(base_map) | set(cur_map)
+                if sorted(base_map.get(b, [])) != sorted(cur_map.get(b, []))
+            }
+            overlap = changed & touched
+            if overlap:
+                raise ConcurrentCommitError(
+                    f"concurrent commit conflict on buckets {sorted(overlap)}: "
+                    f"another writer replaced them between v{base_version} and "
+                    f"v{cur_v}; this commit's merge resolved against stale "
+                    f"bucket state and must be re-run, not re-pointed"
+                )
+            # disjoint: our touched entries over the winner's snapshot
+            merged_map = {b: f for b, f in cur_map.items() if b not in touched}
+            for b in touched:
+                if b in mapping:
+                    merged_map[b] = mapping[b]
+            cur_stats = self.read_stats(cur_v)
+            if cur_stats is None or stats is None:
+                merged_stats = None  # either side lost coverage — honest fallback
+            else:
+                merged_stats = {
+                    b: s for b, s in cur_stats.items() if b not in touched
+                }
+                for b in touched:
+                    if b in merged_map:
+                        if b not in stats:
+                            merged_stats = None
+                            break
+                        merged_stats[b] = stats[b]
+                if merged_stats is not None and any(
+                    b not in merged_stats for b in merged_map
+                ):
+                    merged_stats = None  # COVERAGE invariant (count_fast)
+            if self._try_publish(merged_map, merged_stats, cur_v + 1):
+                return cur_v + 1
+        raise ConcurrentCommitError(
+            f"lost the publish race {max_retries} times in a row in "
+            f"{self.dir}; giving up"
+        )
 
     # --------------------------------------------------------- staging
 

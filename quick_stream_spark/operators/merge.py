@@ -260,8 +260,15 @@ class KeyedTable:
             .parquet(commit_dir)
         )
         new_files = self._log.list_bucket_files(commit_dir)
-        mapping = self._log.read()
-        prev_stats = self._log.read_stats()  # {} = no snapshot, None = pre-stats
+        # pin the base snapshot: the carried-forward entries and the
+        # optimistic-concurrency conflict check must describe the SAME
+        # version, or a writer publishing between the two reads would
+        # make the re-point silently drop its files
+        base_version = self._log.latest_version()
+        mapping = self._log.read(base_version) if base_version is not None else {}
+        prev_stats = (
+            self._log.read_stats(base_version) if base_version is not None else {}
+        )  # {} = no snapshot, None = pre-stats
         for b in replaced_buckets:
             mapping.pop(b, None)
         for b, fl in new_files.items():
@@ -294,7 +301,16 @@ class KeyedTable:
             for r in counted:
                 stats[int(r[BUCKET_COL])] = [int(r["__qss_rows"]), int(r["__qss_active"])]
         self._write_schema_sidecar(df.schema)
-        self._log.commit(mapping, stats=stats)
+        # declare the transaction: replaced or newly-written buckets are
+        # "touched"; a lost publish race re-points the rest at the
+        # winner's entries when disjoint, raises ConcurrentCommitError
+        # when overlapping (commitlog.ManifestLog.commit)
+        self._log.commit(
+            mapping,
+            stats=stats,
+            touched=set(replaced_buckets) | set(new_files),
+            base_version=base_version,
+        )
         self._exists_cache = True
 
     # ------------------------------------------------------ observability

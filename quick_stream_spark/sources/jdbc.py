@@ -140,3 +140,122 @@ class JdbcSink:
             f"UPDATE {self.table} SET {soft_delete_col} = FALSE "
             f"FROM {staging} WHERE {on}"
         )
+
+
+class JdbcUpsertQuickStream:
+    """Reference O16 driven END-TO-END over a live database connection:
+    the ``UpsertQuickStream`` pipeline shape (writeStream → foreachBatch
+    → per-batch MERGE) with a relational destination instead of a
+    KeyedTable, executing :meth:`JdbcSink.merge_statements` /
+    :meth:`JdbcSink.soft_delete_statement` verbatim per micro-batch
+    (reference upsert.rs:209-269, delete.rs:251-285).
+
+    ``con`` is any PEP 249 (DBAPI) connection whose SQL dialect supports
+    ``INSERT … ON CONFLICT DO UPDATE`` and ``UPDATE … FROM`` — DuckDB in
+    this environment, psycopg2-to-Postgres in a deployment.  The batch
+    reaches the staging table through ``executemany`` on the driver; in
+    a cluster deployment that one seam is replaced by Spark's JDBC
+    writer appending executor-side through the connection pool
+    (``JdbcSink.writer`` with ``dbtable=staging_table_name()``) — the
+    statement sequence on the server is IDENTICAL, so what these runs
+    prove (merge semantics over a real connection, replay idempotence,
+    stream lifecycle) carries over; only the literal Postgres wire/jar
+    stays environment-blocked.
+
+    At-least-once foreachBatch is absorbed the same way the KeyedTable
+    engine absorbs it: the batch is deduped to one row per key first
+    (Postgres raises "cannot affect row a second time" otherwise —
+    reference lib.rs:12-16 dedups for the same reason), and a replayed
+    delivery re-applies the identical ON CONFLICT update, converging to
+    the same end state."""
+
+    def __init__(
+        self,
+        sink: JdbcSink,
+        con,
+        columns: list[str],
+        keys: list[str],
+        version_col: str,
+        arrival_col: str,
+        newer_wins: bool = False,
+        soft_delete_col: str = "row_active",
+        config: QuickStreamConfig | None = None,
+    ) -> None:
+        self.sink = sink
+        self.con = con
+        self.columns = list(columns)
+        self.keys = list(keys)
+        self.version_col = version_col
+        self.arrival_col = arrival_col
+        self.newer_wins = newer_wins
+        self.soft_delete_col = soft_delete_col
+        self.config = (config or QuickStreamConfig()).validate()
+
+    # ----------------------------------------------------------- batches
+
+    def _stage(self, rows: list[tuple]) -> None:
+        if not rows:
+            return
+        ph = ", ".join("?" for _ in rows[0])
+        self.con.executemany(
+            f"INSERT INTO {self.sink.staging_table_name()} VALUES ({ph})", rows
+        )
+
+    def upsert_batch(self, batch: DataFrame) -> None:
+        """One micro-batch through the full sequence: dedup → stage →
+        ON CONFLICT merge → truncate staging."""
+        from quick_stream_spark.operators.dedup import latest_per_key
+
+        deduped = latest_per_key(
+            batch.select(*self.columns),
+            keys=tuple(self.keys),
+            version_col=self.version_col,
+            arrival_col=self.arrival_col,
+        )
+        stmts = self.sink.merge_statements(
+            self.columns,
+            self.keys,
+            version_col=self.version_col,
+            newer_wins=self.newer_wins,
+        )
+        self._stage([tuple(r) for r in deduped.collect()])
+        self.con.execute(stmts[1])
+        self.con.execute(stmts[2])
+
+    def soft_delete_batch(self, batch: DataFrame) -> None:
+        """One delete delivery: stage the key columns → UPDATE … FROM →
+        truncate staging (requires a key-only staging table, matching
+        the reference's dedicated delete statement)."""
+        rows = [tuple(r) for r in batch.select(*self.keys).distinct().collect()]
+        self._stage(rows)
+        self.con.execute(
+            self.sink.soft_delete_statement(self.keys, self.soft_delete_col)
+        )
+        self.con.execute(f"TRUNCATE TABLE {self.sink.staging_table_name()}")
+
+    # ------------------------------------------------------------ stream
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = False,
+        await_termination: bool = False,
+        delete: bool = False,
+    ):
+        """Start the ingestion query against the live connection — the
+        same lifecycle contract as ``_StreamBase.run`` (availableNow
+        drains deterministically)."""
+        import tempfile
+
+        apply = self.soft_delete_batch if delete else self.upsert_batch
+        ckpt = self.config.checkpoint_dir or tempfile.mkdtemp(prefix="qss-jdbc-ckpt-")
+        writer = (
+            stream_df.writeStream.queryName(self.config.name)
+            .foreachBatch(lambda b, _id: apply(b))
+            .option("checkpointLocation", ckpt)
+            .trigger(**self.config.trigger_kwargs(available_now=available_now))
+        )
+        query = writer.start()
+        if await_termination or available_now:
+            query.awaitTermination()
+        return query

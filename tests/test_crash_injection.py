@@ -56,7 +56,7 @@ def test_crash_between_data_write_and_manifest_publish(spark, tmp_table_dir, mon
 
     real_commit = ManifestLog.commit
 
-    def crash(self, mapping, stats=None):
+    def crash(self, mapping, stats=None, **kw):
         raise _InjectedCrash("injected: process died before manifest publish")
 
     monkeypatch.setattr(ManifestLog, "commit", crash)
@@ -123,7 +123,7 @@ def test_double_crash_then_retry_still_converges(spark, tmp_table_dir, monkeypat
     t = _table(spark, tmp_table_dir)
     t.upsert(_batch(spark, [(1, 1, 1, "a1"), (2, 1, 2, "b1")]))
 
-    def crash(self, mapping, stats=None):
+    def crash(self, mapping, stats=None, **kw):
         raise _InjectedCrash("injected")
 
     real_commit = ManifestLog.commit
@@ -166,11 +166,11 @@ def test_crash_during_streaming_merge_then_resume(spark, tmp_table_dir, monkeypa
     real_commit = ManifestLog.commit
     calls = {"n": 0}
 
-    def crash_on_second(self, mapping, stats=None):
+    def crash_on_second(self, mapping, stats=None, **kw):
         calls["n"] += 1
         if calls["n"] == 2:
             raise _InjectedCrash("injected mid-stream")
-        return real_commit(self, mapping, stats=stats)
+        return real_commit(self, mapping, stats=stats, **kw)
 
     monkeypatch.setattr(ManifestLog, "commit", crash_on_second)
     with pytest.raises(Exception):  # StreamingQueryException wrapping the crash
@@ -224,7 +224,7 @@ def test_logstore_backend_survives_publish_crash(spark, tmp_table_dir, monkeypat
     t.upsert(_batch(spark, [(1, 1, 1, "a1"), (2, 1, 2, "b1")]))
     real_commit = ManifestLog.commit
 
-    def crash(self, mapping, stats=None):
+    def crash(self, mapping, stats=None, **kw):
         raise _InjectedCrash("injected")
 
     monkeypatch.setattr(ManifestLog, "commit", crash)
@@ -445,7 +445,7 @@ def test_matview_publish_crash_then_epoch_retry_does_not_double_count(
 
     real_commit = ManifestLog.commit
 
-    def crash(self, mapping, stats=None):
+    def crash(self, mapping, stats=None, **kw):
         raise _InjectedCrash("injected")
 
     monkeypatch.setattr(ManifestLog, "commit", crash)
