@@ -760,7 +760,6 @@ def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE s1.event_id <> s2.event_id
     """,
     tags=("reference", "manifest", "cdc", "streaming", "python-datasource"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def r_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change feed consumed as a STRUCTURED STREAM

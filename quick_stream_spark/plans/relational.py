@@ -67,6 +67,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
     tags=("agg", "filter", "scan"),
     bench=True,
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -143,6 +144,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "agg", "broadcast"),
     bench=True,
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume: revenue from lineitems whose supplier sits
@@ -397,7 +399,6 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand, p_type, p_size
     """,
     tags=("join", "agg", "distinct", "tpch"),
-    pytest_only=True,
 )
 def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (adapted: supplier-part relationships come from
@@ -430,7 +431,6 @@ def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFra
            AND l_quantity BETWEEN 20 AND 40)
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction-of-conjunctions across both join

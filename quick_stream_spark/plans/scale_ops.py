@@ -225,6 +225,7 @@ def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # set below: assembled from the same function twins
     tags=("text", "pipeline"),
     bench=True,
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-data pipeline over the duplicated corpus:
@@ -338,6 +339,7 @@ _SREG["pipeline_training_data"].oracle = " ".join(_pipeline_oracle().split())
     FROM events GROUP BY user_id
     """,
     tags=("streaming", "stateful"),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
@@ -1341,6 +1343,7 @@ SESSION_GAP_MIN = 30
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("analytics", "sessionization"),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the canonical event-analytics

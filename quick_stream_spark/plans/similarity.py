@@ -637,7 +637,8 @@ def _lsh_candidates(e: DataFrame) -> DataFrame:
     # JVM fold by tests/test_ann_recall.py; the plan-purity guard allows
     # ArrowEvalPython only under this tag (BatchEvalPython is always banned).
     tags=("similarity", "lsh", "approx", "arrow"),
-    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
+    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN by collision-count thresholding: each vector's
@@ -923,7 +924,8 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     # 'arrow': declared Arrow seam (fast hyperplane signature) — see
     # emb_lsh_ann_topk's tag note.
     tags=("similarity", "dedup", "lsh", "approx", "arrow"),
-    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
+    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the semantic-dedup

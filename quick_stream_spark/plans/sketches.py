@@ -86,6 +86,7 @@ def _cms_probe_sql() -> str:
     GROUP BY p.l_partkey, p.exact_n
     """,
     tags=("sketch", "countmin", "heavy-hitters"),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over lineitem part frequencies, probed for the

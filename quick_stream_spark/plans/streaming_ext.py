@@ -168,8 +168,6 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_late_data_watermark",
     oracle=None,  # behavioral: late-row dropping depends on batch order
     tags=("streaming", "watermark"),
-    pytest_only=True,  # rows-only check: keep it out of the driver's
-    # hash-checked window (every exported slot should carry an oracle)
 )
 def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics demo (rows-only check): batch 1 carries the
@@ -236,7 +234,6 @@ def _uncapped_lsh_pairs_sql() -> str:
     "stream_dedup_minhash_incremental",
     oracle=None,  # set below (generated from the minhash twins)
     tags=("streaming", "dedup", "lsh"),
-    pytest_only=True,  # the driver window is full; oracle-checked here
 )
 def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the duplicated corpus arrives as
@@ -361,6 +358,7 @@ _SEREG["stream_dedup_clusters_incremental"].oracle = " ".join(
      AND p.ts <= v.ts + INTERVAL '30 minutes'
     """,
     tags=("streaming", "join"),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join — the canonical funnel query: each
@@ -559,7 +557,6 @@ def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("streaming", "matview", "distinct"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def stream_matview_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matview's second monoid: mergeable DISTINCT counting per
@@ -764,13 +761,22 @@ def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
             ]
         )
 
+    # value_type="long": the CMS counter is the exact 64-bit SUM of the
+    # integer weights (w=1 per occurrence here; weighted increments in
+    # general) — the same integer discipline as the batch sketch family
+    # (r6 verdict ask #6).  The previous shape routed a 1.0 DOUBLE
+    # weight into the decimal value path and read the row count instead.
     view = IncrementalAggView(
-        spark, work + "/view", group_cols=["j", "idx"], value_col="w"
+        spark,
+        work + "/view",
+        group_cols=["j", "idx"],
+        value_col="w",
+        value_type="long",
     )
     stream = stream_parquet_dir(spark, work + "/in", li.schema)
     keyed = (
         stream.select(F.explode(hashes(F.col("l_partkey"))).alias("p"))
-        .select("p.j", "p.idx", F.lit(1.0).alias("w"))
+        .select("p.j", "p.idx", F.lit(1).cast("long").alias("w"))
     )
     with scoped_shuffle(spark, _stream_parts(spark, sf_dir)):
         q = (
@@ -781,7 +787,7 @@ def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
-    counters = view.read().select("j", "idx", F.col("n").alias("c"))
+    counters = view.read().select("j", "idx", F.col("sum_value").alias("c"))
     exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), F.asc("l_partkey")).limit(CMS_TOPK)
     probe = top.select(
@@ -909,7 +915,6 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     "stream_emb_ann_topk",
     oracle=None,  # set below: identical contract to the batch banded LSH
     tags=("streaming", "similarity", "lsh", "ann"),
-    pytest_only=True,  # the driver window is full; oracle-checked here
 )
 def stream_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval against the INCREMENTALLY built vector index: the
@@ -989,7 +994,6 @@ _wire_ann_stream_oracles()
     FROM sess GROUP BY user_id, seq
     """,
     tags=("streaming", "sessionization", "stateful"),
-    pytest_only=True,  # driver window is full after the r03 rotation
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATIVE streaming sessionization: Structured Streaming's
@@ -1036,7 +1040,6 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_quality_filter",
     oracle=None,  # set below from the classifier's shared CTE stack
     tags=("streaming", "text", "ml", "classifier"),
-    pytest_only=True,  # the driver window is full; oracle-checked here
 )
 def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEPLOY the trained quality classifier on a document stream —

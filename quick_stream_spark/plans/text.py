@@ -81,6 +81,7 @@ _PHONE_RE = "\\+[0-9][0-9-]{7,}"
     """,
     tags=("text", "quality", "langid", "pii", "dedup"),
     bench=True,
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one wide map-only projection:
@@ -285,6 +286,7 @@ def _jaccard_sql(a: str, b: str) -> str:
     """,
     tags=("text", "dedup", "lsh"),
     bench=True,
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: hashed integer shingles (one md5 per TOKEN,
@@ -701,6 +703,7 @@ def _decontamination_oracle() -> str:
     oracle=None,  # set below: recursive-CTE oracle over the minhash pairs
     tags=("text", "dedup", "iterative"),
     bench=True,
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over the
@@ -886,6 +889,7 @@ def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize a complete valid PNG
@@ -2069,7 +2073,6 @@ def _pagerank_oracle() -> str:
     "graph_pagerank_dupgraph",
     oracle=None,  # set below (generated: unrolled fixed-iteration CTEs)
     tags=("graph", "iterative", "pagerank"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-duplicate graph ({PR_ITERS} fixed Lloyd-

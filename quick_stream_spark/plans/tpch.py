@@ -357,7 +357,6 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT CAST(SUM(value_d) AS DOUBLE) * 0.001 FROM pv)
     """,
     tags=("join", "agg", "subquery", "tpch"),
-    pytest_only=True,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose stocked value exceeds a fraction of
@@ -637,7 +636,6 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("join", "semi", "agg", "tpch"),
-    pytest_only=True,
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: shipped quantity from lineitem stands
@@ -749,7 +747,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_nationkey
     """,
     tags=("anti", "agg", "subquery", "tpch"),
-    pytest_only=True,
 )
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (adapted: grouped by nation — the schema has no

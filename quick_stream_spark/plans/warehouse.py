@@ -484,7 +484,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangles_dupgraph",
     oracle=None,  # set below: shares the minhash pair CTEs
     tags=("graph", "triangles"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def graph_triangles_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the near-dup pair graph — the clustering
@@ -822,7 +821,8 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     """,
     tags=("warehouse", "quality", "constraints"),
-    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
+    bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
+    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint checking (the Deequ pattern,

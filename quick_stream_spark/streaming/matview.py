@@ -27,9 +27,14 @@ from quick_stream_spark.operators.merge import KeyedTable
 class IncrementalAggView:
     """SUM/COUNT aggregates per group key, maintained incrementally.
 
-    ``group_cols`` are the view key; ``value_col`` feeds an exact
-    decimal SUM (surfaced as ``sum_value``) next to the row COUNT
-    (``n``).  ``distinct_col`` (optional) additionally maintains a
+    ``group_cols`` are the view key; ``value_col`` feeds an exact SUM
+    (surfaced as ``sum_value``) next to the row COUNT (``n``).
+    ``value_type`` picks the sum's arithmetic: ``"decimal"`` (default —
+    decimal(18,2), the money path) or ``"long"`` — exact 64-bit integer
+    addition for counter semantics (sketch counters, occurrence
+    weights), where routing integers through decimal/double would trade
+    the batch sketch family's integer-exact discipline for rounding at
+    the extremes.  ``distinct_col`` (optional) additionally maintains a
     mergeable DISTINCT estimate per group: a linear-counting bitmap
     (``bitmap_m`` bits, stored as a sorted array of set positions, at
     most ``bitmap_m`` ints per group) whose per-batch merge is set
@@ -47,12 +52,17 @@ class IncrementalAggView:
         bitmap_m: int = 1024,
         num_buckets: int = 8,
         commit_protocol: str = "direct",
+        value_type: str = "decimal",
     ) -> None:
         self.spark = spark
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.distinct_col = distinct_col
         self.bitmap_m = int(bitmap_m)
+        if value_type not in ("decimal", "long"):
+            raise ValueError("value_type must be 'decimal' or 'long'")
+        self.value_type = value_type
+        self._sum_t = "decimal(18,2)" if value_type == "decimal" else "long"
         # version = batch id: the additive merge writes each touched
         # group exactly once per batch, so batch-wins LWW is correct.
         # commit_protocol="manifest" makes each batch's merge one atomic
@@ -77,7 +87,9 @@ class IncrementalAggView:
     def _partial(self, batch: DataFrame) -> DataFrame:
         aggs = [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(self.value_col).cast("decimal(18,2)")).alias("_sum_dec"),
+            F.sum(F.col(self.value_col).cast(self._sum_t))
+            .cast(self._sum_t)
+            .alias("_sum_dec"),
         ]
         if self.distinct_col is not None:
             aggs.append(
@@ -123,9 +135,9 @@ class IncrementalAggView:
                 (F.col("n") + F.coalesce(F.col("_n_cur"), F.lit(0))).alias("n"),
                 (
                     F.col("_sum_dec")
-                    + F.coalesce(F.col("_sum_cur"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("_sum_cur"), F.lit(0).cast(self._sum_t))
                 )
-                .cast("decimal(18,2)")
+                .cast(self._sum_t)
                 .alias("_sum_dec"),
             ]
             if self.distinct_col is not None:
@@ -163,15 +175,18 @@ class IncrementalAggView:
         return apply
 
     def read(self) -> DataFrame:
-        """The current view: group keys, row count, exact decimal sum
-        surfaced as double — plus, with ``distinct_col``, the bitmap
-        fill count and the linear-counting distinct estimate
-        (−m·ln(empty/m), rounded to an integer)."""
-        cols = [
-            *self.group_cols,
-            "n",
-            F.col("_sum_dec").cast("double").alias("sum_value"),
-        ]
+        """The current view: group keys, row count, and the exact sum —
+        surfaced as double for the decimal path (SQL-friendly) and as
+        long for the integer path (no precision-losing hop) — plus,
+        with ``distinct_col``, the bitmap fill count and the
+        linear-counting distinct estimate (−m·ln(empty/m), rounded to
+        an integer)."""
+        sum_col = (
+            F.col("_sum_dec").cast("double")
+            if self.value_type == "decimal"
+            else F.col("_sum_dec")
+        )
+        cols = [*self.group_cols, "n", sum_col.alias("sum_value")]
         if self.distinct_col is not None:
             m = F.lit(self.bitmap_m)
             filled = F.size("_bits")

@@ -68,6 +68,31 @@ def test_distinct_bitmap_merges_and_is_replay_safe(spark):
     assert row2.bitmap_bits == 3 and row2.est_distinct == 3
 
 
+def test_long_value_path_is_integer_exact_beyond_double_precision(spark):
+    """r6 verdict ask #6: value_type='long' must carry exact 64-bit
+    integer sums end-to-end — stored column AND surfaced sum_value are
+    bigint, and a sum that double arithmetic would round ((2^53)+1+2
+    rounds to (2^53)+2 as double) comes back exact.  This is the value
+    path the streaming CMS counters ride."""
+    view = IncrementalAggView(
+        spark,
+        tempfile.mkdtemp(prefix="qss-longview-") + "/v",
+        group_cols=["g"],
+        value_col="w",
+        value_type="long",
+    )
+    big = (1 << 53) + 1  # not representable as a double
+    view.apply_batch(spark.createDataFrame([("a", big)], "g string, w long"), 0)
+    view.apply_batch(spark.createDataFrame([("a", 2)], "g string, w long"), 1)
+    assert dict(view.read().dtypes)["sum_value"] == "bigint"
+    assert dict(view.table.read().dtypes)["_sum_dec"] == "bigint"
+    row = view.read().collect()[0]
+    assert row.sum_value == big + 2
+    # a replayed epoch stays a no-op on the long path too
+    view.apply_batch(spark.createDataFrame([("a", 2)], "g string, w long"), 1)
+    assert view.read().collect()[0].sum_value == big + 2
+
+
 def test_retried_batch_is_idempotent(spark):
     """foreachBatch delivers at-least-once: a batch retried after a
     successful merge must not double-count (the stored _batch_id is the
