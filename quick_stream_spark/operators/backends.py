@@ -138,11 +138,16 @@ class LogStructuredBucketStore(BucketStore):
             .parquet(commit_dir)
         )
         new_files = self._log.list_bucket_files(commit_dir)
-        mapping = self._log.read()
+        base_version = self._log.latest_version()
+        mapping = self._log.read(base_version) if base_version is not None else {}
         # dynamic-overwrite semantics: replace exactly the buckets the
-        # frame carries rows for; every other bucket carries forward
+        # frame carries rows for; every other bucket carries forward —
+        # declared as the transaction so a disjoint-bucket race
+        # re-points instead of failing (commitlog.ManifestLog.commit)
         mapping.update(new_files)
-        self._log.commit(mapping)
+        self._log.commit(
+            mapping, touched=set(new_files), base_version=base_version
+        )
 
     def read_schema(self):
         import json as _json
@@ -177,13 +182,16 @@ class LogStructuredBucketStore(BucketStore):
         out.close()
 
     def drop_buckets(self, bucket_ids: list[int]) -> None:
-        mapping = self._log.read()
+        base_version = self._log.latest_version()
+        mapping = self._log.read(base_version) if base_version is not None else {}
         changed = False
         for b in bucket_ids:
             if mapping.pop(b, None) is not None:
                 changed = True
         if changed:
-            self._log.commit(mapping)
+            self._log.commit(
+                mapping, touched=set(bucket_ids), base_version=base_version
+            )
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Reclaim data files unreferenced by recent snapshots

@@ -286,7 +286,17 @@ class ManifestLog:
         """Delete data files unreferenced by the ``keep_versions`` most
         recent snapshots, plus older manifests.  Returns the number of
         data files removed.  Crash-orphans (files written by a commit
-        that never published) are exactly what this reclaims."""
+        that never published) are exactly what this reclaims.
+
+        NOT concurrency-safe against IN-FLIGHT commits: a racing
+        writer's commit-dir files look identical to crash orphans until
+        its manifest publishes, so vacuum would reclaim them and the
+        subsequent publish would reference deleted files.  The
+        optimistic-concurrency protocol covers commit-vs-commit races
+        only; run vacuum with no commit in flight (Delta draws the same
+        line with its retention-period guard).  A vacuumed-away BASE
+        manifest makes a concurrent committer's conflict check fail
+        loudly (FileNotFoundError), never silently."""
         vs = self.versions()
         keep = vs[-keep_versions:] if vs else []
         referenced: set[str] = set()

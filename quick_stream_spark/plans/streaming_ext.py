@@ -263,6 +263,10 @@ def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFr
         config=QuickStreamConfig(
             name="near-dup-index", checkpoint_dir=work + "/ckpt"
         ),
+        # mid-feed maintenance (append-then-prune): dedups the band
+        # index and the pairs log on disk; pairs() is read-distinct so
+        # the exported contract is invariant to it
+        auto_compact_every=2,
     )
     stream = stream_parquet_dir(spark, work + "/in", corpus.schema)
     with _scoped_shuffle(spark, _corpus_parts(spark, sf_dir)):
@@ -652,6 +656,11 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("event_type",),
         p=STREAM_HLL_P,
         tag="stream",
+        # the production cadence: the stream compacts its own register
+        # log mid-feed (append-then-prune, crash-safe), so the exported
+        # query exercises bounded-state maintenance, not just the append
+        # path; max-merge makes the estimate invariant to it
+        auto_compact_every=2,
     )
     counter.config.checkpoint_dir = work + "/ckpt"
     stream = stream_parquet_dir(spark, work + "/in", ev.schema)
