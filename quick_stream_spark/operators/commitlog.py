@@ -139,23 +139,49 @@ class ManifestLog:
         version: int,
     ) -> bool:
         """Atomically publish one snapshot attempt at ``version``:
-        write-temp + no-overwrite rename, so the snapshot either fully
-        exists or not at all, and a racing writer's rename FAILS instead
-        of clobbering (rename-if-absent is the commit arbiter, the same
-        primitive Delta's log store uses)."""
+        write-temp + atomic put-if-absent, so the snapshot either fully
+        exists or not at all, and a racing writer FAILS instead of
+        clobbering (the commit arbiter, same role as Delta's log store).
+
+        The put-if-absent primitive is scheme-dependent, exactly as in
+        Delta's LogStore implementations: on a LOCAL filesystem the
+        Hadoop ``rename`` is check-then-act (Java renameTo overwrites an
+        existing destination), so two truly concurrent renames to the
+        same version can BOTH report success and silently drop a commit
+        — caught by the threaded-writers test.  There the publish is a
+        hard link (``Files.createLink`` → POSIX link(2)), which the
+        kernel makes atomic-exclusive (EEXIST).  On HDFS-like stores,
+        ``rename`` is atomic-no-overwrite by contract and is used
+        as-is."""
         fs, _, jvm = _fs(self.spark, self.dir)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.dir))
         doc = {"version": version, "buckets": {str(b): f for b, f in sorted(mapping.items())}}
         if stats is not None:
             doc["stats"] = {str(b): list(s) for b, s in sorted(stats.items())}
         body = json.dumps(doc).encode("utf-8")
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
-        )
+        tmp_name = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
+        tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)
         out = fs.create(tmp, True)
         out.write(bytearray(body))
         out.close()
-        final = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
+        final_name = os.path.join(self.dir, f"v{version}.json")
+        final = jvm.org.apache.hadoop.fs.Path(final_name)
+        if fs.getScheme() == "file":
+            try:
+                jvm.java.nio.file.Files.createLink(
+                    jvm.java.io.File(final.toUri().getPath()).toPath(),
+                    jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+                )
+                fs.delete(tmp, False)
+                return True
+            except Exception as exc:  # Py4JJavaError wrapping the Java exception
+                fs.delete(tmp, False)
+                java_exc = getattr(exc, "java_exception", None)
+                if java_exc is not None and "FileAlreadyExistsException" in (
+                    java_exc.getClass().getName()
+                ):
+                    return False
+                raise
         if fs.rename(tmp, final):
             return True
         fs.delete(tmp, False)
@@ -188,8 +214,21 @@ class ManifestLog:
         merged the same bucket — one of them resolved MERGE semantics
         against a stale bucket state, and no file-level rebase can fix
         that).  Without the declaration, any lost race raises — the
-        conservative single-writer contract."""
-        version = (self.latest_version() or 0) + 1
+        conservative single-writer contract.
+
+        A declared commit publishes at ``base_version + 1`` — NOT at
+        ``latest + 1``: ``mapping`` was derived from the base snapshot,
+        so if another writer advanced the log since, targeting latest+1
+        would land the STALE carried-forward entries at a fresh version
+        with no collision at all (a silent lost update, caught by the
+        threaded-writers test).  Deriving the target from the same
+        version the mapping came from forces every interleaving through
+        the put-if-absent collision and from there through the conflict
+        check."""
+        if touched is not None:
+            version = (base_version or 0) + 1
+        else:
+            version = (self.latest_version() or 0) + 1
         if self._try_publish(mapping, stats, version):
             return version
         if touched is None:
