@@ -4,14 +4,16 @@ Arrow-batched ``mapInPandas`` stages.
 
 ``decoder="real"`` GENUINELY decodes PNG payloads (full chunk walk,
 CRC verification, zlib inflate, inverse scanline filters — see
-:mod:`quick_stream_spark.functions.png`) and PCM WAV audio (RIFF chunk
-walk, fmt validation, sample unpack — see
-:mod:`quick_stream_spark.functions.wav`); this container has no
-PIL/ffmpeg, but neither format needs them.  Other formats under
-``decoder="real"`` raise ``NotImplementedError`` at the exact seam
-where PIL/ffmpeg would slot in.  ``decoder="fake"`` keeps the
-deterministic hash-derived stand-in so plumbing tests run on arbitrary
-bytes.
+:mod:`quick_stream_spark.functions.png`), baseline JPEG (marker walk,
+canonical Huffman entropy decode, dequant + IDCT, chroma upsampling,
+YCbCr->RGB — see :mod:`quick_stream_spark.functions.jpeg`), animated
+GIF and PCM WAV audio (RIFF chunk walk, fmt validation, sample unpack
+— see :mod:`quick_stream_spark.functions.wav`); this container has no
+PIL/ffmpeg, but none of these formats needs them.  Remaining formats
+under ``decoder="real"`` (progressive JPEG, MP4 codec payloads) raise
+``NotImplementedError`` at the exact seam where PIL/ffmpeg would slot
+in.  ``decoder="fake"`` keeps the deterministic hash-derived stand-in
+so plumbing tests run on arbitrary bytes.
 
 Scale notes:
   - mapInPandas streams Arrow batches, so one task never materializes
@@ -102,10 +104,16 @@ def _real_decode(payload: bytes) -> tuple[int, int, int]:
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         info = wav.decode_wav(payload)
         return 0, 0, info["n_samples"]
+    if head[:2] == b"\xff\xd8":
+        from quick_stream_spark.functions import jpeg
+
+        jinfo = jpeg.decode_jpeg(payload)
+        return jinfo["width"], jinfo["height"], 1
     raise NotImplementedError(
         "real decode implements PNG (functions/png.py), animated GIF "
-        "(functions/gif.py) and PCM WAV (functions/wav.py); JPEG/MP4 "
-        "need PIL/ffmpeg, not present in this environment"
+        "(functions/gif.py), PCM WAV (functions/wav.py) and baseline "
+        "JPEG (functions/jpeg.py); progressive JPEG and MP4 need "
+        "PIL/ffmpeg, not present in this environment"
     )
 
 
@@ -154,22 +162,26 @@ IMAGE_STATS_SCHEMA = StructType(
 
 
 def decode_image_stats(media: DataFrame) -> DataFrame:
-    """Feature-extraction stage over PNG payloads: REAL decode (chunk
-    walk + CRC + inflate + unfilter) emitting bounded per-image
-    statistics — dimensions, pixel count and EXACT integer per-channel
-    sums (grayscale maps onto all three channels).  Full pixel arrays
-    never leave the kernel, so the stage output is a few scalars per
-    image regardless of resolution — the shape a 100 TB media pipeline
-    wants (decode close to the data, ship features, not frames); means
-    and other derived stats stay engine-side arithmetic over the exact
-    sums."""
-    from quick_stream_spark.functions import png
+    """Feature-extraction stage over PNG or baseline-JPEG payloads:
+    REAL decode (PNG: chunk walk + CRC + inflate + unfilter; JPEG:
+    marker walk + Huffman entropy decode + dequant + IDCT + upsample +
+    YCbCr->RGB) emitting bounded per-image statistics — dimensions,
+    pixel count and EXACT integer per-channel sums (grayscale maps onto
+    all three channels).  Full pixel arrays never leave the kernel, so
+    the stage output is a few scalars per image regardless of
+    resolution — the shape a 100 TB media pipeline wants (decode close
+    to the data, ship features, not frames); means and other derived
+    stats stay engine-side arithmetic over the exact sums."""
+    from quick_stream_spark.functions import jpeg, png
 
     def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                info = png.decode_png(payload)
+                if (payload or b"")[:2] == b"\xff\xd8":
+                    info = jpeg.decode_jpeg(payload)
+                else:
+                    info = png.decode_png(payload)
                 s = info["channel_sums"]
                 if info["channels"] < 3:
                     # grayscale (and gray+alpha) map the GRAY plane onto

@@ -518,6 +518,7 @@ def r_wide_row_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("reference",),
+    pytest_only=True,  # rotated out r7 (driver-green r1-r6) for mm_jpeg_decode
 )
 def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 (lib.rs:24-58): the 100/10/1 size-class split is physically

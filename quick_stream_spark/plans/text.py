@@ -951,6 +951,95 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 5 + doc_id % 21 AS w, 5 + doc_id % 17 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+      FROM dims, unnest(range(0, w)) AS xx(x), unnest(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(128 + 2 * ((((x // 8) * 5 + (y // 8) * 3 + doc_id) % 60) - 30)) AS BIGINT) AS sum_r,
+           CAST(SUM(128 + 2 * ((((x // 8) * 5 + (y // 8) * 3 + doc_id) % 60) - 30)) AS BIGINT) AS sum_g,
+           CAST(SUM(128 + 2 * ((((x // 8) * 5 + (y // 8) * 3 + doc_id) % 60) - 30)) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode"),
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end (the T.81 sibling of
+    mm_image_decode): synthesize a complete baseline JFIF payload per
+    document with the from-scratch encoder — per-8x8-block SOLID luma
+    from a closed-form formula of (doc_id, block), EVEN level-shift
+    offsets so the Annex K DC quantizer (step 16) is exact, grayscale
+    for even doc_ids and 3-component 4:2:0 neutral-chroma for odd ones,
+    restart markers every 2 MCUs when doc_id % 3 == 0 — then decode
+    with the pure numpy codec (functions/jpeg.py: marker walk, DHT
+    canonical Huffman, byte unstuffing + RSTn, dequant, IDCT, chroma
+    upsample, YCbCr->RGB) inside an Arrow-batched mapInPandas stage.
+    The oracle never decodes: a DC-only block IDCTs to the exact
+    constant, so the SQL computes pixel sums FROM THE GENERATIVE
+    FORMULA — a wrong Huffman table build, a mis-ordered MCU
+    interleave, a broken restart reset, a bad dequant or an off-by-one
+    crop shows up as a value mismatch.  Scale: per-payload kernels in
+    mapInPandas, bounded stats only leave the kernel — see
+    functions/multimodal.py and functions/jpeg.py."""
+    from quick_stream_spark.functions.multimodal import decode_image_stats
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 21, 5 + did % 17
+
+                def luma(x, y, did=did):
+                    return 128 + 2 * (
+                        (((x // 8) * 5 + (y // 8) * 3 + did) % 60) - 30
+                    )
+
+                dri = 2 if did % 3 == 0 else 0
+                if did % 2 == 0:
+                    payload = encode_jpeg(
+                        w, h, luma, components=1, restart_interval=dri
+                    )
+                else:
+                    payload = encode_jpeg(
+                        w,
+                        h,
+                        lambda x, y, f=luma: (f(x, y),) * 3,
+                        components=3,
+                        subsampling="420",
+                        restart_interval=dri,
+                    )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    stats = decode_image_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").alias("n_pixels"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    )
+
+
+@register(
     "mm_audio_decode",
     oracle="""
     WITH dims AS (

@@ -146,28 +146,39 @@ def test_png_rejects_structurally_valid_but_malformed_chunks():
     assert decode_png(encode_png(6, 6, _px))["n_pixels"] == 36
 
 
-def test_real_decoder_decodes_png_and_keeps_seam_for_rest(spark):
-    """decoder='real' genuinely decodes PNG payloads through the
-    mapInPandas stage; non-PNG payloads still raise at the PIL/ffmpeg
-    seam."""
+def test_real_decoder_decodes_png_jpeg_and_keeps_seam_for_rest(spark):
+    """decoder='real' genuinely decodes PNG and baseline-JPEG payloads
+    through the mapInPandas stage; formats outside the from-scratch
+    codecs (e.g. MP4) still raise at the PIL/ffmpeg seam, and a
+    malformed JPEG raises the decoder's own ValueError, not the seam."""
+    from quick_stream_spark.functions.jpeg import encode_jpeg
     from quick_stream_spark.functions.multimodal import decode_media
     from quick_stream_spark.functions.png import encode_png
 
     rows = [(1, encode_png(8, 5, _px), "image", "png"),
-            (2, encode_png(3, 3, _px), "image", "png")]
+            (2, encode_png(3, 3, _px), "image", "png"),
+            (3, encode_jpeg(10, 6, lambda x, y: (_px(x, y)[0],) * 3),
+             "image", "jpeg")]
     media = spark.createDataFrame(
         rows, "media_id long, payload binary, media_type string, format_hint string"
     )
     got = {r.media_id: (r.width, r.height) for r in
            decode_media(media, decoder="real").collect()}
-    assert got == {1: (8, 5), 2: (3, 3)}
+    assert got == {1: (8, 5), 2: (3, 3), 3: (10, 6)}
 
-    not_png = spark.createDataFrame(
-        [(3, b"\xff\xd8\xff\xe0fakejpeg", "image", "jpeg")],
+    mp4ish = spark.createDataFrame(
+        [(4, b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16, "video", "mp4")],
         "media_id long, payload binary, media_type string, format_hint string",
     )
     with pytest.raises(Exception, match="PIL/ffmpeg"):
-        decode_media(not_png, decoder="real").collect()
+        decode_media(mp4ish, decoder="real").collect()
+
+    bad_jpeg = spark.createDataFrame(
+        [(5, b"\xff\xd8\xff\xe0fakejpeg", "image", "jpeg")],
+        "media_id long, payload binary, media_type string, format_hint string",
+    )
+    with pytest.raises(Exception, match="truncated|marker"):
+        decode_media(bad_jpeg, decoder="real").collect()
 
 
 # ----------------------------------------------------- real WAV codec
