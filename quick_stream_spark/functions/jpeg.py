@@ -1,24 +1,35 @@
-"""Pure-Python + numpy baseline JPEG codec (ITU-T T.81) — the REAL
-JPEG-decode kernel behind ``decoder="real"`` in :mod:`multimodal`.
+"""Pure-Python + numpy JPEG codec (ITU-T T.81) — the REAL JPEG-decode
+kernel behind ``decoder="real"`` in :mod:`multimodal`.
 
-This container has no PIL, but baseline sequential JPEG needs only the
-public spec: marker segment walk (SOI/APP0/DQT/SOF0/DHT/DRI/SOS/EOI),
-canonical Huffman tables built from the file's own DHT segments,
-entropy decode with 0xFF00 byte unstuffing and RSTn restart handling,
-dequantization, inverse zigzag, a vectorized 8x8 IDCT (orthonormal
-DCT-II basis, numpy matmul), chroma upsampling by sample replication,
-and the JFIF YCbCr->RGB transform.  Supported: 8-bit baseline (SOF0),
-1 or 3 components, any sampling factors h,v in {1,2} (4:4:4, 4:2:2,
-4:2:0), restart intervals.  Progressive (SOF2) and 12-bit raise
+This container has no PIL, but Huffman-coded JPEG needs only the public
+spec: marker segment walk (SOI/APP0/DQT/SOF/DHT/DRI/SOS/EOI), canonical
+Huffman tables built from the file's own DHT segments, entropy decode
+with 0xFF00 byte unstuffing and RSTn restart handling, dequantization,
+inverse zigzag, a vectorized 8x8 IDCT (orthonormal DCT-II basis, numpy
+matmul), chroma upsampling by sample replication, and the JFIF
+YCbCr->RGB transform.
+
+Supported frames: 8-bit baseline sequential (SOF0) AND 8-bit
+progressive (SOF2, T.81 Annex G): spectral selection, successive
+approximation (DC first/refine with arithmetic point transform, AC
+first with EOB-run coding, AC refinement with correction bits), 1 or 3
+components, sampling factors h,v in {1,2} (4:4:4, 4:2:2, 4:2:0),
+restart intervals, multi-scan files with DHT redefinition between
+scans.  Lossless/arithmetic/hierarchical/12-bit frames raise
 ``ValueError`` — the decoder is honest about its envelope.
 
-The encoder writes the same subset (levels shift -> FDCT -> quantize ->
-zigzag -> Huffman, with edge-replicate padding to MCU multiples and
-2x2 box-average chroma downsampling for 4:2:0), so the decoder is
-testable against real entropy-coded data it did not produce the
-internal state for.  The decoder builds its Huffman tables from the
-DHT segments in the payload — as the spec requires — so decode
-correctness never depends on the encoder's table choice.
+The encoder writes the same subset — baseline, and a progressive mode
+with a libjpeg-style scan script (DC Al=1 -> AC bands -> DC refine ->
+AC refines down to Al=0) whose AC Huffman tables are rebuilt per scan
+from a symbol-counting pre-pass (fixed-length canonical codes, the
+all-ones codeword provably unused) — so the decoder is testable against
+real multi-scan entropy-coded data it did not produce the internal
+state for.  The decoder builds its Huffman tables from the DHT segments
+in the payload — as the spec requires — so decode correctness never
+depends on the encoder's table choice.  Because every coefficient is
+refined down to Al=0, a progressive encode decodes to EXACTLY the same
+pixels as the baseline encode of the same image (same quantized
+coefficients) — the cross-mode equality tests/test_jpeg.py pins.
 
 Exactness note for closed-form oracles: a solid-color 8x8 block has a
 DC-only DCT (DC = 8*(v-128), all ACs zero); with the Annex K luma
@@ -27,7 +38,7 @@ v-128 is even, and the IDCT of a DC-only block is the exact constant
 DC/8.  Oracle-gated queries therefore use per-block solid colors with
 even offsets: the decoded pixels equal the generative formula with NO
 float ambiguity, so a SQL oracle that never decodes can pin the whole
-pipeline (see plans/text.py ``mm_jpeg_decode``).
+pipeline (see plans/text.py ``mm_jpeg_decode`` / ``mm_jpeg_progressive``).
 
 Scale posture: per-payload kernels executed inside Arrow-batched
 ``mapInPandas`` stages — CPU-heavy, embarrassingly parallel, no
@@ -175,6 +186,25 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
+def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Build a structurally valid (BITS, HUFFVAL) spec assigning every
+    symbol the SAME code length L = ceil(log2(n+1)): the Kraft sum is
+    n/2^L < 1, and the all-ones codeword (value 2^L - 1 >= n) is never
+    assigned — the property T.81 tables maintain so padding bits can
+    never form a valid code.  Used by the progressive encoder to emit a
+    per-scan AC table covering exactly the symbols the scan needs."""
+    n = len(symbols)
+    if n == 0:
+        symbols = [0x00]  # degenerate scan: table must still be valid
+        n = 1
+    length = max(1, (n + 1 - 1).bit_length())  # ceil(log2(n+1))
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, sorted(symbols)
+
+
 def rgb_to_ycbcr(r, g, b):
     """JFIF forward color transform (float -> rounded ints)."""
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -224,6 +254,44 @@ class _BitWriter:
             self.write(1, 1)  # pad with 1-bits per spec
 
 
+class _CountEmitter:
+    """Pass-1 emitter: records AC Huffman symbol frequencies (the only
+    per-scan-optimized table); DC symbols and raw bits are free."""
+
+    def __init__(self) -> None:
+        self.ac_syms: dict[int, int] = {}
+
+    def sym_dc(self, slot: int, s: int) -> None:
+        pass
+
+    def sym_ac(self, s: int) -> None:
+        self.ac_syms[s] = self.ac_syms.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _WriteEmitter:
+    """Pass-2 emitter: writes Huffman codes + appended bits."""
+
+    def __init__(self, w: _BitWriter, dc_codes: list[dict], ac_codes: dict | None):
+        self.w = w
+        self.dc_codes = dc_codes
+        self.ac_codes = ac_codes
+
+    def sym_dc(self, slot: int, s: int) -> None:
+        ln, code = self.dc_codes[slot][s]
+        self.w.write(code, ln)
+
+    def sym_ac(self, s: int) -> None:
+        ln, code = self.ac_codes[s]
+        self.w.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+
 def _mag_bits(v: int) -> tuple[int, int]:
     """(category ssss, appended bits) for a DC diff / AC value."""
     if v == 0:
@@ -233,52 +301,161 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return ssss, bits
 
 
-def _encode_block(
-    w: _BitWriter,
-    coefs: np.ndarray,
-    pred: int,
-    dc_codes: dict,
-    ac_codes: dict,
-) -> int:
-    """Huffman-encode one quantized 8x8 block; returns the new DC
-    predictor."""
-    zz = coefs.reshape(64)[ZIGZAG]
-    dc = int(zz[0])
-    ssss, bits = _mag_bits(dc - pred)
-    ln, code = dc_codes[ssss]
-    w.write(code, ln)
-    if ssss:
-        w.write(bits, ssss)
-    run = 0
-    last_nz = 0
-    for k in range(1, 64):
-        if zz[k]:
-            last_nz = k
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            ln, code = ac_codes[0xF0]  # ZRL
-            w.write(code, ln)
-            run -= 16
-        ssss, bits = _mag_bits(v)
-        ln, code = ac_codes[(run << 4) | ssss]
-        w.write(code, ln)
-        w.write(bits, ssss)
-        run = 0
-    if last_nz < 63:
-        ln, code = ac_codes[0x00]  # EOB
-        w.write(code, ln)
-    return dc
-
-
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
 _SAMPLING = {"444": ((1, 1), (1, 1)), "422": ((2, 1), (1, 1)), "420": ((2, 2), (1, 1))}
+
+
+def _flush_eobrun(em, state: dict) -> None:
+    """Emit the accumulated EOB-run (EOBn symbol + extra bits), then any
+    buffered refinement correction bits (T.81 G.1.2.2/G.1.2.3)."""
+    e = state["eobrun"]
+    if e > 0:
+        r = e.bit_length() - 1
+        em.sym_ac(r << 4)
+        em.bits(e - (1 << r), r)
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        em.bits(b, 1)
+    state["pending"] = []
+
+
+def _enc_block_ac_first(em, zz, ss: int, se: int, al: int, state: dict | None) -> None:
+    """AC coding of one block's band [ss..se]: baseline run/size coding
+    when ``state`` is None (EOB = 0x00 only), progressive-first-pass
+    coding with magnitude point transform and cross-block EOB-runs when
+    ``state`` carries the scan's eobrun."""
+    band = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        av = (v if v >= 0 else -v) >> al
+        band.append(av if v >= 0 else -av)
+    last_nz = -1
+    for i, v in enumerate(band):
+        if v:
+            last_nz = i
+    if last_nz < 0:
+        if state is None:
+            em.sym_ac(0x00)
+        else:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(em, state)
+        return
+    if state is not None:
+        _flush_eobrun(em, state)
+    run = 0
+    for i in range(last_nz + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            em.sym_ac(0xF0)  # ZRL
+            run -= 16
+        ssss, bits = _mag_bits(v)
+        em.sym_ac((run << 4) | ssss)
+        em.bits(bits, ssss)
+        run = 0
+    if last_nz < se - ss:
+        if state is None:
+            em.sym_ac(0x00)
+        else:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(em, state)
+
+
+def _enc_block_ac_refine(em, zz, ss: int, se: int, al: int, state: dict) -> None:
+    """AC successive-approximation refinement of one block (T.81
+    G.1.2.3, the libjpeg correction-bit discipline): already-significant
+    coefficients contribute one buffered correction bit each; newly
+    significant ones (|v|>>al == 1) are coded as run/1 + sign, flushing
+    the buffered bits; trailing runs fold into the scan-wide EOB-run,
+    carrying their correction bits with it."""
+    absv = []
+    signs = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        absv.append((v if v >= 0 else -v) >> al)
+        signs.append(v >= 0)
+    run = 0
+    br: list[int] = []  # correction bits in the current run
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:  # already significant: correction bit, run continues
+            br.append(t & 1)
+            continue
+        # newly significant coefficient
+        while run > 15:
+            _flush_eobrun(em, state)
+            em.sym_ac(0xF0)
+            run -= 16
+            for b in br:
+                em.bits(b, 1)
+            br = []
+        _flush_eobrun(em, state)
+        em.sym_ac((run << 4) | 1)
+        em.bits(1 if signs[i] else 0, 1)
+        for b in br:
+            em.bits(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF or len(state["pending"]) > 937:
+            _flush_eobrun(em, state)
+
+
+def _emit_scan(em, arrays, units, scan_comps, ss, se, ah, al, baseline: bool) -> None:
+    """Drive one scan's entropy coding through an emitter.  ``units`` is
+    the block walk: a list of MCUs, each a list of (ci, by, bx)."""
+    preds = {ci: 0 for ci in scan_comps}
+    state = None if baseline else {"eobrun": 0, "pending": []}
+    for unit in units:
+        for ci, by, bx in unit:
+            zz = arrays[ci][by, bx]
+            if ss == 0:
+                v = int(zz[0]) >> al  # arithmetic shift: DC point transform
+                if ah == 0:
+                    ssss, bits = _mag_bits(v - preds[ci])
+                    preds[ci] = v
+                    em.sym_dc(min(ci, 1), ssss)
+                    em.bits(bits, ssss)
+                else:
+                    em.bits(v & 1, 1)
+            if se > 0:
+                if ah == 0:
+                    _enc_block_ac_first(em, zz, max(1, ss), se, al, state)
+                else:
+                    _enc_block_ac_refine(em, zz, ss, se, al, state)
+    if state is not None:
+        _flush_eobrun(em, state)
+
+
+def _mcu_units(factors, mcus_x, mcus_y):
+    """Interleaved MCU walk: one unit per MCU, fh*fv blocks per comp."""
+    units = []
+    for mi in range(mcus_y * mcus_x):
+        my, mx = divmod(mi, mcus_x)
+        unit = []
+        for ci, (fh, fv) in enumerate(factors):
+            for by in range(fv):
+                for bx in range(fh):
+                    unit.append((ci, my * fv + by, mx * fh + bx))
+        units.append(unit)
+    return units
+
+
+def _comp_units(ci, bw, bh):
+    """Non-interleaved walk (T.81: ns=1 scans): one block per unit over
+    the component's true block grid, row-major."""
+    return [[(ci, by, bx)] for by in range(bh) for bx in range(bw)]
 
 
 def encode_jpeg(
@@ -289,16 +466,22 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     qtables: str = "standard",
+    progressive: bool = False,
 ) -> bytes:
-    """Encode to a complete baseline JFIF payload.  ``pixel_fn(x, y)``
-    returns an (r, g, b) tuple (``components=3``) or a single luma int
-    (``components=1``).  ``qtables``: ``"standard"`` (Annex K) or
-    ``"flat"`` (all ones — lossless through quantization, for
-    round-trip tests)."""
+    """Encode to a complete JFIF payload — baseline SOF0, or progressive
+    SOF2 with a libjpeg-style scan script when ``progressive=True``.
+    ``pixel_fn(x, y)`` returns an (r, g, b) tuple (``components=3``) or
+    a single luma int (``components=1``).  ``qtables``: ``"standard"``
+    (Annex K) or ``"flat"`` (all ones — lossless through quantization,
+    for round-trip tests).  Progressive refines every coefficient down
+    to Al=0, so it decodes to exactly the same pixels as the baseline
+    encoding of the same image."""
     if components not in (1, 3):
         raise ValueError("components must be 1 or 3")
     if subsampling not in _SAMPLING:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if progressive and restart_interval:
+        raise ValueError("progressive encoder does not emit restart markers")
     (hy, vy), (hc, vc) = _SAMPLING[subsampling]
     if components == 1:
         hy = vy = 1
@@ -332,9 +515,12 @@ def encode_jpeg(
     else:
         raise ValueError(f"unknown qtables {qtables!r}")
 
-    comp_planes = []
     factors = [(hy, vy)] + [(hc, vc)] * (components - 1)
     quants = [q_luma] + [q_chroma] * (components - 1)
+
+    # Quantize every component into a zigzag coefficient array
+    # (BH, BW, 64) over the MCU-padded block grid; scans read from it.
+    arrays = []
     for ci, plane in enumerate(planes):
         p = np.pad(
             plane,
@@ -347,43 +533,17 @@ def encode_jpeg(
             ry, rx = vmax // fv, hmax // fh
             p = p.reshape(p.shape[0] // ry, ry, p.shape[1] // rx, rx)
             p = np.round(p.mean(axis=(1, 3))).astype(np.int64)
-        comp_planes.append(p)
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blk = p.astype(np.float64).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        s = np.matmul(np.matmul(_A, blk - 128.0), _A.T)
+        qz = np.round(s / quants[ci].astype(np.float64)).astype(np.int64)
+        arr = qz.reshape(bh, bw, 64)[:, :, ZIGZAG]  # raster -> zigzag order
+        arrays.append(arr)
 
     dc_specs = [HUFF_DC_LUMA] + [HUFF_DC_CHROMA] * (components - 1)
-    ac_specs = [HUFF_AC_LUMA] + [HUFF_AC_CHROMA] * (components - 1)
     dc_codes = [_canonical_codes(*s) for s in dc_specs[:2]]
-    ac_codes = [_canonical_codes(*s) for s in ac_specs[:2]]
 
-    w = _BitWriter()
-    preds = [0] * components
-    rst = 0
-    for mi in range(mcus_y * mcus_x):
-        if restart_interval and mi and mi % restart_interval == 0:
-            w.pad_to_byte()
-            w.out.extend(struct.pack(">H", 0xFFD0 + (rst & 7)))
-            rst += 1
-            preds = [0] * components
-        my, mx = divmod(mi, mcus_x)
-        for ci in range(components):
-            fh, fv = factors[ci]
-            for by in range(fv):
-                for bx in range(fh):
-                    r0 = (my * fv + by) * 8
-                    c0 = (mx * fh + bx) * 8
-                    block = comp_planes[ci][r0 : r0 + 8, c0 : c0 + 8].astype(
-                        np.float64
-                    )
-                    s = _A @ (block - 128.0) @ _A.T
-                    qz = np.round(s / quants[ci]).astype(np.int64)
-                    preds[ci] = _encode_block(
-                        w,
-                        qz,
-                        preds[ci],
-                        dc_codes[min(ci, 1)],
-                        ac_codes[min(ci, 1)],
-                    )
-    w.pad_to_byte()
-
+    # ---- headers common to both modes
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
         0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
@@ -393,30 +553,117 @@ def encode_jpeg(
     if components == 3:
         zz_chroma = q_chroma.reshape(64)[ZIGZAG]
         out += _seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in zz_chroma))
+    sof_marker = 0xFFC2 if progressive else 0xFFC0
     sof = struct.pack(">BHHB", 8, height, width, components)
     for ci in range(components):
         fh, fv = factors[ci]
         sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
-    out += _seg(0xFFC0, sof)
+    out += _seg(sof_marker, sof)
     for tclass, tid, (bits, vals) in (
         (0, 0, HUFF_DC_LUMA),
-        (1, 0, HUFF_AC_LUMA),
         (0, 1, HUFF_DC_CHROMA),
-        (1, 1, HUFF_AC_CHROMA),
-    )[: 2 * min(components, 2)]:
+    )[: min(components, 2)]:
         out += _seg(
             0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
         )
-    if restart_interval:
-        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([components])
-    for ci in range(components):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xFFDA, sos)
-    out += w.out
-    out += b"\xff\xd9"  # EOI
+
+    def sos_header(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            td = 0 if ci == 0 else 1
+            ta = 0 if progressive else td
+            if ss > 0:  # AC scan: table redefined per scan as AC id 0
+                td, ta = 0, 0
+            body += bytes([ci + 1, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xFFDA, body)
+
+    if not progressive:
+        ac_specs = [HUFF_AC_LUMA] + [HUFF_AC_CHROMA] * (components - 1)
+        ac_codes = [_canonical_codes(*s) for s in ac_specs[:2]]
+        for tclass, tid, (bits, vals) in (
+            (1, 0, HUFF_AC_LUMA),
+            (1, 1, HUFF_AC_CHROMA),
+        )[: min(components, 2)]:
+            out += _seg(
+                0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+            )
+        if restart_interval:
+            out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += sos_header(list(range(components)), 0, 63, 0, 0)
+        # single interleaved scan; restart handling needs the raw writer
+        w = _BitWriter()
+        units = _mcu_units(factors, mcus_x, mcus_y)
+        preds = [0] * components
+        state = None
+        rst = 0
+        for mi, unit in enumerate(units):
+            if restart_interval and mi and mi % restart_interval == 0:
+                w.pad_to_byte()
+                w.out.extend(struct.pack(">H", 0xFFD0 + (rst & 7)))
+                rst += 1
+                preds = [0] * components
+            for ci, by, bx in unit:
+                zz = arrays[ci][by, bx]
+                em = _WriteEmitter(w, dc_codes, ac_codes[min(ci, 1)])
+                ssss, bits = _mag_bits(int(zz[0]) - preds[ci])
+                preds[ci] = int(zz[0])
+                em.sym_dc(min(ci, 1), ssss)
+                em.bits(bits, ssss)
+                _enc_block_ac_first(em, zz, 1, 63, 0, state)
+        w.pad_to_byte()
+        out += w.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive scan script (all coefficients refined to Al=0)
+    if components == 1:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    for scan_comps, ss, se, ah, al in script:
+        if len(scan_comps) > 1:
+            units = _mcu_units(factors, mcus_x, mcus_y)
+        else:
+            # true block grid for non-interleaved scans (T.81: ns=1)
+            ci = scan_comps[0]
+            fh, fv = factors[ci]
+            cw = (width * fh + hmax - 1) // hmax
+            ch = (height * fv + vmax - 1) // vmax
+            units = _comp_units(ci, (cw + 7) // 8, (ch + 7) // 8)
+        if ss > 0:  # AC scan: per-scan optimized Huffman table
+            counter = _CountEmitter()
+            _emit_scan(counter, arrays, units, scan_comps, ss, se, ah, al, False)
+            bits, vals = _fixed_length_table(list(counter.ac_syms))
+            out += _seg(0xFFC4, bytes([(1 << 4) | 0]) + bytes(bits) + bytes(vals))
+            ac_tbl = _canonical_codes(bits, vals)
+        else:
+            ac_tbl = None
+        out += sos_header(scan_comps, ss, se, ah, al)
+        w = _BitWriter()
+        em = _WriteEmitter(w, dc_codes, ac_tbl)
+        _emit_scan(em, arrays, units, scan_comps, ss, se, ah, al, False)
+        w.pad_to_byte()
+        out += w.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -490,25 +737,121 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _dec_block_ac_first(br, ac_tbl, zz, ss, se, al, state, progressive) -> None:
+    """First-pass AC decode of one block's band (baseline when al=0 and
+    EOBn symbols are rejected; progressive G.1.2.2 otherwise)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            if not progressive and r != 0:
+                raise ValueError(
+                    f"EOBn symbol 0x{rs:02X} is invalid in a baseline scan"
+                )
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.receive(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _dec_block_ac_refine(br, ac_tbl, zz, ss, se, al) -> int:
+    """AC successive-approximation refinement of one block (T.81 G.2,
+    the libjpeg correction-bit discipline).  Returns the scan's new
+    EOB-run count (0 unless this block started one)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if br.read_bit():
+            c = int(zz[k])
+            if (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    eobrun = 0
+    while k <= se:
+        rs = _decode_huff(br, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOBn
+                eobrun = (1 << r) + (br.receive(r) if r else 0)
+                break
+            # ZRL: advance past 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("refinement scan coded a multi-bit coefficient")
+            newval = p1 if br.read_bit() else m1
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            zz[k] = newval
+        k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _find_next_marker(data: bytes, pos: int) -> int:
+    """Skip pad bits / fill bytes after a scan: return the offset of the
+    next real marker (0xFF followed by a non-zero, non-RST byte)."""
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] not in (0x00,) and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    raise ValueError("truncated stream: no marker after scan data")
+
+
 def decode_jpeg_pixels(data: bytes) -> dict:
-    """Full baseline decode; returns ``{width, height, n_components,
-    planes}`` where ``planes`` is a list of numpy int arrays at full
-    image resolution (post-upsampling), in Y/Cb/Cr order (or [Y]).
-    Raises ``ValueError`` on malformed or non-baseline payloads."""
+    """Full baseline OR progressive decode; returns ``{width, height,
+    n_components, planes}`` where ``planes`` is a list of numpy int
+    arrays at full image resolution (post-upsampling), in frame
+    component order (Y/Cb/Cr or [Y]).  Raises ``ValueError`` on
+    malformed payloads or frames outside the supported envelope."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(data):
+    arrays: dict[int, np.ndarray] = {}
+    geom: dict = {}
+    scans_done = 0
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated segment")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -530,7 +873,7 @@ def decode_jpeg_pixels(data: bytes) -> dict:
                 tbl[ZIGZAG] = vals  # de-zigzag the stored table
                 qt[tid] = tbl.reshape(8, 8)
                 off += n
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             off = 0
             while off < len(body):
                 tclass, tid = body[off] >> 4, body[off] & 15
@@ -542,107 +885,72 @@ def decode_jpeg_pixels(data: bytes) -> dict:
                     (ln, code): sym for sym, (ln, code) in codes.items()
                 }
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             prec, h, w_, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise ValueError(f"only 8-bit baseline supported, got {prec}")
+                raise ValueError(f"only 8-bit frames supported, got {prec}")
+            if not (1 <= nf <= 3):
+                raise ValueError(f"unsupported component count {nf}")
             comps = []
             for i in range(nf):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w_, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            geom = {"hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+            for cid, fh, fv, tq in comps:
+                arrays[cid] = np.zeros(
+                    (mcus_y * fv, mcus_x * fh, 64), dtype=np.int64
+                )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X}: only baseline "
-                "sequential (SOF0) is implemented"
+                "sequential (SOF0) and progressive (SOF2) are implemented"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode one scan, resume marker walk
+            if frame is None:
+                raise ValueError("missing SOF0 or SOS: SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cid, tt >> 4, tt & 15))
-            pos = pos + 2 + seglen
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            pos = _decode_scan(
+                data, pos + 2 + seglen, frame, geom, scan, ss, se, ah, al,
+                arrays, qt, huff, restart_interval, progressive,
+            )
+            scans_done += 1
+            continue
         # APPn/COM/others: skip
         pos = pos + 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or scans_done == 0:
         raise ValueError("missing SOF0 or SOS")
 
     height, width, comps = frame
-    if not (1 <= len(comps) <= 3):
-        raise ValueError(f"unsupported component count {len(comps)}")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-
-    by_id = {c[0]: c for c in comps}
-    order = []
-    for cid, td, ta in scan:
-        if cid not in by_id:
-            raise ValueError(f"SOS references unknown component {cid}")
-        _, fh, fv, tq = by_id[cid]
-        order.append((cid, fh, fv, tq, td, ta))
-
-    br = _BitReader(data, pos)
-    blocks: dict[int, list[np.ndarray]] = {cid: [] for cid, *_ in order}
-    preds: dict[int, int] = {cid: 0 for cid, *_ in order}
-    for mi in range(mcus_y * mcus_x):
-        if restart_interval and mi and mi % restart_interval == 0:
-            br.align_consume_rst()
-            preds = {cid: 0 for cid, *_ in order}
-        for cid, fh, fv, tq, td, ta in order:
-            dc_tbl = huff.get((0, td))
-            ac_tbl = huff.get((1, ta))
-            if dc_tbl is None or ac_tbl is None:
-                raise ValueError("scan references undefined Huffman table")
-            for _ in range(fh * fv):
-                zz = np.zeros(64, dtype=np.int64)
-                t = _decode_huff(br, dc_tbl)
-                preds[cid] += _extend(br.receive(t), t)
-                zz[0] = preds[cid]
-                k = 1
-                while k <= 63:
-                    rs = _decode_huff(br, ac_tbl)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(br.receive(s), s)
-                    k += 1
-                raster = np.zeros(64, dtype=np.int64)
-                raster[ZIGZAG] = zz
-                blocks[cid].append(raster.reshape(8, 8))
-
+    hmax, vmax = geom["hmax"], geom["vmax"]
     planes = []
-    for cid, fh, fv, tq, td, ta in order:
+    for cid, fh, fv, tq in comps:
         if tq not in qt:
             raise ValueError(f"component {cid} references undefined DQT {tq}")
-        arr = np.stack(blocks[cid]).astype(np.float64) * qt[tq].astype(
-            np.float64
-        )
-        spatial = np.matmul(np.matmul(_A.T, arr), _A) + 128.0
+        arr = arrays[cid]
+        bh, bw = arr.shape[0], arr.shape[1]
+        raster = np.zeros((bh, bw, 64), dtype=np.float64)
+        raster[:, :, ZIGZAG] = arr  # inverse zigzag
+        deq = raster.reshape(bh, bw, 8, 8) * qt[tq].astype(np.float64)
+        spatial = np.matmul(np.matmul(_A.T, deq), _A) + 128.0
         spatial = np.clip(np.round(spatial), 0, 255).astype(np.int64)
-        bw, bh = mcus_x * fh, mcus_y * fv  # plane size in blocks
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-        i = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(fv):
-                    for bx in range(fh):
-                        r0 = (my * fv + by) * 8
-                        c0 = (mx * fh + bx) * 8
-                        plane[r0 : r0 + 8, c0 : c0 + 8] = spatial[i]
-                        i += 1
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # crop to the component's true sample dims, replicate up to
         # full resolution, crop to image dims
         cw = (width * fh + hmax - 1) // hmax
@@ -656,18 +964,109 @@ def decode_jpeg_pixels(data: bytes) -> dict:
     return {
         "width": width,
         "height": height,
-        "n_components": len(order),
+        "n_components": len(comps),
         "planes": planes,
     }
 
 
+def _decode_scan(
+    data, pos, frame, geom, scan, ss, se, ah, al,
+    arrays, qt, huff, restart_interval, progressive,
+) -> int:
+    """Entropy-decode one scan into the coefficient arrays; returns the
+    offset of the next marker after the scan's data."""
+    height, width, comps = frame
+    by_id = {c[0]: c for c in comps}
+    order = []
+    for cid, td, ta in scan:
+        if cid not in by_id:
+            raise ValueError(f"SOS references unknown component {cid}")
+        _, fh, fv, tq = by_id[cid]
+        order.append((cid, fh, fv, td, ta))
+
+    # scan-header validation (T.81 B.2.3 / G.1.1.1.1)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and (len(order) != 1 or not (1 <= ss <= se <= 63)):
+            raise ValueError("progressive AC scans must be single-component")
+        if ah not in (0, al + 1):
+            raise ValueError("successive approximation must refine one bit")
+    else:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("baseline scan must cover Ss=0..Se=63, Ah=Al=0")
+
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    if len(order) > 1:
+        factors = [(fh, fv) for _, fh, fv, _, _ in order]
+        units = _mcu_units(factors, geom["mcus_x"], geom["mcus_y"])
+        unit_cids = [cid for cid, *_ in order]
+        units = [
+            [(unit_cids[ci], by, bx) for ci, by, bx in unit] for unit in units
+        ]
+    else:
+        cid, fh, fv, _, _ = order[0]
+        cw = (width * fh + hmax - 1) // hmax
+        ch = (height * fv + vmax - 1) // vmax
+        units = _comp_units(cid, (cw + 7) // 8, (ch + 7) // 8)
+
+    tables = {}
+    for cid, fh, fv, td, ta in order:
+        dc_tbl = huff.get((0, td))
+        ac_tbl = huff.get((1, ta))
+        if ss == 0 and ah == 0 and dc_tbl is None:
+            raise ValueError("scan references undefined Huffman table")
+        if (se > 0 or not progressive) and ac_tbl is None:
+            raise ValueError("scan references undefined Huffman table")
+        tables[cid] = (dc_tbl, ac_tbl)
+
+    br = _BitReader(data, pos)
+    preds = {cid: 0 for cid, *_ in order}
+    state = {"eobrun": 0}
+    for ui, unit in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            br.align_consume_rst()
+            preds = {cid: 0 for cid, *_ in order}
+            state["eobrun"] = 0
+        for cid, by, bx in unit:
+            zz = arrays[cid][by, bx]
+            dc_tbl, ac_tbl = tables[cid]
+            if ss == 0:
+                if ah == 0:
+                    t = _decode_huff(br, dc_tbl)
+                    preds[cid] += _extend(br.receive(t), t)
+                    zz[0] = preds[cid] << al
+                else:
+                    if br.read_bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+            if se > 0:
+                if ah == 0:
+                    _dec_block_ac_first(
+                        br, ac_tbl, zz, max(1, ss), se, al, state, progressive
+                    )
+                else:
+                    if state["eobrun"] > 0:
+                        state["eobrun"] -= 1
+                        p1, m1 = 1 << al, -1 << al
+                        for k in range(ss, se + 1):
+                            if zz[k] != 0 and br.read_bit():
+                                c = int(zz[k])
+                                if (c & p1) == 0:
+                                    zz[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        state["eobrun"] = _dec_block_ac_refine(
+                            br, ac_tbl, zz, ss, se, al
+                        )
+    return _find_next_marker(data, br.pos)
+
+
 def decode_jpeg(data: bytes) -> dict:
-    """Decode a baseline JPEG to bounded statistics, same shape as
-    :func:`quick_stream_spark.functions.png.decode_png`: ``{width,
-    height, channels, n_pixels, channel_sums}``.  3-component payloads
-    convert to RGB (JFIF transform) and report per-RGB-channel sums;
-    grayscale reports the single luma sum.  Full pixel arrays never
-    leave the kernel boundary."""
+    """Decode a baseline or progressive JPEG to bounded statistics, same
+    shape as :func:`quick_stream_spark.functions.png.decode_png`:
+    ``{width, height, channels, n_pixels, channel_sums}``.  3-component
+    payloads convert to RGB (JFIF transform) and report per-RGB-channel
+    sums; grayscale reports the single luma sum.  Full pixel arrays
+    never leave the kernel boundary."""
     info = decode_jpeg_pixels(data)
     planes = info["planes"]
     if info["n_components"] == 1:

@@ -4,16 +4,17 @@ Arrow-batched ``mapInPandas`` stages.
 
 ``decoder="real"`` GENUINELY decodes PNG payloads (full chunk walk,
 CRC verification, zlib inflate, inverse scanline filters — see
-:mod:`quick_stream_spark.functions.png`), baseline JPEG (marker walk,
-canonical Huffman entropy decode, dequant + IDCT, chroma upsampling,
+:mod:`quick_stream_spark.functions.png`), baseline AND progressive
+JPEG (marker walk, canonical Huffman entropy decode, successive
+approximation + EOB-run scans, dequant + IDCT, chroma upsampling,
 YCbCr->RGB — see :mod:`quick_stream_spark.functions.jpeg`), animated
 GIF and PCM WAV audio (RIFF chunk walk, fmt validation, sample unpack
 — see :mod:`quick_stream_spark.functions.wav`); this container has no
-PIL/ffmpeg, but none of these formats needs them.  Remaining formats
-under ``decoder="real"`` (progressive JPEG, MP4 codec payloads) raise
-``NotImplementedError`` at the exact seam where PIL/ffmpeg would slot
-in.  ``decoder="fake"`` keeps the deterministic hash-derived stand-in
-so plumbing tests run on arbitrary bytes.
+PIL/ffmpeg, but none of these formats needs them.  The one remaining
+format under ``decoder="real"`` (MP4 codec payloads) raises
+``NotImplementedError`` at the exact seam where ffmpeg would slot in.
+``decoder="fake"`` keeps the deterministic hash-derived stand-in so
+plumbing tests run on arbitrary bytes.
 
 Scale notes:
   - mapInPandas streams Arrow batches, so one task never materializes
@@ -111,8 +112,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, int]:
         return jinfo["width"], jinfo["height"], 1
     raise NotImplementedError(
         "real decode implements PNG (functions/png.py), animated GIF "
-        "(functions/gif.py), PCM WAV (functions/wav.py) and baseline "
-        "JPEG (functions/jpeg.py); progressive JPEG and MP4 need "
+        "(functions/gif.py), PCM WAV (functions/wav.py) and baseline + "
+        "progressive JPEG (functions/jpeg.py); MP4 codec payloads need "
         "PIL/ffmpeg, not present in this environment"
     )
 

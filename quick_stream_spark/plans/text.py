@@ -1040,6 +1040,91 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_progressive",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 5 + doc_id % 21 AS w, 5 + doc_id % 17 AS h
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+      FROM dims, unnest(range(0, w)) AS xx(x), unnest(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(128 + 2 * ((((x // 8) * 5 + (y // 8) * 3 + doc_id) % 60) - 30)) AS BIGINT) AS sum_r,
+           CAST(SUM(128 + 2 * ((((x // 8) * 5 + (y // 8) * 3 + doc_id) % 60) - 30)) AS BIGINT) AS sum_g,
+           CAST(SUM(128 + 2 * ((((x // 8) * 5 + (y // 8) * 3 + doc_id) % 60) - 30)) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # rotation candidate; window full this round
+)
+def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2, T.81 Annex G) decode end-to-end:
+    synthesize a complete multi-scan progressive payload per document
+    (libjpeg-style scan script — interleaved DC first pass at Al=1,
+    per-component non-interleaved AC bands with EOB-run coding, DC
+    refinement bits, AC successive-approximation refinements down to
+    Al=0, per-scan rebuilt Huffman tables) and decode it with the pure
+    numpy codec inside an Arrow-batched mapInPandas stage.  Grayscale
+    for doc_id % 8 == 0, 3-component 4:2:0 neutral-chroma otherwise.
+    The oracle computes pixel sums from the generative formula and
+    never decodes (DC-only blocks survive successive approximation
+    exactly); a broken spectral-band walk, EOB-run count, refinement
+    bit order or scan-boundary marker search shows up as a value
+    mismatch.  Scale: same bounded-stats kernel shape as
+    mm_jpeg_decode — see functions/multimodal.py and functions/jpeg.py."""
+    from quick_stream_spark.functions.multimodal import decode_image_stats
+
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 4 == 0)
+
+    def synth(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 21, 5 + did % 17
+
+                def luma(x, y, did=did):
+                    return 128 + 2 * (
+                        (((x // 8) * 5 + (y // 8) * 3 + did) % 60) - 30
+                    )
+
+                if did % 8 == 0:
+                    payload = encode_jpeg(
+                        w, h, luma, components=1, progressive=True
+                    )
+                else:
+                    payload = encode_jpeg(
+                        w,
+                        h,
+                        lambda x, y, f=luma: (f(x, y),) * 3,
+                        components=3,
+                        subsampling="420",
+                        progressive=True,
+                    )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    stats = decode_image_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    )
+
+
+@register(
     "mm_audio_decode",
     oracle="""
     WITH dims AS (

@@ -191,6 +191,90 @@ def test_restart_markers_equivalent_and_reset_predictors():
     assert (pa == pb).all()
 
 
+# ------------------------------------------------- progressive (SOF2)
+
+
+@pytest.mark.parametrize("did", [0, 2, 7, 11])
+def test_progressive_grayscale_solid_blocks_exact(did):
+    """Progressive encode of solid blocks decodes to the exact
+    generative formula: DC first pass (Al=1) + DC refinement must
+    reconstruct every DC exactly; all AC scans are pure EOB-runs."""
+    w, h = 5 + did % 21, 5 + did % 17
+    px = _solid_luma(did)
+    data = encode_jpeg(w, h, px, components=1, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data  # really SOF2
+    info = decode_jpeg(data)
+    assert (info["width"], info["height"], info["channels"]) == (w, h, 1)
+    assert info["channel_sums"][0] == sum(
+        px(x, y) for x in range(w) for y in range(h)
+    )
+
+
+@pytest.mark.parametrize("did", [1, 5, 9])
+def test_progressive_color_420_solid_blocks_exact(did):
+    """3-component progressive with 4:2:0 neutral chroma: interleaved DC
+    scans + per-component non-interleaved AC scans reproduce the formula
+    exactly on every RGB channel."""
+    w, h = 5 + did % 21, 5 + did % 17
+    px = _solid_luma(did)
+    data = encode_jpeg(
+        w, h, lambda x, y: (px(x, y),) * 3,
+        components=3, subsampling="420", progressive=True,
+    )
+    info = decode_jpeg(data)
+    expect = sum(px(x, y) for x in range(w) for y in range(h))
+    assert info["channels"] == 3
+    assert info["channel_sums"] == [expect] * 3
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("qt", ["flat", "standard"])
+def test_progressive_decodes_identically_to_baseline(sub, qt):
+    """The scan script refines every coefficient down to Al=0, so the
+    progressive payload carries EXACTLY the same quantized coefficients
+    as the baseline payload — decoded planes must be bit-for-bit equal.
+    Random content exercises AC-first EOB-runs, ZRL folding and the
+    AC-refinement correction-bit path on all three components."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(21, 29, 3))
+    fn = lambda x, y: tuple(int(v) for v in img[y, x])  # noqa: E731
+    base = decode_jpeg_pixels(
+        encode_jpeg(29, 21, fn, components=3, subsampling=sub, qtables=qt)
+    )
+    prog = decode_jpeg_pixels(
+        encode_jpeg(29, 21, fn, components=3, subsampling=sub, qtables=qt,
+                    progressive=True)
+    )
+    for pa, pb in zip(base["planes"], prog["planes"]):
+        assert (pa == pb).all()
+
+
+def test_progressive_grayscale_identical_to_baseline():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(24, 40))
+    fn = lambda x, y: int(img[y, x])  # noqa: E731
+    a = decode_jpeg_pixels(encode_jpeg(40, 24, fn, components=1))["planes"][0]
+    b = decode_jpeg_pixels(
+        encode_jpeg(40, 24, fn, components=1, progressive=True)
+    )["planes"][0]
+    assert (a == b).all()
+
+
+def test_progressive_rejects_restart_and_validates_scans():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(8, 8, lambda x, y: 0, components=1, progressive=True,
+                    restart_interval=2)
+    # a refinement jump of more than one bit is rejected by the decoder
+    data = bytearray(encode_jpeg(8, 8, _solid_luma(1), components=1,
+                                 progressive=True))
+    i = data.find(b"\xff\xda")  # first SOS: Ss=0 Se=0 Ah=0 Al=1
+    # SOS body: len(2) ns(1) comp(2) Ss Se AhAl -> AhAl at offset 9
+    assert data[i + 9] == 0x01
+    data[i + 9] = 0x31  # claim Ah=3, Al=1: not a one-bit refinement
+    with pytest.raises(ValueError, match="refine one bit"):
+        decode_jpeg_pixels(bytes(data))
+
+
 # ------------------------------------------------------- table validity
 
 
@@ -235,11 +319,18 @@ def test_error_envelope():
         decode_jpeg(good[:20])
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(good[:-20])
-    prog = bytearray(good)
-    idx = prog.find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bytes(prog))
+    # SOF3 (lossless) is outside the envelope and must say so
+    lossless = bytearray(good)
+    idx = lossless.find(b"\xff\xc0")
+    lossless[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="baseline|progressive"):
+        decode_jpeg(bytes(lossless))
+    # a baseline full-band scan under a SOF2 header is an invalid
+    # progressive scan, not a silent decode
+    mislabeled = bytearray(good)
+    mislabeled[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        decode_jpeg(bytes(mislabeled))
 
 
 def test_encoder_rejects_bad_args():
