@@ -1,0 +1,427 @@
+"""Pure-Python ISO BMFF (MP4, ISO/IEC 14496-12) container codec — the
+REAL video-container kernel behind ``decoder="real"`` in
+:mod:`multimodal`.
+
+This container has no ffmpeg, but the MP4 *container* needs only the
+public spec: the size/type box walk (including 64-bit ``largesize``
+boxes and unknown-box skipping), the ``moov`` hierarchy
+(mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl), and the sample-table
+machinery — ``stsd`` (sample description / codec fourcc + dims),
+``stts`` (decode timestamps), ``stsc`` (sample-to-chunk runs),
+``stsz`` (sample sizes), ``stco``/``co64`` (chunk offsets) — from
+which every sample's absolute file offset is derived exactly as a
+demuxer must.
+
+Motion-JPEG tracks (sample entry ``jpeg``, one complete baseline or
+progressive JPEG payload per sample) decode END-TO-END through
+:mod:`quick_stream_spark.functions.jpeg` — container demux AND frame
+pixel decode are both from scratch.  Compressed-codec tracks
+(``avc1``/``hvc1``/``mp4v``…) demux for real — codec fourcc, dims,
+frame count, durations, exact sample byte ranges — and raise
+``NotImplementedError`` only at the codec-payload decode step, the
+exact seam where ffmpeg would slot in.
+
+The muxer writes the same subset (ftyp | mdat | moov with multi-sample
+chunks and run-length stts/stsc compression), so the demuxer is
+testable against real multi-chunk sample tables it did not compute the
+offsets for.
+
+Scale posture: per-payload kernels executed inside Arrow-batched
+``mapInPandas`` stages; sample extraction is offset arithmetic (no
+per-frame copies beyond the samples themselves), and frame-stat
+kernels emit bounded scalars per video, never pixel arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# fourccs whose payload is a plain box container (children at +8)
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def _full(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B", version) + struct.pack(">I", flags)[1:] + body)
+
+
+# ---------------------------------------------------------------- muxer
+
+
+def _fixed_16_16(v: int) -> int:
+    return v << 16
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    samples: list[bytes],
+    durations: list[int] | None = None,
+    codec: str = "jpeg",
+    timescale: int = 1000,
+    samples_per_chunk: int = 2,
+) -> bytes:
+    """Mux frame payloads into a minimal valid single-video-track MP4
+    (ftyp | mdat | moov).  ``codec="jpeg"`` declares a Motion-JPEG
+    track (each sample a complete JPEG payload, decodable end-to-end);
+    other fourccs (e.g. ``"avc1"``) produce structurally valid files
+    whose samples only a real codec could decode.  Samples are packed
+    ``samples_per_chunk`` per chunk so stsc/stco describe a genuinely
+    multi-chunk layout."""
+    if not samples:
+        raise ValueError("MP4 track needs at least one sample")
+    if len(codec) != 4:
+        raise ValueError("codec must be a fourcc")
+    if durations is None:
+        durations = [timescale // 10] * len(samples)
+    if len(durations) != len(samples):
+        raise ValueError("durations must match samples")
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+
+    # chunk layout: fixed-size chunks (last may be short)
+    spc = max(1, samples_per_chunk)
+    chunk_sizes = []
+    i = 0
+    while i < len(samples):
+        chunk_sizes.append(min(spc, len(samples) - i))
+        i += spc
+    chunk_offsets = []
+    off = len(ftyp) + 8  # first sample: right after the mdat header
+    si = 0
+    for csz in chunk_sizes:
+        chunk_offsets.append(off)
+        for _ in range(csz):
+            off += len(samples[si])
+            si += 1
+
+    # stsc: run-length over (first_chunk, samples_per_chunk)
+    stsc_entries = []
+    for ci, csz in enumerate(chunk_sizes, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != csz:
+            stsc_entries.append((ci, csz))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", fc, n, 1) for fc, n in stsc_entries),
+    )
+
+    # stts: run-length over durations
+    stts_entries = []
+    for d in durations:
+        if stts_entries and stts_entries[-1][1] == d:
+            stts_entries[-1][0] += 1
+        else:
+            stts_entries.append([1, d])
+    stts = _full(
+        b"stts", 0, 0,
+        struct.pack(">I", len(stts_entries))
+        + b"".join(struct.pack(">II", c, d) for c, d in stts_entries),
+    )
+
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(samples))
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+
+    # stsd: one VisualSampleEntry (14496-12 §8.5.2 + §12.1.3)
+    entry_body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4  # reserved
+        + struct.pack(">H", 1)  # frame_count per sample
+        + bytes([9]) + b"qss-codec" + b"\x00" * 22  # compressorname (32)
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    if codec == "avc1":
+        # structurally valid placeholder decoder-config child box
+        entry_body += _box(b"avcC", b"\x01\x64\x00\x1f\xff")
+    entry = _box(codec.encode("ascii"), entry_body)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+
+    duration = sum(durations)
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+
+    tkhd = _full(
+        b"tkhd", 0, 3,  # enabled + in-movie
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", _fixed_16_16(width), _fixed_16_16(height)),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# -------------------------------------------------------------- demuxer
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in
+    [start, end), honouring largesize (size==1) and to-end (size==0)
+    boxes; raises ``ValueError`` on truncation."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize header")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"MP4 box {fourcc!r} overruns its container")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, b, e in _walk_boxes(data, start, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def _fullbox(data: bytes, b: int):
+    """(version, flags, payload_start) of a full box body."""
+    version = data[b]
+    flags = int.from_bytes(data[b + 1 : b + 4], "big")
+    return version, flags, b + 4
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Demux the first video track: returns ``{codec, width, height,
+    timescale, durations, sample_offsets, sample_sizes, n_samples,
+    duration}``.  Sample offsets are absolute file offsets derived from
+    stsc/stco/stsz exactly as the spec prescribes — the samples
+    themselves are NOT copied here."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    trak_info = None
+    for fc, b, e in _walk_boxes(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        trak_info = (b, e, mdia)
+        break
+    if trak_info is None:
+        raise ValueError("no video track")
+    _, _, mdia = trak_info
+
+    mdhd = _find(data, *mdia, b"mdhd")
+    if mdhd is None:
+        raise ValueError("video track missing mdhd")
+    v, _, p = _fullbox(data, mdhd[0])
+    if v == 1:
+        (timescale,) = struct.unpack(">I", data[p + 16 : p + 20])
+    else:
+        (timescale,) = struct.unpack(">I", data[p + 8 : p + 12])
+
+    minf = _find(data, *mdia, b"minf")
+    stbl = _find(data, *minf, b"stbl") if minf else None
+    if stbl is None:
+        raise ValueError("video track missing stbl")
+
+    boxes = {fc: (b, e) for fc, b, e in _walk_boxes(data, *stbl)}
+    for need in (b"stsd", b"stts", b"stsc", b"stsz"):
+        if need not in boxes:
+            raise ValueError(f"sample table missing {need.decode()}")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("sample table missing stco/co64")
+
+    # stsd: first sample entry carries codec fourcc + dims
+    _, _, p = _fullbox(data, boxes[b"stsd"][0])
+    (entry_count,) = struct.unpack(">I", data[p : p + 4])
+    if entry_count < 1:
+        raise ValueError("empty stsd")
+    entries = list(_walk_boxes(data, p + 4, boxes[b"stsd"][1]))
+    codec_fc, eb, _ = entries[0]
+    width, height = struct.unpack(">HH", data[eb + 24 : eb + 28])
+
+    # stsz
+    _, _, p = _fullbox(data, boxes[b"stsz"][0])
+    default_size, n_samples = struct.unpack(">II", data[p : p + 8])
+    if default_size:
+        sizes = [default_size] * n_samples
+    else:
+        sizes = list(
+            struct.unpack(f">{n_samples}I", data[p + 8 : p + 8 + 4 * n_samples])
+        )
+
+    # stts -> per-sample durations
+    _, _, p = _fullbox(data, boxes[b"stts"][0])
+    (nruns,) = struct.unpack(">I", data[p : p + 4])
+    durations: list[int] = []
+    for i in range(nruns):
+        c, d = struct.unpack(">II", data[p + 4 + 8 * i : p + 12 + 8 * i])
+        durations.extend([d] * c)
+    if len(durations) != n_samples:
+        raise ValueError("stts sample count does not match stsz")
+
+    # stco/co64
+    if b"stco" in boxes:
+        _, _, p = _fullbox(data, boxes[b"stco"][0])
+        (nchunks,) = struct.unpack(">I", data[p : p + 4])
+        offsets = list(struct.unpack(f">{nchunks}I", data[p + 4 : p + 4 + 4 * nchunks]))
+    else:
+        _, _, p = _fullbox(data, boxes[b"co64"][0])
+        (nchunks,) = struct.unpack(">I", data[p : p + 4])
+        offsets = list(struct.unpack(f">{nchunks}Q", data[p + 4 : p + 4 + 8 * nchunks]))
+
+    # stsc -> samples per chunk, expanded over the chunk list
+    _, _, p = _fullbox(data, boxes[b"stsc"][0])
+    (nstsc,) = struct.unpack(">I", data[p : p + 4])
+    runs = [
+        struct.unpack(">III", data[p + 4 + 12 * i : p + 16 + 12 * i])
+        for i in range(nstsc)
+    ]
+    spc_by_chunk = []
+    for ci in range(1, nchunks + 1):
+        spc = None
+        for fc_, n, _sdi in runs:
+            if fc_ <= ci:
+                spc = n
+            else:
+                break
+        if spc is None:
+            raise ValueError("stsc does not cover chunk 1")
+        spc_by_chunk.append(spc)
+
+    sample_offsets: list[int] = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        off = chunk_off
+        for _ in range(spc_by_chunk[ci]):
+            if si >= n_samples:
+                break
+            sample_offsets.append(off)
+            off += sizes[si]
+            si += 1
+    if len(sample_offsets) != n_samples:
+        raise ValueError("stsc/stco chunk map does not cover all samples")
+    for o, s in zip(sample_offsets, sizes):
+        if o + s > len(data):
+            raise ValueError("sample extends past end of file")
+
+    return {
+        "codec": codec_fc.decode("ascii", "replace"),
+        "width": int(width),
+        "height": int(height),
+        "timescale": int(timescale),
+        "durations": durations,
+        "duration": int(sum(durations)),
+        "sample_offsets": sample_offsets,
+        "sample_sizes": sizes,
+        "n_samples": int(n_samples),
+    }
+
+
+def extract_samples(data: bytes) -> list[bytes]:
+    """Demux and return the raw sample payloads (one bytes per frame)."""
+    info = parse_mp4(data)
+    return [
+        data[o : o + s]
+        for o, s in zip(info["sample_offsets"], info["sample_sizes"])
+    ]
+
+
+def decode_mp4(data: bytes) -> dict:
+    """Demux + decode to bounded statistics.  Motion-JPEG tracks decode
+    every frame through the from-scratch JPEG codec and report exact
+    per-frame-summed luma/RGB channel sums; compressed codecs raise
+    ``NotImplementedError`` at the codec seam (the container metadata
+    IS parsed first — the error names the codec it found).  Returns
+    ``{width, height, n_frames, duration, timescale, codec,
+    channel_sums, frame_luma_sums}``."""
+    info = parse_mp4(data)
+    if info["codec"] != "jpeg":
+        raise NotImplementedError(
+            f"MP4 codec {info['codec']!r} needs PIL/ffmpeg, not present in "
+            "this environment; Motion-JPEG ('jpeg') tracks decode from "
+            "scratch (functions/jpeg.py)"
+        )
+    from quick_stream_spark.functions import jpeg
+
+    channel_sums = [0, 0, 0]
+    frame_luma_sums = []
+    for o, s in zip(info["sample_offsets"], info["sample_sizes"]):
+        st = jpeg.decode_jpeg(data[o : o + s])
+        if (st["width"], st["height"]) != (info["width"], info["height"]):
+            raise ValueError("frame dims disagree with stsd sample entry")
+        if st["channels"] == 1:
+            frame_luma_sums.append(st["channel_sums"][0])
+            for c in range(3):
+                channel_sums[c] += st["channel_sums"][0]
+        else:
+            frame_luma_sums.append(None)
+            for c in range(3):
+                channel_sums[c] += st["channel_sums"][c]
+    return {
+        "width": info["width"],
+        "height": info["height"],
+        "n_frames": info["n_samples"],
+        "duration": info["duration"],
+        "timescale": info["timescale"],
+        "codec": info["codec"],
+        "channel_sums": channel_sums,
+        "frame_luma_sums": frame_luma_sums,
+    }

@@ -9,10 +9,14 @@ JPEG (marker walk, canonical Huffman entropy decode, successive
 approximation + EOB-run scans, dequant + IDCT, chroma upsampling,
 YCbCr->RGB — see :mod:`quick_stream_spark.functions.jpeg`), animated
 GIF and PCM WAV audio (RIFF chunk walk, fmt validation, sample unpack
-— see :mod:`quick_stream_spark.functions.wav`); this container has no
+— see :mod:`quick_stream_spark.functions.wav`), and MP4 containers
+(full ISO BMFF box walk + stsd/stts/stsc/stsz/stco sample-table demux
+— see :mod:`quick_stream_spark.functions.mp4`) whose Motion-JPEG
+tracks decode end-to-end through the JPEG codec; this container has no
 PIL/ffmpeg, but none of these formats needs them.  The one remaining
-format under ``decoder="real"`` (MP4 codec payloads) raises
-``NotImplementedError`` at the exact seam where ffmpeg would slot in.
+seam under ``decoder="real"`` — compressed video codec payloads
+(avc1/hvc1/...) inside an otherwise fully-demuxed MP4 — raises
+``NotImplementedError`` exactly where ffmpeg would slot in.
 ``decoder="fake"`` keeps the deterministic hash-derived stand-in so
 plumbing tests run on arbitrary bytes.
 
@@ -110,10 +114,20 @@ def _real_decode(payload: bytes) -> tuple[int, int, int]:
 
         jinfo = jpeg.decode_jpeg(payload)
         return jinfo["width"], jinfo["height"], 1
+    if head[4:8] == b"ftyp":
+        # ISO BMFF: the container demuxes from scratch (functions/
+        # mp4.py); Motion-JPEG tracks decode end-to-end, compressed
+        # codecs raise NotImplementedError at the codec seam inside
+        # decode_mp4 (the error names the codec the demux found).
+        from quick_stream_spark.functions import mp4
+
+        minfo = mp4.decode_mp4(payload)
+        return minfo["width"], minfo["height"], minfo["n_frames"]
     raise NotImplementedError(
         "real decode implements PNG (functions/png.py), animated GIF "
-        "(functions/gif.py), PCM WAV (functions/wav.py) and baseline + "
-        "progressive JPEG (functions/jpeg.py); MP4 codec payloads need "
+        "(functions/gif.py), PCM WAV (functions/wav.py), baseline + "
+        "progressive JPEG (functions/jpeg.py) and MP4/Motion-JPEG "
+        "(functions/mp4.py); compressed video codec payloads need "
         "PIL/ffmpeg, not present in this environment"
     )
 
@@ -305,6 +319,70 @@ def decode_frame_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         stat_batches, FRAME_STATS_SCHEMA
+    )
+
+
+MP4_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("dts", LongType()),
+        StructField("duration", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_mp4_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-frame analysis stage over MP4/Motion-JPEG payloads: REAL
+    demux (ISO BMFF box walk + stsd/stts/stsc/stsz/stco sample tables —
+    functions/mp4.py) and REAL per-frame JPEG decode (functions/
+    jpeg.py), emitting ONE ROW PER FRAME of bounded scalars — frame
+    index, decode timestamp (cumulative stts), duration, dims and
+    exact per-channel pixel sums (grayscale maps onto all three).
+    Pixel arrays never leave the kernel; frame selection (every-nth,
+    time-windowed) and per-clip aggregation stay engine-side over this
+    bounded table — the shape a 100 TB video pipeline wants."""
+    from quick_stream_spark.functions import jpeg, mp4
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = mp4.parse_mp4(payload)
+                if info["codec"] != "jpeg":
+                    raise NotImplementedError(
+                        f"MP4 codec {info['codec']!r} needs ffmpeg; only "
+                        "Motion-JPEG decodes from scratch"
+                    )
+                dts = 0
+                for fi, (o, s, d) in enumerate(
+                    zip(info["sample_offsets"], info["sample_sizes"],
+                        info["durations"])
+                ):
+                    st = jpeg.decode_jpeg(payload[o : o + s])
+                    cs = st["channel_sums"]
+                    if st["channels"] < 3:
+                        cs = [cs[0]] * 3
+                    rows.append(
+                        (mid, fi, dts, d, st["width"], st["height"],
+                         cs[0], cs[1], cs[2])
+                    )
+                    dts += d
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "dts", "duration",
+                    "width", "height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stat_batches, MP4_FRAME_STATS_SCHEMA
     )
 
 

@@ -1125,6 +1125,101 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_mp4_mjpeg_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             5 + doc_id % 21 AS w,
+             5 + doc_id % 17 AS h,
+             1 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 4 = 1
+    ),
+    px AS (
+      SELECT doc_id, w, h, nf, ff.f AS f,
+             90 + 10 * (ff.f % 3) AS dur,
+             128 + 2 * ((((xx.x // 8) * 5 + (yy.y // 8) * 3 + doc_id + 7 * ff.f) % 60) - 30) AS v
+      FROM dims, unnest(range(0, w)) AS xx(x),
+                 unnest(range(0, h)) AS yy(y),
+                 unnest(range(0, nf)) AS ff(f)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(SUM(dur) / (w * h) AS BIGINT) AS duration_ms,
+           CAST(SUM(v) AS BIGINT) AS luma_sum,
+           CAST(SUM(CASE WHEN f % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS sampled_luma_sum
+    FROM px GROUP BY doc_id, w, h, nf
+    """,
+    tags=("multimodal", "binary", "decode", "video"),
+    pytest_only=True,  # rotation candidate; window full this round
+)
+def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container demux + per-frame JPEG decode end-to-end:
+    synthesize a complete single-track Motion-JPEG MP4 per document
+    (from-scratch ISO BMFF muxer — multi-chunk stsc/stco layout,
+    run-length stts with per-frame durations 90/100/110 ms, baseline
+    JPEG samples whose solid 8x8 blocks follow a closed-form formula of
+    (doc_id, block, frame)) — then demux with the from-scratch box walk
+    + sample-table arithmetic (functions/mp4.py) and decode EVERY frame
+    with the pure numpy JPEG codec inside an Arrow-batched mapInPandas
+    stage that emits one bounded row per frame.  Frame sampling (keep
+    even frame_idx) and per-clip aggregation are engine-side built-ins
+    over that bounded table.  The oracle computes every statistic FROM
+    THE GENERATIVE FORMULA without touching a container or codec: a
+    wrong stco offset, a mis-expanded stsc run, a bad stts duration or
+    any JPEG decode slip fails the value check.  Scale: see
+    functions/multimodal.decode_mp4_frame_stats."""
+    from quick_stream_spark.functions.multimodal import decode_mp4_frame_stats
+
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 4 == 1)
+
+    def synth(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.jpeg import encode_jpeg
+        from quick_stream_spark.functions.mp4 import encode_mp4
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 5 + did % 21, 5 + did % 17, 1 + did % 4
+
+                def luma(x, y, f, did=did):
+                    return 128 + 2 * (
+                        (((x // 8) * 5 + (y // 8) * 3 + did + 7 * f) % 60) - 30
+                    )
+
+                frames = [
+                    encode_jpeg(w, h, lambda x, y, f=f: luma(x, y, f),
+                                components=1)
+                    for f in range(nf)
+                ]
+                durs = [90 + 10 * (f % 3) for f in range(nf)]
+                rows.append((did, encode_mp4(w, h, frames, durations=durs)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    per_frame = decode_mp4_frame_stats(media)
+    return (
+        per_frame.groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.first("width").alias("width"),
+            F.first("height").alias("height"),
+            F.count("*").alias("n_frames"),
+            F.sum("duration").alias("duration_ms"),
+            F.sum("sum_r").alias("luma_sum"),
+            F.sum(
+                F.when(F.col("frame_idx") % 2 == 0, F.col("sum_r")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("sampled_luma_sum"),
+        )
+    )
+
+
+@register(
     "mm_audio_decode",
     oracle="""
     WITH dims AS (

@@ -1,0 +1,167 @@
+"""From-scratch ISO BMFF container codec (functions/mp4.py): box walk
+(largesize, unknown-box skipping), sample-table demux vs the muxer's
+multi-chunk layout, Motion-JPEG end-to-end decode, the avc1 codec
+seam, and the error envelope."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from quick_stream_spark.functions.jpeg import encode_jpeg
+from quick_stream_spark.functions.mp4 import (
+    decode_mp4,
+    encode_mp4,
+    extract_samples,
+    parse_mp4,
+)
+
+
+def _solid_luma(did, f=0):
+    def px(x, y):
+        return 128 + 2 * ((((x // 8) * 5 + (y // 8) * 3 + did + 7 * f) % 60) - 30)
+
+    return px
+
+
+# ------------------------------------------------- sample-table demux
+
+
+@pytest.mark.parametrize("n,spc", [(1, 2), (4, 2), (7, 3), (5, 1)])
+def test_demux_recovers_exact_sample_bytes(n, spc):
+    """stsc/stco/stsz offset arithmetic: for several chunkings
+    (including a short final chunk and single-sample chunks), the
+    demuxed sample payloads must be byte-identical to what was muxed —
+    with per-sample sizes all different so any offset slip corrupts."""
+    rng = np.random.default_rng(n * 10 + spc)
+    samples = [bytes(rng.integers(0, 256, size=20 + 13 * i, dtype=np.uint8))
+               for i in range(n)]
+    data = encode_mp4(32, 24, samples, codec="avc1", samples_per_chunk=spc)
+    assert extract_samples(data) == samples
+    info = parse_mp4(data)
+    assert info["n_samples"] == n
+    assert (info["width"], info["height"]) == (32, 24)
+    assert info["codec"] == "avc1"
+
+
+def test_stts_run_length_roundtrip():
+    """Varying per-sample durations survive the stts run-length
+    compression; total duration and timescale are exact."""
+    durs = [100, 100, 90, 110, 110, 110, 100]
+    samples = [b"x" * (i + 1) for i in range(7)]
+    info = parse_mp4(encode_mp4(8, 8, samples, durations=durs,
+                                timescale=2400))
+    assert info["durations"] == durs
+    assert info["duration"] == sum(durs)
+    assert info["timescale"] == 2400
+
+
+def test_box_walk_skips_unknown_and_handles_largesize():
+    """Unknown top-level boxes before moov are skipped; a box rewritten
+    with size==1 + 64-bit largesize parses identically."""
+    samples = [b"abc", b"defg"]
+    data = encode_mp4(4, 4, samples, codec="avc1")
+    # splice an unknown box between ftyp and mdat; stco offsets shift,
+    # so re-mux with the splice accounted for instead: easier — append
+    # a 'free' box at the END (after moov), which moves nothing
+    data2 = data + struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    assert extract_samples(data2) == samples
+    # rewrite ftyp as a size==1 + 64-bit largesize box: every later box
+    # shifts by 8, and the walk must still find moov and the sample
+    # tables (stco's stored offsets are untouched, so they parse back
+    # verbatim — proving the values came from stco, not from mdat
+    # scanning)
+    (sz,) = struct.unpack(">I", data[:4])
+    big = struct.pack(">I", 1) + data[4:8] + struct.pack(">Q", sz + 8) + data[8:sz]
+    shifted = big + data[sz:]
+    info0 = parse_mp4(data)
+    info = parse_mp4(shifted)
+    assert info["n_samples"] == info0["n_samples"]
+    assert info["sample_offsets"] == info0["sample_offsets"]
+    assert info["sample_sizes"] == info0["sample_sizes"]
+    assert info["codec"] == "avc1"
+
+
+# ---------------------------------------------- motion-JPEG end-to-end
+
+
+def test_mjpeg_track_decodes_exact_solid_blocks():
+    """Every frame is a real JPEG with closed-form solid blocks; the
+    decoded per-frame luma sums must equal the generative formula and
+    the stsd dims must agree with every frame's SOF dims."""
+    did = 5
+    w, h = 5 + did % 21, 5 + did % 17
+    frames = [encode_jpeg(w, h, _solid_luma(did, f), components=1)
+              for f in range(4)]
+    dec = decode_mp4(encode_mp4(w, h, frames,
+                                durations=[90, 100, 110, 90]))
+    assert (dec["width"], dec["height"], dec["n_frames"]) == (w, h, 4)
+    assert dec["duration"] == 390
+    expect = [
+        sum(_solid_luma(did, f)(x, y) for x in range(w) for y in range(h))
+        for f in range(4)
+    ]
+    assert dec["frame_luma_sums"] == expect
+    assert dec["channel_sums"] == [sum(expect)] * 3
+
+
+def test_mjpeg_frame_dims_must_match_stsd():
+    w, h = 16, 8
+    frames = [encode_jpeg(w, h, _solid_luma(1), components=1)]
+    bad = encode_mp4(w + 8, h, frames)  # stsd lies about width
+    with pytest.raises(ValueError, match="stsd"):
+        decode_mp4(bad)
+
+
+def test_progressive_jpeg_frames_inside_mp4():
+    """Container + progressive codec compose: SOF2 frames in an MJPEG
+    track decode to the same stats as their baseline encodings."""
+    did = 9
+    w, h = 5 + did % 21, 5 + did % 17
+    base = [encode_jpeg(w, h, _solid_luma(did, f), components=1)
+            for f in range(3)]
+    prog = [encode_jpeg(w, h, _solid_luma(did, f), components=1,
+                        progressive=True) for f in range(3)]
+    a = decode_mp4(encode_mp4(w, h, base))
+    b = decode_mp4(encode_mp4(w, h, prog))
+    assert a["frame_luma_sums"] == b["frame_luma_sums"]
+
+
+# ------------------------------------------------------- codec seam
+
+
+def test_compressed_codec_raises_at_seam_with_metadata_parsed():
+    data = encode_mp4(64, 48, [b"\x00" * 9] * 5, codec="avc1")
+    info = parse_mp4(data)  # demux works: this is container, not codec
+    assert info["codec"] == "avc1" and info["n_samples"] == 5
+    with pytest.raises(NotImplementedError, match="avc1.*ffmpeg"):
+        decode_mp4(data)
+
+
+# ------------------------------------------------------ error envelope
+
+
+def test_error_envelope():
+    good = encode_mp4(8, 8, [b"abcd"], codec="avc1")
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00" * 16)
+    with pytest.raises(ValueError, match="no moov"):
+        parse_mp4(good[: good.find(b"moov") - 4])
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        parse_mp4(good[:-7])
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="at least one sample"):
+        encode_mp4(8, 8, [])
+    with pytest.raises(ValueError, match="fourcc"):
+        encode_mp4(8, 8, [b"x"], codec="toolong5")
+    with pytest.raises(ValueError, match="durations"):
+        encode_mp4(8, 8, [b"x", b"y"], durations=[10])
+    # a sample whose size points past EOF is rejected, not sliced short
+    trunc = bytearray(good)
+    i = trunc.find(b"stsz")
+    # stsz body: fourcc | version/flags(4) | sample_size(4) | count(4)
+    # | entry sizes — first entry at fourcc + 16
+    struct.pack_into(">I", trunc, i + 16, 1 << 20)
+    with pytest.raises(ValueError, match="past end"):
+        parse_mp4(bytes(trunc))

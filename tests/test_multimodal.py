@@ -166,12 +166,25 @@ def test_real_decoder_decodes_png_jpeg_and_keeps_seam_for_rest(spark):
            decode_media(media, decoder="real").collect()}
     assert got == {1: (8, 5), 2: (3, 3), 3: (10, 6)}
 
-    mp4ish = spark.createDataFrame(
-        [(4, b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16, "video", "mp4")],
+    from quick_stream_spark.functions.mp4 import encode_mp4
+
+    avc1 = spark.createDataFrame(
+        [(4, encode_mp4(16, 16, [b"\x00\x01\x02"] * 2, codec="avc1"),
+          "video", "mp4")],
         "media_id long, payload binary, media_type string, format_hint string",
     )
     with pytest.raises(Exception, match="PIL/ffmpeg"):
-        decode_media(mp4ish, decoder="real").collect()
+        decode_media(avc1, decoder="real").collect()
+
+    mjpeg = spark.createDataFrame(
+        [(6, encode_mp4(
+            10, 6,
+            [encode_jpeg(10, 6, lambda x, y: (_px(x, y)[0],) * 3)] * 3,
+            codec="jpeg"), "video", "mp4")],
+        "media_id long, payload binary, media_type string, format_hint string",
+    )
+    row = decode_media(mjpeg, decoder="real").collect()[0]
+    assert (row.width, row.height, row.n_frames) == (10, 6, 3)
 
     bad_jpeg = spark.createDataFrame(
         [(5, b"\xff\xd8\xff\xe0fakejpeg", "image", "jpeg")],
