@@ -68,14 +68,19 @@ def encode_mp4(
     codec: str = "jpeg",
     timescale: int = 1000,
     samples_per_chunk: int = 2,
+    audio_pcm: list[int] | None = None,
+    audio_rate: int = 8000,
 ) -> bytes:
-    """Mux frame payloads into a minimal valid single-video-track MP4
-    (ftyp | mdat | moov).  ``codec="jpeg"`` declares a Motion-JPEG
-    track (each sample a complete JPEG payload, decodable end-to-end);
-    other fourccs (e.g. ``"avc1"``) produce structurally valid files
-    whose samples only a real codec could decode.  Samples are packed
+    """Mux frame payloads into a minimal valid MP4 (ftyp | mdat |
+    moov).  ``codec="jpeg"`` declares a Motion-JPEG video track (each
+    sample a complete JPEG payload, decodable end-to-end); other
+    fourccs (e.g. ``"avc1"``) produce structurally valid files whose
+    samples only a real codec could decode.  Video samples are packed
     ``samples_per_chunk`` per chunk so stsc/stco describe a genuinely
-    multi-chunk layout."""
+    multi-chunk layout.  ``audio_pcm`` (mono 16-bit sample values)
+    adds a second track — little-endian PCM (fourcc ``sowt``), one PCM
+    frame per sample with a default-size stsz and media timescale ==
+    sample rate, the layout real PCM-in-MP4 files use."""
     if not samples:
         raise ValueError("MP4 track needs at least one sample")
     if len(codec) != 4:
@@ -86,7 +91,14 @@ def encode_mp4(
         raise ValueError("durations must match samples")
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
-    mdat_payload = b"".join(samples)
+    audio_bytes = b""
+    if audio_pcm is not None:
+        if not audio_pcm:
+            raise ValueError("audio track needs at least one PCM sample")
+        audio_bytes = b"".join(
+            struct.pack("<h", int(v)) for v in audio_pcm
+        )
+    mdat_payload = b"".join(samples) + audio_bytes
     mdat = _box(b"mdat", mdat_payload)
 
     # chunk layout: fixed-size chunks (last may be short)
@@ -186,6 +198,47 @@ def encode_mp4(
     )
     trak = _box(b"trak", tkhd + mdia)
 
+    atrak = b""
+    if audio_pcm is not None:
+        n_pcm = len(audio_pcm)
+        a_entry = _box(
+            b"sowt",  # little-endian PCM AudioSampleEntry (14496-12 §12.2.3)
+            b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_idx
+            + b"\x00" * 8  # reserved
+            + struct.pack(">HHHH", 1, 16, 0, 0)  # mono, 16-bit
+            + struct.pack(">I", audio_rate << 16),  # 16.16 samplerate
+        )
+        a_stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + a_entry)
+        a_stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n_pcm, 1))
+        a_stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_pcm, 1))
+        # default-size stsz: every PCM frame is 2 bytes, no entry table
+        a_stsz = _full(b"stsz", 0, 0, struct.pack(">II", 2, n_pcm))
+        audio_off = len(ftyp) + 8 + sum(len(s) for s in samples)
+        a_stco = _full(b"stco", 0, 0, struct.pack(">II", 1, audio_off))
+        a_stbl = _box(b"stbl", a_stsd + a_stts + a_stsc + a_stsz + a_stco)
+        smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        a_minf = _box(b"minf", smhd + dinf + a_stbl)
+        a_mdhd = _full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, audio_rate, n_pcm)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        a_hdlr = _full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"SoundHandler\x00",
+        )
+        a_mdia = _box(b"mdia", a_mdhd + a_hdlr + a_minf)
+        a_tkhd = _full(
+            b"tkhd", 0, 3,
+            struct.pack(">IIIII", 0, 0, 2, 0,
+                        n_pcm * timescale // audio_rate)
+            + b"\x00" * 8
+            + struct.pack(">hhHh", 0, 0, 0x0100, 0)  # volume 1.0
+            + _UNITY_MATRIX
+            + struct.pack(">II", 0, 0),
+        )
+        atrak = _box(b"trak", a_tkhd + a_mdia)
+
     mvhd = _full(
         b"mvhd", 0, 0,
         struct.pack(">IIII", 0, 0, timescale, duration)
@@ -193,9 +246,9 @@ def encode_mp4(
         + b"\x00" * 8
         + _UNITY_MATRIX
         + b"\x00" * 24
-        + struct.pack(">I", 2),  # next_track_ID
+        + struct.pack(">I", 3 if atrak else 2),  # next_track_ID
     )
-    moov = _box(b"moov", mvhd + trak)
+    moov = _box(b"moov", mvhd + trak + atrak)
     return ftyp + mdat + moov
 
 
@@ -240,36 +293,20 @@ def _fullbox(data: bytes, b: int):
     return version, flags, b + 4
 
 
-def parse_mp4(data: bytes) -> dict:
-    """Demux the first video track: returns ``{codec, width, height,
-    timescale, durations, sample_offsets, sample_sizes, n_samples,
-    duration}``.  Sample offsets are absolute file offsets derived from
-    stsc/stco/stsz exactly as the spec prescribes — the samples
-    themselves are NOT copied here."""
-    if len(data) < 12 or data[4:8] != b"ftyp":
-        raise ValueError("not an MP4: missing ftyp")
-    moov = _find(data, 0, len(data), b"moov")
-    if moov is None:
-        raise ValueError("no moov box")
-    trak_info = None
-    for fc, b, e in _walk_boxes(data, *moov):
-        if fc != b"trak":
-            continue
-        mdia = _find(data, b, e, b"mdia")
-        if mdia is None:
-            continue
-        hdlr = _find(data, *mdia, b"hdlr")
-        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
-            continue
-        trak_info = (b, e, mdia)
-        break
-    if trak_info is None:
-        raise ValueError("no video track")
-    _, _, mdia = trak_info
+def _parse_track(data: bytes, trak_b: int, trak_e: int) -> dict | None:
+    """Parse one trak's handler + sample tables into a track dict, or
+    None when the trak has no mdia/hdlr (not a media track)."""
+    mdia = _find(data, trak_b, trak_e, b"mdia")
+    if mdia is None:
+        return None
+    hdlr = _find(data, *mdia, b"hdlr")
+    if hdlr is None:
+        return None
+    handler = data[hdlr[0] + 8 : hdlr[0] + 12]
 
     mdhd = _find(data, *mdia, b"mdhd")
     if mdhd is None:
-        raise ValueError("video track missing mdhd")
+        raise ValueError("track missing mdhd")
     v, _, p = _fullbox(data, mdhd[0])
     if v == 1:
         (timescale,) = struct.unpack(">I", data[p + 16 : p + 20])
@@ -279,7 +316,7 @@ def parse_mp4(data: bytes) -> dict:
     minf = _find(data, *mdia, b"minf")
     stbl = _find(data, *minf, b"stbl") if minf else None
     if stbl is None:
-        raise ValueError("video track missing stbl")
+        raise ValueError("track missing stbl")
 
     boxes = {fc: (b, e) for fc, b, e in _walk_boxes(data, *stbl)}
     for need in (b"stsd", b"stts", b"stsc", b"stsz"):
@@ -288,16 +325,30 @@ def parse_mp4(data: bytes) -> dict:
     if b"stco" not in boxes and b"co64" not in boxes:
         raise ValueError("sample table missing stco/co64")
 
-    # stsd: first sample entry carries codec fourcc + dims
+    # stsd: first sample entry carries the codec fourcc; the entry body
+    # layout differs between Visual and Audio sample entries
     _, _, p = _fullbox(data, boxes[b"stsd"][0])
     (entry_count,) = struct.unpack(">I", data[p : p + 4])
     if entry_count < 1:
         raise ValueError("empty stsd")
     entries = list(_walk_boxes(data, p + 4, boxes[b"stsd"][1]))
     codec_fc, eb, _ = entries[0]
-    width, height = struct.unpack(">HH", data[eb + 24 : eb + 28])
+    track: dict = {
+        "handler": handler.decode("ascii", "replace"),
+        "codec": codec_fc.decode("ascii", "replace"),
+        "timescale": int(timescale),
+    }
+    if handler == b"vide":
+        width, height = struct.unpack(">HH", data[eb + 24 : eb + 28])
+        track["width"], track["height"] = int(width), int(height)
+    elif handler == b"soun":
+        channels, sample_size = struct.unpack(">HH", data[eb + 16 : eb + 20])
+        (rate_fixed,) = struct.unpack(">I", data[eb + 24 : eb + 28])
+        track["channels"] = int(channels)
+        track["sample_size_bits"] = int(sample_size)
+        track["sample_rate"] = int(rate_fixed >> 16)
 
-    # stsz
+    # stsz (default-size or per-sample table)
     _, _, p = _fullbox(data, boxes[b"stsz"][0])
     default_size, n_samples = struct.unpack(">II", data[p : p + 8])
     if default_size:
@@ -362,17 +413,51 @@ def parse_mp4(data: bytes) -> dict:
         if o + s > len(data):
             raise ValueError("sample extends past end of file")
 
-    return {
-        "codec": codec_fc.decode("ascii", "replace"),
-        "width": int(width),
-        "height": int(height),
-        "timescale": int(timescale),
-        "durations": durations,
-        "duration": int(sum(durations)),
-        "sample_offsets": sample_offsets,
-        "sample_sizes": sizes,
-        "n_samples": int(n_samples),
-    }
+    track.update(
+        durations=durations,
+        duration=int(sum(durations)),
+        sample_offsets=sample_offsets,
+        sample_sizes=sizes,
+        n_samples=int(n_samples),
+    )
+    return track
+
+
+def parse_mp4_tracks(data: bytes) -> list[dict]:
+    """Demux every media track (video and audio) into track dicts —
+    handler, codec fourcc, per-track timescale, per-sample offsets /
+    sizes / durations, and handler-specific metadata (dims for
+    ``vide``, channels / bit depth / sample rate for ``soun``)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    tracks = []
+    for fc, b, e in _walk_boxes(data, *moov):
+        if fc == b"trak":
+            t = _parse_track(data, b, e)
+            if t is not None:
+                tracks.append(t)
+    return tracks
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Demux the first video track (flattened, the historical contract)
+    plus the first audio track when present under an ``"audio"`` key.
+    Sample offsets are absolute file offsets derived from
+    stsc/stco/stsz exactly as the spec prescribes — the samples
+    themselves are NOT copied here."""
+    tracks = parse_mp4_tracks(data)
+    video = next((t for t in tracks if t["handler"] == "vide"), None)
+    if video is None:
+        raise ValueError("no video track")
+    audio = next((t for t in tracks if t["handler"] == "soun"), None)
+    out = dict(video)
+    del out["handler"]
+    if audio is not None:
+        out["audio"] = audio
+    return out
 
 
 def extract_samples(data: bytes) -> list[bytes]:
@@ -415,7 +500,7 @@ def decode_mp4(data: bytes) -> dict:
             frame_luma_sums.append(None)
             for c in range(3):
                 channel_sums[c] += st["channel_sums"][c]
-    return {
+    out = {
         "width": info["width"],
         "height": info["height"],
         "n_frames": info["n_samples"],
@@ -425,3 +510,30 @@ def decode_mp4(data: bytes) -> dict:
         "channel_sums": channel_sums,
         "frame_luma_sums": frame_luma_sums,
     }
+    audio = info.get("audio")
+    if audio is not None:
+        if audio["codec"] not in ("sowt", "twos") or audio.get(
+            "sample_size_bits"
+        ) != 16:
+            raise NotImplementedError(
+                f"MP4 audio codec {audio['codec']!r} needs ffmpeg; only "
+                "16-bit PCM ('sowt'/'twos') decodes from scratch"
+            )
+        endian = "<h" if audio["codec"] == "sowt" else ">h"
+        asum = asumsq = 0
+        n_vals = 0
+        for o, s in zip(audio["sample_offsets"], audio["sample_sizes"]):
+            for i in range(0, s, 2):
+                (v,) = struct.unpack_from(endian, data, o + i)
+                asum += v
+                asumsq += v * v
+                n_vals += 1
+        out.update(
+            audio_codec=audio["codec"],
+            audio_rate=audio["sample_rate"],
+            audio_channels=audio["channels"],
+            audio_n_samples=n_vals // max(1, audio["channels"]),
+            audio_sum=asum,
+            audio_sumsq=asumsq,
+        )
+    return out

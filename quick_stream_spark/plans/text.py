@@ -1220,6 +1220,105 @@ def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_mp4_av_demux",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             5 + doc_id % 21 AS w,
+             5 + doc_id % 17 AS h,
+             1 + doc_id % 3 AS nf,
+             200 + doc_id % 50 AS na
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    vid AS (
+      SELECT doc_id,
+             SUM(128 + 2 * ((((xx.x // 8) * 5 + (yy.y // 8) * 3 + doc_id + 7 * ff.f) % 60) - 30)) AS luma_sum
+      FROM dims, unnest(range(0, w)) AS xx(x),
+                 unnest(range(0, h)) AS yy(y),
+                 unnest(range(0, nf)) AS ff(f)
+      GROUP BY doc_id
+    ),
+    aud AS (
+      SELECT doc_id,
+             SUM(((ii.i * 37 + doc_id) % 2048) - 1024) AS audio_sum,
+             SUM((((ii.i * 37 + doc_id) % 2048) - 1024)
+                 * (((ii.i * 37 + doc_id) % 2048) - 1024)) AS audio_sumsq
+      FROM dims, unnest(range(0, na)) AS ii(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.na AS BIGINT) AS audio_n_samples,
+           CAST(v.luma_sum AS BIGINT) AS luma_sum,
+           CAST(a.audio_sum AS BIGINT) AS audio_sum,
+           CAST(a.audio_sumsq AS BIGINT) AS audio_sumsq
+    FROM dims d JOIN vid v USING (doc_id) JOIN aud a USING (doc_id)
+    """,
+    tags=("multimodal", "binary", "decode", "video", "audio"),
+    pytest_only=True,  # rotation candidate; window full this round
+)
+def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio+video MP4 demux end-to-end: per document, mux a
+    two-track file (Motion-JPEG video with closed-form solid blocks;
+    mono 16-bit little-endian PCM audio — fourcc 'sowt', default-size
+    stsz, media timescale == sample rate — with sample values from a
+    closed-form sawtooth of (doc_id, i)), then demux BOTH tracks with
+    the from-scratch box walk and decode them (JPEG codec for frames,
+    PCM unpack for audio) inside an Arrow-batched mapInPandas stage
+    emitting bounded per-clip scalars.  The oracle computes video AND
+    audio statistics from the generative formulas without touching a
+    container: a mixed-up track walk, a bad default-size stsz
+    expansion, a wrong audio chunk offset (audio data sits AFTER all
+    video samples in mdat) or an endianness slip fails the value
+    check.  Scale: per-payload kernels, bounded stats out — see
+    functions/mp4.py."""
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 4 == 2)
+
+    def synth_and_decode(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.jpeg import encode_jpeg
+        from quick_stream_spark.functions.mp4 import decode_mp4, encode_mp4
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 21, 5 + did % 17
+                nf, na = 1 + did % 3, 200 + did % 50
+
+                def luma(x, y, f, did=did):
+                    return 128 + 2 * (
+                        (((x // 8) * 5 + (y // 8) * 3 + did + 7 * f) % 60) - 30
+                    )
+
+                frames = [
+                    encode_jpeg(w, h, lambda x, y, f=f: luma(x, y, f),
+                                components=1)
+                    for f in range(nf)
+                ]
+                pcm = [((i * 37 + did) % 2048) - 1024 for i in range(na)]
+                payload = encode_mp4(w, h, frames, audio_pcm=pcm)
+                dec = decode_mp4(payload)
+                rows.append(
+                    (did, dec["n_frames"], dec["audio_n_samples"],
+                     dec["channel_sums"][0], dec["audio_sum"],
+                     dec["audio_sumsq"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "audio_n_samples",
+                         "luma_sum", "audio_sum", "audio_sumsq"],
+            )
+
+    return d.mapInPandas(
+        synth_and_decode,
+        "doc_id long, n_frames long, audio_n_samples long, "
+        "luma_sum long, audio_sum long, audio_sumsq long",
+    )
+
+
+@register(
     "mm_audio_decode",
     oracle="""
     WITH dims AS (

@@ -127,6 +127,55 @@ def test_progressive_jpeg_frames_inside_mp4():
     assert a["frame_luma_sums"] == b["frame_luma_sums"]
 
 
+# ---------------------------------------------------- audio (A/V) track
+
+
+def test_av_mux_demux_pcm_track():
+    """A second 'soun' trak with a default-size stsz and media
+    timescale == sample rate: track walk finds both, PCM sums are
+    exact, and the video track's samples are unaffected."""
+    frames = [encode_jpeg(16, 8, _solid_luma(2, f), components=1)
+              for f in range(3)]
+    pcm = [((i * 37 + 11) % 2048) - 1024 for i in range(700)]
+    data = encode_mp4(16, 8, frames, audio_pcm=pcm, audio_rate=16000)
+
+    from quick_stream_spark.functions.mp4 import parse_mp4_tracks
+
+    tracks = parse_mp4_tracks(data)
+    assert [(t["handler"], t["codec"]) for t in tracks] == [
+        ("vide", "jpeg"), ("soun", "sowt")
+    ]
+    audio = tracks[1]
+    assert audio["sample_rate"] == 16000
+    assert audio["channels"] == 1 and audio["sample_size_bits"] == 16
+    assert audio["n_samples"] == 700
+    assert audio["timescale"] == 16000  # per-track timescale, not movie
+
+    assert extract_samples(data) == frames
+    dec = decode_mp4(data)
+    assert dec["n_frames"] == 3
+    assert dec["audio_n_samples"] == 700
+    assert dec["audio_sum"] == sum(pcm)
+    assert dec["audio_sumsq"] == sum(v * v for v in pcm)
+
+
+def test_av_video_only_contract_unchanged():
+    frames = [encode_jpeg(8, 8, _solid_luma(0), components=1)]
+    dec = decode_mp4(encode_mp4(8, 8, frames))
+    assert "audio_sum" not in dec and "audio" not in dec
+
+
+def test_compressed_audio_codec_raises_at_seam():
+    frames = [encode_jpeg(8, 8, _solid_luma(0), components=1)]
+    data = bytearray(encode_mp4(8, 8, frames, audio_pcm=[1, 2, 3]))
+    i = data.find(b"sowt")
+    data[i : i + 4] = b"mp4a"  # claim AAC: demux works, decode must not
+    info = parse_mp4(bytes(data))
+    assert info["audio"]["codec"] == "mp4a"
+    with pytest.raises(NotImplementedError, match="mp4a.*ffmpeg"):
+        decode_mp4(bytes(data))
+
+
 # ------------------------------------------------------- codec seam
 
 
