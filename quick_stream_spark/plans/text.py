@@ -1319,6 +1319,97 @@ def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_pcm_depths",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 * (1 + (doc_id // 4) % 4) AS bits,
+             1 + (doc_id // 8) % 2 AS channels,
+             100 + doc_id % 40 AS n,
+             CASE 8 * (1 + (doc_id // 4) % 4)
+               WHEN 8 THEN 1 WHEN 16 THEN 250
+               WHEN 24 THEN 60000 ELSE 2000000 END AS scale
+      FROM documents WHERE doc_id % 4 = 3
+    ),
+    sv AS (
+      SELECT doc_id, bits, channels, n,
+             (((ii.i * 37 + doc_id) % 199) - 99) * scale AS v
+      FROM dims, unnest(range(0, n)) AS ii(i)
+    )
+    SELECT doc_id,
+           CAST(bits AS BIGINT) AS bits,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_left,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_left,
+           CAST(CASE WHEN channels = 2 THEN -SUM(v) ELSE 0 END AS BIGINT) AS sum_right,
+           CAST(CASE WHEN channels = 2 THEN SUM(v * v) ELSE 0 END AS BIGINT) AS sumsq_right
+    FROM sv GROUP BY doc_id, bits, channels, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio"),
+    pytest_only=True,  # rotation candidate; window full this round
+)
+def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-depth PCM decode end-to-end: per document, encode a
+    WAV whose bit depth cycles through 8/16/24/32 and whose channel
+    count alternates mono/stereo (stereo right = -left, so a channel
+    leak cancels the sums), sample values from a closed-form formula
+    scaled to the depth's range — then decode with the pure-struct RIFF
+    walker (functions/wav.py: chunk list, fmt validation, per-depth
+    unpack incl. 3-byte signed 24-bit and the unsigned-recentered
+    8-bit convention) inside an Arrow-batched mapInPandas stage
+    emitting exact integer per-channel sums.  The oracle computes every
+    statistic from the generative formula without touching a RIFF
+    byte: a wrong depth branch, an endianness slip, a sign-extension
+    bug in the 24-bit path or an interleave error fails the value
+    check.  Scale: map-only kernels, bounded stats out."""
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 4 == 3)
+
+    def synth_and_decode(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.wav import decode_wav, encode_wav
+
+        scales = {8: 1, 16: 250, 24: 60000, 32: 2000000}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bits = 8 * (1 + (did // 4) % 4)
+                channels = 1 + (did // 8) % 2
+                n = 100 + did % 40
+                sc = scales[bits]
+                base = [(((i * 37 + did) % 199) - 99) * sc for i in range(n)]
+                if channels == 1:
+                    frames = base
+                else:
+                    frames = [(v, -v) for v in base]
+                info = decode_wav(
+                    encode_wav(frames, 8000, channels, bits=bits)
+                )
+                sums = info["channel_sums"]
+                sq = info["channel_sumsq"]
+                rows.append(
+                    (did, info["bits"], info["channels"],
+                     info["n_samples"], sums[0], sq[0],
+                     sums[1] if channels == 2 else 0,
+                     sq[1] if channels == 2 else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "bits", "channels", "n_samples",
+                         "sum_left", "sumsq_left", "sum_right",
+                         "sumsq_right"],
+            )
+
+    return d.mapInPandas(
+        synth_and_decode,
+        "doc_id long, bits long, channels long, n_samples long, "
+        "sum_left long, sumsq_left long, sum_right long, sumsq_right long",
+    )
+
+
+@register(
     "mm_audio_decode",
     oracle="""
     WITH dims AS (
