@@ -1319,6 +1319,124 @@ def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_layout_matrix",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 4 AS mode,
+             (doc_id // 2) % 2 AS il,
+             5 + doc_id % 12 AS w,
+             4 + doc_id % 9 AS h
+      FROM documents WHERE doc_id % 4 IN (0, 1, 2, 3)
+    ),
+    px AS (
+      SELECT doc_id, mode, w, h, xx.x AS x, yy.y AS y
+      FROM dims, unnest(range(0, w)) AS xx(x), unnest(range(0, h)) AS yy(y)
+    ),
+    v AS (
+      SELECT doc_id, mode, w, h,
+             (x * 7 + y * 13 + x * y) % 65536 AS v16,
+             (x * 7 + y * 13 + x * y) % 256 AS v8_0,
+             ((x + 1) * 7 + y * 13 + (x + 1) * y) % 256 AS v8_1,
+             ((x + 2) * 7 + y * 13 + (x + 2) * y) % 256 AS v8_2,
+             (x * 7 + y * 13 + x * y) % 16 AS idx
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE mode WHEN 0 THEN 1 WHEN 1 THEN 3
+                          WHEN 2 THEN 3 ELSE 2 END AS BIGINT) AS channels,
+           CAST(SUM(CASE mode WHEN 0 THEN v16 WHEN 1 THEN v8_0
+                              WHEN 2 THEN (3 * idx) % 256
+                              ELSE v8_0 END) AS BIGINT) AS sum_c0,
+           CAST(SUM(CASE mode WHEN 1 THEN v8_1
+                              WHEN 2 THEN (5 * idx) % 256
+                              WHEN 3 THEN v8_1 ELSE 0 END) AS BIGINT) AS sum_c1,
+           CAST(SUM(CASE mode WHEN 1 THEN v8_2
+                              WHEN 2 THEN (7 * idx) % 256
+                              ELSE 0 END) AS BIGINT) AS sum_c2
+    FROM v GROUP BY doc_id, mode, w, h
+    """,
+    tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # rotation candidate; window full this round
+)
+def mm_png_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL full-matrix PNG decode end-to-end: per document the layout
+    cycles through 16-bit grayscale, 8-bit truecolor, 4-bit
+    indexed-palette and 8-bit gray+alpha, with Adam7 interlacing on
+    alternating documents — covering big-endian 16-bit samples,
+    sub-byte bit unpacking, PLTE lookups and per-pass interlace
+    geometry in one query.  Pixels (and the palette itself) follow
+    closed-form formulas of (doc_id, x, y), so the oracle computes
+    per-channel sums in SQL without touching a PNG byte: a 16-bit
+    truncation, a bit-order slip, a palette off-by-one or a wrong
+    Adam7 pass dimension fails the value check.  Scale: map-only
+    Arrow kernels, bounded stats out — see functions/png.py."""
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def synth_and_decode(batches):
+        import pandas as pd
+
+        from quick_stream_spark.functions.png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mode = did % 4
+                il = (did // 2) % 2
+                w, h = 5 + did % 12, 4 + did % 9
+
+                def val(x, y, lim):
+                    return (x * 7 + y * 13 + x * y) % lim
+
+                palette = None
+                if mode == 0:
+                    ct, depth = 0, 16
+                    fn = lambda x, y: val(x, y, 65536)  # noqa: E731
+                elif mode == 1:
+                    ct, depth = 2, 8
+                    fn = lambda x, y: tuple(  # noqa: E731
+                        val(x + s, y, 256) for s in range(3)
+                    )
+                elif mode == 2:
+                    ct, depth = 3, 4
+                    palette = [
+                        ((3 * i) % 256, (5 * i) % 256, (7 * i) % 256)
+                        for i in range(16)
+                    ]
+                    fn = lambda x, y: val(x, y, 16)  # noqa: E731
+                else:
+                    ct, depth = 4, 8
+                    fn = lambda x, y: (  # noqa: E731
+                        val(x, y, 256), val(x + 1, y, 256)
+                    )
+                info = decode_png(
+                    encode_png(w, h, fn, filter_type=did % 5,
+                               color_type=ct, bit_depth=depth,
+                               interlace=il, palette=palette)
+                )
+                s = info["channel_sums"]
+                rows.append(
+                    (did, info["width"], info["height"], info["channels"],
+                     s[0], s[1] if len(s) > 1 else 0,
+                     s[2] if len(s) > 2 else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "sum_c0", "sum_c1", "sum_c2"],
+            )
+
+    return d.mapInPandas(
+        synth_and_decode,
+        "doc_id long, width long, height long, channels long, "
+        "sum_c0 long, sum_c1 long, sum_c2 long",
+    )
+
+
+@register(
     "mm_audio_pcm_depths",
     oracle="""
     WITH dims AS (
