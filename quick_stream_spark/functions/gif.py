@@ -5,10 +5,14 @@ images, :mod:`wav` for audio).
 GIF is palette-indexed LZW: the decoder here implements the full
 variable-width GIF-LZW scheme (code widths growing 3..12 bits, CLEAR /
 END codes, table reset at 4096 entries), the sub-block wire format,
-graphic-control extensions and multi-frame image descriptors — enough
-to decode real-world non-interlaced GIF87a/89a animations.  The
-encoder writes the same subset, so round-trip tests pin exact pixel
-indices across width-growth and table-reset boundaries.
+graphic-control extensions, multi-frame image descriptors and the
+four-pass interlaced row order — enough to decode real-world GIF87a/89a
+animations.  The encoder writes the same subset (optionally
+interlaced), so round-trip tests pin exact pixel indices across
+width-growth and table-reset boundaries, and an order-sensitive
+row-weighted statistic pins the interlace pass mapping itself (plain
+sums are row-permutation invariant and could not catch a wrong pass
+order).
 
 Scale posture: per-payload Python inside Arrow-batched ``mapInPandas``;
 per-frame statistics leave the kernel, frames do not.
@@ -17,6 +21,15 @@ per-frame statistics leave the kernel, frames do not.
 from __future__ import annotations
 
 import struct
+
+# GIF interlace passes: (first row, row step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(height: int) -> list[int]:
+    """Display-row index for each TRANSMITTED row, in wire order."""
+    return [r for start, step in _GIF_PASSES
+            for r in range(start, height, step)]
 
 _MAX_CODE_WIDTH = 12
 _TABLE_LIMIT = 1 << _MAX_CODE_WIDTH  # 4096
@@ -175,10 +188,13 @@ def _sub_blocks(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, frames, palette, delay_cs: int = 4) -> bytes:
+def encode_gif(width: int, height: int, frames, palette, delay_cs: int = 4,
+               interlace: bool = False) -> bytes:
     """Encode an animated GIF89a.  ``frames`` is a list of flat
     palette-index sequences (row-major, len == width*height);
-    ``palette`` a list of (r, g, b) with power-of-two length >= 2."""
+    ``palette`` a list of (r, g, b) with power-of-two length >= 2.
+    ``interlace=True`` transmits rows in the four-pass order with the
+    descriptor flag set."""
     n_colors = len(palette)
     if n_colors & (n_colors - 1) or not 2 <= n_colors <= 256:
         raise ValueError("palette length must be a power of two in [2, 256]")
@@ -193,8 +209,14 @@ def encode_gif(width: int, height: int, frames, palette, delay_cs: int = 4) -> b
             raise ValueError("frame size != width*height")
         # graphic control extension (animation delay)
         out += b"\x21\xf9" + bytes((4, 0)) + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        fpacked = 0x40 if interlace else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, fpacked)
         out.append(mcs)
+        if interlace:
+            frame = [
+                v for row in _interlace_order(height)
+                for v in frame[row * width : (row + 1) * width]
+            ]
         out += _sub_blocks(lzw_encode(frame, mcs))
     out += b"\x3b"
     return bytes(out)
@@ -221,6 +243,7 @@ def decode_gif(data: bytes) -> dict:
         palette = [tuple(raw[i : i + 3]) for i in range(0, len(raw), 3)]
         pos += 3 * n
     frame_sums: list[int] = []
+    frame_row_weighted: list[int] = []
     rgb_sums = [0, 0, 0]
     while pos < len(data):
         marker = data[pos]
@@ -251,8 +274,7 @@ def decode_gif(data: bytes) -> dict:
                 raise ValueError("truncated local color table")
             local = [tuple(raw[i : i + 3]) for i in range(0, len(raw), 3)]
             pos += 3 * n
-        if fpacked & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(fpacked & 0x40)
         if pos >= len(data):
             raise ValueError("truncated image data")
         mcs = data[pos]
@@ -273,6 +295,15 @@ def decode_gif(data: bytes) -> dict:
         if not local:
             raise ValueError("frame has no color table")
         frame_sums.append(sum(indices))
+        # order-sensitive statistic: rows weighted by their DISPLAY
+        # index — interlaced frames must map transmitted rows through
+        # the four-pass order or this disagrees with the progressive
+        # encoding of the same pixels
+        rows = _interlace_order(fh) if interlaced else range(fh)
+        frame_row_weighted.append(sum(
+            (disp + 1) * sum(indices[tr * fw : (tr + 1) * fw])
+            for tr, disp in enumerate(rows)
+        ))
         n_colors = len(local)
         for idx in indices:
             if idx >= n_colors:
@@ -287,5 +318,6 @@ def decode_gif(data: bytes) -> dict:
         "n_frames": len(frame_sums),
         "palette": palette,
         "frame_index_sums": frame_sums,
+        "frame_row_weighted": frame_row_weighted,
         "rgb_sums": rgb_sums,
     }

@@ -279,6 +279,35 @@ def test_gif_animation_roundtrip_and_corruption():
         decode_gif(b"BMPxxx")
 
 
+def test_gif_interlaced_decodes_identically_with_row_mapping():
+    """Interlaced GIFs transmit rows in the four-pass order; the
+    ORDER-SENSITIVE row-weighted statistic must equal the progressive
+    encoding's (plain sums are row-permutation invariant and could not
+    catch a wrong pass mapping).  Odd height exercises ragged passes."""
+    from quick_stream_spark.functions.gif import decode_gif, encode_gif
+
+    pal = [(i * 16 % 256, i * 7 % 256, i * 11 % 256) for i in range(16)]
+    w, h = 11, 13
+    frames = [
+        [(x * 3 + y * 5 + f) % 16 for y in range(h) for x in range(w)]
+        for f in range(2)
+    ]
+    plain = decode_gif(encode_gif(w, h, frames, pal))
+    inter = decode_gif(encode_gif(w, h, frames, pal, interlace=True))
+    assert inter["frame_index_sums"] == plain["frame_index_sums"]
+    assert inter["rgb_sums"] == plain["rgb_sums"]
+    assert inter["frame_row_weighted"] == plain["frame_row_weighted"]
+    expect = [
+        sum((y + 1) * sum(fr[y * w : (y + 1) * w]) for y in range(h))
+        for fr in frames
+    ]
+    assert plain["frame_row_weighted"] == expect
+    # the wire really is interlaced: byte streams must differ
+    assert encode_gif(w, h, frames, pal) != encode_gif(
+        w, h, frames, pal, interlace=True
+    )
+
+
 def test_real_decoder_reports_gif_frame_count(spark):
     from quick_stream_spark.functions.gif import encode_gif
     from quick_stream_spark.functions.multimodal import decode_media
