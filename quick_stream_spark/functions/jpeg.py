@@ -827,12 +827,30 @@ def _find_next_marker(data: bytes, pos: int) -> int:
     raise ValueError("truncated stream: no marker after scan data")
 
 
+# decompression-bomb guard: a flipped SOF dimension byte must not make
+# a stats kernel allocate terabytes (65535x65535 coefficient arrays)
+MAX_PIXELS = 1 << 26
+
+
 def decode_jpeg_pixels(data: bytes) -> dict:
     """Full baseline OR progressive decode; returns ``{width, height,
     n_components, planes}`` where ``planes`` is a list of numpy int
     arrays at full image resolution (post-upsampling), in frame
     component order (Y/Cb/Cr or [Y]).  Raises ``ValueError`` on
-    malformed payloads or frames outside the supported envelope."""
+    malformed payloads or frames outside the supported envelope —
+    TOTALITY: arbitrary hostile bytes can only produce ``ValueError``,
+    never an internal exception escaping the kernel
+    (tests/test_codec_totality.py)."""
+    try:
+        return _decode_jpeg_pixels(data)
+    except (IndexError, ZeroDivisionError, OverflowError, MemoryError,
+            struct.error) as e:
+        raise ValueError(
+            f"malformed JPEG: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg_pixels(data: bytes) -> dict:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -889,15 +907,24 @@ def decode_jpeg_pixels(data: bytes) -> dict:
             if frame is not None:
                 raise ValueError("multiple SOF markers")
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             prec, h, w_, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"only 8-bit frames supported, got {prec}")
             if not (1 <= nf <= 3):
                 raise ValueError(f"unsupported component count {nf}")
+            if len(body) < 6 + 3 * nf:
+                raise ValueError("truncated SOF component list")
+            if w_ == 0 or h == 0 or w_ * h > MAX_PIXELS:
+                raise ValueError(f"frame dimensions {w_}x{h} out of bounds")
             comps = []
             for i in range(nf):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                fh, fv = hv >> 4, hv & 15
+                if not (1 <= fh <= 4 and 1 <= fv <= 4):
+                    raise ValueError(f"sampling factors {fh}x{fv} out of range")
+                comps.append((cid, fh, fv, tq))
             frame = (h, w_, comps)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -920,6 +947,8 @@ def decode_jpeg_pixels(data: bytes) -> dict:
             if frame is None:
                 raise ValueError("missing SOF0 or SOS: SOS before SOF")
             ns = body[0]
+            if not (1 <= ns <= 4) or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("malformed SOS header")
             scan = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i : 3 + 2 * i]

@@ -348,9 +348,13 @@ def _parse_track(data: bytes, trak_b: int, trak_e: int) -> dict | None:
         track["sample_size_bits"] = int(sample_size)
         track["sample_rate"] = int(rate_fixed >> 16)
 
-    # stsz (default-size or per-sample table)
+    # stsz (default-size or per-sample table).  A flipped count byte
+    # must not allocate gigabyte lists: every sample needs backing
+    # bytes somewhere in the file, so the file length bounds the count.
     _, _, p = _fullbox(data, boxes[b"stsz"][0])
     default_size, n_samples = struct.unpack(">II", data[p : p + 8])
+    if n_samples > len(data):
+        raise ValueError("stsz sample count exceeds file size")
     if default_size:
         sizes = [default_size] * n_samples
     else:
@@ -358,12 +362,14 @@ def _parse_track(data: bytes, trak_b: int, trak_e: int) -> dict | None:
             struct.unpack(f">{n_samples}I", data[p + 8 : p + 8 + 4 * n_samples])
         )
 
-    # stts -> per-sample durations
+    # stts -> per-sample durations (expansion capped by the stsz count)
     _, _, p = _fullbox(data, boxes[b"stts"][0])
     (nruns,) = struct.unpack(">I", data[p : p + 4])
     durations: list[int] = []
     for i in range(nruns):
         c, d = struct.unpack(">II", data[p + 4 + 8 * i : p + 12 + 8 * i])
+        if len(durations) + c > n_samples:
+            raise ValueError("stts sample count overruns stsz")
         durations.extend([d] * c)
     if len(durations) != n_samples:
         raise ValueError("stts sample count does not match stsz")
@@ -427,19 +433,26 @@ def parse_mp4_tracks(data: bytes) -> list[dict]:
     """Demux every media track (video and audio) into track dicts —
     handler, codec fourcc, per-track timescale, per-sample offsets /
     sizes / durations, and handler-specific metadata (dims for
-    ``vide``, channels / bit depth / sample rate for ``soun``)."""
+    ``vide``, channels / bit depth / sample rate for ``soun``).
+    TOTALITY: arbitrary hostile bytes can only produce ``ValueError``,
+    never an internal exception escaping the kernel
+    (tests/test_codec_totality.py)."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an MP4: missing ftyp")
-    moov = _find(data, 0, len(data), b"moov")
-    if moov is None:
-        raise ValueError("no moov box")
-    tracks = []
-    for fc, b, e in _walk_boxes(data, *moov):
-        if fc == b"trak":
-            t = _parse_track(data, b, e)
-            if t is not None:
-                tracks.append(t)
-    return tracks
+    try:
+        moov = _find(data, 0, len(data), b"moov")
+        if moov is None:
+            raise ValueError("no moov box")
+        tracks = []
+        for fc, b, e in _walk_boxes(data, *moov):
+            if fc == b"trak":
+                t = _parse_track(data, b, e)
+                if t is not None:
+                    tracks.append(t)
+        return tracks
+    except (IndexError, struct.error, OverflowError, MemoryError,
+            ZeroDivisionError) as e:
+        raise ValueError(f"malformed MP4: {type(e).__name__}: {e}") from e
 
 
 def parse_mp4(data: bytes) -> dict:

@@ -283,17 +283,27 @@ def decode_png(data: bytes) -> dict:
         raise ValueError("palette image missing PLTE")
     if not idat:
         raise ValueError("missing IDAT")
+    if width == 0 or height == 0:
+        raise ValueError("zero PNG dimensions")
     samples = _SAMPLES[color_type]
     bpp = max(1, bit_depth * samples // 8)
+    passes = _pass_dims(width, height, interlace)
+    # decompression-bomb guard: the scanline geometry fixes the exact
+    # inflated size, so cap the inflate there instead of trusting a
+    # hostile IDAT (a few KB can otherwise inflate to gigabytes)
+    expected = sum(
+        h * (1 + (w * bit_depth * samples + 7) // 8)
+        for _x0, _y0, _dx, _dy, w, h in passes
+    )
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"bad IDAT zlib stream: {e}") from e
 
     out_channels = 3 if color_type == 3 else samples
     sums = [0] * out_channels
     pos = 0
-    for x0, y0, dx, dy, w, h in _pass_dims(width, height, interlace):
+    for x0, y0, dx, dy, w, h in passes:
         stride = (w * bit_depth * samples + 7) // 8
         prev = b""
         for _yy in range(h):

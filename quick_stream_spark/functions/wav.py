@@ -195,6 +195,11 @@ def encode_wav_adpcm(samples, sample_rate: int, channels: int = 1,
 
 
 def _decode_pcm(pcm: bytes, channels: int, bits: int):
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(
+            f"unsupported WAV layout: format=1 bits={bits} "
+            "(PCM 8/16/24/32-bit only)"
+        )
     bwidth = bits // 8
     if len(pcm) % (channels * bwidth) != 0:
         raise ValueError("PCM stream length mismatch")
