@@ -166,20 +166,59 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_data_watermark",
-    oracle=None,  # behavioral: late-row dropping depends on batch order
+    # Deterministic oracle: availableNow drains the two delivery files
+    # in written order (file source sorts by mtime; batch-00000 is
+    # written first), so the final append output is a pure function of
+    # the two batch contents.  Batch 1 (newest half) sets the final
+    # watermark W = max(ts) - 1h and emits every hour window whose end
+    # <= W; batch 2 (oldest quarter) arrives entirely below W, is NOT
+    # input-filtered on this Spark build, and its windows (all end <=
+    # W) emit as late windows within batch 2.  The two batches' time
+    # ranges are disjoint, so per-batch window aggregation + the same
+    # emission filter restates the drain exactly.  Validated against
+    # the live streaming query at sf0.001 and sf0.01.
+    oracle="""
+    WITH stats AS (
+      SELECT quantile_cont(extract(epoch from ts), 0.5) AS mid,
+             quantile_cont(extract(epoch from ts), 0.25) AS q1
+      FROM events
+    ),
+    b1 AS (SELECT ts FROM events, stats WHERE extract(epoch from ts) >= mid),
+    b2 AS (SELECT ts FROM events, stats WHERE extract(epoch from ts) <= q1),
+    wm AS (SELECT max(extract(epoch from ts)) - 3600 AS w FROM b1),
+    w1 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                  COUNT(*) AS n
+           FROM b1 GROUP BY 1),
+    w2 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                  COUNT(*) AS n
+           FROM b2 GROUP BY 1)
+    SELECT window_start, n FROM w1, wm
+    WHERE extract(epoch from window_start) + 3600 <= w
+    UNION ALL
+    SELECT window_start, n FROM w2, wm
+    WHERE extract(epoch from window_start) + 3600 <= w
+    """,
     tags=("streaming", "watermark"),
 )
 def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics demo (rows-only check): batch 1 carries the
-    newest half of events, batch 2 replays the *oldest* quarter.  The
-    watermark governs append-mode emission and state eviction: after the
-    drain, every emitted window closed at or below the final watermark,
-    and the incomplete tail windows are withheld.  Note (measured on
-    this Spark build): late rows below the watermark are NOT input-
-    filtered (numRowsDroppedByWatermark = 0) — they re-emit as late
-    windows.  The engine's late-data answer is therefore the MERGE
-    idempotency guard (newer-wins upsert), not the watermark filter:
-    redelivered windows merge idempotently downstream."""
+    """Watermark semantics, oracle-pinned: batch 1 carries the newest
+    half of events, batch 2 replays the *oldest* quarter.  The watermark
+    governs append-mode emission and state eviction: after the drain,
+    every emitted window closed at or below the final watermark
+    (window.end <= W, Spark's eviction predicate), and the incomplete
+    tail windows are withheld.  Note (measured on this Spark build):
+    late rows below the watermark are NOT input-filtered
+    (numRowsDroppedByWatermark = 0) — they re-emit as late windows.
+    The engine's late-data answer is therefore the MERGE idempotency
+    guard (newer-wins upsert), not the watermark filter: redelivered
+    windows merge idempotently downstream.
+
+    Determinism: the drain order is pinned — write_batches_as_files
+    names+writes the deliveries sequentially and the file source orders
+    same-dir files by modification time, so batch 1 always precedes
+    batch 2 and the emitted set is reproducible (the DuckDB oracle above
+    replays the same rule per batch).  Reference anchor: this slot pins
+    O4/watermark semantics (upsert.rs:158-204 accumulation windows)."""
     pin_session(spark)
     ev = load_table(spark, sf_dir, "events")
     cutoffs = ev.select(

@@ -11,24 +11,15 @@ def test_exported_corpus_fits_driver_window():
     assert len(queries()) <= DRIVER_WINDOW
 
 
-# Exported entries whose semantics are genuinely not SQL-expressible
-# (the driver records its weaker rows-only check for these, as the
-# contract allows).  Keep this list MINIMAL and deliberate — everything
-# else must carry an oracle.
-ROWS_ONLY_EXPORTS = {
-    # watermark eviction/emission depends on micro-batch arrival order;
-    # a batch-SQL oracle cannot state it (r7 rotation, judge-named)
-    "stream_late_data_watermark",
-}
-
-
 def test_every_exported_query_has_an_oracle():
+    """UNCONDITIONAL: the driver has NO rows-only fallback for
+    oracle-less exports (proven r7: an exported ``oracle=None`` entry
+    recorded ``err: "no_oracle"``, ``rows_match: null`` — zero
+    verification signal).  Rows-only checks live in the pytest-only
+    tier; every exported entry must carry DuckDB oracle SQL."""
     exported = set(queries())
     with_oracle = set(oracle_sql())
-    assert exported - with_oracle == ROWS_ONLY_EXPORTS, (
-        exported - with_oracle
-    )
-    assert ROWS_ONLY_EXPORTS <= exported
+    assert exported - with_oracle == set(), exported - with_oracle
 
 
 def test_pytest_only_tier_is_nonempty_and_disjoint():
