@@ -304,7 +304,6 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gen
     """,
     tags=("source", "python-datasource", "streaming"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING half of the Python Data Source API

@@ -328,6 +328,7 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     tags=("agg", "tpch"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue-change forecast — a pure
@@ -360,6 +361,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r8 rotation out (driver-green r6+r7); still oracle-checked locally
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotion revenue share — conditional decimal
@@ -637,7 +639,6 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     FROM events GROUP BY user_id, event_type
     """,
     tags=("agg", "pivot"),
-    pytest_only=True,
 )
 def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (long -> wide: one column per event type, explicit value

@@ -619,7 +619,6 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM stages
     """,
     tags=("analytics", "funnel"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (view -> click -> purchase): per user,
@@ -1102,7 +1101,6 @@ _DSIR_BUCKETS = (
     FROM scored, thr
     """,
     tags=("sampling", "pipeline", "dsir", "ml"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):

@@ -444,7 +444,6 @@ def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list
     ) WHERE rank <= {TOP_K}
     """,
     tags=("similarity", "ivf", "approx"),
-    pytest_only=True,  # label-cell codebook variant; emb_ivf_trained_topk
     # (trained codebook, better recall) is the driver-checked one
 )
 def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,6 +1662,7 @@ def _mrl_oracle() -> str:
     "emb_matryoshka_eval",
     oracle=None,  # set below (generated per truncation width)
     tags=("similarity", "evaluation", "mrl"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation evaluation (Kusupati et al. 2022,
@@ -1868,6 +1868,7 @@ HN_PER_ANCHOR = 3
     ) WHERE rank <= {HN_PER_ANCHOR}
     """,
     tags=("similarity", "mining", "training-pairs", "arrow"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining — the contrastive-training companion of

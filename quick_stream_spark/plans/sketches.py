@@ -186,7 +186,6 @@ def _exact_q_case_sql(q_expr: str) -> str:
     FROM chosen ch JOIN cum c2 USING (b)
     """,
     tags=("sketch", "histogram", "quantile"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimation from a fixed-bin histogram — the mergeable
@@ -391,6 +390,7 @@ _LC_KEYS = (  # (tag, table, column)
     FROM agg
     """,
     tags=("sketch", "distinct", "linear-counting"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by linear counting (Whang et al. 1990)
@@ -498,6 +498,7 @@ _HLL_RHO_SQL = _hll.rho_sql(HLL_P)
     FROM corrected
     """,
     tags=("sketch", "distinct", "hll"),
+    pytest_only=True,  # r8 rotation out (driver-green r6+r7); still oracle-checked locally
 )
 def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by explicit HyperLogLog registers

@@ -482,7 +482,6 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     tags=("streaming", "join", "enrichment"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the canonical dimension lookup:

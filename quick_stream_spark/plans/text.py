@@ -415,7 +415,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # set below — generated SQL needs the vote expressions
     tags=("text", "dedup"),
-    pytest_only=True,  # subsumed by dedup_simhash_pairs (same signatures)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprints: 60-bit signatures from per-token
@@ -1059,7 +1058,6 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
-    pytest_only=True,  # rotation candidate; window full this round
 )
 def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG (SOF2, T.81 Annex G) decode end-to-end:
@@ -1152,7 +1150,6 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h, nf
     """,
     tags=("multimodal", "binary", "decode", "video"),
-    pytest_only=True,  # rotation candidate; window full this round
 )
 def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 container demux + per-frame JPEG decode end-to-end:
@@ -1255,7 +1252,6 @@ def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dims d JOIN vid v USING (doc_id) JOIN aud a USING (doc_id)
     """,
     tags=("multimodal", "binary", "decode", "video", "audio"),
-    pytest_only=True,  # rotation candidate; window full this round
 )
 def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio+video MP4 demux end-to-end: per document, mux a
@@ -1359,7 +1355,6 @@ def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v GROUP BY doc_id, mode, w, h
     """,
     tags=("multimodal", "binary", "decode"),
-    pytest_only=True,  # rotation candidate; window full this round
 )
 def mm_png_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL full-matrix PNG decode end-to-end: per document the layout
@@ -1465,7 +1460,6 @@ def mm_png_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sv GROUP BY doc_id, bits, channels, n
     """,
     tags=("multimodal", "binary", "decode", "audio"),
-    pytest_only=True,  # rotation candidate; window full this round
 )
 def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-depth PCM decode end-to-end: per document, encode a
@@ -2525,7 +2519,6 @@ def _bm25_oracle() -> str:
     "text_bm25_topk",
     oracle=None,  # set below
     tags=("text", "retrieval", "bm25"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval over an on-the-fly inverted index: per-term

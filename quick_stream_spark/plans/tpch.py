@@ -175,6 +175,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between two nations by year.  Both
@@ -239,6 +240,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_year
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold
@@ -305,6 +307,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: supply cost := 10% of retail price per
@@ -449,6 +452,7 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM co GROUP BY c_count
     """,
     tags=("join", "outer", "agg", "tpch"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of per-customer order counts,

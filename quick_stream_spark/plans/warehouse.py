@@ -42,6 +42,7 @@ BASKET_TOPK = 30
     LIMIT {BASKET_TOPK}
     """,
     tags=("warehouse", "affinity", "basket"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: the top-{BASKET_TOPK} co-purchased part
@@ -138,6 +139,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM collapsed
     """,
     tags=("warehouse", "scd2", "window"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from an event log: per
@@ -229,6 +231,7 @@ def _bloom_pos(j: int, key) -> F.Column:
     FROM probe pr LEFT JOIN probe_hits ph ON pr.o_custkey = ph.o_custkey
     """,
     tags=("warehouse", "bloom", "join-pruning"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning, the runtime-filter pattern Spark
@@ -361,6 +364,7 @@ def _interleave_spark(x: str, y: str) -> F.Column:
     FROM filed GROUP BY file_id
     """,
     tags=("warehouse", "zorder", "data-skipping"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering for data skipping (Delta OPTIMIZE ZORDER BY
@@ -660,7 +664,6 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     tags=("warehouse", "window", "range-frame"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def window_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame windows — the time-based sibling of the ROWS frames
@@ -961,7 +964,6 @@ def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
     """,
     tags=("warehouse", "join", "fuzzy", "entity-resolution"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
 )
 def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string join (entity resolution): find name pairs within
@@ -1046,6 +1048,7 @@ _PROFILE_ARMS_SQL = """
     FROM stats s JOIN tops t ON s.col_name = t.col_name
     """,
     tags=("warehouse", "quality", "profiling"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the Deequ/Glue-crawler analyzer pattern): per
@@ -1137,6 +1140,7 @@ def _scd2_pit_oracle() -> str:
     "join_scd2_point_in_time",
     oracle=None,  # set below: SCD2 CTE + ASOF lookup
     tags=("warehouse", "scd2", "join", "asof"),
+    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup — the query SCD2 histories exist
