@@ -830,6 +830,16 @@ def _find_next_marker(data: bytes, pos: int) -> int:
 # decompression-bomb guard: a flipped SOF dimension byte must not make
 # a stats kernel allocate terabytes (65535x65535 coefficient arrays)
 MAX_PIXELS = 1 << 26
+# ...and a pixel cap alone is not enough: a 16-byte hostile SOF
+# declaring 3 components at 4x4 sampling stays under MAX_PIXELS yet
+# drives ~w*h int64 coefficient elements PER COMPONENT (several GB
+# total) before any entropy data is validated.  Cap the SUMMED
+# per-component block-grid allocation too: 2^26 int64 elements
+# (512 MB) across all components — legitimate frames satisfy
+# sum(elements) ~ w*h * sum(fh*fv)/(hmax*vmax) <= 3*w*h, so this
+# still admits ~22 MP 4:4:4 colour frames while bounding the
+# allocation a hostile header can trigger.
+MAX_COEF_ELEMENTS = 1 << 26
 
 
 def decode_jpeg_pixels(data: bytes) -> dict:
@@ -931,6 +941,14 @@ def _decode_jpeg_pixels(data: bytes) -> dict:
             mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
             mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             geom = {"hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+            coef_elements = sum(
+                mcus_y * fv * mcus_x * fh * 64 for _, fh, fv, _ in comps
+            )
+            if coef_elements > MAX_COEF_ELEMENTS:
+                raise ValueError(
+                    f"coefficient grid of {coef_elements} elements exceeds "
+                    f"the allocation bound ({MAX_COEF_ELEMENTS})"
+                )
             for cid, fh, fv, tq in comps:
                 arrays[cid] = np.zeros(
                     (mcus_y * fv, mcus_x * fh, 64), dtype=np.int64

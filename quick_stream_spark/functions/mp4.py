@@ -499,54 +499,67 @@ def decode_mp4(data: bytes) -> dict:
         )
     from quick_stream_spark.functions import jpeg
 
-    channel_sums = [0, 0, 0]
-    frame_luma_sums = []
-    for o, s in zip(info["sample_offsets"], info["sample_sizes"]):
-        st = jpeg.decode_jpeg(data[o : o + s])
-        if (st["width"], st["height"]) != (info["width"], info["height"]):
-            raise ValueError("frame dims disagree with stsd sample entry")
-        if st["channels"] == 1:
-            frame_luma_sums.append(st["channel_sums"][0])
-            for c in range(3):
-                channel_sums[c] += st["channel_sums"][0]
-        else:
-            frame_luma_sums.append(None)
-            for c in range(3):
-                channel_sums[c] += st["channel_sums"][c]
-    out = {
-        "width": info["width"],
-        "height": info["height"],
-        "n_frames": info["n_samples"],
-        "duration": info["duration"],
-        "timescale": info["timescale"],
-        "codec": info["codec"],
-        "channel_sums": channel_sums,
-        "frame_luma_sums": frame_luma_sums,
-    }
-    audio = info.get("audio")
-    if audio is not None:
-        if audio["codec"] not in ("sowt", "twos") or audio.get(
-            "sample_size_bits"
-        ) != 16:
-            raise NotImplementedError(
-                f"MP4 audio codec {audio['codec']!r} needs ffmpeg; only "
-                "16-bit PCM ('sowt'/'twos') decodes from scratch"
+    # The decode body runs under the same TOTALITY envelope as
+    # parse_mp4_tracks: a hostile stsz (e.g. an odd PCM16 sample size
+    # whose last sample ends exactly at EOF) must surface as
+    # ValueError, never struct.error. NotImplementedError (the codec
+    # seam) is deliberately NOT in the tuple and passes through.
+    try:
+        channel_sums = [0, 0, 0]
+        frame_luma_sums = []
+        for o, s in zip(info["sample_offsets"], info["sample_sizes"]):
+            st = jpeg.decode_jpeg(data[o : o + s])
+            if (st["width"], st["height"]) != (info["width"], info["height"]):
+                raise ValueError("frame dims disagree with stsd sample entry")
+            if st["channels"] == 1:
+                frame_luma_sums.append(st["channel_sums"][0])
+                for c in range(3):
+                    channel_sums[c] += st["channel_sums"][0]
+            else:
+                frame_luma_sums.append(None)
+                for c in range(3):
+                    channel_sums[c] += st["channel_sums"][c]
+        out = {
+            "width": info["width"],
+            "height": info["height"],
+            "n_frames": info["n_samples"],
+            "duration": info["duration"],
+            "timescale": info["timescale"],
+            "codec": info["codec"],
+            "channel_sums": channel_sums,
+            "frame_luma_sums": frame_luma_sums,
+        }
+        audio = info.get("audio")
+        if audio is not None:
+            if audio["codec"] not in ("sowt", "twos") or audio.get(
+                "sample_size_bits"
+            ) != 16:
+                raise NotImplementedError(
+                    f"MP4 audio codec {audio['codec']!r} needs ffmpeg; only "
+                    "16-bit PCM ('sowt'/'twos') decodes from scratch"
+                )
+            endian = "<h" if audio["codec"] == "sowt" else ">h"
+            asum = asumsq = 0
+            n_vals = 0
+            for o, s in zip(audio["sample_offsets"], audio["sample_sizes"]):
+                if s % 2 != 0:
+                    raise ValueError(
+                        "odd stsz sample size in a 16-bit PCM audio track"
+                    )
+                for i in range(0, s, 2):
+                    (v,) = struct.unpack_from(endian, data, o + i)
+                    asum += v
+                    asumsq += v * v
+                    n_vals += 1
+            out.update(
+                audio_codec=audio["codec"],
+                audio_rate=audio["sample_rate"],
+                audio_channels=audio["channels"],
+                audio_n_samples=n_vals // max(1, audio["channels"]),
+                audio_sum=asum,
+                audio_sumsq=asumsq,
             )
-        endian = "<h" if audio["codec"] == "sowt" else ">h"
-        asum = asumsq = 0
-        n_vals = 0
-        for o, s in zip(audio["sample_offsets"], audio["sample_sizes"]):
-            for i in range(0, s, 2):
-                (v,) = struct.unpack_from(endian, data, o + i)
-                asum += v
-                asumsq += v * v
-                n_vals += 1
-        out.update(
-            audio_codec=audio["codec"],
-            audio_rate=audio["sample_rate"],
-            audio_channels=audio["channels"],
-            audio_n_samples=n_vals // max(1, audio["channels"]),
-            audio_sum=asum,
-            audio_sumsq=asumsq,
-        )
-    return out
+        return out
+    except (IndexError, struct.error, OverflowError, MemoryError,
+            ZeroDivisionError) as e:
+        raise ValueError(f"malformed MP4: {type(e).__name__}: {e}") from e

@@ -193,17 +193,45 @@ class JdbcUpsertQuickStream:
 
     # ----------------------------------------------------------- batches
 
+    def _placeholder(self) -> str:
+        """The connection's PEP 249 placeholder, derived from its
+        module's declared ``paramstyle`` (DuckDB: ``qmark`` → ``?``;
+        psycopg2: ``pyformat`` → ``%s``).  Hardcoding ``?`` would fail
+        executemany against Postgres."""
+        import sys
+
+        mod = sys.modules.get(type(self.con).__module__.split(".")[0])
+        style = getattr(mod, "paramstyle", "qmark")
+        if style in ("format", "pyformat"):
+            return "%s"
+        if style == "qmark":
+            return "?"
+        raise ValueError(
+            f"unsupported DBAPI paramstyle {style!r}: "
+            "JdbcUpsertQuickStream supports qmark/format/pyformat"
+        )
+
     def _stage(self, rows: list[tuple]) -> None:
+        """Replace the staging table's contents with this delivery.
+        The TRUNCATE runs BEFORE the insert (not only after the merge)
+        so a crash between staging and the trailing cleanup cannot wedge
+        the replay: a redelivered batch always starts from an empty
+        staging table, keeping ON CONFLICT single-row-per-key
+        (otherwise Postgres raises 'cannot affect row a second time'
+        on the half-staged leftovers and the stream never advances)."""
+        self.con.execute(
+            f"TRUNCATE TABLE {self.sink.staging_table_name()}"
+        )
         if not rows:
             return
-        ph = ", ".join("?" for _ in rows[0])
+        ph = ", ".join(self._placeholder() for _ in rows[0])
         self.con.executemany(
             f"INSERT INTO {self.sink.staging_table_name()} VALUES ({ph})", rows
         )
 
     def upsert_batch(self, batch: DataFrame) -> None:
-        """One micro-batch through the full sequence: dedup → stage →
-        ON CONFLICT merge → truncate staging."""
+        """One micro-batch through the full sequence: dedup → stage
+        (truncate-then-insert) → ON CONFLICT merge → truncate staging."""
         from quick_stream_spark.operators.dedup import latest_per_key
 
         deduped = latest_per_key(
@@ -223,9 +251,11 @@ class JdbcUpsertQuickStream:
         self.con.execute(stmts[2])
 
     def soft_delete_batch(self, batch: DataFrame) -> None:
-        """One delete delivery: stage the key columns → UPDATE … FROM →
-        truncate staging (requires a key-only staging table, matching
-        the reference's dedicated delete statement)."""
+        """One delete delivery: stage the key columns
+        (truncate-then-insert, same crash-replay reasoning as
+        :meth:`_stage`) → UPDATE … FROM → truncate staging (requires a
+        key-only staging table, matching the reference's dedicated
+        delete statement)."""
         rows = [tuple(r) for r in batch.select(*self.keys).distinct().collect()]
         self._stage(rows)
         self.con.execute(

@@ -122,3 +122,40 @@ def test_arbitrary_bytes_with_magic_prefixes(data):
             decoder(prefix + data)
         except _OK:
             pass
+
+
+def test_odd_audio_stsz_ending_at_eof_stays_in_envelope():
+    """A hostile default-size stsz of 3 (odd) on a 16-bit PCM track,
+    with the chunk offset re-pointed so the LAST audio sample ends
+    exactly at EOF: the per-sample bounds check (o + s <= len) passes,
+    but the 2-byte unpack at the sample's last byte would read one byte
+    past EOF — this must surface as ValueError, not struct.error
+    (decode_mp4's audio loop runs under the totality envelope)."""
+    import struct
+
+    from quick_stream_spark.functions.jpeg import encode_jpeg
+    from quick_stream_spark.functions.mp4 import encode_mp4
+
+    frame = encode_jpeg(6, 5, lambda x, y: (x * y) % 200, components=1)
+    n_pcm = 8
+    data = encode_mp4(6, 5, [frame],
+                      audio_pcm=[100 * i for i in range(n_pcm)])
+
+    # audio stsz: default-size full box — body (v0,flags0)+(size=2,count)
+    old_stsz = b"stsz" + b"\x00" * 4 + struct.pack(">II", 2, n_pcm)
+    new_stsz = b"stsz" + b"\x00" * 4 + struct.pack(">II", 3, n_pcm)
+    assert data.count(old_stsz) == 1
+    data = data.replace(old_stsz, new_stsz)
+
+    # audio stco: single chunk — re-point so 8 samples x 3 bytes end at EOF
+    ftyp_len = data.index(b"mdat") - 4
+    video_off = ftyp_len + 8
+    old_off = video_off + len(frame)
+    old_stco = b"stco" + b"\x00" * 4 + struct.pack(">II", 1, old_off)
+    assert data.count(old_stco) == 1
+    new_off = len(data) - 3 * n_pcm
+    data = data.replace(old_stco,
+                        b"stco" + b"\x00" * 4 + struct.pack(">II", 1, new_off))
+
+    with pytest.raises(ValueError):
+        decode_mp4(data)

@@ -274,3 +274,87 @@ def test_generated_soft_delete_statement_matches_keyed_table(spark, tmp_table_di
     )
     spark_active = {r.pkey: r.row_active for r in t.read().collect()}
     assert duck_active == spark_active == {1: False, 2: True, 3: False}
+
+
+def test_replay_after_crash_between_stage_and_truncate(spark, tmp_table_dir):
+    """ADVICE r7: a crash AFTER staging but BEFORE the trailing TRUNCATE
+    used to leave rows in the staging table, so the checkpoint replay
+    staged the same keys twice and Postgres's ON CONFLICT would fail
+    with 'cannot affect row a second time', wedging the stream.  _stage
+    now truncates first, so a redelivered batch starts clean and
+    converges."""
+    from quick_stream_spark.sources.jdbc import JdbcUpsertQuickStream
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE target (pkey BIGINT PRIMARY KEY, modified_date TIMESTAMP,"
+        " arrival BIGINT, payload VARCHAR)"
+    )
+    con.execute(
+        "CREATE TABLE target__qss_staging (pkey BIGINT, modified_date TIMESTAMP,"
+        " arrival BIGINT, payload VARCHAR)"
+    )
+    sink = JdbcSink(url="jdbc:postgresql://db:5432/x", table="target")
+    writer = JdbcUpsertQuickStream(
+        sink, con, columns=COLS, keys=["pkey"],
+        version_col="modified_date", arrival_col="arrival",
+    )
+    batch = _batch(spark, [(1, 1, 0, 1, "a1"), (2, 1, 0, 2, "b1")])
+
+    # simulate the crash: the delivery is staged, then the process dies
+    # before the merge+truncate run
+    writer._stage([tuple(r) for r in _dedup(batch).collect()])
+    leftovers = con.execute(
+        "SELECT count(*) FROM target__qss_staging"
+    ).fetchone()[0]
+    assert leftovers == 2  # the wedge precondition exists
+
+    # checkpoint replay redelivers the SAME batch through the full path
+    writer.upsert_batch(batch)
+    state = {
+        r[0]: r[1]
+        for r in con.execute("SELECT pkey, payload FROM target").fetchall()
+    }
+    assert state == {1: "a1", 2: "b1"}
+    assert (
+        con.execute("SELECT count(*) FROM target__qss_staging").fetchone()[0]
+        == 0
+    )
+
+
+def test_placeholder_derived_from_dbapi_paramstyle():
+    """ADVICE r7: DuckDB declares qmark; psycopg2 declares pyformat —
+    the staging INSERT must use the connection's own placeholder, not a
+    hardcoded '?'."""
+    import sys
+    import types
+
+    from quick_stream_spark.sources.jdbc import JdbcUpsertQuickStream
+
+    sink = JdbcSink(url="jdbc:postgresql://db:5432/x", table="target")
+
+    def writer_for(con):
+        return JdbcUpsertQuickStream(
+            sink, con, columns=COLS, keys=["pkey"],
+            version_col="modified_date", arrival_col="arrival",
+        )
+
+    assert duckdb.paramstyle == "qmark"
+    assert writer_for(duckdb.connect())._placeholder() == "?"
+
+    # a stand-in pyformat driver (what psycopg2 declares)
+    mod = types.ModuleType("fake_pg_driver")
+    mod.paramstyle = "pyformat"
+
+    class FakeCon:
+        pass
+
+    FakeCon.__module__ = "fake_pg_driver"
+    sys.modules["fake_pg_driver"] = mod
+    try:
+        assert writer_for(FakeCon())._placeholder() == "%s"
+        mod.paramstyle = "numeric"
+        with pytest.raises(ValueError, match="paramstyle"):
+            writer_for(FakeCon())._placeholder()
+    finally:
+        del sys.modules["fake_pg_driver"]

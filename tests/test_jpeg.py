@@ -340,3 +340,27 @@ def test_encoder_rejects_bad_args():
         encode_jpeg(4, 4, lambda x, y: (0, 0, 0), subsampling="411")
     with pytest.raises(ValueError, match="qtables"):
         encode_jpeg(4, 4, lambda x, y: 0, components=1, qtables="nope")
+
+
+def test_hostile_sof_allocation_bomb_is_rejected_fast():
+    """ADVICE r7: a 16-byte hostile SOF declaring 3 components at 4x4
+    sampling passes the pixel cap (8192x8192 == MAX_PIXELS) yet would
+    allocate ~1.5 GB of int64 coefficient grids before any entropy data
+    is validated.  The summed block-grid cap must reject it instantly
+    (well under the gigabyte mark and without a scan)."""
+    import struct
+    import time
+
+    from quick_stream_spark.functions.jpeg import decode_jpeg_pixels
+
+    sof = struct.pack(">BHHB", 8, 8192, 8192, 3) + b"".join(
+        struct.pack(">BBB", cid, (4 << 4) | 4, 0) for cid in (1, 2, 3)
+    )
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    )
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="allocation bound"):
+        decode_jpeg_pixels(data)
+    assert time.monotonic() - t0 < 1.0
