@@ -1,0 +1,285 @@
+"""Spec-derived golden vectors: hand-assembled byte fixtures, decoded
+outputs pinned to values derived ON PAPER from the public specs.
+
+The codec suites elsewhere verify decoders against payloads produced by
+the sibling encoders in the same module plus closed-form oracles — a
+shared misreading of a spec could survive both.  These fixtures break
+that circularity: every byte below is assembled directly from the spec
+section cited next to it (never via ``encode_*``), and every expected
+number is computed by hand from the spec's own arithmetic (the PNG
+filter recurrences, the GIF LZW code widths, the IMA step table, the
+JPEG DC-only IDCT), so agreement here means the DECODER follows the
+published format, not merely its own encoder.
+
+Specs: PNG — W3C/ISO 15948 (+ RFC 1950/1951 for the zlib/deflate
+stream); GIF — GIF89a specification; WAV — RIFF/WAVE + IMA ADPCM
+(RFC 3551 §4.5.1 tables); JPEG — ITU-T T.81; MP4 — ISO/IEC 14496-12.
+"""
+
+import struct
+
+import numpy as np
+
+from quick_stream_spark.functions.gif import decode_gif
+from quick_stream_spark.functions.jpeg import decode_jpeg, decode_jpeg_pixels
+from quick_stream_spark.functions.mp4 import parse_mp4
+from quick_stream_spark.functions.png import decode_png
+from quick_stream_spark.functions.wav import decode_wav
+
+# --------------------------------------------------------------- PNG
+
+
+def _png_chunk(tag: bytes, body: bytes, crc: int) -> bytes:
+    """PNG §5.3 chunk layout: length | type | data | CRC-32 of
+    type+data (§5.5, the standard zlib polynomial). CRCs below are
+    precomputed literals so the fixture is fully byte-determined."""
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+
+# IHDR (§11.2.2): width=2 height=2 depth=8 color=0(gray) comp=0
+# filter=0 interlace=0
+_PNG_IHDR = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+
+def _png_idat(scanlines: bytes, adler: int) -> bytes:
+    """A zlib stream (RFC 1950) holding ONE stored deflate block
+    (RFC 1951 §3.2.4: final=1 type=00, LEN/NLEN little-endian) — no
+    compressor involved, the scanline bytes appear verbatim."""
+    assert len(scanlines) == 6
+    return (
+        b"\x78\x01"  # CMF/FLG: 32k window, check bits (0x7801 % 31 == 0)
+        + b"\x01" + struct.pack("<HH", 6, 0xFFF9)  # stored, LEN=6, ~LEN
+        + scanlines
+        + struct.pack(">I", adler)  # RFC 1950 §2.2 Adler-32 of the raw data
+    )
+
+
+def test_png_golden_filter0():
+    """2x2 gray-8, both rows filter 0 (None): pixels appear verbatim.
+    Scanlines = 00|00 10, 00|20 30 -> pixels (0,16,32,48), sum 96.
+    Adler-32 by hand: s1=1+0+0+16+0+32+48=97, s2=1+1+17+17+49+97=182
+    -> 0x00B60061."""
+    data = (
+        b"\x89PNG\r\n\x1a\n"  # §5.2 signature
+        + _png_chunk(b"IHDR", _PNG_IHDR, 0x57DD52F8)
+        + _png_chunk(
+            b"IDAT",
+            _png_idat(bytes([0, 0x00, 0x10, 0, 0x20, 0x30]), 0x00B60061),
+            0xFE0E4629,
+        )
+        + _png_chunk(b"IEND", b"", 0xAE426082)
+    )
+    out = decode_png(data)
+    assert out == {
+        "width": 2, "height": 2, "bit_depth": 8, "color_type": 0,
+        "channels": 1, "n_pixels": 4, "channel_sums": [96],
+    }
+
+
+def test_png_golden_sub_and_up_filters():
+    """Filter reconstruction by hand (§9.2): row 0 is Sub (type 1):
+    raw (10,5) -> recon (10, 5+10=15); row 1 is Up (type 2): raw (1,2)
+    -> recon (10+1=11, 15+2=17).  Sum = 10+15+11+17 = 53.
+    Adler-32: s1 ends 22, s2 ends 92 -> 0x005C0016."""
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _PNG_IHDR, 0x57DD52F8)
+        + _png_chunk(
+            b"IDAT",
+            _png_idat(bytes([1, 10, 5, 2, 1, 2]), 0x005C0016),
+            0x5A230573,
+        )
+        + _png_chunk(b"IEND", b"", 0xAE426082)
+    )
+    assert decode_png(data)["channel_sums"] == [53]
+
+
+# --------------------------------------------------------------- GIF
+
+
+def test_gif_golden_hand_packed_lzw():
+    """2x2, 4-colour global table, pixels (0,1,2,3).  The LZW stream is
+    hand-packed per GIF89a Appendix F: with min-code-size 2, clear=4,
+    EOI=5, the encoder emits clear,0,1,2 at width 3; adding table entry
+    8 (== 2^3) bumps the width, so 3 and EOI go at width 4.  Codes
+    LSB-first: 100 000 001 010 | 0011 0101 -> bytes 0x44 0x34 0x05."""
+    data = (
+        b"GIF89a"
+        # logical screen descriptor: 2x2, GCT present, GCT size field 1
+        # (2 << 1 = 4 entries), bg 0, aspect 0
+        + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+        + bytes([0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90])  # GCT
+        # image descriptor: left 0, top 0, 2x2, no LCT, not interlaced
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2])  # LZW minimum code size
+        + bytes([3, 0x44, 0x34, 0x05, 0])  # one 3-byte sub-block + term
+        + b"\x3b"  # trailer
+    )
+    out = decode_gif(data)
+    assert out["width"] == 2 and out["height"] == 2
+    assert out["n_frames"] == 1
+    assert out["palette"] == [(0, 0, 0), (10, 20, 30), (40, 50, 60),
+                              (70, 80, 90)]
+    assert out["frame_index_sums"] == [0 + 1 + 2 + 3]
+    # display rows weighted (row+1): 1*(0+1) + 2*(2+3)
+    assert out["frame_row_weighted"] == [11]
+    # palette lookups: r 0+10+40+70, g 0+20+50+80, b 0+30+60+90
+    assert out["rgb_sums"] == [120, 150, 180]
+
+
+# --------------------------------------------------------------- WAV
+
+
+def test_wav_golden_pcm16():
+    """Canonical RIFF/WAVE: fmt(16) PCM mono 8 kHz 16-bit + data with
+    the four samples 1000, -1000, 32767, -32768 little-endian.
+    Sum = -1; sum of squares = 2*10^6 + 32767^2 + 32768^2
+    = 2000000 + 1073676289 + 1073741824 = 2149418113."""
+    pcm = b"".join(struct.pack("<h", v) for v in (1000, -1000, 32767, -32768))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    out = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out["audio_format"] == 1 and out["bits"] == 16
+    assert out["n_samples"] == 4
+    assert out["channel_sums"] == [-1]
+    assert out["channel_sumsq"] == [2149418113]
+
+
+def test_wav_golden_ima_adpcm():
+    """One IMA-ADPCM block (format 17), hand-decoded from the public
+    step/index tables (RFC 3551 §4.5.1): header (predictor=100,
+    index=0) then nibbles 1,3,8,15,0,2,4,9 packed low-nibble-first
+    (bytes 0x31 0xF8 0x20 0x94).  Hand trace — step[0]=7:
+      n=1: diff=0+1      -> 101, idx 0   n=0: step16, diff 2 -> 96, idx 7
+      n=3: diff=0+1+3    -> 105, idx 0   n=2: step14, diff 1+7 -> 104, idx 6
+      n=8: diff=0 (sign-)-> 105, idx 0   n=4: step13, diff 1+13 -> 118, idx 8
+      n=15: diff=0+1+3+7 -> 94,  idx 8   n=9: step16, diff 2+4 (-) -> 112, idx 7
+    Samples: 100,101,105,105,94,96,104,118,112 -> sum 935, sumsq 97587."""
+    blk = struct.pack("<hBB", 100, 0, 0) + bytes([0x31, 0xF8, 0x20, 0x94])
+    fmt = (
+        struct.pack("<HHIIHH", 17, 1, 8000, 8000, 8, 4)
+        + struct.pack("<HH", 2, 9)  # cbSize=2, samples per block=9
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + struct.pack("<I", 9)
+        + b"data" + struct.pack("<I", len(blk)) + blk
+    )
+    out = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out["audio_format"] == 17
+    assert out["n_samples"] == 9
+    assert out["channel_sums"] == [935]
+    assert out["channel_sumsq"] == [97587]
+
+
+# -------------------------------------------------------------- JPEG
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """T.81 §B.1.1.4 marker segment: FF xx + 2-byte length incl itself."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+# DQT (§B.2.4.1): Pq=0/Tq=0, all 64 entries 1 (identity quantizer)
+_DQT = _jpeg_seg(0xDB, b"\x00" + b"\x01" * 64)
+# SOF0 (§B.2.2): precision 8, 8x8, 1 component, sampling 1x1, table 0
+_SOF = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+# DHT (§B.2.4.2): one code of length 1 -> canonical code '0' (§C.2)
+_DHT_AC_EOB = _jpeg_seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+# SOS (§B.2.3): 1 component, DC/AC table 0, Ss=0 Se=63 Ah=Al=0
+_SOS = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+
+def test_jpeg_golden_flat_128():
+    """All-zero coefficients: DC table maps code '0' -> category 0
+    (diff 0), AC '0' -> EOB.  Scan bits '0'+'0' padded with 1s
+    (§F.1.2.3) = 0x3F.  IDCT of the zero block is 0; the §A.3.1 level
+    shift adds 128 -> every pixel exactly 128, sum 64*128 = 8192."""
+    dht_dc = _jpeg_seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    data = (
+        b"\xff\xd8" + _DQT + _SOF + dht_dc + _DHT_AC_EOB + _SOS
+        + b"\x3f" + b"\xff\xd9"
+    )
+    assert decode_jpeg(data) == {
+        "width": 8, "height": 8, "channels": 1, "n_pixels": 64,
+        "channel_sums": [8192],
+    }
+    assert (decode_jpeg_pixels(data)["planes"][0] == 128).all()
+
+
+def test_jpeg_golden_dc_only_plus_one():
+    """DC table maps '0' -> category 4; magnitude bits '1000' encode
+    diff +8 (§F.1.2.1.1, positive values transmit verbatim).  Scan bits
+    0|1000|0 padded = 0x43.  With quantizer 1, F(0,0)=8; the DC-only
+    IDCT (§A.3.3) gives (1/4)(1/sqrt2)^2 * 8 = 1 at every pixel, plus
+    the 128 level shift -> flat 129, sum 64*129 = 8256."""
+    dht_dc = _jpeg_seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x04")
+    data = (
+        b"\xff\xd8" + _DQT + _SOF + dht_dc + _DHT_AC_EOB + _SOS
+        + b"\x43" + b"\xff\xd9"
+    )
+    out = decode_jpeg(data)
+    assert out["channel_sums"] == [8256]
+    assert (decode_jpeg_pixels(data)["planes"][0] == 129).all()
+
+
+# --------------------------------------------------------------- MP4
+
+
+def _box(fc: bytes, body: bytes) -> bytes:
+    """14496-12 §4.2: 32-bit size incl header, then the fourcc."""
+    return struct.pack(">I", len(body) + 8) + fc + body
+
+
+def _full(fc: bytes, body: bytes) -> bytes:
+    """FullBox: version 0, flags 0."""
+    return _box(fc, b"\x00\x00\x00\x00" + body)
+
+
+def test_mp4_golden_sample_table():
+    """Hand-built ftyp|mdat|moov whose sample tables (§8.5-8.7) the
+    encoder never touched: 2 samples of sizes 2 and 3 in 2 chunks, one
+    sample per chunk, duration 100 each at timescale 1000.  The first
+    chunk offset is ftyp(20 bytes) + the mdat header(8) = 28; the
+    second points at the 'CDE' bytes at 30."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    assert len(ftyp) == 20
+    mdat = _box(b"mdat", b"ABCDE")
+    # VisualSampleEntry (§12.1.3): 6 reserved + data_ref_index, 16
+    # pre_defined/reserved, width=6 height=4, 72dpi, frame_count 1,
+    # 32-byte compressorname, depth 24, pre_defined -1
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(
+        b"mjpa",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 6, 4)
+        + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + bytes([4]) + b"test" + b"\x00" * 27
+        + struct.pack(">Hh", 24, -1),
+    ))
+    stts = _full(b"stts", struct.pack(">III", 1, 2, 100))
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, 2, 1))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 2)
+                 + struct.pack(">II", 2, 3))
+    stco = _full(b"stco", struct.pack(">III", 2, 28, 30))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 200)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    data = ftyp + mdat + _box(b"moov", _box(b"trak", mdia))
+
+    info = parse_mp4(data)
+    assert info["codec"] == "mjpa"
+    assert (info["width"], info["height"]) == (6, 4)
+    assert info["timescale"] == 1000
+    assert info["n_samples"] == 2
+    assert info["sample_offsets"] == [28, 30]
+    assert info["sample_sizes"] == [2, 3]
+    assert info["duration"] == 200
+    assert data[28:30] == b"AB" and data[30:33] == b"CDE"
