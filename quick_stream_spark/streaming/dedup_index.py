@@ -102,6 +102,14 @@ class StreamingNearDupIndex(_StreamBase):
 
         fs, p, _ = _hadoop_fs(spark, self.index_path)
         self._index_exists = bool(fs.exists(p))
+        # one-writer fencing: claim the state directory; a second
+        # writer over the same work_dir takes it over and THIS one
+        # fails loudly at its next batch instead of corrupting
+        # (streaming/stream.py WriterFence)
+        from quick_stream_spark.streaming.stream import WriterFence
+
+        self._fence = WriterFence(spark, work_dir)
+        self._fence.takeover()
 
     # ------------------------------------------------------------ state
 
@@ -140,6 +148,7 @@ class StreamingNearDupIndex(_StreamBase):
 
     def _foreach_batch(self):
         def apply(batch: DataFrame, batch_id: int) -> None:
+            self._fence.check("append a micro-batch to")
             banded = self._banded(batch).persist()
             try:
                 new_side = banded.select(
@@ -277,6 +286,7 @@ class StreamingNearDupIndex(_StreamBase):
         collapse, never lost state."""
         from quick_stream_spark.streaming.stream import replace_log_contents
 
+        self._fence.check("compact")
         if self._index_exists:
             idx = self._read_index().dropDuplicates(["band", "id"])
             if self.max_band_entries is not None:

@@ -80,6 +80,14 @@ class StreamingDistinctCounter(_StreamBase):
 
         fs, path, _ = _hadoop_fs(spark, self.log_path)
         self._log_exists = bool(fs.exists(path))
+        # one-writer fencing: claim the state directory; a second
+        # writer over the same work_dir takes it over and THIS one
+        # fails loudly at its next batch instead of corrupting
+        # (streaming/stream.py WriterFence)
+        from quick_stream_spark.streaming.stream import WriterFence
+
+        self._fence = WriterFence(spark, work_dir)
+        self._fence.takeover()
 
     # ------------------------------------------------------------ state
 
@@ -112,6 +120,7 @@ class StreamingDistinctCounter(_StreamBase):
             return
         from quick_stream_spark.streaming.stream import replace_log_contents
 
+        self._fence.check("compact")
         replace_log_contents(self.spark, self.log_path, self.registers())
 
     # ------------------------------------------------------------ batch
@@ -122,6 +131,7 @@ class StreamingDistinctCounter(_StreamBase):
 
     def _foreach_batch(self):
         def apply(batch: DataFrame, batch_id: int) -> None:
+            self._fence.check("append a micro-batch to")
             regs = self._batch_registers(batch)
             regs.write.mode("append").parquet(self.log_path)
             self._log_exists = True

@@ -14,6 +14,8 @@ and the Spark scheduler is the pool.
 
 from __future__ import annotations
 
+import json
+import os
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -22,6 +24,86 @@ from pyspark.sql.streaming import StreamingQuery
 from quick_stream_spark.config import QuickStreamConfig
 from quick_stream_spark.operators.merge import KeyedTable
 from quick_stream_spark.operators.router import MultiTableRouter
+
+
+class WriterFence:
+    """One-writer fencing for a shared streaming state directory.
+
+    Two streams maintaining the SAME index directory would corrupt it:
+    their compaction rewrites race (mid-flight ``_temporary`` output
+    collides) and each prunes segments the other just appended.  The
+    classic answer is a fencing token (the design ZooKeeper/HDFS leases
+    and Delta's commit arbiter use): every writer, at construction,
+    TAKES OVER the directory by bumping an epoch in a small
+    ``_qss_writer.json`` marker; before every mutation it re-reads the
+    marker and dies loudly (``RuntimeError``) if another writer has
+    taken over since.  No pid-liveness probing, so a crashed writer
+    never wedges the directory — the next writer simply takes over —
+    and a superseded writer discovers it at its next batch instead of
+    corrupting.
+
+    The check is batch-granular: a writer fenced out MID-append can
+    still finish that one append job, which is safe here because the
+    state logs are append-only with duplicate-tolerant readers (the
+    docstring of :func:`replace_log_contents`) — the fence exists to
+    stop two writers RUNNING compaction/append jobs side by side, and
+    batch boundaries are where those jobs launch."""
+
+    MARKER = "_qss_writer.json"
+
+    def __init__(self, spark, work_dir: str) -> None:
+        self.spark = spark
+        self.marker_path = os.path.join(work_dir, self.MARKER)
+        self.token: str | None = None
+        self.epoch = 0
+
+    def _read(self) -> dict | None:
+        from quick_stream_spark.operators.merge import _hadoop_fs
+
+        fs, p, jvm = _hadoop_fs(self.spark, self.marker_path)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        try:
+            return json.loads(raw.decode("utf-8"))
+        except ValueError:
+            return None  # half-written marker: claimable
+
+    def takeover(self) -> None:
+        """Claim the directory: bump the epoch, install our token."""
+        import uuid as _uuid
+
+        from quick_stream_spark.operators.merge import _hadoop_fs
+
+        current = self._read()
+        self.epoch = (current.get("epoch", 0) if current else 0) + 1
+        self.token = _uuid.uuid4().hex
+        fs, p, jvm = _hadoop_fs(self.spark, self.marker_path)
+        fs.mkdirs(p.getParent())
+        body = json.dumps(
+            {"token": self.token, "epoch": self.epoch, "pid": os.getpid()}
+        ).encode("utf-8")
+        out = fs.create(p, True)
+        out.write(bytearray(body))
+        out.close()
+
+    def check(self, op: str = "write") -> None:
+        """Raise loudly if another writer has taken over since ours."""
+        current = self._read()
+        if current is None or current.get("token") != self.token:
+            other = current or {}
+            raise RuntimeError(
+                f"writer fenced out: refusing to {op} "
+                f"{os.path.dirname(self.marker_path)!r} — another writer "
+                f"(pid {other.get('pid')}, epoch {other.get('epoch')}) took "
+                "over this state directory after this one claimed epoch "
+                f"{self.epoch}. One writer per index directory; construct "
+                "a new index instance to take it back."
+            )
 
 
 def replace_log_contents(spark, log_path: str, merged: DataFrame) -> None:
