@@ -283,3 +283,44 @@ def test_mp4_golden_sample_table():
     assert info["sample_sizes"] == [2, 3]
     assert info["duration"] == 200
     assert data[28:30] == b"AB" and data[30:33] == b"CDE"
+
+
+# SOF2 progressive frame header (same geometry as _SOF)
+_SOF2 = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+
+
+def test_jpeg_golden_progressive_two_scan():
+    """Spectral selection (T.81 Annex G): a DC-only first scan
+    (Ss=Se=0) then the AC scan (Ss=1 Se=63).  Both scans encode nothing
+    — DC diff category 0 ('0' + pad = 0x7F) and one EOB ('0' + pad =
+    0x7F) — so the progressive pipeline must reconstruct the same flat
+    128 frame as the baseline golden vector."""
+    dht_dc = _jpeg_seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    sos_dc = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    sos_ac = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    data = (
+        b"\xff\xd8" + _DQT + _SOF2 + dht_dc + _DHT_AC_EOB
+        + sos_dc + b"\x7f" + sos_ac + b"\x7f" + b"\xff\xd9"
+    )
+    assert decode_jpeg(data)["channel_sums"] == [8192]
+    assert (decode_jpeg_pixels(data)["planes"][0] == 128).all()
+
+
+def test_jpeg_golden_progressive_successive_approximation():
+    """Successive approximation for DC (T.81 §G.1.2.1): the first scan
+    at Al=1 sends diff 4 (category 3, code '0' + bits '100' -> 0x4F);
+    the refinement scan (Ah=1, Al=0) appends one raw 0 bit per block
+    (0x7F), so DC = (4 << 1) | 0 = 8 — the same coefficient as the
+    baseline DC+8 vector, hence the same flat-129 frame (sum 8256)."""
+    dht_dc = _jpeg_seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x03")
+    sos_dc1 = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    sos_dc2 = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    sos_ac = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    data = (
+        b"\xff\xd8" + _DQT + _SOF2 + dht_dc + _DHT_AC_EOB
+        + sos_dc1 + b"\x4f" + sos_dc2 + b"\x7f" + sos_ac + b"\x7f"
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(data)
+    assert out["channel_sums"] == [8256]
+    assert (decode_jpeg_pixels(data)["planes"][0] == 129).all()
