@@ -324,3 +324,130 @@ def test_jpeg_golden_progressive_successive_approximation():
     out = decode_jpeg(data)
     assert out["channel_sums"] == [8256]
     assert (decode_jpeg_pixels(data)["planes"][0] == 129).all()
+
+
+def test_png_golden_average_and_paeth_filters():
+    """The remaining two filters by hand (§9.2-9.4): row 0 Average
+    (type 3): recon = raw + floor((left+up)/2) with up=0 -> (10,
+    4+floor(10/2)=9); row 1 Paeth (type 4): px0 predictor = up (p=10,
+    pb=0) -> 7+10=17; px1: p=17+9-10=16, pa=1 smallest -> left ->
+    3+17=20.  Sum = 10+9+17+20 = 56.  Adler-32: s1 ends 32, s2 ends
+    119 -> 0x00770020."""
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _PNG_IHDR, 0x57DD52F8)
+        + _png_chunk(
+            b"IDAT",
+            _png_idat(bytes([3, 10, 4, 4, 7, 3]), 0x00770020),
+            0xE13716DF,
+        )
+        + _png_chunk(b"IEND", b"", 0xAE426082)
+    )
+    assert decode_png(data)["channel_sums"] == [56]
+
+
+def test_png_golden_adam7_interlace():
+    """Adam7 (§8.2) on 2x2: only passes 1, 6 and 7 are non-empty —
+    pass 1 carries pixel (0,0), pass 6 pixel (1,0), pass 7 the full
+    bottom row — so the interlaced pixel stream is THREE one-row
+    sub-images: [filter0, 1][filter0, 2][filter0, 3, 4].  Pixels
+    1+2+3+4 = 10.  Adler-32 of the 7 raw bytes: s1=11, s2=31 ->
+    0x001F000B."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    raw = bytes([0, 1, 0, 2, 0, 3, 4])
+    idat = (
+        b"\x78\x01"
+        + b"\x01" + struct.pack("<HH", 7, 0xFFF8)
+        + raw
+        + struct.pack(">I", 0x001F000B)
+    )
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr, 0x20DA626E)
+        + _png_chunk(b"IDAT", idat, 0x8980C9C2)
+        + _png_chunk(b"IEND", b"", 0xAE426082)
+    )
+    out = decode_png(data)
+    assert out["n_pixels"] == 4
+    assert out["channel_sums"] == [10]
+
+
+def test_gif_golden_interlaced_four_pass():
+    """GIF89a interlacing (spec §20) on a 1x5 frame: transmitted row
+    order is display rows [0, 4, 2, 1, 3].  Display column of values
+    (0,1,2,3,0) top-to-bottom therefore transmits as (0,0,2,1,3),
+    hand-LZW'd: clear,0,0,2 at width 3, then 1,3,EOI at width 4 (entry
+    8 was added) -> bytes 0x04 0x14 0x53.  The row-weighted statistic
+    must map transmitted rows back through the pass order:
+    1*0 + 5*0 + 3*2 + 2*1 + 4*3 = 20 (it would be 1*0+2*0+3*2+4*1+5*3
+    = 25 if rows were taken as transmitted)."""
+    data = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 1, 5, 0x81, 0, 0)
+        + bytes([0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90])
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 5, 0x40)  # interlaced
+        + bytes([2])
+        + bytes([3, 0x04, 0x14, 0x53, 0])
+        + b"\x3b"
+    )
+    out = decode_gif(data)
+    assert out["frame_index_sums"] == [6]
+    assert out["frame_row_weighted"] == [20]
+    assert out["rgb_sums"] == [120, 150, 180]
+
+
+def test_wav_golden_pcm24():
+    """24-bit PCM: two 3-byte little-endian signed samples +-100000
+    (past 16-bit range, so a depth bug cannot hide).  Sum 0; sum of
+    squares 2e10."""
+    pcm = (100000).to_bytes(3, "little", signed=True) + (
+        -100000
+    ).to_bytes(3, "little", signed=True)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    out = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out["bits"] == 24 and out["n_samples"] == 2
+    assert out["channel_sums"] == [0]
+    assert out["channel_sumsq"] == [20000000000]
+
+
+def test_mp4_golden_largesize_mdat():
+    """14496-12 §4.2 largesize: size field 1 + 64-bit size after the
+    fourcc (header 16 bytes, not 8).  With a 3-byte payload the single
+    sample's absolute offset is ftyp(20) + 16 = 36; a demuxer that
+    assumes 8-byte headers lands 8 bytes early."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    payload = b"XYZ"
+    mdat = (
+        struct.pack(">I", 1) + b"mdat"
+        + struct.pack(">Q", 16 + len(payload)) + payload
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(
+        b"avc1",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 3, 2)
+        + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + bytes([1]) + b"x" + b"\x00" * 30
+        + struct.pack(">Hh", 24, -1),
+    ))
+    stts = _full(b"stts", struct.pack(">III", 1, 1, 40))
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 1) + struct.pack(">I", 3))
+    stco = _full(b"stco", struct.pack(">II", 1, 36))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 600, 40)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    data = ftyp + mdat + _box(b"moov", _box(b"trak", mdia))
+
+    info = parse_mp4(data)
+    assert info["codec"] == "avc1"
+    assert info["sample_offsets"] == [36]
+    assert info["sample_sizes"] == [3]
+    assert data[36:39] == b"XYZ"
