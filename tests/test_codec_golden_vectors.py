@@ -22,7 +22,7 @@ import numpy as np
 
 from quick_stream_spark.functions.gif import decode_gif
 from quick_stream_spark.functions.jpeg import decode_jpeg, decode_jpeg_pixels
-from quick_stream_spark.functions.mp4 import parse_mp4
+from quick_stream_spark.functions.mp4 import decode_mp4, parse_mp4
 from quick_stream_spark.functions.png import decode_png
 from quick_stream_spark.functions.wav import decode_wav
 
@@ -451,3 +451,77 @@ def test_mp4_golden_largesize_mdat():
     assert info["sample_offsets"] == [36]
     assert info["sample_sizes"] == [3]
     assert data[36:39] == b"XYZ"
+
+
+def test_mp4_golden_end_to_end_mjpeg_plus_pcm():
+    """Composition of the pinned units with NO sibling encoder: the
+    hand-assembled flat-128 baseline JPEG (141 bytes) becomes the one
+    video sample of a hand-built two-track MP4, plus a 'sowt' PCM
+    track carrying samples +-1000.  decode_mp4 must produce the
+    baseline vector's luma sum through the container (8192, tripled
+    into RGB channel sums for a grayscale frame) and the hand PCM
+    stats (sum 0, sumsq 2e6) — end-to-end demux + pixel decode + audio
+    decode, all against on-paper numbers."""
+    dht_dc = _jpeg_seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    jpg = (
+        b"\xff\xd8" + _DQT + _SOF + dht_dc + _DHT_AC_EOB + _SOS
+        + b"\x3f" + b"\xff\xd9"
+    )
+    assert len(jpg) == 141
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    audio = struct.pack("<h", 1000) + struct.pack("<h", -1000)
+    mdat = _box(b"mdat", jpg + audio)
+    voff, aoff = 28, 28 + len(jpg)
+
+    v_stsd = _full(b"stsd", struct.pack(">I", 1) + _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 8, 8)
+        + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + bytes([1]) + b"x" + b"\x00" * 30
+        + struct.pack(">Hh", 24, -1),
+    ))
+    v_stbl = _box(b"stbl",
+        v_stsd
+        + _full(b"stts", struct.pack(">III", 1, 1, 100))
+        + _full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+        + _full(b"stsz", struct.pack(">II", 0, 1)
+                + struct.pack(">I", len(jpg)))
+        + _full(b"stco", struct.pack(">II", 1, voff)))
+    v_mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 100)
+                   + struct.pack(">HH", 0x55C4, 0))
+    v_hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12)
+    v_trak = _box(b"trak", _box(
+        b"mdia", v_mdhd + v_hdlr + _box(b"minf", v_stbl)))
+
+    # AudioSampleEntry (14496-12 section 12.2.3): mono 16-bit 'sowt'
+    # (little-endian PCM), 16.16 fixed-point sample rate
+    a_stsd = _full(b"stsd", struct.pack(">I", 1) + _box(
+        b"sowt",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+        + struct.pack(">HHHH", 1, 16, 0, 0)
+        + struct.pack(">I", 8000 << 16),
+    ))
+    a_stbl = _box(b"stbl",
+        a_stsd
+        + _full(b"stts", struct.pack(">III", 1, 2, 1))
+        + _full(b"stsc", struct.pack(">IIII", 1, 1, 2, 1))
+        + _full(b"stsz", struct.pack(">II", 2, 2))
+        + _full(b"stco", struct.pack(">II", 1, aoff)))
+    a_mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 8000, 2)
+                   + struct.pack(">HH", 0x55C4, 0))
+    a_hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"soun" + b"\x00" * 12)
+    a_trak = _box(b"trak", _box(
+        b"mdia", a_mdhd + a_hdlr + _box(b"minf", a_stbl)))
+
+    data = ftyp + mdat + _box(b"moov", v_trak + a_trak)
+    out = decode_mp4(data)
+    assert out["channel_sums"] == [8192, 8192, 8192]
+    assert out["frame_luma_sums"] == [8192]
+    assert (out["width"], out["height"], out["n_frames"]) == (8, 8, 1)
+    assert out["audio_codec"] == "sowt"
+    assert out["audio_n_samples"] == 2
+    assert out["audio_sum"] == 0
+    assert out["audio_sumsq"] == 2000000
