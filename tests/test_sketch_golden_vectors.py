@@ -170,3 +170,47 @@ def test_cms_row_hashes_golden(spark):
         for j in range(4)
     ]
     assert [int(v) for v in duck] == CMS_IDX_42
+
+
+SIMHASH_A = 57446577476672362  # 0x0cc175b9c0f1b6a — md5("a")[:15] as int
+SIMHASH_ABC = 648541476951500027  # 0x900150983cd24fb — md5("abc")[:15]
+
+
+def test_spark_simhash_golden(spark):
+    """SimHash majority votes carried out by hand on the two 60-bit
+    token hashes above:
+
+    - "abc" (one token): every bit's vote is the token's own bit ->
+      signature == the token hash;
+    - "a abc a" (n=3): ones_j = 2*bit_a + bit_abc, and 2*ones > 3 iff
+      bit_a = 1 -> signature == hash("a");
+    - "a abc" (n=2): 2*ones > 2 iff BOTH bits set -> signature ==
+      hash("a") & hash("abc") = 0x1509800d006a = 23130547224682."""
+    rows = (
+        spark.createDataFrame(
+            [("abc",), ("a abc a",), ("a abc",)], "text string"
+        )
+        .select("text", mh.simhash_signature(F.col("text")).alias("s"))
+        .collect()
+    )
+    got = {r.text: r.s for r in rows}
+    assert got == {
+        "abc": SIMHASH_ABC,
+        "a abc a": SIMHASH_A,
+        "a abc": 23130547224682,
+    }
+
+
+def test_duckdb_simhash_golden():
+    con = duckdb.connect()
+    for toks, expected in [
+        ("['abc']", SIMHASH_ABC),
+        ("['a','abc','a']", SIMHASH_A),
+        ("['a','abc']", 23130547224682),
+    ]:
+        q = (
+            f"WITH toks AS (SELECT unnest({toks}) AS t), "
+            f"votes AS (SELECT {mh.simhash_vote_sums_sql('t')} FROM toks) "
+            f"SELECT {mh.simhash_from_votes_sql()} FROM votes"
+        )
+        assert con.execute(q).fetchone()[0] == expected, toks
