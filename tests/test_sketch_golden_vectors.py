@@ -214,3 +214,32 @@ def test_duckdb_simhash_golden():
             f"SELECT {mh.simhash_from_votes_sql()} FROM votes"
         )
         assert con.execute(q).fetchone()[0] == expected, toks
+
+
+def test_fingerprint_normalization_golden(spark):
+    """The exact-dedup fingerprint = md5 of the canonical form
+    (lowercase, strip non-alnum, collapse whitespace).  By hand:
+    "  Hello,   WORLD!!  42 " -> "hello world 42", whose md5 (hashlib)
+    is f13e2f734fe3d0d38e0bd70d9890e353 — pinned on both engines so a
+    normalization drift (regex class, trim order) cannot hide behind
+    the dual implementation."""
+    from quick_stream_spark.functions import text as tx
+
+    raw = "  Hello,   WORLD!!  42 "
+    expected = "f13e2f734fe3d0d38e0bd70d9890e353"
+    row = (
+        spark.createDataFrame([(raw,)], "t string")
+        .select(
+            tx.normalize_text(F.col("t")).alias("n"),
+            tx.fingerprint(F.col("t")).alias("fp"),
+        )
+        .collect()[0]
+    )
+    assert row.n == "hello world 42"
+    assert row.fp == expected
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {tx.normalize_text_sql('t')}, {tx.fingerprint_sql('t')} "
+        f"FROM (SELECT '{raw}' AS t)"
+    ).fetchone()
+    assert got == ("hello world 42", expected)
