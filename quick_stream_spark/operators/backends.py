@@ -88,13 +88,19 @@ class LogStructuredBucketStore(BucketStore):
     _SCHEMA_FILE = "_qss_store_schema.json"
     _BUCKET_DATA_COL = "__qss_bucket_v"
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        soft_delete_col: str = "row_active",
+    ) -> None:
         from quick_stream_spark.operators.commitlog import ManifestLog
         from quick_stream_spark.operators.merge import BUCKET_COL
 
         self.spark = spark
         self.path = path
         self._bucket_col = BUCKET_COL
+        self._soft_delete_col = soft_delete_col
         self._log = ManifestLog(spark, path)
 
     def exists(self) -> bool:
@@ -140,14 +146,60 @@ class LogStructuredBucketStore(BucketStore):
         new_files = self._log.list_bucket_files(commit_dir)
         base_version = self._log.latest_version()
         mapping = self._log.read(base_version) if base_version is not None else {}
+        prev_stats = (
+            self._log.read_stats(base_version) if base_version is not None else {}
+        )  # {} = no snapshot, None = pre-stats
         # dynamic-overwrite semantics: replace exactly the buckets the
         # frame carries rows for; every other bucket carries forward —
         # declared as the transaction so a disjoint-bucket race
         # re-points instead of failing (commitlog.ManifestLog.commit)
         mapping.update(new_files)
-        self._log.commit(
-            mapping, touched=set(new_files), base_version=base_version
+        stats = self._next_stats(
+            prev_stats, mapping, new_files, df.schema, commit_dir
         )
+        self._log.commit(
+            mapping,
+            stats=stats,
+            touched=set(new_files),
+            base_version=base_version,
+        )
+
+    def _next_stats(self, prev_stats, mapping, new_files, schema, commit_dir):
+        """Per-bucket ``[rows, active_rows]`` for the commit — the same
+        metadata-count contract as the inline manifest layout
+        (merge.py:_write_manifest_commit), so ``count_fast`` answers
+        COUNT(*) from pure manifest metadata on this backend too.
+        COVERAGE is the invariant: publish stats only when every
+        carried-forward bucket is covered and the frame carries the
+        soft-delete column (otherwise None -> honest scan fallback)."""
+        from pyspark.sql import functions as F
+
+        if self._soft_delete_col not in schema.fieldNames():
+            return None
+        carried = [b for b in mapping if b not in new_files]
+        prev = prev_stats or {}
+        if any(b not in prev for b in carried):
+            return None
+        stats = {b: prev[b] for b in carried}
+        if new_files:
+            counted = (
+                self.spark.read.schema(schema)
+                .parquet(commit_dir)
+                .groupBy(self._bucket_col)
+                .agg(
+                    F.count(F.lit(1)).alias("__qss_rows"),
+                    F.sum(
+                        F.col(self._soft_delete_col).cast("long")
+                    ).alias("__qss_active"),
+                )
+                .collect()
+            )
+            for r in counted:
+                stats[int(r[self._bucket_col])] = [
+                    int(r["__qss_rows"]),
+                    int(r["__qss_active"]),
+                ]
+        return stats
 
     def read_schema(self):
         import json as _json
@@ -184,13 +236,25 @@ class LogStructuredBucketStore(BucketStore):
     def drop_buckets(self, bucket_ids: list[int]) -> None:
         base_version = self._log.latest_version()
         mapping = self._log.read(base_version) if base_version is not None else {}
+        prev_stats = (
+            self._log.read_stats(base_version) if base_version is not None else {}
+        )
         changed = False
         for b in bucket_ids:
             if mapping.pop(b, None) is not None:
                 changed = True
         if changed:
+            prev = prev_stats or {}
+            stats = (
+                {b: prev[b] for b in mapping}
+                if all(b in prev for b in mapping)
+                else None
+            )
             self._log.commit(
-                mapping, touched=set(bucket_ids), base_version=base_version
+                mapping,
+                stats=stats,
+                touched=set(bucket_ids),
+                base_version=base_version,
             )
 
     def vacuum(self, keep_versions: int = 1) -> int:

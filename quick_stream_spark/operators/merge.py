@@ -454,15 +454,22 @@ class KeyedTable:
         METADATA only — no data file is opened, no job runs (the Delta
         'aggregate pushdown to stats' analog).  Every commit publishes
         per-bucket row counts atomically with its snapshot, so the
-        answer is exact for any retained ``version``.  Falls back to a
-        real scan only for a manifest written before stats existed."""
-        if self._log is None:
-            raise ValueError("count_fast requires commit_protocol='manifest'")
-        if version is None and self._log.latest_version() is None:
+        answer is exact for any retained ``version``.  Works in
+        manifest mode AND on a manifest-backed custom store (the
+        logstore backend publishes the same per-bucket stats).  Falls
+        back to a real scan only for a manifest written before stats
+        existed."""
+        log = self._log or getattr(self._store, "_log", None)
+        if log is None:
+            raise ValueError(
+                "count_fast requires commit_protocol='manifest' or a "
+                "manifest-backed store"
+            )
+        if version is None and log.latest_version() is None:
             # match read()'s behavior for a missing table instead of
             # reporting a nonexistent path as an empty (0-row) table
             raise FileNotFoundError(f"KeyedTable at {self.path} has no snapshot")
-        stats = self._log.read_stats(version)
+        stats = log.read_stats(version)
         if stats is None:  # pre-stats manifest: honest fallback
             df = self.read(active_only=active_only, version=version)
             return df.count()

@@ -243,9 +243,7 @@ def test_disjoint_bucket_race_re_points_and_both_commits_land(
     rows = {r.pkey: r.payload for r in reader.read().collect()}
     assert rows[1] == "a-A"  # writer A's update
     assert rows[other_key] == "x-B"  # writer B's update survived the re-point
-    assert reader.read().count() == len(_OCC_SEED)
-    if backend == "manifest":
-        assert reader.count_fast() == len(_OCC_SEED)
+    assert reader.count_fast() == reader.read().count() == len(_OCC_SEED)
     # both commits are distinct snapshots: seed, B, A(re-pointed)
     assert len(_versions(reader)) == 3
 
@@ -282,13 +280,11 @@ def test_same_bucket_race_still_raises(
     rows = {r.pkey: r.payload for r in reader.read().collect()}
     assert rows[same_key] == "x-B"  # B's committed snapshot is the state
     assert rows.get(1) != "a-A"  # A's crashed attempt is invisible
-    if backend == "manifest":
-        assert reader.count_fast() == reader.read().count()
-        # A's orphaned commit files are reclaimable
-        assert reader.vacuum(keep_versions=1) > 0
-    else:
-        # A's orphaned commit files are reclaimable through the store
-        assert reader._store.vacuum(keep_versions=1) > 0
+    assert reader.count_fast() == reader.read().count()
+    # A's orphaned commit files are reclaimable (through the store's
+    # shared log on the logstore backend)
+    vac = reader.vacuum if backend == "manifest" else reader._store.vacuum
+    assert vac(keep_versions=1) > 0
 
 
 @pytest.mark.parametrize("backend", ["manifest", "logstore"])
@@ -332,9 +328,7 @@ def test_threaded_disjoint_writers_all_land(spark, tmp_table_dir, backend):
     rows = {r.pkey: r.payload for r in reader.read().collect()}
     for k in keys:
         assert rows[k] == f"w{k}", (k, rows)
-    assert reader.read().count() == len(_OCC_SEED)
-    if backend == "manifest":
-        assert reader.count_fast() == len(_OCC_SEED)
+    assert reader.count_fast() == reader.read().count() == len(_OCC_SEED)
     # every writer published its own snapshot: seed + one per thread
     assert len(_versions(reader)) == 1 + len(keys)
 

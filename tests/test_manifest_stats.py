@@ -134,3 +134,55 @@ def test_count_fast_missing_table_raises_like_read(spark, tmp_table_dir):
     t = mk(spark, tmp_table_dir, name="never_written")
     with pytest.raises(FileNotFoundError):
         t.count_fast()
+
+
+def test_count_fast_on_logstore_backend(spark, tmp_table_dir):
+    """r8: the logstore BucketStore publishes the same per-bucket
+    [rows, active_rows] stats with every commit, so count_fast answers
+    from pure manifest metadata on the store backend too — including
+    after soft deletes (active counts) and hard deletes (dropped
+    buckets leave the stats)."""
+    from quick_stream_spark.operators.backends import LogStructuredBucketStore
+
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "t-ls"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        store=LogStructuredBucketStore(
+            spark, os.path.join(tmp_table_dir, "t-ls")
+        ),
+    )
+    t.upsert(df(spark, B1))
+    assert t.count_fast() == t.read().count()
+    assert t.count_fast(active_only=True) == t.read().count()
+
+    # soft delete one key: total count unchanged, active count drops
+    one = df(spark, B1[:1])
+    t.soft_delete(one)
+    assert t.count_fast() == t.read().count()
+    assert (
+        t.count_fast(active_only=True)
+        == t.read(active_only=True).count()
+        == t.read().count() - 1
+    )
+
+    # hard delete: rows leave both the table and the metadata counts
+    t.hard_delete(one)
+    assert t.count_fast() == t.read().count()
+
+    # a fresh handle reads the same metadata
+    t2 = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "t-ls"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        store=LogStructuredBucketStore(
+            spark, os.path.join(tmp_table_dir, "t-ls")
+        ),
+    )
+    assert t2.count_fast() == t.read().count()
