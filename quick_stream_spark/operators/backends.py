@@ -107,11 +107,27 @@ class LogStructuredBucketStore(BucketStore):
         return self._log.latest_version() is not None
 
     def read(self, schema) -> DataFrame:
+        return self.read_version(schema)
+
+    def read_version(
+        self,
+        schema,
+        version: int | None = None,
+        bucket_ids: list[int] | None = None,
+    ) -> DataFrame:
+        """Snapshot read — latest when ``version`` is None, a retained
+        historical snapshot otherwise (time travel through the shared
+        ManifestLog, same contract as the inline manifest layout), with
+        optional bucket pruning (``bucket_ids``) so change-data reads
+        scan only the buckets whose file lists differ."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
         schema = schema if schema is not None else self.read_schema()
-        files = self._log.resolve(self._log.read())
+        mapping = self._log.read(version)
+        if bucket_ids is not None:
+            mapping = {b: fs for b, fs in mapping.items() if b in bucket_ids}
+        files = self._log.resolve(mapping)
         if not files:
             return self.spark.createDataFrame([], schema)
         file_schema = StructType(

@@ -173,11 +173,17 @@ class KeyedTable:
             return self._read_manifest(
                 active_only=active_only, with_bucket=with_bucket, version=version
             )
-        if version is not None:
-            raise ValueError("version time travel requires commit_protocol='manifest'")
+        if version is not None and not self._store_time_travel():
+            raise ValueError(
+                "version time travel requires commit_protocol='manifest' "
+                "or a manifest-backed store"
+            )
         schema = self._read_schema_sidecar()
         if self._store is not None:
-            df = self._store.read(schema)
+            if version is not None:
+                df = self._store.read_version(schema, version)
+            else:
+                df = self._store.read(schema)
             if active_only:
                 df = df.filter(F.col(self.soft_delete_col))
             if not with_bucket:
@@ -239,6 +245,16 @@ class KeyedTable:
         if with_bucket:
             df = df.withColumn(BUCKET_COL, self._bucket_expr())
         return df
+
+    def _read_snapshot(self, version: int, bucket_ids: list[int]) -> DataFrame:
+        """A historical snapshot restricted to ``bucket_ids``, WITHOUT
+        the bucket column — the change-data read, routed to the inline
+        manifest io or the store's versioned reader."""
+        if self._log is not None:
+            return self._read_manifest(version=version, bucket_ids=bucket_ids)
+        return self._store.read_version(
+            self._read_schema_sidecar(), version, bucket_ids
+        ).drop(BUCKET_COL)
 
     def _write_manifest_commit(self, df: DataFrame, replaced_buckets: list[int]) -> None:
         """Append-only commit: write ``df`` (with its bucket column)
@@ -337,10 +353,15 @@ class KeyedTable:
             self.last_merge_stats = None
 
     def vacuum(self, keep_versions: int = 1) -> int:
-        """Reclaim unreferenced data files (manifest protocol only)."""
-        if self._log is None:
-            raise ValueError("vacuum requires commit_protocol='manifest'")
-        return self._log.vacuum(keep_versions)
+        """Reclaim unreferenced data files (manifest protocol or a
+        manifest-backed store)."""
+        log = self._snapshot_log()
+        if log is None:
+            raise ValueError(
+                "vacuum requires commit_protocol='manifest' or a "
+                "manifest-backed store"
+            )
+        return log.vacuum(keep_versions)
 
     def erase(self, deletes: DataFrame) -> int:
         """Compliance erasure (GDPR right-to-be-forgotten flow): hard-
@@ -353,9 +374,10 @@ class KeyedTable:
         hard_delete already rewrites the touched buckets in place, so
         erase degenerates to hard_delete (returns 0)."""
         self.hard_delete(deletes)
-        if self._log is None:
+        log = self._snapshot_log()
+        if log is None:
             return 0
-        return self._log.vacuum(keep_versions=1)
+        return log.vacuum(keep_versions=1)
 
     def restore(self, version: int) -> int:
         """Roll the table back to an earlier snapshot (manifest protocol
@@ -367,10 +389,14 @@ class KeyedTable:
         copied or deleted (the republished files are still protected
         from vacuum because the newest manifest references them).
         Returns the new snapshot version."""
-        if self._log is None:
-            raise ValueError("restore requires commit_protocol='manifest'")
-        mapping = self._log.read(version)  # raises on unknown version
-        return self._log.commit(mapping, stats=self._log.read_stats(version))
+        log = self._snapshot_log()
+        if log is None:
+            raise ValueError(
+                "restore requires commit_protocol='manifest' or a "
+                "manifest-backed store"
+            )
+        mapping = log.read(version)  # raises on unknown version
+        return log.commit(mapping, stats=log.read_stats(version))
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change data feed between two snapshots (manifest protocol
@@ -389,10 +415,14 @@ class KeyedTable:
         key columns classifies each key.  An incremental merge touches
         few buckets per commit, so CDC cost follows the change volume,
         not the table size."""
-        if self._log is None:
-            raise ValueError("read_changes requires commit_protocol='manifest'")
-        map_from = self._log.read(from_version)
-        map_to = self._log.read(to_version)
+        log = self._snapshot_log()
+        if log is None or (self._log is None and not self._store_time_travel()):
+            raise ValueError(
+                "read_changes requires commit_protocol='manifest' or a "
+                "manifest-backed store"
+            )
+        map_from = log.read(from_version)
+        map_to = log.read(to_version)
         changed = sorted(
             b
             for b in set(map_from) | set(map_to)
@@ -400,8 +430,8 @@ class KeyedTable:
         )
         cols = [f.name for f in self._data_schema().fields]
         value_cols = [c for c in cols if c not in self.keys]
-        old = self._read_manifest(version=from_version, bucket_ids=changed)
-        new = self._read_manifest(version=to_version, bucket_ids=changed)
+        old = self._read_snapshot(from_version, changed)
+        new = self._read_snapshot(to_version, changed)
         o = old.select(
             *[F.col(k).alias(f"__qss_ok_{i}") for i, k in enumerate(self.keys)],
             F.struct(*[F.col(c) for c in cols]).alias("__qss_old"),
@@ -444,10 +474,25 @@ class KeyedTable:
             F.lit(to_version).cast("int").alias("_commit_version"),
         )
 
+    def _snapshot_log(self):
+        """The table's snapshot log: the inline manifest in manifest
+        mode, or the one owned by a manifest-backed store (the logstore
+        backend); None for the direct parquet layout."""
+        return self._log or getattr(self._store, "_log", None)
+
+    def _store_time_travel(self):
+        """True when snapshot ops should route through the store's
+        versioned reader instead of the inline manifest io."""
+        return self._log is None and hasattr(self._store, "read_version")
+
     def snapshot_versions(self) -> list[int]:
-        if self._log is None:
-            raise ValueError("snapshots require commit_protocol='manifest'")
-        return self._log.versions()
+        log = self._snapshot_log()
+        if log is None:
+            raise ValueError(
+                "snapshots require commit_protocol='manifest' or a "
+                "manifest-backed store"
+            )
+        return log.versions()
 
     def count_fast(self, active_only: bool = False, version: int | None = None) -> int:
         """COUNT(*) (or active-row count) answered from MANIFEST
@@ -459,7 +504,7 @@ class KeyedTable:
         logstore backend publishes the same per-bucket stats).  Falls
         back to a real scan only for a manifest written before stats
         existed."""
-        log = self._log or getattr(self._store, "_log", None)
+        log = self._snapshot_log()
         if log is None:
             raise ValueError(
                 "count_fast requires commit_protocol='manifest' or a "

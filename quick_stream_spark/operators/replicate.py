@@ -69,8 +69,11 @@ class ChangeReplicator:
     """
 
     def __init__(self, source: KeyedTable, replica: KeyedTable) -> None:
-        if source._log is None:
-            raise ValueError("ChangeReplicator requires a manifest-protocol source")
+        if source._snapshot_log() is None:
+            raise ValueError(
+                "ChangeReplicator requires a snapshot-logged source "
+                "(commit_protocol='manifest' or a manifest-backed store)"
+            )
         from quick_stream_spark.operators.progress import read_applied
 
         self.source = source

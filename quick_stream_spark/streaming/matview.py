@@ -236,8 +236,11 @@ class CdcAggView:
         value_col: str,
         num_buckets: int = 8,
     ) -> None:
-        if source._log is None:
-            raise ValueError("CdcAggView requires a manifest-protocol source")
+        if source._snapshot_log() is None:
+            raise ValueError(
+                "CdcAggView requires a snapshot-logged source "
+                "(commit_protocol='manifest' or a manifest-backed store)"
+            )
         self.source = source
         self.spark = source.spark
         self.group_cols = list(group_cols)

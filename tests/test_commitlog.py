@@ -479,3 +479,66 @@ def test_erase_removes_key_from_all_retained_history(spark, tmp_table_dir):
     assert files
     survivors = spark.read.parquet(*files)
     assert survivors.filter(survivors.pkey == 2).count() == 0
+
+
+def test_snapshot_ops_on_logstore_backend(spark, tmp_table_dir):
+    """r8: the snapshot family — time travel reads, CDC
+    classification, atomic restore, erase/vacuum — works on the
+    manifest-backed logstore BucketStore exactly as in manifest mode
+    (the store shares the same ManifestLog protocol)."""
+    from quick_stream_spark.operators.backends import LogStructuredBucketStore
+
+    def mk_ls():
+        return KeyedTable(
+            spark,
+            os.path.join(tmp_table_dir, "cdc-ls"),
+            keys=("pkey",),
+            version_col="modified_date",
+            arrival_col="arrival",
+            num_buckets=4,
+            store=LogStructuredBucketStore(
+                spark, os.path.join(tmp_table_dir, "cdc-ls")
+            ),
+        )
+
+    t = mk_ls()
+    t.upsert(df(spark, BATCH1))
+    v1 = t.snapshot_versions()[-1]
+    t.upsert(df(spark, BATCH2))
+    t.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 9, "x")]))
+    t.hard_delete(df(spark, [(3, datetime(2024, 2, 2), 10, "y")]))
+    v_last = t.snapshot_versions()[-1]
+
+    # time travel: v1 is BATCH1's end state
+    assert {r.pkey: r.payload for r in t.read(version=v1).collect()} == {
+        1: "a1", 2: "b1", 3: "c1"
+    }
+
+    # CDC classification between the snapshots
+    by_type = {}
+    for r in t.read_changes(v1, v_last).collect():
+        by_type.setdefault(r["_change_type"], []).append(r)
+        assert r["_commit_version"] == v_last
+    assert sorted(r.pkey for r in by_type["insert"]) == [4]
+    assert sorted(r.pkey for r in by_type["delete"]) == [3]
+    assert sorted(r.pkey for r in by_type["update_preimage"]) == [1, 2]
+    post = {r.pkey: (r.payload, r.row_active)
+            for r in by_type["update_postimage"]}
+    assert post[1] == ("a2", True) and post[2][1] is False
+
+    # atomic restore: back to v1 as a NEW commit; history intact
+    v_restored = t.restore(v1)
+    assert v_restored > v_last
+    assert {r.pkey: r.payload for r in t.read().collect()} == {
+        1: "a1", 2: "b1", 3: "c1"
+    }
+    assert t.count_fast() == 3  # restored stats republished atomically
+    assert v1 in t.snapshot_versions()  # time travel still sees history
+
+    # erase: drops history + reclaims files through the store's log
+    t.upsert(df(spark, BATCH2))
+    reclaimed = t.erase(df(spark, [(1, datetime(2024, 3, 1), 11, "z")]))
+    assert reclaimed > 0
+    reader = mk_ls()
+    assert 1 not in {r.pkey for r in reader.read().collect()}
+    assert len(reader.snapshot_versions()) == 1  # history gone
