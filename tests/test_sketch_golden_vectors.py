@@ -243,3 +243,24 @@ def test_fingerprint_normalization_golden(spark):
         f"FROM (SELECT '{raw}' AS t)"
     ).fetchone()
     assert got == ("hello world 42", expected)
+
+
+def test_hll_rho_zero_remainder_branch_golden(spark):
+    """The w = h >> p == 0 branch (all remainder bits zero) yields the
+    maximum rank rmax = 48 - p + 1 — a ~2^-41 natural event at p=7, so
+    it is pinned on crafted h literals through both engines' rho
+    implementations: h = 100 (< 2^7) -> rho = 42; h = 128 (w = 1, one
+    binary digit) -> rho = 41; h = 2^47 (w at full width) -> rho = 1."""
+    cases = [(100, 42), (128, 41), (1 << 47, 1)]
+    df_rho = (
+        spark.createDataFrame([(h,) for h, _ in cases], "h long")
+        .select("h", hll.rho(F.col("h"), 7).alias("r"))
+        .collect()
+    )
+    assert {r.h: r.r for r in df_rho} == dict(cases)
+    con = duckdb.connect()
+    for h, expected in cases:
+        got = con.execute(
+            f"SELECT {hll.rho_sql(7)} FROM (SELECT CAST({h} AS BIGINT) AS h)"
+        ).fetchone()[0]
+        assert got == expected, (h, got)
