@@ -92,8 +92,15 @@ class LogStructuredBucketStore(BucketStore):
         self,
         spark: SparkSession,
         path: str,
-        soft_delete_col: str = "row_active",
+        soft_delete_col: str | None = None,
     ) -> None:
+        """``soft_delete_col=None`` (the default) = adopt the owning
+        :class:`KeyedTable`'s liveness column when the table attaches
+        this store — the column the stats pass counts MUST be the one
+        the merge engine maintains, or ``count_fast(active_only=True)``
+        silently counts the wrong flag.  Passing it explicitly is for
+        store-only use (no table); a mismatch with an attaching table
+        raises at construction (merge.KeyedTable.__init__)."""
         from quick_stream_spark.operators.commitlog import ManifestLog
         from quick_stream_spark.operators.merge import BUCKET_COL
 
@@ -190,7 +197,10 @@ class LogStructuredBucketStore(BucketStore):
         soft-delete column (otherwise None -> honest scan fallback)."""
         from pyspark.sql import functions as F
 
-        if self._soft_delete_col not in schema.fieldNames():
+        if (
+            self._soft_delete_col is None
+            or self._soft_delete_col not in schema.fieldNames()
+        ):
             return None
         carried = [b for b in mapping if b not in new_files]
         prev = prev_stats or {}
@@ -204,8 +214,12 @@ class LogStructuredBucketStore(BucketStore):
                 .groupBy(self._bucket_col)
                 .agg(
                     F.count(F.lit(1)).alias("__qss_rows"),
-                    F.sum(
-                        F.col(self._soft_delete_col).cast("long")
+                    # coalesce: F.sum over an all-NULL liveness column
+                    # returns NULL, and int(None) would crash the commit
+                    # mid-write for a user frame whose flag is unset
+                    F.coalesce(
+                        F.sum(F.col(self._soft_delete_col).cast("long")),
+                        F.lit(0),
                     ).alias("__qss_active"),
                 )
                 .collect()

@@ -97,6 +97,21 @@ class KeyedTable:
         self.tie_break = tie_break
         self.num_buckets = int(num_buckets)
         self.soft_delete_col = soft_delete_col
+        # A stats-publishing store must count the SAME liveness column
+        # this table maintains — a silently different column would make
+        # count_fast(active_only=True) return wrong counts.  Stores
+        # default their column to None (= adopt ours here); an explicit
+        # mismatch is a construction-time error, not a wrong answer.
+        if store is not None and hasattr(store, "_soft_delete_col"):
+            if store._soft_delete_col is None:
+                store._soft_delete_col = soft_delete_col
+            elif store._soft_delete_col != soft_delete_col:
+                raise ValueError(
+                    f"store counts soft-delete column "
+                    f"{store._soft_delete_col!r} but this table maintains "
+                    f"{soft_delete_col!r}; per-bucket active-row stats "
+                    "would be computed on the wrong column"
+                )
         # Bucketing-properties guard: bucket = hash(keys) % num_buckets
         # is BAKED INTO the physical layout, so reopening an existing
         # table with different keys or bucket count silently corrupts
@@ -310,7 +325,12 @@ class KeyedTable:
                 .groupBy(BUCKET_COL)
                 .agg(
                     F.count(F.lit(1)).alias("__qss_rows"),
-                    F.sum(F.col(self.soft_delete_col).cast("long")).alias("__qss_active"),
+                    # coalesce: an all-NULL liveness column sums to NULL
+                    # and int(None) would crash the commit mid-write
+                    F.coalesce(
+                        F.sum(F.col(self.soft_delete_col).cast("long")),
+                        F.lit(0),
+                    ).alias("__qss_active"),
                 )
                 .collect()
             )
