@@ -102,14 +102,16 @@ class StreamingNearDupIndex(_StreamBase):
 
         fs, p, _ = _hadoop_fs(spark, self.index_path)
         self._index_exists = bool(fs.exists(p))
-        # one-writer fencing: claim the state directory; a second
-        # writer over the same work_dir takes it over and THIS one
-        # fails loudly at its next batch instead of corrupting
-        # (streaming/stream.py WriterFence)
+        # one-writer fencing (streaming/stream.py WriterFence): the
+        # directory is claimed LAZILY at the first mutation
+        # (fence.ensure), so a second writer over the same work_dir
+        # takes over at ITS first write and this one fails loudly at
+        # its next batch instead of corrupting — while a read-only
+        # instance (query-only monitoring) never fences out the live
+        # writer (ADVICE r8)
         from quick_stream_spark.streaming.stream import WriterFence
 
         self._fence = WriterFence(spark, work_dir)
-        self._fence.takeover()
 
     # ------------------------------------------------------------ state
 
@@ -148,7 +150,7 @@ class StreamingNearDupIndex(_StreamBase):
 
     def _foreach_batch(self):
         def apply(batch: DataFrame, batch_id: int) -> None:
-            self._fence.check("append a micro-batch to")
+            self._fence.ensure("append a micro-batch to")
             banded = self._banded(batch).persist()
             try:
                 new_side = banded.select(
@@ -286,7 +288,7 @@ class StreamingNearDupIndex(_StreamBase):
         collapse, never lost state."""
         from quick_stream_spark.streaming.stream import replace_log_contents
 
-        self._fence.check("compact")
+        self._fence.ensure("compact")
         if self._index_exists:
             idx = self._read_index().dropDuplicates(["band", "id"])
             if self.max_band_entries is not None:

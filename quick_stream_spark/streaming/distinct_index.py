@@ -80,14 +80,16 @@ class StreamingDistinctCounter(_StreamBase):
 
         fs, path, _ = _hadoop_fs(spark, self.log_path)
         self._log_exists = bool(fs.exists(path))
-        # one-writer fencing: claim the state directory; a second
-        # writer over the same work_dir takes it over and THIS one
-        # fails loudly at its next batch instead of corrupting
-        # (streaming/stream.py WriterFence)
+        # one-writer fencing (streaming/stream.py WriterFence): the
+        # directory is claimed LAZILY at the first mutation
+        # (fence.ensure), so a second writer over the same work_dir
+        # takes over at ITS first write and this one fails loudly at
+        # its next batch instead of corrupting — while a read-only
+        # instance (query-only monitoring) never fences out the live
+        # writer (ADVICE r8)
         from quick_stream_spark.streaming.stream import WriterFence
 
         self._fence = WriterFence(spark, work_dir)
-        self._fence.takeover()
 
     # ------------------------------------------------------------ state
 
@@ -120,7 +122,7 @@ class StreamingDistinctCounter(_StreamBase):
             return
         from quick_stream_spark.streaming.stream import replace_log_contents
 
-        self._fence.check("compact")
+        self._fence.ensure("compact")
         replace_log_contents(self.spark, self.log_path, self.registers())
 
     # ------------------------------------------------------------ batch
@@ -131,7 +133,7 @@ class StreamingDistinctCounter(_StreamBase):
 
     def _foreach_batch(self):
         def apply(batch: DataFrame, batch_id: int) -> None:
-            self._fence.check("append a micro-batch to")
+            self._fence.ensure("append a micro-batch to")
             regs = self._batch_registers(batch)
             regs.write.mode("append").parquet(self.log_path)
             self._log_exists = True

@@ -33,14 +33,20 @@ class WriterFence:
     their compaction rewrites race (mid-flight ``_temporary`` output
     collides) and each prunes segments the other just appended.  The
     classic answer is a fencing token (the design ZooKeeper/HDFS leases
-    and Delta's commit arbiter use): every writer, at construction,
-    TAKES OVER the directory by bumping an epoch in a small
-    ``_qss_writer.json`` marker; before every mutation it re-reads the
-    marker and dies loudly (``RuntimeError``) if another writer has
-    taken over since.  No pid-liveness probing, so a crashed writer
-    never wedges the directory — the next writer simply takes over —
-    and a superseded writer discovers it at its next batch instead of
-    corrupting.
+    and Delta's commit arbiter use): every writer, at its FIRST
+    MUTATION, TAKES OVER the directory by bumping an epoch in a small
+    ``_qss_writer.json`` marker; before every later mutation it
+    re-reads the marker and dies loudly (``RuntimeError``) if another
+    writer has taken over since.  No pid-liveness probing, so a
+    crashed writer never wedges the directory — the next writer simply
+    takes over — and a superseded writer discovers it at its next
+    batch instead of corrupting.
+
+    Claiming is deliberately LAZY (``ensure``, not the constructor —
+    ADVICE r8): instantiating an index merely to QUERY existing state
+    (``topk``/``pairs``/``estimate`` from a monitoring process) is a
+    pure read and must not fence out — and kill — the live writer.
+    Only run()/compact(), the mutation paths, claim.
 
     The check is batch-granular: a writer fenced out MID-append can
     still finish that one append job, which is safe here because the
@@ -90,6 +96,16 @@ class WriterFence:
         out = fs.create(p, True)
         out.write(bytearray(body))
         out.close()
+
+    def ensure(self, op: str = "write") -> None:
+        """Mutation-path gate: claim the directory on the first call
+        (lazy takeover — a never-mutating instance never fences the
+        live writer out), verify our claim still stands on every later
+        one."""
+        if self.token is None:
+            self.takeover()
+        else:
+            self.check(op)
 
     def check(self, op: str = "write") -> None:
         """Raise loudly if another writer has taken over since ours."""

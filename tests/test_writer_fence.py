@@ -1,10 +1,13 @@
 """WriterFence: two writers sharing one state directory must FAIL
-LOUDLY instead of corrupting (r7 verdict ask #4).  A second index
-instance over the same ``work_dir`` takes the directory over (fencing
+LOUDLY instead of corrupting (r7 verdict ask #4).  The claim is LAZY
+(ADVICE r8): an index claims its ``work_dir`` at its FIRST MUTATION
+(fence.ensure), not at construction, so a read-only instance (query-only
+monitoring) never fences out — and kills — the live writer.  A second
+WRITER still takes the directory over at its first write (fencing
 token, epoch bump); the superseded writer's next batch or compaction
 raises ``RuntimeError`` instead of racing the newcomer's append/prune
-jobs.  Checkpoint-resume (a FRESH instance continuing a drained
-predecessor) must keep working — takeover is the resume mechanism."""
+jobs.  Checkpoint-resume (a fresh instance continuing a drained
+predecessor) keeps working — takeover is the resume mechanism."""
 
 import tempfile
 
@@ -35,11 +38,25 @@ def test_second_writer_fences_out_the_first(spark):
     write_split_as_files(ev, F.col("event_id") % 2, 2, work + "/in")
 
     first = _counter(spark, work, "a")
-    second = _counter(spark, work, "b")  # takes the directory over
+    first.run(
+        stream_parquet_dir(spark, work + "/in", ev.schema),
+        available_now=True,
+    )  # first mutation = claim
+
+    second = _counter(spark, work, "b")
+    # construction alone claims nothing (lazy fence)...
+    assert second._fence.token is None
+    # ...the takeover happens at the second writer's first batch
+    second.run(
+        stream_parquet_dir(spark, work + "/in", ev.schema),
+        available_now=True,
+    )
     assert second._fence.epoch == first._fence.epoch + 1
 
-    # the superseded writer dies loudly at its first batch...
-    stream = stream_parquet_dir(spark, work + "/in", ev.schema)
+    # the superseded writer dies loudly at its next batch (fresh input
+    # so its drained checkpoint actually schedules one)...
+    write_split_as_files(ev, F.col("event_id") % 2, 2, work + "/in2")
+    stream = stream_parquet_dir(spark, work + "/in2", ev.schema)
     with pytest.raises(Exception, match="fenced out"):
         first.run(stream, available_now=True)
     # ...and at a manual maintenance pass
@@ -48,9 +65,35 @@ def test_second_writer_fences_out_the_first(spark):
         first.compact()
 
     # the current holder works normally
-    stream2 = stream_parquet_dir(spark, work + "/in", ev.schema)
-    second.run(stream2, available_now=True)
+    second.compact()
     assert second.estimate().count() == 1
+
+
+def test_read_only_instance_never_fences_the_writer(spark):
+    """ADVICE r8: instantiating an index merely to QUERY existing state
+    must not kill the live writer's stream at its next batch."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    work = tempfile.mkdtemp(prefix="qss-fence-ro-")
+    write_split_as_files(ev, F.col("event_id") % 2, 2, work + "/in")
+
+    writer = _counter(spark, work, "w")
+    writer.run(
+        stream_parquet_dir(spark, work + "/in", ev.schema),
+        available_now=True,
+    )
+
+    reader = _counter(spark, work, "ro")
+    n = reader.estimate().count()  # pure read: no claim, no epoch bump
+    assert n == 1 and reader._fence.token is None
+
+    # the live writer keeps appending and compacting, unfenced
+    write_split_as_files(ev, F.col("event_id") % 2, 2, work + "/in2")
+    writer.run(
+        stream_parquet_dir(spark, work + "/in2", ev.schema),
+        available_now=True,
+    )
+    writer.compact()
+    assert writer.estimate().count() == 1
 
 
 def test_checkpoint_resume_still_works_via_takeover(spark):
@@ -80,11 +123,14 @@ def test_checkpoint_resume_still_works_via_takeover(spark):
 def test_fence_epoch_survives_marker_and_is_claimable_when_absent(spark):
     work = tempfile.mkdtemp(prefix="qss-fence-unit-")
     f1 = WriterFence(spark, work)
-    f1.takeover()
+    f1.ensure()  # first mutation-gate call claims
     f1.check()  # own claim passes
     f2 = WriterFence(spark, work)
-    f2.takeover()
+    f2.ensure()  # second writer's first mutation takes over
     assert f2.epoch == f1.epoch + 1
-    f2.check()
+    f2.ensure()  # later calls verify, not re-claim
+    assert f2.epoch == f1.epoch + 1
+    with pytest.raises(RuntimeError, match="fenced out"):
+        f1.ensure()
     with pytest.raises(RuntimeError, match="fenced out"):
         f1.check()
