@@ -834,12 +834,22 @@ MAX_PIXELS = 1 << 26
 # declaring 3 components at 4x4 sampling stays under MAX_PIXELS yet
 # drives ~w*h int64 coefficient elements PER COMPONENT (several GB
 # total) before any entropy data is validated.  Cap the SUMMED
-# per-component block-grid allocation too: 2^26 int64 elements
-# (512 MB) across all components — legitimate frames satisfy
-# sum(elements) ~ w*h * sum(fh*fv)/(hmax*vmax) <= 3*w*h, so this
-# still admits ~22 MP 4:4:4 colour frames while bounding the
-# allocation a hostile header can trigger.
-MAX_COEF_ELEMENTS = 1 << 26
+# per-component block-grid allocation too: 2^27 int64 elements (1 GB
+# worst-case transient per image) across all components.  Frames
+# satisfy sum(elements) ~ w*h * sum(fh*fv)/(hmax*vmax) + MCU padding,
+# so the EFFECTIVE per-layout ceilings under both caps are:
+#
+#   greyscale (ratio 1)      ~67 MP — MAX_PIXELS binds
+#   4:2:0 colour (ratio 1.5) ~67 MP — MAX_PIXELS binds
+#   4:2:2 colour (ratio 2)   ~67 MP — MAX_PIXELS binds (up to MCU
+#                            border padding at the exact limit)
+#   4:4:4 / any 3x-expansion ~44 MP — this cap binds (2^27/3 pixels);
+#                            that includes the hostile 3x(4,4) header,
+#                            which is allocation-identical to 4:4:4
+#
+# i.e. every common photographic layout decodes to the full pixel cap
+# and only >=3x-expansion layouts above ~44 MP are rejected here.
+MAX_COEF_ELEMENTS = 1 << 27
 
 
 def decode_jpeg_pixels(data: bytes) -> dict:
@@ -850,7 +860,12 @@ def decode_jpeg_pixels(data: bytes) -> dict:
     malformed payloads or frames outside the supported envelope —
     TOTALITY: arbitrary hostile bytes can only produce ``ValueError``,
     never an internal exception escaping the kernel
-    (tests/test_codec_totality.py)."""
+    (tests/test_codec_totality.py).
+
+    Size envelope (decompression-bomb guards, see ``MAX_PIXELS`` /
+    ``MAX_COEF_ELEMENTS``): greyscale, 4:2:0 and 4:2:2 frames decode
+    up to ~67 MP; 4:4:4 (and any other 3x-expansion sampling layout)
+    up to ~44 MP; worst-case transient allocation is 1 GB per image."""
     try:
         return _decode_jpeg_pixels(data)
     except (IndexError, ZeroDivisionError, OverflowError, MemoryError,

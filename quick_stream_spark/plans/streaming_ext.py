@@ -177,15 +177,20 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranges are disjoint, so per-batch window aggregation + the same
     # emission filter restates the drain exactly.  Validated against
     # the live streaming query at sf0.001 and sf0.01.
+    # epoch_ms(ts)/1000.0, NOT extract(epoch from ts): the Spark plan
+    # splits batches on cast(ts as double) (fractional seconds), and
+    # DuckDB's extract(epoch ...) truncates to integer seconds — a
+    # subsecond event sitting exactly at the q1/mid quantile boundary
+    # would otherwise land in different batches per engine (ADVICE r8)
     oracle="""
     WITH stats AS (
-      SELECT quantile_cont(extract(epoch from ts), 0.5) AS mid,
-             quantile_cont(extract(epoch from ts), 0.25) AS q1
+      SELECT quantile_cont(epoch_ms(ts)/1000.0, 0.5) AS mid,
+             quantile_cont(epoch_ms(ts)/1000.0, 0.25) AS q1
       FROM events
     ),
-    b1 AS (SELECT ts FROM events, stats WHERE extract(epoch from ts) >= mid),
-    b2 AS (SELECT ts FROM events, stats WHERE extract(epoch from ts) <= q1),
-    wm AS (SELECT max(extract(epoch from ts)) - 3600 AS w FROM b1),
+    b1 AS (SELECT ts FROM events, stats WHERE epoch_ms(ts)/1000.0 >= mid),
+    b2 AS (SELECT ts FROM events, stats WHERE epoch_ms(ts)/1000.0 <= q1),
+    wm AS (SELECT max(epoch_ms(ts)/1000.0) - 3600 AS w FROM b1),
     w1 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                   COUNT(*) AS n
            FROM b1 GROUP BY 1),
@@ -193,10 +198,10 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                   COUNT(*) AS n
            FROM b2 GROUP BY 1)
     SELECT window_start, n FROM w1, wm
-    WHERE extract(epoch from window_start) + 3600 <= w
+    WHERE epoch_ms(window_start)/1000.0 + 3600 <= w
     UNION ALL
     SELECT window_start, n FROM w2, wm
-    WHERE extract(epoch from window_start) + 3600 <= w
+    WHERE epoch_ms(window_start)/1000.0 + 3600 <= w
     """,
     tags=("streaming", "watermark"),
 )

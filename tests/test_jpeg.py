@@ -364,3 +364,28 @@ def test_hostile_sof_allocation_bomb_is_rejected_fast():
     with pytest.raises(ValueError, match="allocation bound"):
         decode_jpeg_pixels(data)
     assert time.monotonic() - t0 < 1.0
+
+
+def test_max_size_420_frame_passes_the_allocation_gate():
+    """ADVICE r8: the summed block-grid cap must bind only >=3x-
+    expansion layouts, not max-size legitimate photographic frames.  A
+    67 MP 4:2:0 SOF (8192x8192, the exact MAX_PIXELS limit) allocates
+    1.5*2^26 elements — under the 2^27 cap — so it must proceed PAST
+    the allocation gate and fail later for the honest reason (no scan
+    data), never with "allocation bound"."""
+    import struct
+
+    from quick_stream_spark.functions.jpeg import decode_jpeg_pixels
+
+    sof = struct.pack(">BHHB", 8, 8192, 8192, 3) + b"".join(
+        struct.pack(">BBB", cid, hv, 0)
+        for cid, hv in ((1, (2 << 4) | 2), (2, (1 << 4) | 1), (3, (1 << 4) | 1))
+    )
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"  # EOI with no SOS: fails AFTER the gate
+    )
+    with pytest.raises(ValueError) as exc:
+        decode_jpeg_pixels(data)
+    assert "allocation bound" not in str(exc.value)
