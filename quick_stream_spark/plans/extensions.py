@@ -233,8 +233,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, n_chars, lang FROM documents WHERE lang IN ('en', 'fr')
     """,
-    tags=("source", "partitioned"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    tags=("source", "partitioned"),  # driver window is full; oracle-checked locally
 )
 def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned export + pruned read-back: documents are written
@@ -453,8 +452,7 @@ BINFILE_DOCS = 50  # bounded fixture subset written as individual files
            substr(text, 1, 40) AS head
     FROM documents WHERE doc_id < {BINFILE_DOCS}
     """,
-    tags=("source", "binary", "multimodal"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    tags=("source", "binary", "multimodal"),  # driver window is full; oracle-checked locally
 )
 def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in ``binaryFile`` source — the ingestion surface
@@ -496,8 +494,7 @@ def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_xml_roundtrip",
     oracle=f"SELECT 'xml' AS fmt, * FROM ({_CONNECTOR_ORACLE})",
-    tags=("source", "xml"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    tags=("source", "xml"),  # driver window is full; oracle-checked locally
 )
 def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's built-in XML connector (the spark-xml package merged

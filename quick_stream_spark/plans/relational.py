@@ -401,6 +401,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand, p_type, p_size
     """,
     tags=("join", "agg", "distinct", "tpch"),
+    pytest_only=True,
 )
 def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (adapted: supplier-part relationships come from
@@ -433,6 +434,7 @@ def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFra
            AND l_quantity BETWEEN 20 AND 40)
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction-of-conjunctions across both join

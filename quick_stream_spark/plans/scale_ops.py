@@ -178,6 +178,7 @@ ORDER_BUCKET_BITS = 6  # 64 range buckets over the hash's high bits
     FROM h
     """,
     tags=("sampling", "pipeline", "ordering"),
+    pytest_only=True,
 )
 def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle — every document gets
@@ -920,6 +921,7 @@ _MIX_RATE_SQL = (
     FROM rep, UNNEST(range(repeats)) AS u(c)
     """,
     tags=("sampling", "pipeline", "mixture"),
+    pytest_only=True,
 )
 def sample_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture UPSAMPLING materializer — the other half of the training

@@ -615,6 +615,7 @@ _SO_EST_SQL = "CAST(round(-{m} * ln(CAST({m} - {f} AS DOUBLE) / {m})) AS BIGINT)
            (e1 + e2 - eu) - (x1 + x2 - xu) FROM est
     """,
     tags=("sketch", "distinct", "set-ops"),
+    pytest_only=True,
 )
 def sketch_set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations on distinct-count sketches — the theta-sketch

@@ -321,8 +321,7 @@ def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "stream_dedup_clusters_incremental",
     oracle=None,  # set below: recursive CTE over the uncapped pair set
-    tags=("streaming", "dedup", "lsh", "iterative"),
-    pytest_only=True,  # the driver window is full; oracle-checked here
+    tags=("streaming", "dedup", "lsh", "iterative"),  # the driver window is full; oracle-checked here
 )
 def stream_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER maintenance over the document stream: after
@@ -604,6 +603,7 @@ def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("streaming", "matview", "distinct"),
+    pytest_only=True,
 )
 def stream_matview_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matview's second monoid: mergeable DISTINCT counting per
@@ -664,6 +664,7 @@ STREAM_HLL_P = 10  # m=1024 registers per event_type
     "stream_distinct_hll",
     oracle=None,  # set below: shared HLL CTE stack + exact join
     tags=("streaming", "sketch", "distinct", "hll"),
+    pytest_only=True,
 )
 def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct counting with HyperLogLog register state
@@ -778,6 +779,7 @@ def _stream_cms_oracle() -> str:
     "stream_countmin_heavy_hitters",
     oracle=None,  # set below: identical to the batch CMS oracle
     tags=("streaming", "sketch", "countmin", "heavy-hitters"),
+    pytest_only=True,
 )
 def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters maintained over a STREAM — the
@@ -908,8 +910,7 @@ def _emb_dup_corpus_banded_sql() -> str:
 @register(
     "stream_emb_neardup_incremental",
     oracle=None,  # set below (generated from the similarity constants)
-    tags=("streaming", "similarity", "dedup", "lsh"),
-    pytest_only=True,  # the driver window is full; oracle-checked here
+    tags=("streaming", "similarity", "dedup", "lsh"),  # the driver window is full; oracle-checked here
 )
 def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental EMBEDDING near-dup detection: the doubled vector

@@ -132,6 +132,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     tags=("join", "semi", "agg", "tpch"),
+    pytest_only=True,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS over lineitem (adapted predicate:
@@ -360,6 +361,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT CAST(SUM(value_d) AS DOUBLE) * 0.001 FROM pv)
     """,
     tags=("join", "agg", "subquery", "tpch"),
+    pytest_only=True,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose stocked value exceeds a fraction of
@@ -410,6 +412,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_linestatus
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,
 )
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (adapted: line status classes stand in for ship
@@ -495,6 +498,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     """,
     tags=("join", "agg", "subquery", "tpch"),
+    pytest_only=True,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
@@ -539,6 +543,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
     """,
     tags=("join", "agg", "subquery", "tpch"),
+    pytest_only=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders far below a part's average

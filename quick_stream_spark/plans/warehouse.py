@@ -448,8 +448,7 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(p.n * 1.0 / t.n_src, 6) AS prob
     FROM pairs p JOIN totals t USING (src)
     """,
-    tags=("warehouse", "markov", "journey"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    tags=("warehouse", "markov", "journey"),  # driver window is full; oracle-checked locally
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user journeys: for
@@ -726,8 +725,7 @@ ATTR_WINDOW_MIN = 30
     SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases
     FROM attributed GROUP BY channel
     """,
-    tags=("warehouse", "attribution", "window"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    tags=("warehouse", "attribution", "window"),  # driver window is full; oracle-checked locally
 )
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase is credited to the SAME
@@ -1309,6 +1307,7 @@ PRIV_L = 2  # l-diversity floor for the sensitive attribute
     GROUP BY c_nationkey, c_mktsegment
     """,
     tags=("warehouse", "privacy", "governance"),
+    pytest_only=True,
 )
 def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
