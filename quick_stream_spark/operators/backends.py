@@ -93,6 +93,7 @@ class LogStructuredBucketStore(BucketStore):
         spark: SparkSession,
         path: str,
         soft_delete_col: str | None = None,
+        zone_map_cols=None,
     ) -> None:
         """``soft_delete_col=None`` (the default) = adopt the owning
         :class:`KeyedTable`'s liveness column when the table attaches
@@ -100,7 +101,11 @@ class LogStructuredBucketStore(BucketStore):
         the merge engine maintains, or ``count_fast(active_only=True)``
         silently counts the wrong flag.  Passing it explicitly is for
         store-only use (no table); a mismatch with an attaching table
-        raises at construction (merge.KeyedTable.__init__)."""
+        raises at construction (merge.KeyedTable.__init__).
+        ``zone_map_cols`` follows the same adopt-or-validate contract:
+        per-bucket min/max for these columns ride every commit, so
+        ``KeyedTable.read_range`` skips non-overlapping buckets on this
+        backend exactly as in inline manifest mode."""
         from quick_stream_spark.operators.commitlog import ManifestLog
         from quick_stream_spark.operators.merge import BUCKET_COL
 
@@ -108,6 +113,9 @@ class LogStructuredBucketStore(BucketStore):
         self.path = path
         self._bucket_col = BUCKET_COL
         self._soft_delete_col = soft_delete_col
+        self._zone_map_cols = (
+            tuple(zone_map_cols) if zone_map_cols is not None else None
+        )
         self._log = ManifestLog(spark, path)
 
     def exists(self) -> bool:
@@ -172,64 +180,64 @@ class LogStructuredBucketStore(BucketStore):
         prev_stats = (
             self._log.read_stats(base_version) if base_version is not None else {}
         )  # {} = no snapshot, None = pre-stats
+        prev_zones = (
+            self._log.read_zones(base_version) if base_version is not None else {}
+        )
         # dynamic-overwrite semantics: replace exactly the buckets the
         # frame carries rows for; every other bucket carries forward —
         # declared as the transaction so a disjoint-bucket race
         # re-points instead of failing (commitlog.ManifestLog.commit)
         mapping.update(new_files)
-        stats = self._next_stats(
-            prev_stats, mapping, new_files, df.schema, commit_dir
+        stats, zones = self._next_meta(
+            prev_stats, prev_zones, mapping, new_files, df.schema, commit_dir
         )
         self._log.commit(
             mapping,
             stats=stats,
             touched=set(new_files),
             base_version=base_version,
+            zones=zones,
         )
 
-    def _next_stats(self, prev_stats, mapping, new_files, schema, commit_dir):
-        """Per-bucket ``[rows, active_rows]`` for the commit — the same
-        metadata-count contract as the inline manifest layout
-        (merge.py:_write_manifest_commit), so ``count_fast`` answers
-        COUNT(*) from pure manifest metadata on this backend too.
-        COVERAGE is the invariant: publish stats only when every
-        carried-forward bucket is covered and the frame carries the
-        soft-delete column (otherwise None -> honest scan fallback)."""
-        from pyspark.sql import functions as F
+    def _next_meta(
+        self, prev_stats, prev_zones, mapping, new_files, schema, commit_dir
+    ):
+        """Per-bucket ``[rows, active_rows]`` stats and zone-map bounds
+        for the commit — the same metadata contract as the inline
+        manifest layout (merge.py:_write_manifest_commit, shared
+        ``compute_commit_meta`` kernel), so ``count_fast`` and
+        ``read_range`` work identically on this backend.  COVERAGE is
+        the invariant for each independently: publish only when every
+        carried-forward bucket is covered (otherwise None -> honest
+        scan fallback)."""
+        from quick_stream_spark.operators.merge import (
+            carry_forward_meta,
+            compute_commit_meta,
+        )
 
-        if (
-            self._soft_delete_col is None
-            or self._soft_delete_col not in schema.fieldNames()
-        ):
-            return None
         carried = [b for b in mapping if b not in new_files]
-        prev = prev_stats or {}
-        if any(b not in prev for b in carried):
-            return None
-        stats = {b: prev[b] for b in carried}
-        if new_files:
-            counted = (
-                self.spark.read.schema(schema)
-                .parquet(commit_dir)
-                .groupBy(self._bucket_col)
-                .agg(
-                    F.count(F.lit(1)).alias("__qss_rows"),
-                    # coalesce: F.sum over an all-NULL liveness column
-                    # returns NULL, and int(None) would crash the commit
-                    # mid-write for a user frame whose flag is unset
-                    F.coalesce(
-                        F.sum(F.col(self._soft_delete_col).cast("long")),
-                        F.lit(0),
-                    ).alias("__qss_active"),
-                )
-                .collect()
+        stats = (
+            carry_forward_meta(prev_stats, carried, [])
+            if self._soft_delete_col is not None
+            and self._soft_delete_col in schema.fieldNames()
+            else None
+        )
+        zcols = tuple(self._zone_map_cols or ())
+        zones = carry_forward_meta(prev_zones, carried, []) if zcols else None
+        if new_files and (stats is not None or zones is not None):
+            new_stats, new_zones = compute_commit_meta(
+                self.spark,
+                commit_dir,
+                schema,
+                self._bucket_col,
+                self._soft_delete_col,
+                zcols,
             )
-            for r in counted:
-                stats[int(r[self._bucket_col])] = [
-                    int(r["__qss_rows"]),
-                    int(r["__qss_active"]),
-                ]
-        return stats
+            if stats is not None:
+                stats.update(new_stats or {})
+            if zones is not None:
+                zones.update(new_zones)
+        return stats, zones
 
     def read_schema(self):
         import json as _json
@@ -269,22 +277,27 @@ class LogStructuredBucketStore(BucketStore):
         prev_stats = (
             self._log.read_stats(base_version) if base_version is not None else {}
         )
+        prev_zones = (
+            self._log.read_zones(base_version) if base_version is not None else {}
+        )
         changed = False
         for b in bucket_ids:
             if mapping.pop(b, None) is not None:
                 changed = True
         if changed:
-            prev = prev_stats or {}
-            stats = (
-                {b: prev[b] for b in mapping}
-                if all(b in prev for b in mapping)
-                else None
-            )
+
+            def _kept(prev):
+                prev = prev or {}
+                if any(b not in prev for b in mapping):
+                    return None
+                return {b: prev[b] for b in mapping}
+
             self._log.commit(
                 mapping,
-                stats=stats,
+                stats=_kept(prev_stats),
                 touched=set(bucket_ids),
                 base_version=base_version,
+                zones=_kept(prev_zones) if self._zone_map_cols else None,
             )
 
     def vacuum(self, keep_versions: int = 1) -> int:

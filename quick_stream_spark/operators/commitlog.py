@@ -47,6 +47,57 @@ from pyspark.sql import SparkSession
 MANIFEST_DIR = "_qss_manifest"
 COMMITS_DIR = "_qss_commits"
 
+# Zone-map value domain: types whose collected Python values encode to
+# JSON scalars whose ORDER matches the engine's column order, so a
+# bucket can be skipped by comparing encoded bounds.  Decimals and
+# binary are deliberately excluded (float re-rounding could NARROW a
+# bound, turning conservative skipping into a wrong answer).
+ZONE_MAP_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "timestamp", "timestamp_ntz", "date", "boolean",
+)
+
+
+def zone_value(v):
+    """Encode one zone bound as a JSON scalar preserving order:
+    numbers as-is, booleans as 0/1, strings as-is (UTF-8 byte order ==
+    code-point order == Python str order), datetimes/dates as ISO
+    strings (fixed-width prefix, optional fractional tail — still
+    lexicographically chronological), NULL as None."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep="T")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (int, float, str)):
+        return v
+    raise TypeError(
+        f"unsupported zone-map value type {type(v).__name__}; "
+        f"zone-map columns must be one of {ZONE_MAP_TYPES}"
+    )
+
+
+def zone_overlaps(zone: list | None, lo, hi) -> bool:
+    """True when a bucket MAY hold rows in ``[lo, hi]`` (encoded
+    domain; either bound may be None = unbounded).  A missing zone, or
+    a NULL min/max (all-NULL column in that bucket), means the bucket
+    cannot be skipped — conservative by construction."""
+    if zone is None:
+        return True
+    zmin, zmax = zone
+    if zmin is None or zmax is None:
+        return True
+    if lo is not None and zmax < lo:
+        return False
+    if hi is not None and zmin > hi:
+        return False
+    return True
+
 
 class ConcurrentCommitError(RuntimeError):
     """Two writers raced a snapshot publish and the conflict is not
@@ -132,11 +183,42 @@ class ManifestLog:
             return None
         return {int(b): list(s) for b, s in raw["stats"].items()}
 
+    def read_zones(
+        self, version: int | None = None
+    ) -> dict[int, dict[str, list]] | None:
+        """Per-bucket column zone maps recorded at commit time — the
+        Delta per-file min/max stats analog at bucket grain:
+        ``{bucket: {col: [min, max]}}`` with values JSON-encoded by
+        :func:`zone_value` (timestamps as ISO strings, numbers as-is,
+        NULL-only columns as ``[None, None]``).  ``None`` for a manifest
+        without zones — callers must scan instead of skipping."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                return {}
+        fs, _, jvm = _fs(self.spark, self.dir)
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
+        if not fs.exists(p):
+            raise FileNotFoundError(f"no manifest version {version} in {self.dir}")
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        raw = json.loads(data.decode("utf-8"))
+        if "zones" not in raw:
+            return None
+        return {
+            int(b): {c: list(mm) for c, mm in cols.items()}
+            for b, cols in raw["zones"].items()
+        }
+
     def _try_publish(
         self,
         mapping: dict[int, list[str]],
         stats: dict[int, list[int]] | None,
         version: int,
+        zones: dict[int, dict[str, list]] | None = None,
     ) -> bool:
         """Atomically publish one snapshot attempt at ``version``:
         write-temp + atomic put-if-absent, so the snapshot either fully
@@ -158,6 +240,11 @@ class ManifestLog:
         doc = {"version": version, "buckets": {str(b): f for b, f in sorted(mapping.items())}}
         if stats is not None:
             doc["stats"] = {str(b): list(s) for b, s in sorted(stats.items())}
+        if zones is not None:
+            doc["zones"] = {
+                str(b): {c: list(mm) for c, mm in sorted(cols.items())}
+                for b, cols in sorted(zones.items())
+            }
         body = json.dumps(doc).encode("utf-8")
         tmp_name = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
         tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)
@@ -194,11 +281,13 @@ class ManifestLog:
         touched: set[int] | None = None,
         base_version: int | None = None,
         max_retries: int = 5,
+        zones: dict[int, dict[str, list]] | None = None,
     ) -> int:
         """Publish ``mapping`` as the next snapshot.  ``stats``
-        (per-bucket ``[rows, active_rows]``) rides in the same atomic
-        publish, so metadata counts can never disagree with the snapshot
-        they describe.
+        (per-bucket ``[rows, active_rows]``) and ``zones`` (per-bucket
+        column min/max) ride in the same atomic publish, so metadata
+        counts and data-skipping bounds can never disagree with the
+        snapshot they describe.
 
         **Optimistic concurrency** (the files-based stand-in for the
         Postgres row locks the reference gets for free, upsert.rs:287):
@@ -229,7 +318,7 @@ class ManifestLog:
             version = (base_version or 0) + 1
         else:
             version = (self.latest_version() or 0) + 1
-        if self._try_publish(mapping, stats, version):
+        if self._try_publish(mapping, stats, version, zones=zones):
             return version
         if touched is None:
             raise ConcurrentCommitError(
@@ -260,24 +349,28 @@ class ManifestLog:
             for b in touched:
                 if b in mapping:
                     merged_map[b] = mapping[b]
-            cur_stats = self.read_stats(cur_v)
-            if cur_stats is None or stats is None:
-                merged_stats = None  # either side lost coverage — honest fallback
-            else:
-                merged_stats = {
-                    b: s for b, s in cur_stats.items() if b not in touched
-                }
+            def _rebase_meta(ours, winners):
+                """Per-bucket metadata rebase after a lost disjoint
+                race: winner's entries for untouched buckets, ours for
+                touched ones, COVERAGE invariant (None when either side
+                lost it) — identical rule for stats and zones."""
+                if winners is None or ours is None:
+                    return None  # either side lost coverage — honest fallback
+                merged = {b: s for b, s in winners.items() if b not in touched}
                 for b in touched:
                     if b in merged_map:
-                        if b not in stats:
-                            merged_stats = None
-                            break
-                        merged_stats[b] = stats[b]
-                if merged_stats is not None and any(
-                    b not in merged_stats for b in merged_map
-                ):
-                    merged_stats = None  # COVERAGE invariant (count_fast)
-            if self._try_publish(merged_map, merged_stats, cur_v + 1):
+                        if b not in ours:
+                            return None
+                        merged[b] = ours[b]
+                if any(b not in merged for b in merged_map):
+                    return None  # COVERAGE invariant (count_fast / skipping)
+                return merged
+
+            merged_stats = _rebase_meta(stats, self.read_stats(cur_v))
+            merged_zones = _rebase_meta(zones, self.read_zones(cur_v))
+            if self._try_publish(
+                merged_map, merged_stats, cur_v + 1, zones=merged_zones
+            ):
                 return cur_v + 1
         raise ConcurrentCommitError(
             f"lost the publish race {max_retries} times in a row in "

@@ -51,6 +51,91 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(hconf), p, jvm
 
 
+def carry_forward_meta(prev, carried, replaced_buckets):
+    """Carry per-bucket commit metadata (stats or zones) forward into
+    the next snapshot under the COVERAGE invariant: if any
+    carried-forward bucket lacks an entry (pre-metadata manifest, or a
+    partial dict), return ``None`` — publish no metadata rather than a
+    subset readers would trust."""
+    prev = prev or {}
+    if any(b not in prev for b in carried):
+        return None
+    out = dict(prev)
+    for b in replaced_buckets:
+        out.pop(b, None)
+    return out
+
+
+def compute_commit_meta(
+    spark,
+    commit_dir: str,
+    schema,
+    bucket_col: str,
+    soft_delete_col: str | None,
+    zone_map_cols: Sequence[str],
+):
+    """Per-bucket ``[rows, active_rows]`` stats plus zone-map
+    ``{col: [min, max]}`` bounds for a commit's freshly-written files,
+    in ONE footer-weight aggregation whose result is bounded by bucket
+    count, never data volume.  Shared by the inline manifest layout and
+    ``LogStructuredBucketStore`` so both publish identical metadata.
+
+    Returns ``(stats, zones)``: ``stats`` is ``None`` when the schema
+    has no liveness column (honest scan fallback for ``count_fast``);
+    ``zones`` maps each written bucket to bounds for every tracked
+    column present in the schema (values JSON-encoded by
+    ``commitlog.zone_value``).  Tracked columns of unsupported types
+    raise — a mis-ordered encoding would turn conservative skipping
+    into wrong answers."""
+    from quick_stream_spark.operators.commitlog import ZONE_MAP_TYPES, zone_value
+
+    names = schema.fieldNames()
+    with_stats = soft_delete_col is not None and soft_delete_col in names
+    zcols = [c for c in zone_map_cols if c in names and c != bucket_col]
+    for f in schema.fields:
+        if f.name in zcols and f.dataType.simpleString() not in ZONE_MAP_TYPES:
+            raise ValueError(
+                f"zone-map column {f.name!r} has unsupported type "
+                f"{f.dataType.simpleString()}; supported: {ZONE_MAP_TYPES}"
+            )
+    if not with_stats and not zcols:
+        return None, {}
+    aggs = [F.count(F.lit(1)).alias("__qss_rows")]
+    if with_stats:
+        # coalesce: an all-NULL liveness column sums to NULL and
+        # int(None) would crash the commit mid-write
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(soft_delete_col).cast("long")), F.lit(0)
+            ).alias("__qss_active")
+        )
+    for i, c in enumerate(zcols):
+        aggs.append(F.min(F.col(c)).alias(f"__qss_zmin_{i}"))
+        aggs.append(F.max(F.col(c)).alias(f"__qss_zmax_{i}"))
+    counted = (
+        spark.read.schema(schema)
+        .parquet(commit_dir)
+        .groupBy(bucket_col)
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {} if with_stats else None
+    zones = {}
+    for r in counted:
+        b = int(r[bucket_col])
+        if with_stats:
+            stats[b] = [int(r["__qss_rows"]), int(r["__qss_active"])]
+        if zcols:
+            zones[b] = {
+                c: [
+                    zone_value(r[f"__qss_zmin_{i}"]),
+                    zone_value(r[f"__qss_zmax_{i}"]),
+                ]
+                for i, c in enumerate(zcols)
+            }
+    return stats, zones
+
+
 class KeyedTable:
     """A parquet-backed table with one row per key and MERGE semantics.
 
@@ -77,6 +162,7 @@ class KeyedTable:
         soft_delete_col: str = "row_active",
         commit_protocol: str = "direct",
         store=None,
+        zone_map_cols: Sequence[str] | None = None,
     ) -> None:
         if commit_protocol not in ("direct", "manifest"):
             raise ValueError(
@@ -111,6 +197,23 @@ class KeyedTable:
                     f"{store._soft_delete_col!r} but this table maintains "
                     f"{soft_delete_col!r}; per-bucket active-row stats "
                     "would be computed on the wrong column"
+                )
+        # zone maps: per-bucket min/max for these columns ride every
+        # snapshot commit (the Delta data-skipping stats analog at
+        # bucket grain); read_range() skips buckets whose bounds
+        # exclude the predicate.  The canonical 100 TB use-case is
+        # zone_map_cols=(version_col,): an incremental consumer's
+        # "rows modified since T" scan opens ONLY the buckets some
+        # commit actually touched since T, instead of the whole table.
+        self.zone_map_cols = tuple(zone_map_cols) if zone_map_cols else ()
+        if store is not None and hasattr(store, "_zone_map_cols"):
+            if store._zone_map_cols is None:
+                store._zone_map_cols = self.zone_map_cols
+            elif tuple(store._zone_map_cols) != self.zone_map_cols:
+                raise ValueError(
+                    f"store tracks zone-map columns "
+                    f"{tuple(store._zone_map_cols)!r} but this table asked "
+                    f"for {self.zone_map_cols!r}"
                 )
         # Bucketing-properties guard: bucket = hash(keys) % num_buckets
         # is BAKED INTO the physical layout, so reopening an existing
@@ -300,6 +403,9 @@ class KeyedTable:
         prev_stats = (
             self._log.read_stats(base_version) if base_version is not None else {}
         )  # {} = no snapshot, None = pre-stats
+        prev_zones = (
+            self._log.read_zones(base_version) if base_version is not None else {}
+        )
         for b in replaced_buckets:
             mapping.pop(b, None)
         for b, fl in new_files.items():
@@ -310,32 +416,28 @@ class KeyedTable:
         # manifest, or a partial dict an old engine published) would
         # make count_fast() silently sum a subset — commit without
         # stats (honest scan fallback) until every carried bucket is
-        # covered (e.g. after a compaction replaces all buckets)
-        prev = prev_stats or {}
-        if any(b not in prev for b in carried):
-            stats = None
-        else:
-            stats = dict(prev)
-            for b in replaced_buckets:
-                stats.pop(b, None)
-        if new_files and stats is not None:
-            counted = (
-                self.spark.read.schema(df.schema)
-                .parquet(commit_dir)
-                .groupBy(BUCKET_COL)
-                .agg(
-                    F.count(F.lit(1)).alias("__qss_rows"),
-                    # coalesce: an all-NULL liveness column sums to NULL
-                    # and int(None) would crash the commit mid-write
-                    F.coalesce(
-                        F.sum(F.col(self.soft_delete_col).cast("long")),
-                        F.lit(0),
-                    ).alias("__qss_active"),
-                )
-                .collect()
+        # covered (e.g. after a compaction replaces all buckets).
+        # Zone maps hold the same invariant independently: a gap means
+        # publish no zones (readers scan instead of skipping wrongly).
+        stats = carry_forward_meta(prev_stats, carried, replaced_buckets)
+        zones = (
+            carry_forward_meta(prev_zones, carried, replaced_buckets)
+            if self.zone_map_cols
+            else None
+        )
+        if new_files and (stats is not None or zones is not None):
+            new_stats, new_zones = compute_commit_meta(
+                self.spark,
+                commit_dir,
+                df.schema,
+                BUCKET_COL,
+                self.soft_delete_col,
+                self.zone_map_cols,
             )
-            for r in counted:
-                stats[int(r[BUCKET_COL])] = [int(r["__qss_rows"]), int(r["__qss_active"])]
+            if stats is not None:
+                stats.update(new_stats or {})
+            if zones is not None:
+                zones.update(new_zones)
         self._write_schema_sidecar(df.schema)
         # declare the transaction: replaced or newly-written buckets are
         # "touched"; a lost publish race re-points the rest at the
@@ -346,6 +448,7 @@ class KeyedTable:
             stats=stats,
             touched=set(replaced_buckets) | set(new_files),
             base_version=base_version,
+            zones=zones,
         )
         self._exists_cache = True
 
@@ -416,7 +519,11 @@ class KeyedTable:
                 "manifest-backed store"
             )
         mapping = log.read(version)  # raises on unknown version
-        return log.commit(mapping, stats=log.read_stats(version))
+        return log.commit(
+            mapping,
+            stats=log.read_stats(version),
+            zones=log.read_zones(version),
+        )
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change data feed between two snapshots (manifest protocol
@@ -539,6 +646,130 @@ class KeyedTable:
             df = self.read(active_only=active_only, version=version)
             return df.count()
         return sum(s[1] if active_only else s[0] for s in stats.values())
+
+    # ------------------------------------------------- data skipping
+
+    def pruned_buckets(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[int] | None:
+        """Bucket ids that MAY hold rows with ``lo <= col <= hi``
+        according to the snapshot's zone maps — the metadata-only
+        planning half of :meth:`read_range`.  ``None`` when no zone
+        maps are available (direct layout, a snapshot written without
+        ``zone_map_cols``, or coverage lost) — callers must scan.
+        Bounds are given in the column's value domain (``datetime``
+        for timestamp columns); a bucket whose zone is missing the
+        column, or whose bounds are NULL (all-NULL column there), is
+        always included — skipping is strictly conservative."""
+        from quick_stream_spark.operators.commitlog import (
+            zone_overlaps,
+            zone_value,
+        )
+
+        log = self._snapshot_log()
+        if log is None:
+            return None
+        zones = log.read_zones(version)
+        if zones is None:
+            return None
+        mapping = log.read(version)
+        elo, ehi = zone_value(lo), zone_value(hi)
+        return sorted(
+            b
+            for b in mapping
+            if zone_overlaps(zones.get(b, {}).get(col), elo, ehi)
+        )
+
+    def read_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        active_only: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range scan with zone-map data skipping: rows satisfying
+        ``lo <= col <= hi`` (either bound optional), opening ONLY the
+        buckets whose committed min/max overlap the range.  The 100 TB
+        use-case is incremental consumption — with
+        ``zone_map_cols=(version_col,)``, "rows modified since T"
+        reads just the buckets some commit touched since T instead of
+        the whole table.  Falls back to a full scan when no zones are
+        available; the residual filter is ALWAYS applied (zones are
+        bucket-granular over-approximations), so the result equals
+        ``read().filter(...)`` exactly on every layout."""
+        ids = self.pruned_buckets(col, lo, hi, version=version)
+        if ids is None:
+            df = self.read(active_only=active_only, version=version)
+        elif self._log is not None:
+            df = self._read_manifest(
+                active_only=active_only, version=version, bucket_ids=ids
+            )
+        else:  # manifest-backed store
+            df = self._store.read_version(
+                self._read_schema_sidecar(), version, ids
+            ).drop(BUCKET_COL)
+            if active_only:
+                df = df.filter(F.col(self.soft_delete_col))
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def lookup(
+        self,
+        key_values: Sequence,
+        active_only: bool = True,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point reads: the current rows for the given keys, scanning
+        ONLY their hash buckets — bucket = hash(keys) % N is the
+        table's layout, so a lookup of k keys opens at most k buckets
+        out of ``num_buckets`` on every layout (manifest file-list
+        pruning, store versioned reads, or partition-dir pruning on
+        the direct layout).  ``key_values``: scalars for single-key
+        tables, or tuples in ``self.keys`` order.  Only the bounded
+        key list and its bucket ids cross the driver — never data."""
+        from pyspark.sql.types import StructType
+
+        schema = self._read_schema_sidecar()
+        if schema is None:
+            raise FileNotFoundError(f"KeyedTable at {self.path} has no schema")
+        key_fields = [schema[k] for k in self.keys]
+        rows = [
+            tuple(v) if isinstance(v, (tuple, list)) else (v,)
+            for v in key_values
+        ]
+        kdf = self.spark.createDataFrame(rows, StructType(key_fields))
+        ids = sorted(
+            r["__b"]
+            for r in kdf.select(self._bucket_expr().alias("__b"))
+            .distinct()
+            .collect()
+        )
+        if self._log is not None:
+            df = self._read_manifest(
+                active_only=active_only, version=version, bucket_ids=ids
+            )
+        elif self._store_time_travel():
+            df = self._store.read_version(
+                schema, version, ids
+            ).drop(BUCKET_COL)
+            if active_only:
+                df = df.filter(F.col(self.soft_delete_col))
+        else:
+            if version is not None:
+                raise ValueError(
+                    "version time travel requires commit_protocol="
+                    "'manifest' or a manifest-backed store"
+                )
+            df = (
+                self.read(active_only=active_only, with_bucket=True)
+                .filter(F.col(BUCKET_COL).isin(ids))
+                .drop(BUCKET_COL)
+            )
+        return df.join(F.broadcast(kdf), on=list(self.keys), how="left_semi")
 
     def _write(self, df: DataFrame, mode: str, repartition: bool = True) -> None:
         """``repartition=False`` skips the bucket repartition: the merge

@@ -195,12 +195,12 @@ def _race(spark, tmp_table_dir, monkeypatch, other_batch, backend):
     real_try = ManifestLog._try_publish
     state = {"injected": False}
 
-    def racing(self, mapping, stats, version):
+    def racing(self, mapping, stats, version, **kw):
         if not state["injected"]:
             state["injected"] = True
             other = _mk_occ(spark, tmp_table_dir, backend)
             other.upsert(df(spark, other_batch))
-        return real_try(self, mapping, stats, version)
+        return real_try(self, mapping, stats, version, **kw)
 
     monkeypatch.setattr(ManifestLog, "_try_publish", racing)
     err = None

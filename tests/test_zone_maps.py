@@ -1,0 +1,235 @@
+"""Zone-map data skipping (operators/commitlog.py zones +
+KeyedTable.read_range/pruned_buckets) and hash-pruned point lookups
+(KeyedTable.lookup).
+
+The contract, on every layout: results EQUAL the unpruned
+scan-plus-filter exactly; pruning only changes which files are opened.
+Zone maps are per-bucket column min/max riding each snapshot commit
+atomically (the Delta data-skipping stats analog at bucket grain); the
+100 TB use-case is incremental consumption — "rows modified since T"
+opens only the buckets some commit touched since T.  Reference anchor:
+the reference re-reads whole target tables per cycle (upsert.rs
+271-303 has no read pruning at all); this is a strict capability add.
+"""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from quick_stream_spark.operators.backends import LogStructuredBucketStore
+from quick_stream_spark.operators.commitlog import (
+    ManifestLog,
+    zone_overlaps,
+    zone_value,
+)
+from quick_stream_spark.operators.merge import KeyedTable
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+ZCOLS = ("modified_date",)
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def mk(spark, root, layout, name="t"):
+    path = os.path.join(root, name)
+    kw = dict(
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=8,
+        zone_map_cols=ZCOLS,
+    )
+    if layout == "manifest":
+        return KeyedTable(spark, path, commit_protocol="manifest", **kw)
+    if layout == "store":
+        return KeyedTable(
+            spark, path, store=LogStructuredBucketStore(spark, path), **kw
+        )
+    return KeyedTable(spark, path, **kw)  # direct
+
+
+OLD = [(i, datetime(2024, 1, 1), i, f"p{i}") for i in range(32)]
+NEW = [(1, datetime(2024, 2, 1), 100, "p1b"), (40, datetime(2024, 2, 2), 101, "fresh")]
+CUT = datetime(2024, 1, 15)
+
+
+def _files(frame):
+    return set(frame.inputFiles())
+
+
+@pytest.mark.parametrize("layout", ["manifest", "store"])
+def test_incremental_read_skips_untouched_buckets(spark, tmp_table_dir, layout):
+    """Commit 1 spreads old rows over all buckets; commit 2 touches two
+    keys.  'Rows modified since CUT' must (a) equal the full
+    scan-plus-filter exactly and (b) OPEN only the touched buckets'
+    files."""
+    t = mk(spark, tmp_table_dir, layout)
+    t.upsert(df(spark, OLD))
+    t.upsert(df(spark, NEW), newer_wins=True)
+
+    expected = {
+        (r.pkey, r.payload)
+        for r in t.read().filter(F.col("modified_date") >= F.lit(CUT)).collect()
+    }
+    got_df = t.read_range("modified_date", lo=CUT)
+    assert {(r.pkey, r.payload) for r in got_df.collect()} == expected == {
+        (1, "p1b"),
+        (40, "fresh"),
+    }
+
+    # effectiveness: the pruned plan opens strictly fewer data files
+    assert _files(got_df) < _files(t.read())
+
+    # planning half: only the buckets commit 2 touched survive pruning
+    ids = t.pruned_buckets("modified_date", lo=CUT)
+    assert ids is not None and 0 < len(ids) <= 2 < t.num_buckets
+
+    # an unbounded range prunes nothing and still matches the full read
+    assert t.read_range("modified_date").count() == t.read().count()
+
+
+@pytest.mark.parametrize("layout", ["direct", "manifest", "store"])
+def test_lookup_point_reads_every_layout(spark, tmp_table_dir, layout):
+    t = mk(spark, tmp_table_dir, layout)
+    t.upsert(df(spark, OLD))
+    t.upsert(df(spark, NEW), newer_wins=True)
+    t.soft_delete(df(spark, [(2, datetime(2024, 3, 1), 200, "x")]))
+
+    got = {(r.pkey, r.payload) for r in t.lookup([1, 2, 40, 999]).collect()}
+    assert got == {(1, "p1b"), (40, "fresh")}  # 2 is soft-deleted, 999 absent
+    with_dead = {
+        (r.pkey, r.payload)
+        for r in t.lookup([1, 2], active_only=False).collect()
+    }
+    assert with_dead == {(1, "p1b"), (2, "p2")}
+
+    if layout != "direct":
+        # effectiveness: a 2-key lookup opens fewer files than the scan
+        assert _files(t.lookup([1, 2], active_only=False)) < _files(t.read())
+
+
+def test_zones_ride_commits_and_carry_forward(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "manifest")
+    t.upsert(df(spark, OLD))
+    log = t._snapshot_log()
+    z1 = log.read_zones()
+    assert z1 is not None and set(z1) == set(log.read())
+    assert all(
+        cols["modified_date"] == ["2024-01-01T00:00:00", "2024-01-01T00:00:00"]
+        for cols in z1.values()
+    )
+
+    t.upsert(df(spark, NEW), newer_wins=True)
+    z2 = log.read_zones()
+    touched = {b for b, c in z2.items() if c["modified_date"][1] > "2024-01-02"}
+    assert 0 < len(touched) <= 2
+    # untouched buckets carried their bounds forward verbatim
+    for b in set(z2) - touched:
+        assert z2[b] == z1[b]
+
+
+def test_restore_preserves_zones(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "manifest")
+    t.upsert(df(spark, OLD))
+    v1 = t.snapshot_versions()[-1]
+    z1 = t._snapshot_log().read_zones(v1)
+    t.upsert(df(spark, NEW), newer_wins=True)
+    t.restore(v1)
+    assert t._snapshot_log().read_zones() == z1
+    assert t.pruned_buckets("modified_date", lo=CUT) == []
+
+
+def test_coverage_lost_then_restored_by_compaction(spark, tmp_table_dir):
+    """A table created WITHOUT zone maps, later reopened with them:
+    partial coverage must publish NO zones (read_range falls back to a
+    full scan, stays correct); a compaction rewrite covers every bucket
+    and skipping turns on."""
+    path = os.path.join(tmp_table_dir, "t")
+    plain = KeyedTable(
+        spark, path, keys=("pkey",), version_col="modified_date",
+        arrival_col="arrival", num_buckets=8, commit_protocol="manifest",
+    )
+    plain.upsert(df(spark, OLD))
+
+    t = mk(spark, tmp_table_dir, "manifest")
+    t.upsert(df(spark, NEW), newer_wins=True)  # touches 2 of 8+ buckets
+    assert t._snapshot_log().read_zones() is None  # coverage invariant
+    assert t.pruned_buckets("modified_date", lo=CUT) is None
+    got = {(r.pkey, r.payload) for r in t.read_range("modified_date", lo=CUT).collect()}
+    assert got == {(1, "p1b"), (40, "fresh")}  # honest full-scan fallback
+
+    t.compact()  # full rewrite → full coverage
+    assert t._snapshot_log().read_zones() is not None
+    ids = t.pruned_buckets("modified_date", lo=CUT)
+    assert ids is not None and 0 < len(ids) <= 2
+
+
+def test_all_null_zone_column_is_conservative(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "manifest")
+    rows = df(spark, OLD[:4]).withColumn(
+        "modified_date", F.lit(None).cast("timestamp")
+    )
+    t.upsert(rows)
+    zones = t._snapshot_log().read_zones()
+    assert all(c["modified_date"] == [None, None] for c in zones.values())
+    # NULL bounds: never skipped, result still exact (filter drops NULLs)
+    assert set(t.pruned_buckets("modified_date", lo=CUT)) == set(zones)
+    assert t.read_range("modified_date", lo=CUT).count() == 0
+    assert t.read_range("modified_date").count() == 4
+
+
+def test_unsupported_zone_type_rejected_loudly(spark, tmp_table_dir):
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival", num_buckets=4,
+        commit_protocol="manifest", zone_map_cols=("amount",),
+    )
+    frame = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a")], SCHEMA
+    ).withColumn("amount", F.lit("1.5").cast("decimal(10,2)"))
+    with pytest.raises(ValueError, match="unsupported type"):
+        t.upsert(frame)
+
+
+def test_occ_disjoint_race_rebases_zones(spark, tmp_table_dir):
+    """A lost disjoint-bucket publish race must re-point zones exactly
+    like stats: winner's bounds for untouched buckets, loser's own for
+    its touched bucket."""
+    log = ManifestLog(spark, os.path.join(tmp_table_dir, "t"))
+    base_z = {0: {"c": [0, 9]}, 1: {"c": [10, 19]}}
+    base_v = log.commit(
+        {0: ["f0"], 1: ["f1"]},
+        stats={0: [1, 1], 1: [1, 1]},
+        zones=base_z,
+    )
+    # writer A wins bucket 0
+    log.commit(
+        {0: ["f0b"], 1: ["f1"]}, stats={0: [2, 2], 1: [1, 1]},
+        zones={0: {"c": [0, 99]}, 1: {"c": [10, 19]}},
+        touched={0}, base_version=base_v,
+    )
+    # writer B raced on bucket 1 from the same base and lost the rename
+    log.commit(
+        {0: ["f0"], 1: ["f1b"]}, stats={0: [1, 1], 1: [3, 3]},
+        zones={0: {"c": [0, 9]}, 1: {"c": [10, 500]}},
+        touched={1}, base_version=base_v,
+    )
+    final = log.read_zones()
+    assert final == {0: {"c": [0, 99]}, 1: {"c": [10, 500]}}
+
+
+def test_zone_value_and_overlap_semantics():
+    assert zone_value(datetime(2024, 1, 2, 3, 4, 5)) == "2024-01-02T03:04:05"
+    assert zone_value(True) == 1 and zone_value(None) is None
+    # fractional-seconds ISO tails stay chronologically ordered
+    lo = zone_value(datetime(2024, 1, 1, 0, 0, 0, 500))
+    assert zone_value(datetime(2024, 1, 1)) < lo
+    assert zone_overlaps(None, 1, 2)  # missing zone: cannot skip
+    assert zone_overlaps([None, None], 1, 2)  # all-NULL: cannot skip
+    assert not zone_overlaps([0, 5], 6, None)
+    assert not zone_overlaps([7, 9], None, 6)
+    assert zone_overlaps([0, 5], 5, None) and zone_overlaps([7, 9], None, 7)
