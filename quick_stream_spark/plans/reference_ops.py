@@ -188,6 +188,83 @@ def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read().select(*EVENT_COLS, "row_active")
 
 
+@register(
+    "r_incremental_read_zonemap",
+    # end state = guarded (newer-wins) latest per key; the incremental
+    # read returns exactly its rows with ts >= max(ts) - 30 days.  The
+    # cut is computed from the same events table by both engines — no
+    # interpolated quantiles, so the boundary is exact.
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+      AND ts >= (SELECT max(ts) - INTERVAL '30 days' FROM events)
+    """,
+    tags=("reference", "merge", "skipping"),
+    pytest_only=True,
+)
+def r_incremental_read_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map incremental consumption (KeyedTable.read_range): merge
+    two real batches into a manifest table tracking per-bucket min/max
+    of the version column, then read "rows modified in the last 30
+    days" — the scan opens only buckets whose committed ts bounds
+    overlap the cut (pruning audited in tests/test_zone_maps.py; this
+    query pins the RESULT contract: read_range == end state filtered).
+    Reference anchor: the reference re-reads whole target tables per
+    cycle (upsert.rs:271-303 has no read pruning); this is the
+    capability a 100 TB downstream consumer needs instead of CDC."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark, commit_protocol="manifest", zone_map_cols=("ts",))
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+    cut = ev.agg(F.expr("max(ts) - INTERVAL 30 DAYS").alias("c")).collect()[0].c
+    return target.read_range("ts", lo=cut).select(*EVENT_COLS, "row_active")
+
+
+@register(
+    "r_point_lookup_endstate",
+    # batch-wins end state (odd batch second, unconditional DO UPDATE)
+    # restricted to the looked-up key set
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY (event_id % 2) DESC, ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND user_id % 25 = 0
+    """,
+    tags=("reference", "merge", "skipping"),
+    pytest_only=True,
+)
+def r_point_lookup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pruned point reads (KeyedTable.lookup): after the standard
+    two-batch replay, look up a bounded key set (user_id % 25 == 0) —
+    the read opens only those keys' hash buckets (bucket = hash(key) %
+    N is the layout, so a k-key lookup costs k buckets at any table
+    size; file-level pruning audited in tests/test_zone_maps.py).  The
+    oracle restates the batch-wins end state restricted to the same
+    keys."""
+    ev = _events(spark, sf_dir)
+    target = _table(spark, commit_protocol="manifest")
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1))
+    keys = sorted(
+        r.user_id
+        for r in ev.select("user_id")
+        .filter(F.col("user_id") % 25 == 0)
+        .distinct()
+        .collect()
+    )
+    return target.lookup(keys).select(*EVENT_COLS, "row_active")
+
+
 # --------------------------------------------------------------------------
 # O6 — soft / hard delete end state
 
