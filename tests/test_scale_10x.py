@@ -85,7 +85,14 @@ def test_plans_stay_rangepartitioning_free_at_sf01(spark, name):
 
 # ----------------------------------------------------- heavy dedup tier
 
-HEAVY = ["dedup_minhash_lsh", "dedup_connected_components"]
+# pipeline_training_data composes the same shared pair pass with the
+# fingerprint groupBy and JVM scoring stages — the full-pipeline
+# composition must stay at-most-linear too (r9, extending r7 ask #6)
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "pipeline_training_data",
+]
 
 
 @pytest.fixture(scope="module")

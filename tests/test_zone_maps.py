@@ -233,3 +233,36 @@ def test_zone_value_and_overlap_semantics():
     assert not zone_overlaps([0, 5], 6, None)
     assert not zone_overlaps([7, 9], None, 6)
     assert zone_overlaps([0, 5], 5, None) and zone_overlaps([7, 9], None, 7)
+
+
+@pytest.mark.slow
+def test_incremental_read_skips_at_sf01_scale(spark, tmp_table_dir):
+    """Scale-shape proof on real data volume (sf0.1 events, 64
+    buckets): after a bulk load plus one small late commit, the
+    'modified since CUT' read must open only the late commit's
+    buckets' files — the fraction of files scanned is bounded by
+    touched-buckets/num_buckets, which is what makes incremental
+    consumption O(delta) instead of O(table) at 100 TB."""
+    from quick_stream_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "big"), keys=("user_id",),
+        version_col="ts", arrival_col="event_id", num_buckets=64,
+        commit_protocol="manifest", zone_map_cols=("ts",),
+    )
+    t.upsert(ev)
+    cut = ev.agg(F.expr("max(ts) + INTERVAL 1 DAY").alias("c")).collect()[0].c
+    late = (
+        ev.orderBy("event_id").limit(8)
+        .withColumn("ts", F.lit(cut).cast("timestamp"))
+    )
+    t.upsert(late, newer_wins=True)
+
+    pruned = t.read_range("ts", lo=cut)
+    assert pruned.count() == 8
+    n_pruned, n_all = len(_files(pruned)), len(_files(t.read()))
+    ids = t.pruned_buckets("ts", lo=cut)
+    print(f"\n# zone-skip sf0.1: {n_pruned}/{n_all} files, "
+          f"{len(ids)}/64 buckets")
+    assert len(ids) < 64 and n_pruned <= n_all * (len(ids) / 64) + len(ids)
