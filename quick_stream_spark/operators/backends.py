@@ -135,13 +135,19 @@ class LogStructuredBucketStore(BucketStore):
         ManifestLog, same contract as the inline manifest layout), with
         optional bucket pruning (``bucket_ids``) so change-data reads
         scan only the buckets whose file lists differ."""
+        mapping = self._log.read(version)
+        if bucket_ids is not None:
+            mapping = {b: fs for b, fs in mapping.items() if b in bucket_ids}
+        return self.read_mapping(schema, mapping)
+
+    def read_mapping(self, schema, mapping: dict[int, list[str]]) -> DataFrame:
+        """Scan an explicit bucket->files mapping (e.g. a zone-pruned
+        subset of a snapshot, KeyedTable._pruned_mapping) with the
+        evolved schema NULL-filled."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
         schema = schema if schema is not None else self.read_schema()
-        mapping = self._log.read(version)
-        if bucket_ids is not None:
-            mapping = {b: fs for b, fs in mapping.items() if b in bucket_ids}
         files = self._log.resolve(mapping)
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -212,6 +218,7 @@ class LogStructuredBucketStore(BucketStore):
         scan fallback)."""
         from quick_stream_spark.operators.merge import (
             carry_forward_meta,
+            carry_forward_zones,
             compute_commit_meta,
         )
 
@@ -223,7 +230,11 @@ class LogStructuredBucketStore(BucketStore):
             else None
         )
         zcols = tuple(self._zone_map_cols or ())
-        zones = carry_forward_meta(prev_zones, carried, []) if zcols else None
+        zones = (
+            carry_forward_zones(prev_zones, mapping, new_files)
+            if zcols
+            else None
+        )
         if new_files and (stats is not None or zones is not None):
             new_stats, new_zones = compute_commit_meta(
                 self.spark,
@@ -232,6 +243,7 @@ class LogStructuredBucketStore(BucketStore):
                 self._bucket_col,
                 self._soft_delete_col,
                 zcols,
+                table_path=self.path,
             )
             if stats is not None:
                 stats.update(new_stats or {})
@@ -292,12 +304,20 @@ class LogStructuredBucketStore(BucketStore):
                     return None
                 return {b: prev[b] for b in mapping}
 
+            def _kept_zones(prev):
+                # zones are PATH-keyed: keep the surviving files' bounds
+                prev = prev or {}
+                paths = [p for fl in mapping.values() for p in fl]
+                if any(p not in prev for p in paths):
+                    return None
+                return {p: prev[p] for p in paths}
+
             self._log.commit(
                 mapping,
                 stats=_kept(prev_stats),
                 touched=set(bucket_ids),
                 base_version=base_version,
-                zones=_kept(prev_zones) if self._zone_map_cols else None,
+                zones=_kept_zones(prev_zones) if self._zone_map_cols else None,
             )
 
     def vacuum(self, keep_versions: int = 1) -> int:

@@ -185,13 +185,17 @@ class ManifestLog:
 
     def read_zones(
         self, version: int | None = None
-    ) -> dict[int, dict[str, list]] | None:
-        """Per-bucket column zone maps recorded at commit time — the
-        Delta per-file min/max stats analog at bucket grain:
-        ``{bucket: {col: [min, max]}}`` with values JSON-encoded by
-        :func:`zone_value` (timestamps as ISO strings, numbers as-is,
-        NULL-only columns as ``[None, None]``).  ``None`` for a manifest
-        without zones — callers must scan instead of skipping."""
+    ) -> dict[str, dict[str, list]] | None:
+        """PER-FILE column zone maps recorded at commit time — the
+        Delta add-file min/max stats analog, at the manifest's own
+        grain: ``{relative_file_path: {col: [min, max]}}`` with values
+        JSON-encoded by :func:`zone_value` (timestamps as ISO strings,
+        numbers as-is, NULL-only columns as ``[None, None]``).  File
+        grain matters for long-lived tables: a bucket accumulates one
+        file per commit, so an incremental "since T" read skips the
+        OLD FILES inside a touched bucket too, not just untouched
+        buckets.  ``None`` for a manifest without zones — callers must
+        scan instead of skipping."""
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -209,8 +213,8 @@ class ManifestLog:
         if "zones" not in raw:
             return None
         return {
-            int(b): {c: list(mm) for c, mm in cols.items()}
-            for b, cols in raw["zones"].items()
+            path: {c: list(mm) for c, mm in cols.items()}
+            for path, cols in raw["zones"].items()
         }
 
     def _try_publish(
@@ -242,8 +246,8 @@ class ManifestLog:
             doc["stats"] = {str(b): list(s) for b, s in sorted(stats.items())}
         if zones is not None:
             doc["zones"] = {
-                str(b): {c: list(mm) for c, mm in sorted(cols.items())}
-                for b, cols in sorted(zones.items())
+                path: {c: list(mm) for c, mm in sorted(cols.items())}
+                for path, cols in sorted(zones.items())
             }
         body = json.dumps(doc).encode("utf-8")
         tmp_name = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -353,7 +357,7 @@ class ManifestLog:
                 """Per-bucket metadata rebase after a lost disjoint
                 race: winner's entries for untouched buckets, ours for
                 touched ones, COVERAGE invariant (None when either side
-                lost it) — identical rule for stats and zones."""
+                lost it)."""
                 if winners is None or ours is None:
                     return None  # either side lost coverage — honest fallback
                 merged = {b: s for b, s in winners.items() if b not in touched}
@@ -366,8 +370,24 @@ class ManifestLog:
                     return None  # COVERAGE invariant (count_fast / skipping)
                 return merged
 
+            def _rebase_zones(ours, winners):
+                """Zones are PATH-keyed: take each merged bucket's file
+                entries from whichever side owns that bucket after the
+                rebase (ours for touched, winner's otherwise).  Same
+                coverage invariant, at file grain."""
+                if winners is None or ours is None:
+                    return None
+                merged = {}
+                for b, files in merged_map.items():
+                    side = ours if b in touched else winners
+                    for path in files:
+                        if path not in side:
+                            return None
+                        merged[path] = side[path]
+                return merged
+
             merged_stats = _rebase_meta(stats, self.read_stats(cur_v))
-            merged_zones = _rebase_meta(zones, self.read_zones(cur_v))
+            merged_zones = _rebase_zones(zones, self.read_zones(cur_v))
             if self._try_publish(
                 merged_map, merged_stats, cur_v + 1, zones=merged_zones
             ):

@@ -52,7 +52,7 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def carry_forward_meta(prev, carried, replaced_buckets):
-    """Carry per-bucket commit metadata (stats or zones) forward into
+    """Carry per-bucket commit metadata (stats) forward into
     the next snapshot under the COVERAGE invariant: if any
     carried-forward bucket lacks an entry (pre-metadata manifest, or a
     partial dict), return ``None`` — publish no metadata rather than a
@@ -66,6 +66,24 @@ def carry_forward_meta(prev, carried, replaced_buckets):
     return out
 
 
+def carry_forward_zones(prev, mapping, new_files):
+    """File-grain twin of :func:`carry_forward_meta` for zone maps
+    (path-keyed): keep the entry of every carried bucket's every file;
+    entries for files that left the snapshot drop out naturally.  Same
+    COVERAGE invariant — any carried file without bounds means publish
+    no zones (readers scan instead of wrongly skipping)."""
+    prev = prev or {}
+    out = {}
+    for b, files in mapping.items():
+        if b in new_files:
+            continue  # the fresh per-file compute covers these
+        for path in files:
+            if path not in prev:
+                return None
+            out[path] = prev[path]
+    return out
+
+
 def compute_commit_meta(
     spark,
     commit_dir: str,
@@ -73,20 +91,22 @@ def compute_commit_meta(
     bucket_col: str,
     soft_delete_col: str | None,
     zone_map_cols: Sequence[str],
+    table_path: str | None = None,
 ):
-    """Per-bucket ``[rows, active_rows]`` stats plus zone-map
+    """Per-bucket ``[rows, active_rows]`` stats plus PER-FILE zone-map
     ``{col: [min, max]}`` bounds for a commit's freshly-written files,
-    in ONE footer-weight aggregation whose result is bounded by bucket
-    count, never data volume.  Shared by the inline manifest layout and
-    ``LogStructuredBucketStore`` so both publish identical metadata.
+    in ONE footer-weight aggregation whose result is bounded by the
+    commit's file count, never data volume.  Shared by the inline
+    manifest layout and ``LogStructuredBucketStore`` so both publish
+    identical metadata.
 
     Returns ``(stats, zones)``: ``stats`` is ``None`` when the schema
     has no liveness column (honest scan fallback for ``count_fast``);
-    ``zones`` maps each written bucket to bounds for every tracked
-    column present in the schema (values JSON-encoded by
-    ``commitlog.zone_value``).  Tracked columns of unsupported types
-    raise — a mis-ordered encoding would turn conservative skipping
-    into wrong answers."""
+    ``zones`` maps each written file (path relative to ``table_path``,
+    the manifest's own keys) to bounds for every tracked column present
+    in the schema (values JSON-encoded by ``commitlog.zone_value``).
+    Tracked columns of unsupported types raise — a mis-ordered encoding
+    would turn conservative skipping into wrong answers."""
     from quick_stream_spark.operators.commitlog import ZONE_MAP_TYPES, zone_value
 
     names = schema.fieldNames()
@@ -112,21 +132,33 @@ def compute_commit_meta(
     for i, c in enumerate(zcols):
         aggs.append(F.min(F.col(c)).alias(f"__qss_zmin_{i}"))
         aggs.append(F.max(F.col(c)).alias(f"__qss_zmax_{i}"))
+    group = [F.col(bucket_col)]
+    if zcols:
+        group.append(F.input_file_name().alias("__qss_file"))
     counted = (
         spark.read.schema(schema)
         .parquet(commit_dir)
-        .groupBy(bucket_col)
+        .groupBy(*group)
         .agg(*aggs)
         .collect()
     )
     stats = {} if with_stats else None
     zones = {}
+    base = os.path.abspath(table_path) if table_path else None
     for r in counted:
         b = int(r[bucket_col])
         if with_stats:
-            stats[b] = [int(r["__qss_rows"]), int(r["__qss_active"])]
+            prev = stats.get(b, [0, 0])
+            stats[b] = [
+                prev[0] + int(r["__qss_rows"]),
+                prev[1] + int(r["__qss_active"]),
+            ]
         if zcols:
-            zones[b] = {
+            from urllib.parse import unquote, urlparse
+
+            fpath = unquote(urlparse(r["__qss_file"]).path)
+            rel = os.path.relpath(fpath, base) if base else fpath
+            zones[rel] = {
                 c: [
                     zone_value(r[f"__qss_zmin_{i}"]),
                     zone_value(r[f"__qss_zmax_{i}"]),
@@ -198,13 +230,13 @@ class KeyedTable:
                     f"{soft_delete_col!r}; per-bucket active-row stats "
                     "would be computed on the wrong column"
                 )
-        # zone maps: per-bucket min/max for these columns ride every
-        # snapshot commit (the Delta data-skipping stats analog at
-        # bucket grain); read_range() skips buckets whose bounds
-        # exclude the predicate.  The canonical 100 TB use-case is
+        # zone maps: PER-FILE min/max for these columns ride every
+        # snapshot commit (the Delta add-file data-skipping stats
+        # analog); read_range() opens only the files whose bounds
+        # overlap the predicate.  The canonical 100 TB use-case is
         # zone_map_cols=(version_col,): an incremental consumer's
-        # "rows modified since T" scan opens ONLY the buckets some
-        # commit actually touched since T, instead of the whole table.
+        # "rows modified since T" scan opens ONLY the files the
+        # commits since T actually wrote, instead of the whole table.
         self.zone_map_cols = tuple(zone_map_cols) if zone_map_cols else ()
         if store is not None and hasattr(store, "_zone_map_cols"):
             if store._zone_map_cols is None:
@@ -343,8 +375,16 @@ class KeyedTable:
         with_bucket: bool = False,
         version: int | None = None,
         bucket_ids: list[int] | None = None,
+        mapping_override: dict[int, list[str]] | None = None,
     ) -> DataFrame:
-        mapping = self._log.read(version)
+        """``mapping_override``: a pre-pruned bucket->files mapping
+        (zone-map file skipping) to scan instead of the snapshot's
+        full list."""
+        mapping = (
+            mapping_override
+            if mapping_override is not None
+            else self._log.read(version)
+        )
         if bucket_ids is not None:
             mapping = {b: fs for b, fs in mapping.items() if b in bucket_ids}
         files = self._log.resolve(mapping)
@@ -421,7 +461,7 @@ class KeyedTable:
         # publish no zones (readers scan instead of skipping wrongly).
         stats = carry_forward_meta(prev_stats, carried, replaced_buckets)
         zones = (
-            carry_forward_meta(prev_zones, carried, replaced_buckets)
+            carry_forward_zones(prev_zones, mapping, new_files)
             if self.zone_map_cols
             else None
         )
@@ -433,6 +473,7 @@ class KeyedTable:
                 BUCKET_COL,
                 self.soft_delete_col,
                 self.zone_map_cols,
+                table_path=self.path,
             )
             if stats is not None:
                 stats.update(new_stats or {})
@@ -649,18 +690,17 @@ class KeyedTable:
 
     # ------------------------------------------------- data skipping
 
-    def pruned_buckets(
+    def _pruned_mapping(
         self, col: str, lo=None, hi=None, version: int | None = None
-    ) -> list[int] | None:
-        """Bucket ids that MAY hold rows with ``lo <= col <= hi``
-        according to the snapshot's zone maps — the metadata-only
-        planning half of :meth:`read_range`.  ``None`` when no zone
+    ) -> dict[int, list[str]] | None:
+        """The snapshot's bucket->files mapping with every file whose
+        committed ``[min, max]`` bounds exclude ``[lo, hi]`` removed
+        (buckets left with no files drop out).  ``None`` when no zone
         maps are available (direct layout, a snapshot written without
-        ``zone_map_cols``, or coverage lost) — callers must scan.
-        Bounds are given in the column's value domain (``datetime``
-        for timestamp columns); a bucket whose zone is missing the
-        column, or whose bounds are NULL (all-NULL column there), is
-        always included — skipping is strictly conservative."""
+        ``zone_map_cols``, or coverage lost) — callers must scan.  A
+        file whose zone is missing the column, or whose bounds are
+        NULL (all-NULL column there), is always kept — skipping is
+        strictly conservative."""
         from quick_stream_spark.operators.commitlog import (
             zone_overlaps,
             zone_value,
@@ -674,11 +714,39 @@ class KeyedTable:
             return None
         mapping = log.read(version)
         elo, ehi = zone_value(lo), zone_value(hi)
-        return sorted(
-            b
-            for b in mapping
-            if zone_overlaps(zones.get(b, {}).get(col), elo, ehi)
-        )
+        out = {}
+        for b, files in mapping.items():
+            kept = [
+                p
+                for p in files
+                if zone_overlaps(zones.get(p, {}).get(col), elo, ehi)
+            ]
+            if kept:
+                out[b] = kept
+        return out
+
+    def pruned_buckets(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[int] | None:
+        """Bucket ids that MAY hold rows with ``lo <= col <= hi``
+        according to the snapshot's per-file zone maps — the
+        metadata-only planning half of :meth:`read_range`.  ``None``
+        when no zone maps are available — callers must scan.  Bounds
+        are given in the column's value domain (``datetime`` for
+        timestamp columns)."""
+        pm = self._pruned_mapping(col, lo, hi, version=version)
+        return None if pm is None else sorted(pm)
+
+    def pruned_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[str] | None:
+        """Relative data-file paths surviving zone pruning — finer than
+        :meth:`pruned_buckets`: a long-lived bucket holds one file per
+        commit, and only the files whose bounds overlap survive."""
+        pm = self._pruned_mapping(col, lo, hi, version=version)
+        if pm is None:
+            return None
+        return sorted(p for files in pm.values() for p in files)
 
     def read_range(
         self,
@@ -693,21 +761,24 @@ class KeyedTable:
         buckets whose committed min/max overlap the range.  The 100 TB
         use-case is incremental consumption — with
         ``zone_map_cols=(version_col,)``, "rows modified since T"
-        reads just the buckets some commit touched since T instead of
-        the whole table.  Falls back to a full scan when no zones are
+        reads just the data some commit touched since T instead of
+        the whole table.  Pruning is FILE-grain (the manifest's own
+        unit): inside a touched bucket only the commits' files whose
+        bounds overlap are opened, so a long-lived bucket's old files
+        are skipped too.  Falls back to a full scan when no zones are
         available; the residual filter is ALWAYS applied (zones are
-        bucket-granular over-approximations), so the result equals
+        file-granular over-approximations), so the result equals
         ``read().filter(...)`` exactly on every layout."""
-        ids = self.pruned_buckets(col, lo, hi, version=version)
-        if ids is None:
+        pm = self._pruned_mapping(col, lo, hi, version=version)
+        if pm is None:
             df = self.read(active_only=active_only, version=version)
         elif self._log is not None:
             df = self._read_manifest(
-                active_only=active_only, version=version, bucket_ids=ids
+                active_only=active_only, version=version, mapping_override=pm
             )
         else:  # manifest-backed store
-            df = self._store.read_version(
-                self._read_schema_sidecar(), version, ids
+            df = self._store.read_mapping(
+                self._read_schema_sidecar(), pm
             ).drop(BUCKET_COL)
             if active_only:
                 df = df.filter(F.col(self.soft_delete_col))
@@ -1207,19 +1278,47 @@ class KeyedTable:
         self.rebucket(n)
         return True
 
-    def compact(self, target_files_per_bucket: int = 1) -> None:
+    def compact(
+        self, target_files_per_bucket: int = 1, sort_by: str | None = None
+    ) -> None:
         """Rewrite every bucket partition down to
         ``target_files_per_bucket`` files.  Merges skip the write-side
         repartition (each merge appends task-aligned files to the
         touched buckets), so file counts grow with merge frequency;
         this is the periodic maintenance pass that restores scan
         efficiency — the parquet analog of Delta OPTIMIZE.  Values are
-        untouched; only layout changes."""
+        untouched; only layout changes.
+
+        ``sort_by`` (manifest protocol + ``zone_map_cols`` synergy):
+        CLUSTER each bucket by the given column and cut it into
+        ``target_files_per_bucket`` equal-height RANGE slices, one file
+        per slice — the single-dimension OPTIMIZE ZORDER analog.  Each
+        file then covers a narrow ``sort_by`` range, so the per-file
+        zone maps let ``read_range`` skip WITHIN buckets: a range
+        predicate opens ~1/k of every bucket instead of all of it.
+        The per-bucket sort happens inside the bucket's shuffle
+        partition (the same a-bucket-fits-in-a-task posture the merge
+        already holds); a hash collision that co-locates two slices
+        merely widens one file's bounds — correctness never depends on
+        slice placement."""
         self._require_parquet_layout("compact")
         if not self.exists():
             return
         current = self.read(with_bucket=True)
-        if target_files_per_bucket == 1:
+        if sort_by is not None:
+            k = max(int(target_files_per_bucket), 1)
+            w = Window.partitionBy(BUCKET_COL).orderBy(F.col(sort_by))
+            compacted = (
+                current.withColumn("__qss_slice", F.ntile(k).over(w))
+                .repartition(
+                    self.num_buckets * k,
+                    F.col(BUCKET_COL),
+                    F.col("__qss_slice"),
+                )
+                .sortWithinPartitions(BUCKET_COL, sort_by)
+                .drop("__qss_slice")
+            )
+        elif target_files_per_bucket == 1:
             compacted = current.repartition(F.col(BUCKET_COL))
         else:
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(target_files_per_bucket))

@@ -4,10 +4,11 @@ KeyedTable.read_range/pruned_buckets) and hash-pruned point lookups
 
 The contract, on every layout: results EQUAL the unpruned
 scan-plus-filter exactly; pruning only changes which files are opened.
-Zone maps are per-bucket column min/max riding each snapshot commit
-atomically (the Delta data-skipping stats analog at bucket grain); the
+Zone maps are PER-FILE column min/max riding each snapshot commit
+atomically (the Delta add-file data-skipping stats analog); the
 100 TB use-case is incremental consumption — "rows modified since T"
-opens only the buckets some commit touched since T.  Reference anchor:
+opens only the files the commits since T wrote — plus within-bucket
+range skipping after a clustered compaction.  Reference anchor:
 the reference re-reads whole target tables per cycle (upsert.rs
 271-303 has no read pruning at all); this is a strict capability add.
 """
@@ -113,11 +114,18 @@ def test_lookup_point_reads_every_layout(spark, tmp_table_dir, layout):
 
 
 def test_zones_ride_commits_and_carry_forward(spark, tmp_table_dir):
+    """Zones are PER-FILE (the manifest's own grain): every file in the
+    snapshot carries bounds; carried-forward files keep their entries
+    verbatim; the second commit's new files carry the new bounds."""
     t = mk(spark, tmp_table_dir, "manifest")
     t.upsert(df(spark, OLD))
     log = t._snapshot_log()
+
+    def all_paths(mapping):
+        return {p for fl in mapping.values() for p in fl}
+
     z1 = log.read_zones()
-    assert z1 is not None and set(z1) == set(log.read())
+    assert z1 is not None and set(z1) == all_paths(log.read())
     assert all(
         cols["modified_date"] == ["2024-01-01T00:00:00", "2024-01-01T00:00:00"]
         for cols in z1.values()
@@ -125,11 +133,12 @@ def test_zones_ride_commits_and_carry_forward(spark, tmp_table_dir):
 
     t.upsert(df(spark, NEW), newer_wins=True)
     z2 = log.read_zones()
-    touched = {b for b, c in z2.items() if c["modified_date"][1] > "2024-01-02"}
-    assert 0 < len(touched) <= 2
-    # untouched buckets carried their bounds forward verbatim
-    for b in set(z2) - touched:
-        assert z2[b] == z1[b]
+    assert set(z2) == all_paths(log.read())
+    fresh = {p for p, c in z2.items() if c["modified_date"][1] > "2024-01-02"}
+    assert fresh and fresh == set(z2) - set(z1)  # exactly the new files
+    # carried-forward files keep their bounds verbatim
+    for p in set(z2) & set(z1):
+        assert z2[p] == z1[p]
 
 
 def test_restore_preserves_zones(spark, tmp_table_dir):
@@ -177,7 +186,9 @@ def test_all_null_zone_column_is_conservative(spark, tmp_table_dir):
     zones = t._snapshot_log().read_zones()
     assert all(c["modified_date"] == [None, None] for c in zones.values())
     # NULL bounds: never skipped, result still exact (filter drops NULLs)
-    assert set(t.pruned_buckets("modified_date", lo=CUT)) == set(zones)
+    assert set(t.pruned_buckets("modified_date", lo=CUT)) == set(
+        t._snapshot_log().read()
+    )
     assert t.read_range("modified_date", lo=CUT).count() == 0
     assert t.read_range("modified_date").count() == 4
 
@@ -196,30 +207,29 @@ def test_unsupported_zone_type_rejected_loudly(spark, tmp_table_dir):
 
 
 def test_occ_disjoint_race_rebases_zones(spark, tmp_table_dir):
-    """A lost disjoint-bucket publish race must re-point zones exactly
-    like stats: winner's bounds for untouched buckets, loser's own for
-    its touched bucket."""
+    """A lost disjoint-bucket publish race must re-point zones (PATH-
+    keyed) exactly like stats: the winner's file bounds for untouched
+    buckets, the loser's own for its touched bucket's files."""
     log = ManifestLog(spark, os.path.join(tmp_table_dir, "t"))
-    base_z = {0: {"c": [0, 9]}, 1: {"c": [10, 19]}}
     base_v = log.commit(
         {0: ["f0"], 1: ["f1"]},
         stats={0: [1, 1], 1: [1, 1]},
-        zones=base_z,
+        zones={"f0": {"c": [0, 9]}, "f1": {"c": [10, 19]}},
     )
-    # writer A wins bucket 0
+    # writer A wins bucket 0 (replaces f0 with f0b)
     log.commit(
         {0: ["f0b"], 1: ["f1"]}, stats={0: [2, 2], 1: [1, 1]},
-        zones={0: {"c": [0, 99]}, 1: {"c": [10, 19]}},
+        zones={"f0b": {"c": [0, 99]}, "f1": {"c": [10, 19]}},
         touched={0}, base_version=base_v,
     )
     # writer B raced on bucket 1 from the same base and lost the rename
     log.commit(
         {0: ["f0"], 1: ["f1b"]}, stats={0: [1, 1], 1: [3, 3]},
-        zones={0: {"c": [0, 9]}, 1: {"c": [10, 500]}},
+        zones={"f0": {"c": [0, 9]}, "f1b": {"c": [10, 500]}},
         touched={1}, base_version=base_v,
     )
     final = log.read_zones()
-    assert final == {0: {"c": [0, 99]}, 1: {"c": [10, 500]}}
+    assert final == {"f0b": {"c": [0, 99]}, "f1b": {"c": [10, 500]}}
 
 
 def test_zone_value_and_overlap_semantics():
@@ -266,3 +276,38 @@ def test_incremental_read_skips_at_sf01_scale(spark, tmp_table_dir):
     print(f"\n# zone-skip sf0.1: {n_pruned}/{n_all} files, "
           f"{len(ids)}/64 buckets")
     assert len(ids) < 64 and n_pruned <= n_all * (len(ids) / 64) + len(ids)
+
+
+def test_sorted_compaction_enables_within_bucket_skipping(spark, tmp_table_dir):
+    """compact(sort_by=...) clusters each bucket into range-sliced
+    files (the single-dimension OPTIMIZE ZORDER analog); with per-FILE
+    zone maps a narrow range predicate then opens only the overlapping
+    slice files INSIDE each bucket — not just untouched buckets."""
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival", num_buckets=4,
+        commit_protocol="manifest", zone_map_cols=("modified_date",),
+    )
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 8), i, f"p{i}") for i in range(256)
+    ]
+    t.upsert(df(spark, rows))
+    t.compact(target_files_per_bucket=4, sort_by="modified_date")
+
+    log = t._snapshot_log()
+    mapping = log.read()
+    zones = log.read_zones()
+    n_files = sum(len(fl) for fl in mapping.values())
+    assert n_files > len(mapping)  # several slice files per bucket
+    assert zones is not None and set(zones) == {
+        p for fl in mapping.values() for p in fl
+    }  # coverage survives the rewrite
+
+    day = datetime(2024, 1, 2)
+    narrow = t.read_range("modified_date", lo=day, hi=day)
+    expected = t.read().filter(F.col("modified_date") == F.lit(day))
+    assert narrow.count() == expected.count() == 32
+    # within-bucket skipping: far fewer files than the table holds
+    n_opened = len(_files(narrow))
+    print(f"\n# clustered-skip: {n_opened}/{n_files} files for a 1-day slice")
+    assert n_opened <= n_files // 2
