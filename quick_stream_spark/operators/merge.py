@@ -414,7 +414,12 @@ class KeyedTable:
             self._read_schema_sidecar(), version, bucket_ids
         ).drop(BUCKET_COL)
 
-    def _write_manifest_commit(self, df: DataFrame, replaced_buckets: list[int]) -> None:
+    def _write_manifest_commit(
+        self,
+        df: DataFrame,
+        replaced_buckets: list[int],
+        options: dict | None = None,
+    ) -> None:
         """Append-only commit: write ``df`` (with its bucket column)
         under a fresh commit dir, then publish a new manifest carrying
         forward every bucket not in ``replaced_buckets``.  A replaced
@@ -428,11 +433,10 @@ class KeyedTable:
         ``num_buckets``-bounded artifact — so ``count_fast`` answers
         COUNT(*) from pure metadata at any scale."""
         commit_dir = self._log.new_commit_dir()
-        (
-            df.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(commit_dir)
-        )
+        writer = df.write.mode("overwrite")
+        for key, val in (options or {}).items():
+            writer = writer.option(key, val)
+        writer.partitionBy(BUCKET_COL).parquet(commit_dir)
         new_files = self._log.list_bucket_files(commit_dir)
         # pin the base snapshot: the carried-forward entries and the
         # optimistic-concurrency conflict check must describe the SAME
@@ -842,7 +846,13 @@ class KeyedTable:
             )
         return df.join(F.broadcast(kdf), on=list(self.keys), how="left_semi")
 
-    def _write(self, df: DataFrame, mode: str, repartition: bool = True) -> None:
+    def _write(
+        self,
+        df: DataFrame,
+        mode: str,
+        repartition: bool = True,
+        options: dict | None = None,
+    ) -> None:
         """``repartition=False`` skips the bucket repartition: the merge
         path's window already hash-partitioned the data by key, and
         bucket = hash(key) % N, so every task's rows land in coherent
@@ -868,12 +878,10 @@ class KeyedTable:
             return
         if repartition:
             df = df.repartition(F.col(BUCKET_COL))
-        (
-            df.write.mode(mode)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(self.path)
-        )
+        writer = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+        for key, val in (options or {}).items():
+            writer = writer.option(key, val)
+        writer.partitionBy(BUCKET_COL).parquet(self.path)
         self._exists_cache = True
         self._write_schema_sidecar(df.schema)
 
@@ -1298,35 +1306,42 @@ class KeyedTable:
         predicate opens ~1/k of every bucket instead of all of it.
         The per-bucket sort happens inside the bucket's shuffle
         partition (the same a-bucket-fits-in-a-task posture the merge
-        already holds); a hash collision that co-locates two slices
-        merely widens one file's bounds — correctness never depends on
-        slice placement."""
+        already holds); the range cut uses the writer's
+        ``maxRecordsPerFile`` roll over the sorted stream, so each
+        bucket directory gets ~k files of contiguous sorted rows —
+        deterministic slicing, no reliance on hash placement."""
         self._require_parquet_layout("compact")
         if not self.exists():
             return
         current = self.read(with_bucket=True)
+        options = None
         if sort_by is not None:
+            import math
+
             k = max(int(target_files_per_bucket), 1)
-            w = Window.partitionBy(BUCKET_COL).orderBy(F.col(sort_by))
-            compacted = (
-                current.withColumn("__qss_slice", F.ntile(k).over(w))
-                .repartition(
-                    self.num_buckets * k,
-                    F.col(BUCKET_COL),
-                    F.col("__qss_slice"),
-                )
-                .sortWithinPartitions(BUCKET_COL, sort_by)
-                .drop("__qss_slice")
+            worst = (
+                current.groupBy(BUCKET_COL)
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
             )
+            if not worst:
+                return
+            options = {"maxRecordsPerFile": str(max(math.ceil(worst / k), 1))}
+            compacted = current.repartition(
+                F.col(BUCKET_COL)
+            ).sortWithinPartitions(BUCKET_COL, sort_by)
         elif target_files_per_bucket == 1:
             compacted = current.repartition(F.col(BUCKET_COL))
         else:
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(target_files_per_bucket))
             compacted = current.repartition(F.col(BUCKET_COL), salt)
         if self._log is not None:
-            self._write_manifest_commit(compacted, list(self._log.read().keys()))
+            self._write_manifest_commit(
+                compacted, list(self._log.read().keys()), options=options
+            )
             return
-        self._write(compacted, "overwrite", repartition=False)
+        self._write(compacted, "overwrite", repartition=False, options=options)
 
     def content_checksum(self, version: int | None = None) -> int:
         """Order-independent checksum of the table's logical content:
@@ -1354,7 +1369,10 @@ class KeyedTable:
         return {int(r[BUCKET_COL]): int(r.c) for r in rows}
 
     def maybe_compact(
-        self, max_files_per_bucket: int = 8, target_files_per_bucket: int = 1
+        self,
+        max_files_per_bucket: int = 8,
+        target_files_per_bucket: int = 1,
+        sort_by: str | None = None,
     ) -> bool:
         """Auto-compaction policy (the OPTIMIZE scheduler): compact only
         when some bucket's file count exceeds ``max_files_per_bucket``.
@@ -1364,7 +1382,9 @@ class KeyedTable:
         without paying a rewrite on every batch.  Returns whether a
         compaction ran.  The check is metadata-only: the manifest
         mapping under the manifest protocol, one directory listing per
-        bucket otherwise."""
+        bucket otherwise.  ``sort_by`` forwards to :meth:`compact` —
+        a long-lived streaming table then periodically re-clusters
+        into range-sliced files and keeps its zone maps sharp."""
         self._require_parquet_layout("maybe_compact")
         if not self.exists():
             return False
@@ -1387,7 +1407,7 @@ class KeyedTable:
                 worst = max(worst, n)
         if worst <= max_files_per_bucket:
             return False
-        self.compact(target_files_per_bucket)
+        self.compact(target_files_per_bucket, sort_by=sort_by)
         return True
 
     def file_count(self) -> int:

@@ -227,6 +227,8 @@ class UpsertQuickStream(_StreamBase):
         auto_compact_every: int | None = None,
         auto_compact_max_files: int = 8,
         auto_rebucket_target_bytes: int | None = None,
+        auto_compact_sort_by: str | None = None,
+        auto_compact_target_files: int = 1,
     ) -> None:
         super().__init__(config)
         self.target = target
@@ -249,6 +251,11 @@ class UpsertQuickStream(_StreamBase):
         self.auto_compact_every = auto_compact_every
         self.auto_compact_max_files = auto_compact_max_files
         self.auto_rebucket_target_bytes = auto_rebucket_target_bytes
+        # clustered maintenance: forward sort_by/target to maybe_compact
+        # so a long-lived ingest stream periodically re-clusters each
+        # bucket into range-sliced files and its zone maps stay sharp
+        self.auto_compact_sort_by = auto_compact_sort_by
+        self.auto_compact_target_files = auto_compact_target_files
         self._batches_since_compact = 0
 
     def _maybe_auto_compact(self) -> None:
@@ -265,7 +272,9 @@ class UpsertQuickStream(_StreamBase):
                 ):
                     return
             self.target.maybe_compact(
-                max_files_per_bucket=self.auto_compact_max_files
+                max_files_per_bucket=self.auto_compact_max_files,
+                target_files_per_bucket=self.auto_compact_target_files,
+                sort_by=self.auto_compact_sort_by,
             )
 
     def _foreach_batch(self):

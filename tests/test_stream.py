@@ -542,3 +542,52 @@ def test_streaming_ingest_maintains_zone_maps(spark, tmp_path):
     brute = {(r.pkey, r.payload) for r in
              target.read().filter(F.col("modified_date") >= F.lit(cut)).collect()}
     assert got == brute
+
+
+def test_auto_clustered_compaction_keeps_zone_maps_sharp(spark, tmp_path):
+    """auto_compact_sort_by: the streaming maintenance cadence
+    re-clusters each bucket into range-sliced files, so after many
+    deliveries a narrow read_range still opens a fraction of the
+    table's files instead of every appended micro-batch file."""
+    batches = [
+        df(spark, [(b * 40 + i, datetime(2024, 1, 1 + b), b * 40 + i, "x")
+                   for i in range(40)])
+        for b in range(6)
+    ]
+    src_dir = str(tmp_path / "src-zc")
+    write_batches_as_files(batches, src_dir)
+    target = KeyedTable(
+        spark,
+        str(tmp_path / "target-zc"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=2,
+        commit_protocol="manifest",
+        zone_map_cols=("modified_date",),
+    )
+    stream = stream_parquet_dir(
+        spark, src_dir, batches[0].schema, max_files_per_trigger=1
+    )
+    q = UpsertQuickStream(
+        target,
+        config=_cfg(tmp_path, "up-zc"),
+        newer_wins=True,
+        auto_compact_every=6,
+        # 0 = unconditionally re-cluster at the cadence (this scenario's
+        # merges rewrite whole buckets as one coalesced file each, so a
+        # file-count policy alone would never trip; a real ingest keys
+        # the policy on task-aligned file growth)
+        auto_compact_max_files=0,
+        auto_compact_sort_by="modified_date",
+        auto_compact_target_files=3,
+    ).run(stream, available_now=True)
+    assert not q.isActive
+
+    mapping = target._snapshot_log().read()
+    n_files = sum(len(fl) for fl in mapping.values())
+    assert n_files <= 2 * 3  # compacted to <= target slices per bucket
+    day = datetime(2024, 1, 2)
+    narrow = target.read_range("modified_date", lo=day, hi=day)
+    assert narrow.count() == 40
+    assert len(set(narrow.inputFiles())) < n_files  # slice-level skip
