@@ -233,7 +233,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, n_chars, lang FROM documents WHERE lang IN ('en', 'fr')
     """,
-    tags=("source", "partitioned"),  # driver window is full; oracle-checked locally
+    tags=("source", "partitioned"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned export + pruned read-back: documents are written
@@ -452,7 +452,7 @@ BINFILE_DOCS = 50  # bounded fixture subset written as individual files
            substr(text, 1, 40) AS head
     FROM documents WHERE doc_id < {BINFILE_DOCS}
     """,
-    tags=("source", "binary", "multimodal"),  # driver window is full; oracle-checked locally
+    tags=("source", "binary", "multimodal"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in ``binaryFile`` source — the ingestion surface
@@ -494,7 +494,7 @@ def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_xml_roundtrip",
     oracle=f"SELECT 'xml' AS fmt, * FROM ({_CONNECTOR_ORACLE})",
-    tags=("source", "xml"),  # driver window is full; oracle-checked locally
+    tags=("source", "xml"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's built-in XML connector (the spark-xml package merged

@@ -818,7 +818,7 @@ _JPEG_HEAD = "FFD8FFE000104A4649460001"
                 THEN ('0x' || substr(hx, 51, 2))::BIGINT END AS color_type
     FROM parsed
     """,
-    tags=("multimodal", "binary"),  # driver window is full; oracle-checked locally
+    tags=("multimodal", "binary"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL binary header parsing over an opaque payload column — the
@@ -1546,7 +1546,7 @@ def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(v * v) AS BIGINT) AS sum_sq
     FROM sm GROUP BY doc_id, n_samples, sr, ch
     """,
-    tags=("multimodal", "binary", "decode", "audio"),  # driver window is full after the r03 rotation
+    tags=("multimodal", "binary", "decode", "audio"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end (the WAV twin of mm_image_decode):
@@ -1623,7 +1623,7 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM((p * 11) % 256) AS BIGINT) AS sum_b
     FROM px GROUP BY doc_id, w, h, nf
     """,
-    tags=("multimodal", "binary", "decode", "video"),  # driver window is full after the r03 rotation
+    tags=("multimodal", "binary", "decode", "video"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-frames decode end-to-end (the GIF/"video" leg of
@@ -1731,7 +1731,7 @@ _URL_PARAMS_SQL = (
            min(doc_id) AS canonical_doc_id
     FROM canon GROUP BY canonical_url HAVING count(*) > 1
     """,
-    tags=("text", "dedup", "url"),  # driver window is full after the r03 rotation
+    tags=("text", "dedup", "url"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the first dedup tier of every
@@ -2001,7 +2001,7 @@ _REG4["dedup_substring_spans"].oracle = " ".join(
            min(doc_id) AS min_doc_id
     FROM verdicts GROUP BY image_ok, audio_ok, video_ok
     """,
-    tags=("multimodal", "pipeline", "decode"),  # driver window is full after the r03 rotation
+    tags=("multimodal", "pipeline", "decode"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal curation END-TO-END: every document's image, audio
@@ -2294,7 +2294,7 @@ _REG4["text_quality_classifier_train"].oracle = " ".join(_pct_oracle().split())
                  / COUNT(*), 6) AS oov_frac
     FROM sc GROUP BY doc_id
     """,
-    tags=("text", "quality", "lm"),  # driver window is full; oracle-checked locally
+    tags=("text", "quality", "lm"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram language-model scoring — the distributed version
@@ -2387,7 +2387,7 @@ PACK_BUDGET = 512  # tokens per packed training sequence
            CAST(start_offset % {PACK_BUDGET} AS INT) AS seq_offset
     FROM placed
     """,
-    tags=("text", "packing"),  # driver window is full; oracle-checked locally
+    tags=("text", "packing"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM training — the concatenate-and-chunk
@@ -2931,7 +2931,7 @@ _LINES_SQL = f"""
     FROM lined l JOIN linedf d USING (line)
     GROUP BY l.doc_id
     """,
-    tags=("text", "dedup", "boilerplate"),  # driver window is full; oracle-checked locally
+    tags=("text", "dedup", "boilerplate"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (the C4 cleaning rule): any line
@@ -3384,7 +3384,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 @register(
     "text_bpe_tokenize",
     oracle=None,  # set below: the training CTE stack + the vocab join
-    tags=("text", "tokenizer", "ml"),  # driver window is full; oracle-checked locally
+    tags=("text", "tokenizer", "ml"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE merge table back to the corpus — the

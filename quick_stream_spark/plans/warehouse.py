@@ -448,7 +448,7 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(p.n * 1.0 / t.n_src, 6) AS prob
     FROM pairs p JOIN totals t USING (src)
     """,
-    tags=("warehouse", "markov", "journey"),  # driver window is full; oracle-checked locally
+    tags=("warehouse", "markov", "journey"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user journeys: for
@@ -725,7 +725,7 @@ ATTR_WINDOW_MIN = 30
     SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases
     FROM attributed GROUP BY channel
     """,
-    tags=("warehouse", "attribution", "window"),  # driver window is full; oracle-checked locally
+    tags=("warehouse", "attribution", "window"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase is credited to the SAME

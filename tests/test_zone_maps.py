@@ -311,3 +311,97 @@ def test_sorted_compaction_enables_within_bucket_skipping(spark, tmp_table_dir):
     n_opened = len(_files(narrow))
     print(f"\n# clustered-skip: {n_opened}/{n_files} files for a 1-day slice")
     assert n_opened <= n_files // 2
+
+
+@pytest.mark.slow
+def test_property_random_histories_prune_exactly(spark, tmp_path_factory):
+    """Property net for the skipping layer: over random histories of
+    upsert / soft-delete / hard-delete / compact(sort_by) and random
+    range bounds, (a) read_range == read().filter(...) row for row,
+    (b) whenever zones are published they cover EXACTLY the snapshot's
+    file list, and (c) lookup == keyed filter.  Hypothesis drives the
+    operation mix; Spark round-trips are slow, so few dense cases."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    record = st.tuples(
+        st.integers(min_value=0, max_value=6),   # key
+        st.integers(min_value=0, max_value=9),   # day (version)
+    )
+    op = st.one_of(
+        st.tuples(st.just("upsert"), st.lists(record, min_size=1, max_size=5)),
+        st.tuples(st.just("soft"), st.lists(record, min_size=1, max_size=3)),
+        st.tuples(st.just("hard"), st.lists(record, min_size=1, max_size=3)),
+        st.tuples(st.just("compact"), st.just([])),
+    )
+    scenario = st.tuples(
+        st.lists(op, min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=9),   # lo day
+        st.integers(min_value=0, max_value=9),   # hi day
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(scenario=scenario)
+    def run(scenario):
+        ops, lo_d, hi_d = scenario
+        lo_d, hi_d = min(lo_d, hi_d), max(lo_d, hi_d)
+        work = tmp_path_factory.mktemp("zprop")
+        t = KeyedTable(
+            spark, str(work / "t"), keys=("pkey",),
+            version_col="modified_date", arrival_col="arrival",
+            num_buckets=4, commit_protocol="manifest",
+            zone_map_cols=("modified_date",),
+        )
+        arrival = [0]
+
+        def frame(recs):
+            rows = []
+            for k, d in recs:
+                arrival[0] += 1
+                rows.append((k, datetime(2024, 1, 1 + d), arrival[0], f"p{k}"))
+            return df(spark, rows)
+
+        wrote = False
+        for kind, recs in ops:
+            if kind == "upsert":
+                t.upsert(frame(recs), newer_wins=True)
+                wrote = True
+            elif kind == "soft" and wrote:
+                t.soft_delete(frame(recs))
+            elif kind == "hard" and wrote:
+                t.hard_delete(frame(recs))
+            elif kind == "compact" and wrote:
+                t.compact(target_files_per_bucket=2, sort_by="modified_date")
+        if not wrote:
+            return
+
+        lo, hi = datetime(2024, 1, 1 + lo_d), datetime(2024, 1, 1 + hi_d)
+        got = {
+            tuple(r) for r in t.read_range(
+                "modified_date", lo=lo, hi=hi, active_only=False
+            ).collect()
+        }
+        want = {
+            tuple(r) for r in t.read()
+            .filter(F.col("modified_date").between(F.lit(lo), F.lit(hi)))
+            .collect()
+        }
+        assert got == want
+
+        log = t._snapshot_log()
+        zones, mapping = log.read_zones(), log.read()
+        if zones is not None:
+            assert set(zones) == {p for fl in mapping.values() for p in fl}
+
+        keys = sorted({k for _, recs in ops for k, _ in recs})[:3]
+        got_l = {tuple(r) for r in t.lookup(keys, active_only=False).collect()}
+        want_l = {
+            tuple(r) for r in t.read().filter(F.col("pkey").isin(keys)).collect()
+        }
+        assert got_l == want_l
+
+    run()
