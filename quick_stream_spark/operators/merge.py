@@ -695,16 +695,16 @@ class KeyedTable:
     # ------------------------------------------------- data skipping
 
     def _pruned_mapping(
-        self, col: str, lo=None, hi=None, version: int | None = None
+        self, ranges: dict, version: int | None = None
     ) -> dict[int, list[str]] | None:
         """The snapshot's bucket->files mapping with every file whose
-        committed ``[min, max]`` bounds exclude ``[lo, hi]`` removed
-        (buckets left with no files drop out).  ``None`` when no zone
-        maps are available (direct layout, a snapshot written without
-        ``zone_map_cols``, or coverage lost) — callers must scan.  A
-        file whose zone is missing the column, or whose bounds are
-        NULL (all-NULL column there), is always kept — skipping is
-        strictly conservative."""
+        committed ``[min, max]`` bounds exclude ANY of the conjunctive
+        ``{col: (lo, hi)}`` ranges removed (buckets left with no files
+        drop out).  ``None`` when no zone maps are available (direct
+        layout, a snapshot written without ``zone_map_cols``, or
+        coverage lost) — callers must scan.  A file whose zone is
+        missing a column, or whose bounds are NULL (all-NULL column
+        there), is always kept — skipping is strictly conservative."""
         from quick_stream_spark.operators.commitlog import (
             zone_overlaps,
             zone_value,
@@ -717,13 +717,19 @@ class KeyedTable:
         if zones is None:
             return None
         mapping = log.read(version)
-        elo, ehi = zone_value(lo), zone_value(hi)
+        enc = {
+            c: (zone_value(lo), zone_value(hi))
+            for c, (lo, hi) in ranges.items()
+        }
         out = {}
         for b, files in mapping.items():
             kept = [
                 p
                 for p in files
-                if zone_overlaps(zones.get(p, {}).get(col), elo, ehi)
+                if all(
+                    zone_overlaps(zones.get(p, {}).get(c), elo, ehi)
+                    for c, (elo, ehi) in enc.items()
+                )
             ]
             if kept:
                 out[b] = kept
@@ -738,7 +744,7 @@ class KeyedTable:
         when no zone maps are available — callers must scan.  Bounds
         are given in the column's value domain (``datetime`` for
         timestamp columns)."""
-        pm = self._pruned_mapping(col, lo, hi, version=version)
+        pm = self._pruned_mapping({col: (lo, hi)}, version=version)
         return None if pm is None else sorted(pm)
 
     def pruned_files(
@@ -747,7 +753,7 @@ class KeyedTable:
         """Relative data-file paths surviving zone pruning — finer than
         :meth:`pruned_buckets`: a long-lived bucket holds one file per
         commit, and only the files whose bounds overlap survive."""
-        pm = self._pruned_mapping(col, lo, hi, version=version)
+        pm = self._pruned_mapping({col: (lo, hi)}, version=version)
         if pm is None:
             return None
         return sorted(p for files in pm.values() for p in files)
@@ -773,7 +779,23 @@ class KeyedTable:
         available; the residual filter is ALWAYS applied (zones are
         file-granular over-approximations), so the result equals
         ``read().filter(...)`` exactly on every layout."""
-        pm = self._pruned_mapping(col, lo, hi, version=version)
+        return self.read_where(
+            {col: (lo, hi)}, active_only=active_only, version=version
+        )
+
+    def read_where(
+        self,
+        ranges: dict,
+        active_only: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Conjunctive zone-pruned scan: ``{col: (lo, hi)}`` — rows
+        satisfying EVERY range (each bound may be None = unbounded);
+        a file survives pruning only when its bounds overlap every
+        range.  Same exactness contract as :meth:`read_range`: the
+        residual filters are always applied, so the result equals
+        ``read().filter(...)`` on every layout."""
+        pm = self._pruned_mapping(ranges, version=version)
         if pm is None:
             df = self.read(active_only=active_only, version=version)
         elif self._log is not None:
@@ -786,10 +808,11 @@ class KeyedTable:
             ).drop(BUCKET_COL)
             if active_only:
                 df = df.filter(F.col(self.soft_delete_col))
-        if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
     def lookup(

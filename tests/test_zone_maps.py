@@ -405,3 +405,35 @@ def test_property_random_histories_prune_exactly(spark, tmp_path_factory):
         assert got_l == want_l
 
     run()
+
+
+def test_read_where_conjunctive_ranges(spark, tmp_table_dir):
+    """read_where({col: (lo, hi), ...}): a file must overlap EVERY
+    range to be opened; results equal the brute conjunctive filter."""
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival", num_buckets=4,
+        commit_protocol="manifest",
+        zone_map_cols=("modified_date", "arrival"),
+    )
+    rows = [(i, datetime(2024, 1, 1 + i % 8), i * 10, f"p{i}") for i in range(64)]
+    t.upsert(df(spark, rows))
+    t.compact(target_files_per_bucket=4, sort_by="modified_date")
+
+    ranges = {
+        "modified_date": (datetime(2024, 1, 2), datetime(2024, 1, 3)),
+        "arrival": (100, 400),
+    }
+    got = {tuple(r) for r in t.read_where(ranges).collect()}
+    want = {
+        tuple(r)
+        for r in t.read()
+        .filter(F.col("modified_date").between(*[F.lit(v) for v in ranges["modified_date"]]))
+        .filter(F.col("arrival").between(100, 400))
+        .collect()
+    }
+    assert got == want and got
+    # conjunctive pruning is at least as sharp as the tighter dimension
+    n_conj = len(_files(t.read_where(ranges)))
+    n_date = len(_files(t.read_range("modified_date", *ranges["modified_date"])))
+    assert n_conj <= n_date < len(_files(t.read()))
