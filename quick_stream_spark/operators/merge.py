@@ -815,6 +815,38 @@ class KeyedTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def skipping_stats(
+        self, ranges: dict, version: int | None = None
+    ) -> dict:
+        """Planning diagnostic for a conjunctive predicate: how much of
+        the snapshot zone-map pruning would skip, without running the
+        scan — ``{files_total, files_scanned, buckets_total,
+        buckets_scanned, skipped_fraction}``.  ``skipped_fraction`` is
+        0.0 when no zones are available (everything scans) — the
+        operational signal that a table needs ``zone_map_cols`` or a
+        clustered compaction."""
+        log = self._snapshot_log()
+        if log is None:
+            raise ValueError(
+                "skipping_stats requires commit_protocol='manifest' or "
+                "a manifest-backed store"
+            )
+        mapping = log.read(version)
+        total = sum(len(fl) for fl in mapping.values())
+        pm = self._pruned_mapping(ranges, version=version)
+        if pm is None:
+            pm = mapping
+        scanned = sum(len(fl) for fl in pm.values())
+        return {
+            "files_total": total,
+            "files_scanned": scanned,
+            "buckets_total": len(mapping),
+            "buckets_scanned": len(pm),
+            "skipped_fraction": (
+                round(1.0 - scanned / total, 6) if total else 0.0
+            ),
+        }
+
     def lookup(
         self,
         key_values: Sequence,

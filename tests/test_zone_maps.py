@@ -437,3 +437,52 @@ def test_read_where_conjunctive_ranges(spark, tmp_table_dir):
     n_conj = len(_files(t.read_where(ranges)))
     n_date = len(_files(t.read_range("modified_date", *ranges["modified_date"])))
     assert n_conj <= n_date < len(_files(t.read()))
+
+
+def test_schema_evolution_adds_zone_column_conservatively(spark, tmp_table_dir):
+    """A zone column that arrives via SCHEMA EVOLUTION: files written
+    before the column existed carry no bounds for it, so they are
+    always scanned (conservative); files written after carry bounds
+    and prune.  Results stay exact throughout."""
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival", num_buckets=4,
+        commit_protocol="manifest",
+        zone_map_cols=("modified_date", "score"),  # score doesn't exist yet
+    )
+    t.upsert(df(spark, OLD))  # schema has no 'score'
+    z1 = t._snapshot_log().read_zones()
+    assert z1 and all("score" not in c for c in z1.values())
+
+    evolved = df(spark, NEW).withColumn("score", F.lit(9).cast("long"))
+    t.upsert(evolved, newer_wins=True)  # schema evolution adds 'score'
+    z2 = t._snapshot_log().read_zones()
+    with_score = {p for p, c in z2.items() if "score" in c}
+    assert with_score and all(z2[p]["score"] == [9, 9] for p in with_score)
+
+    # pre-evolution files (score reads back NULL) are never skipped...
+    got = {tuple(r) for r in t.read_range("score", lo=5).collect()}
+    want = {tuple(r) for r in t.read().filter(F.col("score") >= 5).collect()}
+    assert got == want and len(got) == 2
+    # ...but a range excluding the evolved files still prunes them out
+    assert len(_files(t.read_range("score", lo=100))) < len(_files(t.read()))
+
+
+def test_skipping_stats_diagnostic(spark, tmp_table_dir):
+    t = mk(spark, tmp_table_dir, "manifest")
+    t.upsert(df(spark, OLD))
+    t.upsert(df(spark, NEW), newer_wins=True)
+    s = t.skipping_stats({"modified_date": (CUT, None)})
+    assert s["files_total"] > s["files_scanned"] > 0
+    assert s["buckets_total"] > s["buckets_scanned"] > 0
+    assert 0 < s["skipped_fraction"] < 1
+    # no zones (plain table) => 0.0 skipped, everything scans
+    plain = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "p"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival", num_buckets=4,
+        commit_protocol="manifest",
+    )
+    plain.upsert(df(spark, OLD))
+    s2 = plain.skipping_stats({"modified_date": (CUT, None)})
+    assert s2["skipped_fraction"] == 0.0
+    assert s2["files_scanned"] == s2["files_total"]
