@@ -815,6 +815,61 @@ class KeyedTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def agg_fast(self, col: str, fn: str, version: int | None = None):
+        """MIN/MAX of a zone-mapped column answered from MANIFEST
+        METADATA only — no data file is opened (the Delta
+        'aggregate pushdown to file stats' analog, the count twin of
+        :meth:`count_fast`).  Exact because every file's committed
+        bounds are its true min/max and the COVERAGE invariant
+        guarantees every snapshot file carries them; falls back to a
+        real scan when zones are unavailable.  Values return in the
+        column's domain (timestamps as ``datetime``).  Counts soft-
+        deleted rows like ``SELECT min(col) FROM read()`` would —
+        liveness does not move physical bounds."""
+        if fn not in ("min", "max"):
+            raise ValueError(f"agg_fast supports 'min'/'max', got {fn!r}")
+        log = self._snapshot_log()
+        zones = log.read_zones(version) if log is not None else None
+        idx = 0 if fn == "min" else 1
+        if zones is not None:
+            mapping = log.read(version)
+            bounds = []
+            covered = True
+            for files in mapping.values():
+                for p in files:
+                    zone = zones.get(p, {}).get(col)
+                    if zone is None or zone[idx] is None:
+                        # a file without bounds for this column (schema
+                        # evolution, all-NULL) — metadata can't answer
+                        covered = False
+                        break
+                    bounds.append(zone[idx])
+                if not covered:
+                    break
+            if covered and bounds:
+                best = min(bounds) if fn == "min" else max(bounds)
+                field = next(
+                    f
+                    for f in self._read_schema_sidecar().fields
+                    if f.name == col
+                )
+                if field.dataType.simpleString().startswith("timestamp"):
+                    from datetime import datetime as _dt
+
+                    return _dt.fromisoformat(best)
+                if field.dataType.simpleString() == "date":
+                    from datetime import date as _d
+
+                    return _d.fromisoformat(best)
+                if field.dataType.simpleString() == "boolean":
+                    return bool(best)
+                return best
+        # honest fallback: one aggregation scan
+        row = self.read(version=version).agg(
+            (F.min(col) if fn == "min" else F.max(col)).alias("v")
+        ).collect()[0]
+        return row.v
+
     def skipping_stats(
         self, ranges: dict, version: int | None = None
     ) -> dict:

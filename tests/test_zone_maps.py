@@ -486,3 +486,32 @@ def test_skipping_stats_diagnostic(spark, tmp_table_dir):
     s2 = plain.skipping_stats({"modified_date": (CUT, None)})
     assert s2["skipped_fraction"] == 0.0
     assert s2["files_scanned"] == s2["files_total"]
+
+
+def test_agg_fast_min_max_from_metadata_only(spark, tmp_table_dir):
+    """MIN/MAX of a zone column answered from manifest metadata — the
+    count_fast twin.  Proof it never opens data: the answer survives
+    physical deletion of every data file (manifests intact)."""
+    import shutil
+
+    t = mk(spark, tmp_table_dir, "manifest")
+    t.upsert(df(spark, OLD))
+    t.upsert(df(spark, NEW), newer_wins=True)
+    lo = t.read().agg(F.min("modified_date")).collect()[0][0]
+    hi = t.read().agg(F.max("modified_date")).collect()[0][0]
+    assert t.agg_fast("modified_date", "min") == lo == datetime(2024, 1, 1)
+    assert t.agg_fast("modified_date", "max") == hi == datetime(2024, 2, 2)
+
+    shutil.rmtree(os.path.join(tmp_table_dir, "t", "_qss_commits"))
+    assert t.agg_fast("modified_date", "max") == hi  # metadata-only
+
+    # honest fallback: a plain table (no zones) scans and still answers
+    p = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "p"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival", num_buckets=4,
+        commit_protocol="manifest",
+    )
+    p.upsert(df(spark, OLD))
+    assert p.agg_fast("modified_date", "max") == datetime(2024, 1, 1)
+    with pytest.raises(ValueError, match="min.*max"):
+        p.agg_fast("modified_date", "avg")
