@@ -468,3 +468,51 @@ def test_matview_publish_crash_then_epoch_retry_does_not_double_count(
         "b": (1, 2.0),
         "c": (1, 5.0),
     }
+
+
+def test_zone_maps_are_crash_atomic_with_their_snapshot(
+    spark, tmp_table_dir, monkeypatch
+):
+    """Zone maps ride the SAME atomic publish as the snapshot they
+    describe (r9): a crash between the commit-dir data write and the
+    manifest publish must leave readers on the pre-merge snapshot with
+    the pre-merge zone bounds — read_range keeps pruning correctly —
+    and the retry's zones describe exactly the converged file list."""
+    t = KeyedTable(
+        spark,
+        os.path.join(tmp_table_dir, "tz"),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        commit_protocol="manifest",
+        zone_map_cols=("modified_date",),
+    )
+    t.upsert(_batch(spark, [(1, 1, 1, "a1"), (2, 1, 2, "b1")]))
+    log = t._snapshot_log()
+    z_before = log.read_zones()
+    cut = datetime(2024, 1, 10)
+
+    real_commit = ManifestLog.commit
+
+    def crash(self, mapping, stats=None, **kw):
+        raise _InjectedCrash("injected before zone-bearing publish")
+
+    monkeypatch.setattr(ManifestLog, "commit", crash)
+    with pytest.raises(_InjectedCrash):
+        t.upsert(_batch(spark, [(2, 20, 3, "b2")]), newer_wins=True)
+    monkeypatch.setattr(ManifestLog, "commit", real_commit)
+
+    # readers: pre-merge zones, pre-merge pruning, pre-merge answers
+    assert log.read_zones() == z_before
+    assert t.read_range("modified_date", lo=cut).count() == 0
+    assert t.agg_fast("modified_date", "max") == datetime(2024, 1, 1)
+
+    # retry converges; the new zones cover exactly the new file list
+    t.upsert(_batch(spark, [(2, 20, 3, "b2")]), newer_wins=True)
+    zones, mapping = log.read_zones(), log.read()
+    assert set(zones) == {p for fl in mapping.values() for p in fl}
+    got = {(r.pkey, r.payload) for r in
+           t.read_range("modified_date", lo=cut).collect()}
+    assert got == {(2, "b2")}
+    assert t.agg_fast("modified_date", "max") == datetime(2024, 1, 20)
