@@ -870,6 +870,51 @@ class KeyedTable:
         ).collect()[0]
         return row.v
 
+    def _key_pruned_mapping(
+        self, key_rows, bucket_ids, version: int | None
+    ) -> dict[int, list[str]] | None:
+        """Zone pruning for point lookups: restrict the snapshot to
+        ``bucket_ids``, then keep only files whose committed key
+        bounds contain SOME requested key (binary search over the
+        sorted encoded key list — sharp for key-clustered files,
+        conservative otherwise).  ``None`` when not applicable
+        (composite key, key not zone-mapped, no zones)."""
+        import bisect
+
+        from quick_stream_spark.operators.commitlog import zone_value
+
+        if len(self.keys) != 1 or self.keys[0] not in self.zone_map_cols:
+            return None
+        log = self._snapshot_log()
+        if log is None:
+            return None
+        zones = log.read_zones(version)
+        if zones is None:
+            return None
+        keycol = self.keys[0]
+        try:
+            enc = sorted(zone_value(r[0]) for r in key_rows)
+        except TypeError:
+            return None  # un-encodable / mixed-type keys: no zone help
+
+        def hits(zone):
+            if zone is None or zone[0] is None or zone[1] is None:
+                return True  # no bounds: cannot skip
+            i = bisect.bisect_left(enc, zone[0])
+            return i < len(enc) and enc[i] <= zone[1]
+
+        mapping = log.read(version)
+        out = {}
+        for b in bucket_ids:
+            kept = [
+                p
+                for p in mapping.get(b, [])
+                if hits(zones.get(p, {}).get(keycol))
+            ]
+            if kept:
+                out[b] = kept
+        return out
+
     def skipping_stats(
         self, ranges: dict, version: int | None = None
     ) -> dict:
@@ -915,7 +960,14 @@ class KeyedTable:
         pruning, store versioned reads, or partition-dir pruning on
         the direct layout).  ``key_values``: scalars for single-key
         tables, or tuples in ``self.keys`` order.  Only the bounded
-        key list and its bucket ids cross the driver — never data."""
+        key list and its bucket ids cross the driver — never data.
+
+        When the (single) key column is zone-mapped, file-grain zone
+        pruning COMPOSES with the hash pruning: inside each key's
+        bucket only the files whose committed key bounds contain SOME
+        requested key are opened — after a clustered compaction
+        (``compact(k, sort_by=key)``) a point lookup reads ~1/k of its
+        bucket.  Conservative as always: files without bounds stay."""
         from pyspark.sql.types import StructType
 
         schema = self._read_schema_sidecar()
@@ -933,7 +985,16 @@ class KeyedTable:
             .distinct()
             .collect()
         )
-        if self._log is not None:
+        pm = self._key_pruned_mapping(rows, ids, version)
+        if pm is not None and self._log is not None:
+            df = self._read_manifest(
+                active_only=active_only, version=version, mapping_override=pm
+            )
+        elif pm is not None:  # manifest-backed store
+            df = self._store.read_mapping(schema, pm).drop(BUCKET_COL)
+            if active_only:
+                df = df.filter(F.col(self.soft_delete_col))
+        elif self._log is not None:
             df = self._read_manifest(
                 active_only=active_only, version=version, bucket_ids=ids
             )

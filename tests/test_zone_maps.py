@@ -515,3 +515,28 @@ def test_agg_fast_min_max_from_metadata_only(spark, tmp_table_dir):
     assert p.agg_fast("modified_date", "max") == datetime(2024, 1, 1)
     with pytest.raises(ValueError, match="min.*max"):
         p.agg_fast("modified_date", "avg")
+
+
+def test_lookup_composes_with_key_zone_slices(spark, tmp_table_dir):
+    """With the key column zone-mapped and the table clustered by key,
+    a point lookup opens only the slice file holding the key — zone
+    pruning composes with hash-bucket pruning."""
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival", num_buckets=2,
+        commit_protocol="manifest", zone_map_cols=("pkey",),
+    )
+    rows = [(i, datetime(2024, 1, 1), i, f"p{i}") for i in range(256)]
+    t.upsert(df(spark, rows))
+    t.compact(target_files_per_bucket=8, sort_by="pkey")
+    n_files = sum(len(fl) for fl in t._snapshot_log().read().values())
+    assert n_files >= 12  # several key-sliced files per bucket
+
+    got = {(r.pkey, r.payload) for r in t.lookup([7, 250]).collect()}
+    assert got == {(7, "p7"), (250, "p250")}
+    opened = len(_files(t.lookup([7, 250])))
+    print(f"\n# key-slice lookup: {opened}/{n_files} files for 2 keys")
+    assert opened <= 4  # ~one slice per key (+ conservative margins)
+
+    # absent keys: zero files can legitimately survive pruning
+    assert t.lookup([99999]).count() == 0
