@@ -205,8 +205,7 @@ def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND ts >= (SELECT max(ts) - INTERVAL '30 days' FROM events)
     """,
     tags=("reference", "merge", "skipping"),
-    pytest_only=True,
-)
+    )
 def r_incremental_read_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map incremental consumption (KeyedTable.read_range): merge
     two real batches into a manifest table tracking per-bucket min/max
@@ -240,8 +239,7 @@ def r_incremental_read_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1 AND user_id % 25 = 0
     """,
     tags=("reference", "merge", "skipping"),
-    pytest_only=True,
-)
+    )
 def r_point_lookup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-pruned point reads (KeyedTable.lookup): after the standard
     two-batch replay, look up a bounded key set (user_id % 25 == 0) —

@@ -645,6 +645,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("join", "semi", "agg", "tpch"),
+    pytest_only=True,  # r9 rotation out (driver-green r7-r8); still oracle-checked locally
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: shipped quantity from lineitem stands

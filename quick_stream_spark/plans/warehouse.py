@@ -487,6 +487,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangles_dupgraph",
     oracle=None,  # set below: shares the minhash pair CTEs
     tags=("graph", "triangles"),
+    pytest_only=True,  # r9 rotation out (driver-green r7-r8); still oracle-checked locally
 )
 def graph_triangles_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the near-dup pair graph — the clustering
