@@ -47,6 +47,7 @@ shuffle; cluster parallelism comes from partitioning, not the kernel.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -849,7 +850,23 @@ MAX_PIXELS = 1 << 26
 #
 # i.e. every common photographic layout decodes to the full pixel cap
 # and only >=3x-expansion layouts above ~44 MP are rejected here.
+#
+# The 1 GB worst case is a deliberate envelope choice (it admits every
+# photographic layout at the pixel limit), but with several decode
+# tasks per executor the AGGREGATE hostile-header exposure is several
+# GB — so the cap is CONFIGURABLE: hardened deployments that don't need
+# >=22 MP 4:4:4 frames set QSS_JPEG_MAX_COEF_ELEMENTS=67108864 (2^26,
+# 512 MB worst case) via spark.executorEnv / the driver environment.
 MAX_COEF_ELEMENTS = 1 << 27
+
+
+def _coef_element_cap() -> int:
+    """The effective coefficient-grid allocation cap: the
+    ``QSS_JPEG_MAX_COEF_ELEMENTS`` environment variable when set (read
+    per decode so executors honor ``spark.executorEnv`` settings),
+    else :data:`MAX_COEF_ELEMENTS`."""
+    raw = os.environ.get("QSS_JPEG_MAX_COEF_ELEMENTS")
+    return int(raw) if raw else MAX_COEF_ELEMENTS
 
 
 def decode_jpeg_pixels(data: bytes) -> dict:
@@ -959,10 +976,11 @@ def _decode_jpeg_pixels(data: bytes) -> dict:
             coef_elements = sum(
                 mcus_y * fv * mcus_x * fh * 64 for _, fh, fv, _ in comps
             )
-            if coef_elements > MAX_COEF_ELEMENTS:
+            coef_cap = _coef_element_cap()
+            if coef_elements > coef_cap:
                 raise ValueError(
                     f"coefficient grid of {coef_elements} elements exceeds "
-                    f"the allocation bound ({MAX_COEF_ELEMENTS})"
+                    f"the allocation bound ({coef_cap})"
                 )
             for cid, fh, fv, tq in comps:
                 arrays[cid] = np.zeros(

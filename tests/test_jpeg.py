@@ -389,3 +389,31 @@ def test_max_size_420_frame_passes_the_allocation_gate():
     with pytest.raises(ValueError) as exc:
         decode_jpeg_pixels(data)
     assert "allocation bound" not in str(exc.value)
+
+
+def test_allocation_cap_is_session_configurable(monkeypatch):
+    """ADVICE r9: the 2^27 default admits a 1 GB worst-case transient
+    per hostile header; hardened deployments lower the cap per session
+    via QSS_JPEG_MAX_COEF_ELEMENTS without forfeiting it for everyone.
+    At 2^26 the same max-size 4:2:0 frame that passes the default gate
+    (1.5*2^26 elements) must now be rejected at the gate."""
+    import struct
+
+    from quick_stream_spark.functions.jpeg import decode_jpeg_pixels
+
+    sof = struct.pack(">BHHB", 8, 8192, 8192, 3) + b"".join(
+        struct.pack(">BBB", cid, hv, 0)
+        for cid, hv in ((1, (2 << 4) | 2), (2, (1 << 4) | 1), (3, (1 << 4) | 1))
+    )
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+    monkeypatch.setenv("QSS_JPEG_MAX_COEF_ELEMENTS", str(1 << 26))
+    with pytest.raises(ValueError, match="allocation bound"):
+        decode_jpeg_pixels(data)
+    monkeypatch.delenv("QSS_JPEG_MAX_COEF_ELEMENTS")
+    with pytest.raises(ValueError) as exc:  # default cap: passes the gate
+        decode_jpeg_pixels(data)
+    assert "allocation bound" not in str(exc.value)
