@@ -63,17 +63,37 @@ def zone_value(v):
     numbers as-is, booleans as 0/1, strings as-is (UTF-8 byte order ==
     code-point order == Python str order), datetimes/dates as ISO
     strings (fixed-width prefix, optional fractional tail — still
-    lexicographically chronological), NULL as None."""
+    lexicographically chronological), NULL as None.
+
+    Two value classes encode as None ("bound unknown" — the file can
+    never be skipped on them, and metadata aggregates fall back to a
+    scan) because a scalar encoding would order WRONGLY:
+
+    - tz-AWARE datetimes are first normalized to UTC and stripped
+      (``isoformat`` would append an offset suffix that breaks the
+      lexicographic-chronological property against naive bounds);
+      persisted timestamp bounds are canonically UTC-naive (ADVICE r9,
+      the Delta UTC-normalized-file-stats convention) — see
+      ``merge.compute_commit_meta`` / ``KeyedTable._encode_bound`` for
+      the session-local-to-UTC writer/reader halves;
+    - non-finite floats (NaN/Infinity): Python ``min``/``max`` over
+      NaN is order-dependent, Spark orders NaN GREATEST, and strict
+      JSON has no token for them — conservative None instead."""
     import datetime as _dt
+    import math
 
     if v is None:
         return None
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep="T")
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
     if isinstance(v, (int, float, str)):
         return v
     raise TypeError(
@@ -212,6 +232,15 @@ class ManifestLog:
         raw = json.loads(data.decode("utf-8"))
         if "zones" not in raw:
             return None
+        if raw.get("zone_tz") != "UTC":
+            # format bump (ADVICE r9): zone bounds written before UTC
+            # normalization are session-local-naive — trusting them
+            # under writer/reader timezone drift can prune files whose
+            # rows DO satisfy the predicate (a wrong, missing-row
+            # answer).  Treat them as absent: readers scan instead of
+            # wrongly skipping; the next full rewrite (compaction)
+            # re-establishes normalized coverage.
+            return None
         return {
             path: {c: list(mm) for c, mm in cols.items()}
             for path, cols in raw["zones"].items()
@@ -249,6 +278,11 @@ class ManifestLog:
                 path: {c: list(mm) for c, mm in sorted(cols.items())}
                 for path, cols in sorted(zones.items())
             }
+            # canonical-timezone marker: every zones producer in this
+            # engine normalizes timestamp bounds to UTC-naive before
+            # publish; readers refuse unmarked (pre-normalization)
+            # zones rather than risk tz-drift mis-pruning
+            doc["zone_tz"] = "UTC"
         body = json.dumps(doc).encode("utf-8")
         tmp_name = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
         tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)

@@ -118,6 +118,16 @@ def compute_commit_meta(
                 f"zone-map column {f.name!r} has unsupported type "
                 f"{f.dataType.simpleString()}; supported: {ZONE_MAP_TYPES}"
             )
+    # session-tz timestamps collect as NAIVE datetimes in the PYTHON
+    # PROCESS'S local timezone (pyspark converts via libc, NOT via
+    # spark.sql.session.timeZone) — persist them UTC-normalized so a
+    # reader in a different timezone compares apples to apples
+    # (ADVICE r9; timestamp_ntz is a true wall clock and stays naive)
+    ts_cols = {
+        f.name
+        for f in schema.fields
+        if f.name in zcols and f.dataType.simpleString() == "timestamp"
+    }
     if not with_stats and not zcols:
         return None, {}
     aggs = [F.count(F.lit(1)).alias("__qss_rows")]
@@ -154,14 +164,20 @@ def compute_commit_meta(
                 prev[1] + int(r["__qss_active"]),
             ]
         if zcols:
+            import datetime as _dt
             from urllib.parse import unquote, urlparse
+
+            def _enc(c, v):
+                if c in ts_cols and v is not None and v.tzinfo is None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return zone_value(v)
 
             fpath = unquote(urlparse(r["__qss_file"]).path)
             rel = os.path.relpath(fpath, base) if base else fpath
             zones[rel] = {
                 c: [
-                    zone_value(r[f"__qss_zmin_{i}"]),
-                    zone_value(r[f"__qss_zmax_{i}"]),
+                    _enc(c, r[f"__qss_zmin_{i}"]),
+                    _enc(c, r[f"__qss_zmax_{i}"]),
                 ]
                 for i, c in enumerate(zcols)
             }
@@ -694,6 +710,41 @@ class KeyedTable:
 
     # ------------------------------------------------- data skipping
 
+    def _encode_bound(self, col, v):
+        """Encode ONE query bound for comparison against committed zone
+        bounds.  Timestamp columns route through UTC: persisted bounds
+        are UTC-naive (``compute_commit_meta``), a tz-aware bound
+        converts exactly, and a naive bound is interpreted as PROCESS-
+        LOCAL time — the same assumption pyspark's ``F.lit``/``collect``
+        conversion makes, so the zone compare and the residual filter
+        always select the same instant (ADVICE r9: an offset-suffixed
+        ISO string compared lexicographically against naive bounds
+        could prune files whose rows satisfy the predicate).
+        ``timestamp_ntz`` is a wall clock: naive passes through, aware
+        input is a loud error instead of a silent wrong prune."""
+        import datetime as _dt
+
+        from quick_stream_spark.operators.commitlog import zone_value
+
+        if isinstance(v, _dt.datetime):
+            schema = self._read_schema_sidecar()
+            kind = (
+                schema[col].dataType.simpleString()
+                if schema is not None and col in schema.fieldNames()
+                else None
+            )
+            if kind == "timestamp_ntz":
+                if v.tzinfo is not None:
+                    raise ValueError(
+                        f"column {col!r} is timestamp_ntz (a wall clock "
+                        "with no timezone); a tz-aware bound has no "
+                        "defined comparison against it"
+                    )
+                return v.isoformat(sep="T")
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat(sep="T")
+        return zone_value(v)
+
     def _pruned_mapping(
         self, ranges: dict, version: int | None = None
     ) -> dict[int, list[str]] | None:
@@ -705,10 +756,7 @@ class KeyedTable:
         coverage lost) — callers must scan.  A file whose zone is
         missing a column, or whose bounds are NULL (all-NULL column
         there), is always kept — skipping is strictly conservative."""
-        from quick_stream_spark.operators.commitlog import (
-            zone_overlaps,
-            zone_value,
-        )
+        from quick_stream_spark.operators.commitlog import zone_overlaps
 
         log = self._snapshot_log()
         if log is None:
@@ -718,7 +766,7 @@ class KeyedTable:
             return None
         mapping = log.read(version)
         enc = {
-            c: (zone_value(lo), zone_value(hi))
+            c: (self._encode_bound(c, lo), self._encode_bound(c, hi))
             for c, (lo, hi) in ranges.items()
         }
         out = {}
@@ -847,21 +895,39 @@ class KeyedTable:
                 if not covered:
                     break
             if covered and bounds:
+                # non-finite float bounds encode as None (zone_value),
+                # so this min/max never sees NaN — a column containing
+                # NaN takes the scan fallback below, which returns
+                # Spark's NaN-greatest answer (ADVICE r9: Python
+                # min/max over NaN is order-dependent)
                 best = min(bounds) if fn == "min" else max(bounds)
                 field = next(
                     f
                     for f in self._read_schema_sidecar().fields
                     if f.name == col
                 )
-                if field.dataType.simpleString().startswith("timestamp"):
+                kind = field.dataType.simpleString()
+                if kind == "timestamp":
+                    # persisted bounds are UTC-naive; a scan would
+                    # return process-local naive (pyspark converts via
+                    # libc) — match it exactly
+                    import datetime as _dt
+
+                    return (
+                        _dt.datetime.fromisoformat(best)
+                        .replace(tzinfo=_dt.timezone.utc)
+                        .astimezone()
+                        .replace(tzinfo=None)
+                    )
+                if kind == "timestamp_ntz":
                     from datetime import datetime as _dt
 
                     return _dt.fromisoformat(best)
-                if field.dataType.simpleString() == "date":
+                if kind == "date":
                     from datetime import date as _d
 
                     return _d.fromisoformat(best)
-                if field.dataType.simpleString() == "boolean":
+                if kind == "boolean":
                     return bool(best)
                 return best
         # honest fallback: one aggregation scan
@@ -874,16 +940,19 @@ class KeyedTable:
         self, key_rows, bucket_ids, version: int | None
     ) -> dict[int, list[str]] | None:
         """Zone pruning for point lookups: restrict the snapshot to
-        ``bucket_ids``, then keep only files whose committed key
-        bounds contain SOME requested key (binary search over the
-        sorted encoded key list — sharp for key-clustered files,
-        conservative otherwise).  ``None`` when not applicable
-        (composite key, key not zone-mapped, no zones)."""
+        ``bucket_ids``, then keep only files whose committed bounds for
+        the LEADING key column contain SOME requested key's leading
+        component (binary search over the sorted encoded list — sharp
+        for key-clustered files, conservative otherwise).  Composite
+        keys prune on the ``keys[0]`` prefix: the remaining components
+        are resolved by the residual semi-join, so prefix pruning is
+        conservative-exact, and after a ``compact(k, sort_by=keys[0])``
+        a multi-key lookup reads ~1/k of its buckets just like the
+        single-key case.  ``None`` when not applicable (leading key not
+        zone-mapped, no zones)."""
         import bisect
 
-        from quick_stream_spark.operators.commitlog import zone_value
-
-        if len(self.keys) != 1 or self.keys[0] not in self.zone_map_cols:
+        if self.keys[0] not in self.zone_map_cols:
             return None
         log = self._snapshot_log()
         if log is None:
@@ -893,9 +962,11 @@ class KeyedTable:
             return None
         keycol = self.keys[0]
         try:
-            enc = sorted(zone_value(r[0]) for r in key_rows)
+            enc = sorted(self._encode_bound(keycol, r[0]) for r in key_rows)
         except TypeError:
             return None  # un-encodable / mixed-type keys: no zone help
+        if any(e is None for e in enc):
+            return None  # NULL/non-finite key component: no zone help
 
         def hits(zone):
             if zone is None or zone[0] is None or zone[1] is None:
@@ -1078,7 +1149,11 @@ class KeyedTable:
         import json as _json
 
         body = _json.dumps(
-            {"keys": list(self.keys), "num_buckets": int(self.num_buckets)}
+            {
+                "keys": list(self.keys),
+                "num_buckets": int(self.num_buckets),
+                "zone_map_cols": list(self.zone_map_cols),
+            }
         ).encode("utf-8")
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.path))
@@ -1104,6 +1179,33 @@ class KeyedTable:
                 "corrupts the table — reopen with the recorded properties, "
                 "or resize explicitly with rebucket()"
             )
+        # zone_map_cols is PERSISTED and adopted-or-validated on open
+        # (ADVICE r9, mirroring the LogStructuredBucketStore contract):
+        # a second handle opened without it would otherwise publish its
+        # next commit with zones=None, silently dropping data-skipping
+        # coverage table-wide.
+        recorded = props.get("zone_map_cols")
+        if recorded is None:
+            # pre-r10 sidecar: refresh it at the next write
+            if self.zone_map_cols:
+                self._props_written = False
+        elif not self.zone_map_cols:
+            self.zone_map_cols = tuple(recorded)  # adopt the table's
+        elif tuple(recorded) != self.zone_map_cols:
+            if recorded:
+                raise ValueError(
+                    f"KeyedTable at {self.path} tracks zone-map columns "
+                    f"{tuple(recorded)!r} but was opened with "
+                    f"{self.zone_map_cols!r}; differently-keyed zone "
+                    "publishes would silently drop data-skipping "
+                    "coverage — reopen without zone_map_cols to adopt "
+                    "the recorded ones"
+                )
+            # recorded empty, constructed non-empty: ENABLING zones on
+            # an existing table is safe (the coverage invariant
+            # publishes no zones until a full rewrite covers every
+            # file) — record the new setting at the next write
+            self._props_written = False
 
     def rebucket(self, new_num_buckets: int) -> None:
         """Change the table's bucket count — the sanctioned resize for a
