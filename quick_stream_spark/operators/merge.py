@@ -1560,7 +1560,9 @@ class KeyedTable:
         return True
 
     def compact(
-        self, target_files_per_bucket: int = 1, sort_by: str | None = None
+        self,
+        target_files_per_bucket: int = 1,
+        sort_by: str | Sequence[str] | None = None,
     ) -> None:
         """Rewrite every bucket partition down to
         ``target_files_per_bucket`` files.  Merges skip the write-side
@@ -1571,18 +1573,30 @@ class KeyedTable:
         untouched; only layout changes.
 
         ``sort_by`` (manifest protocol + ``zone_map_cols`` synergy):
-        CLUSTER each bucket by the given column and cut it into
+        CLUSTER each bucket by the given column(s) and cut it into
         ``target_files_per_bucket`` equal-height RANGE slices, one file
-        per slice — the single-dimension OPTIMIZE ZORDER analog.  Each
-        file then covers a narrow ``sort_by`` range, so the per-file
-        zone maps let ``read_range`` skip WITHIN buckets: a range
-        predicate opens ~1/k of every bucket instead of all of it.
-        The per-bucket sort happens inside the bucket's shuffle
-        partition (the same a-bucket-fits-in-a-task posture the merge
-        already holds); the range cut uses the writer's
-        ``maxRecordsPerFile`` roll over the sorted stream, so each
-        bucket directory gets ~k files of contiguous sorted rows —
-        deterministic slicing, no reliance on hash placement."""
+        per slice — the OPTIMIZE ZORDER analog.  Each file then covers
+        a narrow leading-column range, so the per-file zone maps let
+        ``read_range`` skip WITHIN buckets: a range predicate opens
+        ~1/k of every bucket instead of all of it.  The per-bucket
+        sort happens inside the bucket's shuffle partition (the same
+        a-bucket-fits-in-a-task posture the merge already holds); the
+        range cut uses the writer's ``maxRecordsPerFile`` roll over
+        the sorted stream, so each bucket directory gets ~k files of
+        contiguous sorted rows — deterministic slicing, no reliance on
+        hash placement.
+
+        A TUPLE of columns clusters HIERARCHICALLY: files are sliced
+        on the leading column, and within equal leading values the
+        secondary column is contiguous, so a conjunctive
+        ``read_where({c1: ..., c2: ...})`` predicate skips on BOTH
+        bounds whenever the leading column is coarse-grained (many
+        rows per value — e.g. day-grain timestamps × user id; measured
+        in tests/test_zone_maps.py).  For two fine-grained ORTHOGONAL
+        dimensions, where a hierarchical sort leaves the secondary
+        bounds near-full-range, interleave rank bits instead —
+        ``plans/warehouse.py`` ``maintenance_zorder_stats`` is the
+        Morton-code recipe."""
         self._require_parquet_layout("compact")
         if not self.exists():
             return
@@ -1591,6 +1605,9 @@ class KeyedTable:
         if sort_by is not None:
             import math
 
+            sort_cols = (
+                [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            )
             k = max(int(target_files_per_bucket), 1)
             worst = (
                 current.groupBy(BUCKET_COL)
@@ -1603,7 +1620,7 @@ class KeyedTable:
             options = {"maxRecordsPerFile": str(max(math.ceil(worst / k), 1))}
             compacted = current.repartition(
                 F.col(BUCKET_COL)
-            ).sortWithinPartitions(BUCKET_COL, sort_by)
+            ).sortWithinPartitions(BUCKET_COL, *sort_cols)
         elif target_files_per_bucket == 1:
             compacted = current.repartition(F.col(BUCKET_COL))
         else:
@@ -1645,7 +1662,7 @@ class KeyedTable:
         self,
         max_files_per_bucket: int = 8,
         target_files_per_bucket: int = 1,
-        sort_by: str | None = None,
+        sort_by: str | Sequence[str] | None = None,
     ) -> bool:
         """Auto-compaction policy (the OPTIMIZE scheduler): compact only
         when some bucket's file count exceeds ``max_files_per_bucket``.

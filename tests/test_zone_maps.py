@@ -911,3 +911,58 @@ def test_property_composite_key_histories_prune_exactly(spark, tmp_path_factory)
             assert set(zones) == {p for fl in mapping.values() for p in fl}
 
     run()
+
+
+def test_hierarchical_clustering_improves_2dim_skipping(spark, tmp_table_dir):
+    """Verdict r9 ask #5: compact(sort_by=(c1, c2)) clusters
+    hierarchically, so a conjunctive read_where on (day-grain ts x
+    user id) skips on BOTH dimensions — measured before (single-column
+    clustering: the second range's skip rate is luck) and after.
+    Exactness holds on both layouts by the residual-filter contract."""
+    cschema = (
+        "pkey long, modified_date timestamp, arrival long, uid long"
+    )
+    rows = [
+        (i, datetime(2024, 1, 1 + (i % 4)), i, (i // 4) % 256)
+        for i in range(4096)
+    ]
+    day = datetime(2024, 1, 2)
+    ranges = {"modified_date": (day, day), "uid": (10, 40)}
+
+    def build(name, sort_by):
+        t = KeyedTable(
+            spark, os.path.join(tmp_table_dir, name), keys=("pkey",),
+            version_col="modified_date", arrival_col="arrival",
+            num_buckets=2, commit_protocol="manifest",
+            zone_map_cols=("modified_date", "uid"),
+        )
+        t.upsert(spark.createDataFrame(rows, cschema))
+        t.compact(target_files_per_bucket=16, sort_by=sort_by)
+        return t
+
+    one = build("one_dim", "modified_date")
+    two = build("two_dim", ("modified_date", "uid"))
+
+    s1 = one.skipping_stats(ranges)
+    s2 = two.skipping_stats(ranges)
+    print(
+        f"\n# 2-dim slice (1 day x 12% uid band): "
+        f"1-dim clustering scans {s1['files_scanned']}/{s1['files_total']}, "
+        f"hierarchical (ts,uid) scans {s2['files_scanned']}/{s2['files_total']}"
+    )
+    # the second dimension must now contribute real skipping
+    assert s2["files_total"] >= 16
+    assert s2["files_scanned"] < s1["files_scanned"]
+    assert s2["skipped_fraction"] > s1["skipped_fraction"]
+
+    # exactness on both layouts
+    for t in (one, two):
+        got = {tuple(r) for r in t.read_where(ranges).collect()}
+        want = {
+            tuple(r)
+            for r in t.read()
+            .filter(F.col("modified_date").between(day, day))
+            .filter(F.col("uid").between(10, 40))
+            .collect()
+        }
+        assert got == want and got
