@@ -600,9 +600,27 @@ class KeyedTable:
         file list is identical in both snapshots cannot contain a
         change, so only changed buckets are scanned (file-level
         pruning, no full-table read), then one full outer join on the
-        key columns classifies each key.  An incremental merge touches
-        few buckets per commit, so CDC cost follows the change volume,
-        not the table size."""
+        key columns classifies each key.  Merges rewrite whole touched
+        buckets, so a changed bucket's two file lists are disjoint and
+        the scan opens exactly the changed buckets' files in each
+        snapshot — O(delta) files, pinned by the files-opened
+        assertion in tests/test_zone_maps.py and reported without
+        scanning by :meth:`cdc_stats`.
+
+        **Consumer catch-up decision path** (version-based vs
+        value-based): use ``read_changes`` when you need row-level
+        change TYPES (insert/update/delete with pre/post images —
+        replication, audit, incremental view maintenance) and hold a
+        last-applied VERSION; it costs the changed buckets in BOTH
+        snapshots plus one key-join.  Use ``read_range(version_col,
+        lo=T)`` when you only need the CURRENT state of rows modified
+        since a TIMESTAMP (downstream re-processing, feature refresh);
+        it costs only the overlapping files of the LATEST snapshot,
+        with no join — cheaper, but deletes are invisible (a vanished
+        row never appears) and intermediate overwritten states are
+        skipped.  Rule of thumb: replicas hold versions and call
+        read_changes; analytical consumers hold watermarks and call
+        read_range."""
         log = self._snapshot_log()
         if log is None or (self._log is None and not self._store_time_travel()):
             raise ValueError(
@@ -661,6 +679,44 @@ class KeyedTable:
             "_change_type",
             F.lit(to_version).cast("int").alias("_commit_version"),
         )
+
+    def cdc_stats(self, from_version: int, to_version: int) -> dict:
+        """Planning diagnostic for :meth:`read_changes` — how much a
+        catch-up between two snapshots will open, from MANIFEST
+        METADATA only (no scan): ``{buckets_changed, buckets_total,
+        files_opened, files_total, opened_fraction}``.  ``files_*``
+        count BOTH snapshots' legs (the full-outer change join reads
+        each changed bucket in each version).  The version-based twin
+        of :meth:`skipping_stats`; a consumer deciding between
+        version-based and value-based catch-up (see
+        :meth:`read_changes`) compares this against
+        ``skipping_stats({version_col: (T, None)})``."""
+        log = self._snapshot_log()
+        if log is None:
+            raise ValueError(
+                "cdc_stats requires commit_protocol='manifest' or a "
+                "manifest-backed store"
+            )
+        map_from = log.read(from_version)
+        map_to = log.read(to_version)
+        changed = {
+            b
+            for b in set(map_from) | set(map_to)
+            if sorted(map_from.get(b, [])) != sorted(map_to.get(b, []))
+        }
+        total = sum(len(fl) for fl in map_from.values()) + sum(
+            len(fl) for fl in map_to.values()
+        )
+        opened = sum(len(map_from.get(b, [])) for b in changed) + sum(
+            len(map_to.get(b, [])) for b in changed
+        )
+        return {
+            "buckets_changed": len(changed),
+            "buckets_total": len(set(map_from) | set(map_to)),
+            "files_opened": opened,
+            "files_total": total,
+            "opened_fraction": round(opened / total, 6) if total else 0.0,
+        }
 
     def _snapshot_log(self):
         """The table's snapshot log: the inline manifest in manifest
