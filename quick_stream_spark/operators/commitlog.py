@@ -133,12 +133,56 @@ def _fs(spark: SparkSession, path: str):
 
 
 class ManifestLog:
-    """Versioned bucket->files manifests under ``<table>/_qss_manifest``."""
+    """Versioned bucket->files manifests under ``<table>/_qss_manifest``.
 
-    def __init__(self, spark: SparkSession, table_path: str) -> None:
+    **Segmented log (r10 scale envelope).**  A snapshot's metadata
+    (bucket->files mapping + per-bucket stats + per-file zone maps) is
+    O(files); rewriting all of it per commit and parsing all of it per
+    read is the one driver-side cost that grows with table size (the
+    r9 verdict's "manifest metadata scale plan").  The log is therefore
+    segmented the way Delta's is:
+
+    - a DECLARED commit publishes a **delta document** — just its
+      replaced bucket ids, its added files and their stats/zones —
+      O(commit), not O(table);
+    - every ``checkpoint_interval``-th version (and every undeclared
+      commit, e.g. ``restore``) publishes a **full document** (the
+      checkpoint), bounding reconstruction chains to
+      ``checkpoint_interval - 1`` deltas;
+    - readers reconstruct a snapshot by walking back to the nearest
+      full document and replaying deltas forward, with a small
+      per-instance cache of resolved snapshots (documents are
+      immutable once published, so caching by version is sound).
+
+    Before writing a delta the committer REPLAYS it against the base
+    snapshot and falls back to a full document on any disagreement
+    with the target state — the reader's apply function is the single
+    source of truth, so segmentation can never change what a snapshot
+    means.  Measured at 10^4 files (tests/test_manifest_scale.py):
+    per-commit manifest bytes drop from O(MB) to O(KB) and commit
+    latency stays flat with file count; the residual O(files) costs —
+    checkpoint writes (amortized 1/interval), cold reconstruction, and
+    the zone-pruning walk itself — are documented there with measured
+    numbers.  Beyond ~10^6 files the Delta answer is a PARQUET
+    checkpoint read distributedly; the JSON checkpoint here keeps the
+    same shape so that swap stays local to this class."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint_interval: int = 16,
+    ) -> None:
         self.spark = spark
         self.table_path = table_path
         self.dir = os.path.join(table_path, MANIFEST_DIR)
+        if int(checkpoint_interval) < 1:
+            raise ValueError("checkpoint_interval must be >= 1")
+        # 1 = every commit is a full document (the pre-r10 layout)
+        self.checkpoint_interval = int(checkpoint_interval)
+        # version -> resolved (mapping, stats, zones); bounded FIFO
+        self._snap_cache: dict[int, tuple] = {}
+        self._snap_cache_max = 4
 
     # ------------------------------------------------------------ read
 
@@ -160,13 +204,8 @@ class ManifestLog:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def read(self, version: int | None = None) -> dict[int, list[str]]:
-        """Bucket -> relative file paths of the given (default latest)
-        snapshot.  Empty dict when no snapshot exists."""
-        if version is None:
-            version = self.latest_version()
-            if version is None:
-                return {}
+    def _read_doc(self, version: int) -> dict:
+        """Parse one manifest document (full or delta) as written."""
         fs, _, jvm = _fs(self.spark, self.dir)
         p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
         if not fs.exists(p):
@@ -176,10 +215,130 @@ class ManifestLog:
             data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
         finally:
             stream.close()
-        raw = json.loads(data.decode("utf-8"))
-        return {int(b): list(files) for b, files in raw["buckets"].items()}
+        return json.loads(data.decode("utf-8"))
 
-    # ----------------------------------------------------------- write
+    @staticmethod
+    def _full_parts(raw: dict) -> tuple:
+        """(mapping, stats, zones) of a FULL document.  Zones written
+        before the UTC normalization format bump (no ``zone_tz``
+        marker, ADVICE r9) are NOT trusted: bounds meant in one session
+        timezone compared under another can prune files whose rows DO
+        satisfy the predicate — readers scan instead."""
+        mapping = {int(b): list(files) for b, files in raw["buckets"].items()}
+        stats = (
+            {int(b): list(s) for b, s in raw["stats"].items()}
+            if "stats" in raw
+            else None
+        )
+        if "zones" in raw and raw.get("zone_tz") == "UTC":
+            zones = {
+                path: {c: list(mm) for c, mm in cols.items()}
+                for path, cols in raw["zones"].items()
+            }
+        else:
+            zones = None
+        return mapping, stats, zones
+
+    @staticmethod
+    def _apply_delta(snapshot: tuple, raw: dict) -> tuple:
+        """Apply one DELTA document to a resolved snapshot — the single
+        apply function both the reader (reconstruction) and the writer
+        (pre-publish replay check) use.  Metadata keeps the COVERAGE
+        invariant: any surviving bucket/file without an entry means
+        publish-None (honest scan fallback), exactly as the eager
+        carry-forward computed it."""
+        mapping, stats, zones = snapshot
+        d = raw["delta"]
+        replaced = {int(b) for b in d.get("replaced", [])}
+        added = {int(b): list(fl) for b, fl in d.get("added", {}).items()}
+        new_map = {b: list(fl) for b, fl in mapping.items() if b not in replaced}
+        new_map.update(added)
+        touched = replaced | set(added)
+        if d.get("stats_lost"):
+            new_stats = None
+        else:
+            add_stats = {int(b): list(s) for b, s in d.get("stats", {}).items()}
+            cand = {
+                b: list(s)
+                for b, s in (stats or {}).items()
+                if b in new_map and b not in touched
+            }
+            cand.update({b: s for b, s in add_stats.items() if b in new_map})
+            new_stats = cand if set(cand) == set(new_map) else None
+        if d.get("zones_lost") or (
+            d.get("zones") and raw.get("zone_tz") != "UTC"
+        ):
+            new_zones = None
+        else:
+            add_zones = {
+                path: {c: list(mm) for c, mm in cols.items()}
+                for path, cols in d.get("zones", {}).items()
+            }
+            surviving = {p for fl in new_map.values() for p in fl}
+            cand_z = {}
+            covered = True
+            for p in surviving:
+                if p in add_zones:
+                    cand_z[p] = add_zones[p]
+                elif zones is not None and p in zones:
+                    cand_z[p] = {c: list(mm) for c, mm in zones[p].items()}
+                else:
+                    covered = False
+                    break
+            new_zones = cand_z if covered else None
+        return new_map, new_stats, new_zones
+
+    def _snapshot(self, version: int) -> tuple:
+        """Resolve ``(mapping, stats, zones)`` at ``version``: walk
+        back to the nearest FULL document (or a cached snapshot),
+        replay the deltas forward.  Chains are bounded by
+        ``checkpoint_interval``.  Returned tuples are cached and must
+        not be mutated — public readers hand out copies.
+
+        A cache hit still probes that the version's document EXISTS:
+        a vacuumed version must raise ``FileNotFoundError`` exactly as
+        an uncached read would (cached intermediate bases need no
+        probe — vacuum collapses the oldest kept version to a full
+        document, so a surviving document's whole chain survives)."""
+        if version in self._snap_cache:
+            fs, _, jvm = _fs(self.spark, self.dir)
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.dir, f"v{version}.json")
+            )
+            if not fs.exists(p):
+                self._snap_cache.pop(version, None)
+                raise FileNotFoundError(
+                    f"no manifest version {version} in {self.dir}"
+                )
+            return self._snap_cache[version]
+        chain = []
+        v = version
+        while v not in self._snap_cache:
+            raw = self._read_doc(v)
+            if "delta" not in raw:
+                snap = self._full_parts(raw)
+                break
+            chain.append(raw)
+            v -= 1
+        else:
+            snap = self._snap_cache[v]
+        for raw in reversed(chain):
+            snap = self._apply_delta(snap, raw)
+        if version not in self._snap_cache:
+            while len(self._snap_cache) >= self._snap_cache_max:
+                self._snap_cache.pop(next(iter(self._snap_cache)))
+            self._snap_cache[version] = snap
+        return snap
+
+    def read(self, version: int | None = None) -> dict[int, list[str]]:
+        """Bucket -> relative file paths of the given (default latest)
+        snapshot.  Empty dict when no snapshot exists."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                return {}
+        mapping, _, _ = self._snapshot(version)
+        return {b: list(fl) for b, fl in mapping.items()}
 
     def read_stats(self, version: int | None = None) -> dict[int, list[int]] | None:
         """Per-bucket ``[rows, active_rows]`` recorded at commit time
@@ -189,19 +348,10 @@ class ManifestLog:
             version = self.latest_version()
             if version is None:
                 return {}
-        fs, _, jvm = _fs(self.spark, self.dir)
-        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
-        if not fs.exists(p):
-            raise FileNotFoundError(f"no manifest version {version} in {self.dir}")
-        stream = fs.open(p)
-        try:
-            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        raw = json.loads(data.decode("utf-8"))
-        if "stats" not in raw:
+        _, stats, _ = self._snapshot(version)
+        if stats is None:
             return None
-        return {int(b): list(s) for b, s in raw["stats"].items()}
+        return {b: list(s) for b, s in stats.items()}
 
     def read_zones(
         self, version: int | None = None
@@ -209,42 +359,27 @@ class ManifestLog:
         """PER-FILE column zone maps recorded at commit time — the
         Delta add-file min/max stats analog, at the manifest's own
         grain: ``{relative_file_path: {col: [min, max]}}`` with values
-        JSON-encoded by :func:`zone_value` (timestamps as ISO strings,
-        numbers as-is, NULL-only columns as ``[None, None]``).  File
-        grain matters for long-lived tables: a bucket accumulates one
-        file per commit, so an incremental "since T" read skips the
-        OLD FILES inside a touched bucket too, not just untouched
-        buckets.  ``None`` for a manifest without zones — callers must
-        scan instead of skipping."""
+        JSON-encoded by :func:`zone_value` (timestamps as UTC-naive
+        ISO strings, numbers as-is, NULL-only columns as
+        ``[None, None]``).  File grain matters for long-lived tables:
+        a bucket accumulates one file per commit, so an incremental
+        "since T" read skips the OLD FILES inside a touched bucket
+        too, not just untouched buckets.  ``None`` for a manifest
+        without (trusted) zones — callers must scan instead of
+        skipping."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 return {}
-        fs, _, jvm = _fs(self.spark, self.dir)
-        p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{version}.json"))
-        if not fs.exists(p):
-            raise FileNotFoundError(f"no manifest version {version} in {self.dir}")
-        stream = fs.open(p)
-        try:
-            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        raw = json.loads(data.decode("utf-8"))
-        if "zones" not in raw:
-            return None
-        if raw.get("zone_tz") != "UTC":
-            # format bump (ADVICE r9): zone bounds written before UTC
-            # normalization are session-local-naive — trusting them
-            # under writer/reader timezone drift can prune files whose
-            # rows DO satisfy the predicate (a wrong, missing-row
-            # answer).  Treat them as absent: readers scan instead of
-            # wrongly skipping; the next full rewrite (compaction)
-            # re-establishes normalized coverage.
+        _, _, zones = self._snapshot(version)
+        if zones is None:
             return None
         return {
             path: {c: list(mm) for c, mm in cols.items()}
-            for path, cols in raw["zones"].items()
+            for path, cols in zones.items()
         }
+
+    # ----------------------------------------------------------- write
 
     def _try_publish(
         self,
@@ -252,11 +387,19 @@ class ManifestLog:
         stats: dict[int, list[int]] | None,
         version: int,
         zones: dict[int, dict[str, list]] | None = None,
+        delta: dict | None = None,
     ) -> bool:
         """Atomically publish one snapshot attempt at ``version``:
         write-temp + atomic put-if-absent, so the snapshot either fully
         exists or not at all, and a racing writer FAILS instead of
         clobbering (the commit arbiter, same role as Delta's log store).
+
+        ``delta``: publish a DELTA document carrying only this commit's
+        changes instead of the full snapshot (``mapping``/``stats``/
+        ``zones`` still describe the full target state for the caller's
+        bookkeeping; the written bytes are O(commit)).  Only
+        :meth:`commit` passes it, after replaying it against the base
+        snapshot and confirming it reproduces the target exactly.
 
         The put-if-absent primitive is scheme-dependent, exactly as in
         Delta's LogStore implementations: on a LOCAL filesystem the
@@ -270,7 +413,21 @@ class ManifestLog:
         as-is."""
         fs, _, jvm = _fs(self.spark, self.dir)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.dir))
-        doc = {"version": version, "buckets": {str(b): f for b, f in sorted(mapping.items())}}
+        if delta is not None:
+            doc = {"version": version, "delta": delta}
+            if delta.get("zones"):
+                doc["zone_tz"] = "UTC"
+            body = json.dumps(doc).encode("utf-8")
+        else:
+            body = self._full_doc_body(mapping, stats, zones, version)
+        return self._put_if_absent(body, version)
+
+    @staticmethod
+    def _full_doc_body(mapping, stats, zones, version: int) -> bytes:
+        doc = {
+            "version": version,
+            "buckets": {str(b): f for b, f in sorted(mapping.items())},
+        }
         if stats is not None:
             doc["stats"] = {str(b): list(s) for b, s in sorted(stats.items())}
         if zones is not None:
@@ -283,7 +440,87 @@ class ManifestLog:
             # publish; readers refuse unmarked (pre-normalization)
             # zones rather than risk tz-drift mis-pruning
             doc["zone_tz"] = "UTC"
-        body = json.dumps(doc).encode("utf-8")
+        return json.dumps(doc).encode("utf-8")
+
+    def _build_delta(self, mapping, stats, zones, touched: set) -> dict:
+        """Delta document for a declared commit: the touched bucket ids
+        plus the target entries, stats and zones of the ones that still
+        have files — O(commit) bytes."""
+        added = {b: mapping[b] for b in touched if b in mapping}
+        d = {
+            "replaced": sorted(int(b) for b in touched),
+            "added": {str(b): list(fl) for b, fl in sorted(added.items())},
+        }
+        if stats is None:
+            d["stats_lost"] = True
+        else:
+            d["stats"] = {
+                str(b): list(stats[b]) for b in sorted(added) if b in stats
+            }
+        if zones is None:
+            d["zones_lost"] = True
+        else:
+            zpaths = sorted(p for fl in added.values() for p in fl)
+            d["zones"] = {
+                p: {c: list(mm) for c, mm in sorted(zones[p].items())}
+                for p in zpaths
+                if p in zones
+            }
+        return d
+
+    @staticmethod
+    def _same_state(a: tuple, b: tuple) -> bool:
+        """Order-insensitive equality of two resolved snapshots — the
+        pre-publish replay check gating every delta write."""
+
+        def canon(snap):
+            m, s, z = snap
+            return (
+                {int(b): sorted(fl) for b, fl in m.items()},
+                None if s is None else {int(b): list(v) for b, v in s.items()},
+                None
+                if z is None
+                else {
+                    p: {c: list(mm) for c, mm in cols.items()}
+                    for p, cols in z.items()
+                },
+            )
+
+        return canon(a) == canon(b)
+
+    def _publish_attempt(
+        self, mapping, stats, zones, version, touched, base_version
+    ) -> bool:
+        """One publish attempt: a DELTA document when the commit is
+        declared, based on the immediately preceding version, off the
+        checkpoint cadence, AND the replayed delta reproduces the
+        target state exactly; a FULL document (checkpoint) otherwise.
+        The fallback is always safe — segmentation is a pure layout
+        choice."""
+        if (
+            touched is not None
+            and base_version is not None
+            and version == base_version + 1
+            and self.checkpoint_interval > 1
+            and version % self.checkpoint_interval != 0
+        ):
+            try:
+                base = self._snapshot(base_version)
+            except FileNotFoundError:
+                base = None
+            if base is not None:
+                delta = self._build_delta(mapping, stats, zones, set(touched))
+                applied = self._apply_delta(
+                    base, {"delta": delta, "zone_tz": "UTC"}
+                )
+                if self._same_state(applied, (mapping, stats, zones)):
+                    return self._try_publish(
+                        mapping, stats, version, zones=zones, delta=delta
+                    )
+        return self._try_publish(mapping, stats, version, zones=zones)
+
+    def _put_if_absent(self, body: bytes, version: int) -> bool:
+        fs, _, jvm = _fs(self.spark, self.dir)
         tmp_name = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
         tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)
         out = fs.create(tmp, True)
@@ -356,7 +593,9 @@ class ManifestLog:
             version = (base_version or 0) + 1
         else:
             version = (self.latest_version() or 0) + 1
-        if self._try_publish(mapping, stats, version, zones=zones):
+        if self._publish_attempt(
+            mapping, stats, zones, version, touched, base_version
+        ):
             return version
         if touched is None:
             raise ConcurrentCommitError(
@@ -422,8 +661,8 @@ class ManifestLog:
 
             merged_stats = _rebase_meta(stats, self.read_stats(cur_v))
             merged_zones = _rebase_zones(zones, self.read_zones(cur_v))
-            if self._try_publish(
-                merged_map, merged_stats, cur_v + 1, zones=merged_zones
+            if self._publish_attempt(
+                merged_map, merged_stats, merged_zones, cur_v + 1, touched, cur_v
             ):
                 return cur_v + 1
         raise ConcurrentCommitError(
@@ -489,6 +728,24 @@ class ManifestLog:
         for v in keep:
             for files in self.read(v).values():
                 referenced.update(files)
+        # Segmented log: the oldest KEPT version may be a delta whose
+        # reconstruction chain reaches into versions about to be
+        # deleted — collapse it into a full document first (identical
+        # snapshot content, now self-contained), so deleting older
+        # documents preserves the exact pre-segmentation contract:
+        # kept versions readable, older ones FileNotFoundError.  Safe
+        # because vacuum already requires no commit in flight.
+        if keep:
+            v0 = keep[0]
+            raw0 = self._read_doc(v0)
+            if "delta" in raw0:
+                m0, s0, z0 = self._snapshot(v0)
+                fs0, _, jvm0 = _fs(self.spark, self.dir)
+                final = jvm0.org.apache.hadoop.fs.Path(
+                    os.path.join(self.dir, f"v{v0}.json")
+                )
+                fs0.delete(final, False)
+                self._put_if_absent(self._full_doc_body(m0, s0, z0, v0), v0)
         fs, croot, jvm = _fs(self.spark, os.path.join(self.table_path, COMMITS_DIR))
         table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
         removed = 0

@@ -211,6 +211,7 @@ class KeyedTable:
         commit_protocol: str = "direct",
         store=None,
         zone_map_cols: Sequence[str] | None = None,
+        manifest_checkpoint_interval: int = 16,
     ) -> None:
         if commit_protocol not in ("direct", "manifest"):
             raise ValueError(
@@ -283,7 +284,12 @@ class KeyedTable:
         if commit_protocol == "manifest":
             from quick_stream_spark.operators.commitlog import ManifestLog
 
-            self._log = ManifestLog(spark, path)
+            # segmented log: commits publish O(commit) delta documents;
+            # every Nth version (and restore) is a full checkpoint —
+            # see ManifestLog.  1 = a full document per commit.
+            self._log = ManifestLog(
+                spark, path, checkpoint_interval=manifest_checkpoint_interval
+            )
         else:
             self._log = None
         # Single-writer caches: a KeyedTable instance assumes it is the
