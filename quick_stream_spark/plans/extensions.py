@@ -355,7 +355,7 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
     FROM lineitem
     """,
     tags=("pandas", "scalar-udf"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def pandas_scalar_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar Pandas UDF (Arrow-batched @pandas_udf) — the

@@ -79,6 +79,7 @@ _LATEST_PER_KEY_SQL = """
 
 @register(
     "r_dedup_latest_per_key",
+    pytest_only=True,  # r10 rotation out (driver-green r1-r9); still oracle-checked locally
     oracle=f"""
     SELECT 'window' AS impl, * FROM ({_LATEST_PER_KEY_SQL})
     UNION ALL
@@ -263,12 +264,108 @@ def r_point_lookup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.lookup(keys).select(*EVENT_COLS, "row_active")
 
 
+@register(
+    "r_lookup_composite_endstate",
+    # guarded (newer-wins) end state per COMPOSITE key, restricted to
+    # the looked-up key tuples
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND user_id % 25 = 0 AND event_type IN ('click', 'view')
+    """,
+    tags=("reference", "merge", "skipping"),
+)
+def r_lookup_composite_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key point reads with leading-key zone pruning (r10):
+    the table is keyed on (user_id, event_type) — the reference's
+    single-i64-pkey model generalized — clustered on the leading key
+    (``compact(sort_by=keys[0])``), and a bounded tuple set is looked
+    up.  Hash pruning opens only the tuples' buckets; inside them the
+    per-file user_id bounds skip the other key ranges' slices (prefix
+    pruning; the residual semi-join resolves event_type) — the
+    multi-key twin of ``r_point_lookup_endstate``.  The oracle
+    restates the newer-wins end state per composite key restricted to
+    the same tuples."""
+    ev = _events(spark, sf_dir)
+    target = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/t",
+        keys=("user_id", "event_type"),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=8,
+        commit_protocol="manifest",
+        zone_map_cols=("user_id",),
+    )
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+        target.compact(target_files_per_bucket=4, sort_by="user_id")
+    keys = sorted(
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type")
+        .filter(
+            (F.col("user_id") % 25 == 0)
+            & F.col("event_type").isin("click", "view")
+        )
+        .distinct()
+        .collect()
+    )
+    return target.lookup(keys).select(*EVENT_COLS, "row_active")
+
+
+@register(
+    "r_read_where_clustered",
+    # guarded end state, conjunctively sliced: last 30 days AND a
+    # user-id band; the ts cut comes from the data in both engines
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+      AND ts >= (SELECT max(ts) - INTERVAL '30 days' FROM events)
+      AND user_id BETWEEN 3 AND 9
+    """,
+    tags=("reference", "merge", "skipping"),
+)
+def r_read_where_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive 2-dim zone-pruned consumption (r10): the merged
+    table is HIERARCHICALLY clustered — ``compact(sort_by=(ts,
+    user_id))`` cuts each bucket into ts-range slices with user_id
+    contiguous inside equal-ts runs — then ``read_where`` slices on
+    BOTH dimensions ("rows modified in the last 30 days for this user
+    band"), opening only files whose committed bounds overlap both
+    ranges (2-dim skip rate measured in tests/test_zone_maps.py).
+    The residual filters keep the result exactly equal to
+    ``read().filter(...)`` on any layout — mis-tuned clustering can
+    only cost speed, never correctness."""
+    ev = _events(spark, sf_dir)
+    target = _table(
+        spark, commit_protocol="manifest", zone_map_cols=("ts", "user_id")
+    )
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+        target.compact(target_files_per_bucket=4, sort_by=("ts", "user_id"))
+    cut = ev.agg(F.expr("max(ts) - INTERVAL 30 DAYS").alias("c")).collect()[0].c
+    return target.read_where(
+        {"ts": (cut, None), "user_id": (3, 9)}
+    ).select(*EVENT_COLS, "row_active")
+
+
 # --------------------------------------------------------------------------
 # O6 — soft / hard delete end state
 
 
 @register(
     "r_delete_endstate",
+    pytest_only=True,  # r10 rotation out (driver-green r2-r9); still oracle-checked locally
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -335,6 +432,7 @@ def _build_router(spark: SparkSession, ev: DataFrame) -> MultiTableRouter:
 
 @register(
     "r_multi_table_endstate",
+    pytest_only=True,  # r10 rotation out (driver-green r2-r9); still oracle-checked locally
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -525,6 +623,7 @@ _WIDE_SELECT_SQL = ",\n".join(f"{sql} AS {name}" for name, sql in _WIDE_COLS)
 
 @register(
     "r_wide_row_endstate",
+    pytest_only=True,  # r10 rotation out (driver-green r4-r9); still oracle-checked locally
     oracle=f"""
     SELECT {_WIDE_SELECT_SQL},
            CASE WHEN event_id % 2 = 1 THEN 'cdc-replay' END AS ftpc_sync_source,
@@ -618,6 +717,7 @@ def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_stream_upsert_endstate",
+    pytest_only=True,  # r10 rotation out (driver-green r1-r9); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
     FROM (
@@ -677,6 +777,7 @@ _CDC_S2_SQL = """
 
 @register(
     "r_cdc_changes",
+    pytest_only=True,  # r10 rotation out (driver-green r6-r9); still oracle-checked locally
     oracle=f"""
     WITH s1 AS ({_CDC_S1_SQL}), s2 AS ({_CDC_S2_SQL})
     SELECT s2.event_id, s2.ts, s2.user_id, s2.event_type, s2.value, s2.props,
@@ -719,6 +820,7 @@ def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_cdc_replication",
+    pytest_only=True,  # r10 rotation out (driver-green r3-r9); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props,
            user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
@@ -764,6 +866,7 @@ def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_cdc_matview",
+    pytest_only=True,  # r10 rotation out (driver-green r6-r9); still oracle-checked locally
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -815,6 +918,7 @@ def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_cdc_stream_feed",
+    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=f"""
     WITH s1 AS ({_CDC_S1_SQL}), s2 AS ({_CDC_S2_SQL})
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active,

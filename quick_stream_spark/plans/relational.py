@@ -636,6 +636,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 @register(
     "pivot_unpivot_roundtrip",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY user_id, event_type
@@ -1173,7 +1174,7 @@ def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
     tags=("join", "hints"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-strategy control: the same join executed under a MERGE
@@ -1223,7 +1224,7 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e WHERE nt IS NOT NULL GROUP BY user_id
     """,
     tags=("window", "timeseries", "analytics"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per user (the TWAP shape used for
@@ -1288,7 +1289,7 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.*, t.top1_key, t.top1_freq FROM summary s, top t
     """,
     tags=("diagnostics", "skew", "agg"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def diagnose_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis — the pre-flight a 100 TB join deserves:
@@ -1366,7 +1367,7 @@ def _corr_oracle() -> str:
     "stats_lineitem_correlations",
     oracle=None,  # set below (generated pairwise arms)
     tags=("agg", "statistics", "ml"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def stats_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over the fact table's numeric columns

@@ -601,6 +601,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_funnel_conversion",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH stages AS (
       SELECT user_id,
@@ -680,7 +681,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON spine.event_type = hourly.event_type AND spine.h = hourly.h
     """,
     tags=("analytics", "timeseries"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with gap filling: events aggregate to an
@@ -778,7 +779,7 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (w_cnt - 1) > 0
     """,
     tags=("analytics", "timeseries", "anomaly"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling anomaly score: each hour's event count against the
@@ -864,7 +865,7 @@ _MIX_FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     FROM rated
     """,
     tags=("sampling", "pipeline", "mixture"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted domain mixing — the training-mix step that samples each
@@ -1008,7 +1009,7 @@ _TIER_RATES = {"high": 100, "mid": 50, "low": 10}
     FROM tiered
     """,
     tags=("sampling", "quality", "curation"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def sample_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified corpus curation: documents tier into
@@ -1069,6 +1070,7 @@ _DSIR_BUCKETS = (
 
 @register(
     "sample_importance_dsir",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH db AS (
       SELECT doc_id, lang, unnest({_DSIR_BUCKETS}) AS b FROM documents
@@ -1242,7 +1244,7 @@ _PSI_SPLIT_H = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT %
     FROM terms
     """,
     tags=("monitoring", "drift", "sampling"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def monitor_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift check between the train split
@@ -1417,7 +1419,7 @@ EWMA_LAGS = 16  # truncated horizon; weight of lag k is 2^(15-k)
     FROM acc
     """,
     tags=("analytics", "timeseries", "smoothing"),
-    pytest_only=True,  # driver window is full after the r03 rotation
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted smoothing per series — the classic

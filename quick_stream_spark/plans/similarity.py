@@ -413,6 +413,7 @@ def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list
 
 @register(
     "emb_ivf_ann_topk",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
     {_CENTROIDS_CTE},
@@ -515,7 +516,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, {_sig_sql('v')} AS sig FROM e
     """,
     tags=("similarity", "lsh"),
-    pytest_only=True,  # the bucketing demo; emb_lsh_ann_topk bands a
+    # r10: rotated INTO the driver window (first-time driver check)
     # wider (24-plane) signature for retrieval
 )
 def emb_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,7 +1311,7 @@ _AUG_Q = "list_concat(q.v, [0.0])"
     ) WHERE rank <= {TOP_K}
     """,
     tags=("similarity", "mips"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-inner-product search (the recommendation-scoring flavor
@@ -1412,7 +1413,7 @@ def _semdedup_oracle() -> str:
     "dedup_semantic_kmeans",
     oracle=None,  # set below: unrolled-k-means CTEs + within-cell verdicts
     tags=("similarity", "dedup", "ml", "iterative"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -1740,7 +1741,7 @@ _SIMREG["emb_matryoshka_eval"].oracle = " ".join(_mrl_oracle().split())
     # 'arrow': inherits the fast-signature Arrow seam via its call into
     # dedup_embedding_cosine's registered plan.
     tags=("similarity", "dedup", "evaluation", "arrow"),
-    pytest_only=True,  # driver window is full after the r03 rotation
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def dedup_embedding_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the LSH-blocked embedding near-dup detector

@@ -158,6 +158,7 @@ def _exact_q_case_sql(q_expr: str) -> str:
 
 @register(
     "agg_histogram_quantiles",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH hist AS (
       SELECT least(CAST(floor(o_totalprice / {_W}) AS BIGINT), {HIST_BINS - 1}) AS b,
@@ -299,7 +300,7 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sums
     """,
     tags=("sketch", "moments", "agg"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def agg_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution moments (mean / population variance / skewness) per

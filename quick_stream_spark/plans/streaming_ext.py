@@ -166,6 +166,7 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_data_watermark",
+    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     # Deterministic oracle: availableNow drains the two delivery files
     # in written order (file source sorts by mtime; batch-00000 is
     # written first), so the final append output is a pure function of
@@ -276,6 +277,7 @@ def _uncapped_lsh_pairs_sql() -> str:
 
 @register(
     "stream_dedup_minhash_incremental",
+    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=None,  # set below (generated from the minhash twins)
     tags=("streaming", "dedup", "lsh"),
 )
@@ -966,6 +968,7 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "stream_emb_ann_topk",
+    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=None,  # set below: identical contract to the batch banded LSH
     tags=("streaming", "similarity", "lsh", "ann"),
 )
@@ -1026,6 +1029,7 @@ _wire_ann_stream_oracles()
 
 @register(
     "stream_session_windows",
+    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts,
@@ -1091,6 +1095,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_quality_filter",
+    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=None,  # set below from the classifier's shared CTE stack
     tags=("streaming", "text", "ml", "classifier"),
 )

@@ -413,6 +413,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=None,  # set below — generated SQL needs the vote expressions
     tags=("text", "dedup"),
 )
@@ -1040,6 +1041,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_jpeg_progressive",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id, 5 + doc_id % 21 AS w, 5 + doc_id % 17 AS h
@@ -1124,6 +1126,7 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_mp4_mjpeg_frames",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1218,6 +1221,7 @@ def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_mp4_av_demux",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1316,6 +1320,7 @@ def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_png_layout_matrix",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1433,6 +1438,7 @@ def mm_png_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_pcm_depths",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -2201,7 +2207,7 @@ def _pct_predict(cp: list[int], cn: list[int]):
     "text_quality_classifier_train",
     oracle=None,  # set below (generated)
     tags=("text", "ml", "classifier"),
-    pytest_only=True,  # driver window is full after the r03 rotation
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def text_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a document quality classifier IN THE ENGINE — the
@@ -2728,7 +2734,7 @@ def _deduped_corpus_oracle() -> str:
     "pipeline_deduped_corpus",
     oracle=None,  # set below (composes the CC oracle)
     tags=("text", "dedup", "pipeline"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def pipeline_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The user-facing output of the dedup pipeline: the corpus with
@@ -2786,7 +2792,7 @@ def _cooc_pairs_sql(k: int) -> str:
     LIMIT {COOC_TOPK}
     """,
     tags=("text", "statistics"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus co-occurrence statistics: the {COOC_TOPK} most frequent
@@ -2852,7 +2858,7 @@ def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts GROUP BY doc_id
     """,
     tags=("text", "quality", "diversity"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity quality signals per document: type-token
@@ -3032,7 +3038,7 @@ _DECON_SPLIT_SQL = "(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT %
     WHERE coalesce(s.n_shared, 0) * 1.0 / t.n_grams >= {CONTAIN_THRESHOLD}
     """,
     tags=("text", "dedup", "decontamination", "pipeline"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def pipeline_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram test-set decontamination over the duplicated corpus
@@ -3085,7 +3091,7 @@ def pipeline_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     "dedup_lsh_quality_eval",
     oracle=None,  # set below: composes the minhash + exact-jaccard oracles
     tags=("text", "dedup", "evaluation"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine measuring its own approximation: precision/recall of
@@ -3160,7 +3166,7 @@ _REG2["dedup_lsh_quality_eval"].oracle = " ".join(_lsh_eval_oracle().split())
     "sample_cluster_safe_split",
     oracle=None,  # set below: composes the CC oracle with the hash split
     tags=("sampling", "dedup", "leakage"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test splitting: the split hash is taken over
@@ -3467,7 +3473,7 @@ _REG4["text_bpe_tokenize"].oracle = " ".join(_bpe_tokenize_oracle().split())
     "pipeline_curation_report",
     oracle=None,  # set below: composed from the member queries' oracles
     tags=("pipeline", "curation", "composition"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation DAG's verdicts joined per ORIGINAL document —

@@ -740,6 +740,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_sales_opportunity",
+    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle="""
     WITH avg_bal AS (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

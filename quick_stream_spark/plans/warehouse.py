@@ -587,7 +587,7 @@ _WREG["graph_triangles_dupgraph"].oracle = " ".join(_triangles_oracle().split())
     FROM per_cust p, cuts c
     """,
     tags=("warehouse", "rfm", "segmentation"),
-    pytest_only=True,  # driver window is full; oracle-checked locally
+    # r10: rotated INTO the driver window (first-time driver check)
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — recency (days since last order,
@@ -955,6 +955,7 @@ def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_fuzzy_part_names",
+    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH {_FUZZY_CORPUS_CTES.format(off=FUZZY_OFFSET)}
     SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
