@@ -330,6 +330,21 @@ class ManifestLog:
             self._snap_cache[version] = snap
         return snap
 
+    def snapshot_view(self, version: int | None = None) -> tuple:
+        """The resolved ``(mapping, stats, zones)`` at ``version`` —
+        the CACHED objects, zero-copy: STRICTLY READ-ONLY for callers.
+        The zone-pruning and metadata-aggregate paths iterate every
+        file's entry per call; at 10^5+ files the defensive copies the
+        public readers make would dominate their wall time (the
+        "agg_fast is O(total files) on the driver" finding), so those
+        paths take the view instead.  Empty tuples when no snapshot
+        exists."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                return {}, {}, {}
+        return self._snapshot(version)
+
     def read(self, version: int | None = None) -> dict[int, list[str]]:
         """Bucket -> relative file paths of the given (default latest)
         snapshot.  Empty dict when no snapshot exists."""

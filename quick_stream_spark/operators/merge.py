@@ -823,10 +823,11 @@ class KeyedTable:
         log = self._snapshot_log()
         if log is None:
             return None
-        zones = log.read_zones(version)
+        # zero-copy view: this walk touches every file's bounds, so the
+        # defensive copy read_zones() makes would dominate at scale
+        mapping, _, zones = log.snapshot_view(version)
         if zones is None:
             return None
-        mapping = log.read(version)
         enc = {
             c: (self._encode_bound(c, lo), self._encode_bound(c, hi))
             for c, (lo, hi) in ranges.items()
@@ -939,10 +940,14 @@ class KeyedTable:
         if fn not in ("min", "max"):
             raise ValueError(f"agg_fast supports 'min'/'max', got {fn!r}")
         log = self._snapshot_log()
-        zones = log.read_zones(version) if log is not None else None
+        # zero-copy view (this sweep touches every file's bounds — the
+        # r9 "agg_fast is O(total files) on the driver" hotspot; the
+        # walk itself is inherent, the per-call copies are not)
+        mapping, _, zones = (
+            log.snapshot_view(version) if log is not None else ({}, {}, None)
+        )
         idx = 0 if fn == "min" else 1
         if zones is not None:
-            mapping = log.read(version)
             bounds = []
             covered = True
             for files in mapping.values():
@@ -1019,7 +1024,7 @@ class KeyedTable:
         log = self._snapshot_log()
         if log is None:
             return None
-        zones = log.read_zones(version)
+        mapping, _, zones = log.snapshot_view(version)  # read-only view
         if zones is None:
             return None
         keycol = self.keys[0]
@@ -1036,7 +1041,6 @@ class KeyedTable:
             i = bisect.bisect_left(enc, zone[0])
             return i < len(enc) and enc[i] <= zone[1]
 
-        mapping = log.read(version)
         out = {}
         for b in bucket_ids:
             kept = [
@@ -1064,7 +1068,7 @@ class KeyedTable:
                 "skipping_stats requires commit_protocol='manifest' or "
                 "a manifest-backed store"
             )
-        mapping = log.read(version)
+        mapping, _, _ = log.snapshot_view(version)  # read-only view
         total = sum(len(fl) for fl in mapping.values())
         pm = self._pruned_mapping(ranges, version=version)
         if pm is None:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
@@ -227,7 +228,7 @@ class UpsertQuickStream(_StreamBase):
         auto_compact_every: int | None = None,
         auto_compact_max_files: int = 8,
         auto_rebucket_target_bytes: int | None = None,
-        auto_compact_sort_by: str | None = None,
+        auto_compact_sort_by: str | Sequence[str] | None = None,
         auto_compact_target_files: int = 1,
     ) -> None:
         super().__init__(config)
