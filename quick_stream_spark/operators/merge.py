@@ -1625,10 +1625,65 @@ class KeyedTable:
         self.rebucket(n)
         return True
 
+    def _zorder_expr(self, df: DataFrame, cols: Sequence[str], bits: int = 4):
+        """Row-local Morton code over RANGE-RANK buckets of ``cols`` —
+        the layout key for ``compact(method='zorder')`` (the Delta
+        OPTIMIZE ZORDER BY analog; the rank-vs-raw-bits rationale is
+        measured in plans/warehouse.py ``maintenance_zorder_stats``:
+        raw-value interleaving degrades to a one-column sort whenever
+        effective bit widths differ).  Rank-bucket boundaries come from
+        ``approxQuantile`` (one bounded action: ``2^bits - 1`` doubles
+        per column cross the driver); the code itself is a whole-stage-
+        codegen bit expression — no UDF, no extra shuffle.  Rank
+        APPROXIMATION cannot affect correctness: zone bounds are always
+        the files' true min/max and the residual filter still applies —
+        a bad rank only costs skipping sharpness."""
+        dtypes = dict(df.dtypes)
+        supported = ("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "timestamp", "timestamp_ntz", "date",
+                     "boolean")
+
+        def num(c):
+            t = dtypes[c]
+            if t not in supported:
+                raise ValueError(
+                    f"zorder column {c!r} has type {t}; rank bucketing "
+                    f"needs an orderable numeric/temporal type {supported}"
+                )
+            col = F.col(c)
+            if t == "date":
+                col = col.cast("timestamp")
+            return col.cast("double")
+
+        n = len(cols)
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        ranks = []
+        stats_df = df.select(*[num(c).alias(f"__qss_n{i}") for i, c in enumerate(cols)])
+        for i, c in enumerate(cols):
+            cuts = sorted(set(stats_df.approxQuantile(f"__qss_n{i}", probs, 0.01)))
+            if not cuts:
+                ranks.append(F.lit(0))
+                continue
+            rank = F.when(num(c) <= F.lit(cuts[0]), 0)
+            for j in range(1, len(cuts)):
+                rank = rank.when(num(c) <= F.lit(cuts[j]), j)
+            ranks.append(rank.otherwise(len(cuts)))  # NULL/NaN: top bucket
+        z = F.lit(0)
+        for bit in range(bits):
+            for d, r in enumerate(ranks):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(r, bit).bitwiseAND(F.lit(1)),
+                        bit * n + (n - 1 - d),
+                    )
+                )
+        return z
+
     def compact(
         self,
         target_files_per_bucket: int = 1,
         sort_by: str | Sequence[str] | None = None,
+        method: str = "hierarchical",
     ) -> None:
         """Rewrite every bucket partition down to
         ``target_files_per_bucket`` files.  Merges skip the write-side
@@ -1652,18 +1707,24 @@ class KeyedTable:
         contiguous sorted rows — deterministic slicing, no reliance on
         hash placement.
 
-        A TUPLE of columns clusters HIERARCHICALLY: files are sliced
-        on the leading column, and within equal leading values the
-        secondary column is contiguous, so a conjunctive
+        A TUPLE of columns with ``method="hierarchical"`` (default)
+        clusters files on the leading column, with the secondary
+        contiguous inside equal leading values — a conjunctive
         ``read_where({c1: ..., c2: ...})`` predicate skips on BOTH
         bounds whenever the leading column is coarse-grained (many
         rows per value — e.g. day-grain timestamps × user id; measured
-        in tests/test_zone_maps.py).  For two fine-grained ORTHOGONAL
-        dimensions, where a hierarchical sort leaves the secondary
-        bounds near-full-range, interleave rank bits instead —
-        ``plans/warehouse.py`` ``maintenance_zorder_stats`` is the
-        Morton-code recipe."""
+        in tests/test_zone_maps.py).  ``method="zorder"`` interleaves
+        range-rank bits instead (the Delta OPTIMIZE ZORDER BY analog):
+        every file covers a narrow RECTANGLE, so single-column
+        predicates on EITHER dimension prune — the right layout for
+        fine-grained ORTHOGONAL dimensions, where a hierarchical sort
+        leaves the secondary bounds near-full-range (both layouts
+        measured side by side in tests/test_zone_maps.py)."""
         self._require_parquet_layout("compact")
+        if method not in ("hierarchical", "zorder"):
+            raise ValueError(
+                f"method must be 'hierarchical' or 'zorder', got {method!r}"
+            )
         if not self.exists():
             return
         current = self.read(with_bucket=True)
@@ -1684,9 +1745,18 @@ class KeyedTable:
             if not worst:
                 return
             options = {"maxRecordsPerFile": str(max(math.ceil(worst / k), 1))}
-            compacted = current.repartition(
-                F.col(BUCKET_COL)
-            ).sortWithinPartitions(BUCKET_COL, *sort_cols)
+            if method == "zorder" and len(sort_cols) >= 2:
+                z = self._zorder_expr(current, sort_cols)
+                compacted = (
+                    current.withColumn("__qss_z", z)
+                    .repartition(F.col(BUCKET_COL))
+                    .sortWithinPartitions(BUCKET_COL, "__qss_z")
+                    .drop("__qss_z")
+                )
+            else:
+                compacted = current.repartition(
+                    F.col(BUCKET_COL)
+                ).sortWithinPartitions(BUCKET_COL, *sort_cols)
         elif target_files_per_bucket == 1:
             compacted = current.repartition(F.col(BUCKET_COL))
         else:
@@ -1729,6 +1799,7 @@ class KeyedTable:
         max_files_per_bucket: int = 8,
         target_files_per_bucket: int = 1,
         sort_by: str | Sequence[str] | None = None,
+        method: str = "hierarchical",
     ) -> bool:
         """Auto-compaction policy (the OPTIMIZE scheduler): compact only
         when some bucket's file count exceeds ``max_files_per_bucket``.
@@ -1763,7 +1834,7 @@ class KeyedTable:
                 worst = max(worst, n)
         if worst <= max_files_per_bucket:
             return False
-        self.compact(target_files_per_bucket, sort_by=sort_by)
+        self.compact(target_files_per_bucket, sort_by=sort_by, method=method)
         return True
 
     def file_count(self) -> int:

@@ -1023,3 +1023,59 @@ def test_cdc_catchup_opens_only_delta_files(spark, tmp_table_dir):
     assert 0 < vstats["files_scanned"] <= 2
     got = {(r.pkey, r.payload) for r in t.read_range("modified_date", lo=cut).collect()}
     assert got == {(3, "u3")}
+
+
+def test_zorder_compaction_prunes_orthogonal_dimensions(spark, tmp_table_dir):
+    """compact(method='zorder') for fine-grained ORTHOGONAL dimensions
+    (r10, completing ask #5): a hierarchical (u1, u2) sort leaves every
+    file full-range on u2, so a u2-only band scans everything; Z-order
+    rank-bit interleaving makes every file a rectangle, so bands on
+    EITHER single dimension prune.  Measured side by side; exactness
+    holds on both layouts by the residual-filter contract."""
+    cschema = "pkey long, modified_date timestamp, arrival long, u1 long, u2 long"
+    # a perfect 64x64 orthogonal grid: u1 and u2 carry independent bits
+    rows = [
+        (i, datetime(2024, 1, 1), i, i % 64, (i // 64) % 64)
+        for i in range(4096)
+    ]
+    band = {"u2": (8, 15)}  # a 12.5% band on the SECONDARY dimension
+
+    def build(name, method):
+        t = KeyedTable(
+            spark, os.path.join(tmp_table_dir, name), keys=("pkey",),
+            version_col="modified_date", arrival_col="arrival",
+            num_buckets=2, commit_protocol="manifest",
+            zone_map_cols=("u1", "u2"),
+        )
+        t.upsert(spark.createDataFrame(rows, cschema))
+        t.compact(target_files_per_bucket=16, sort_by=("u1", "u2"),
+                  method=method)
+        return t
+
+    hier = build("hier", "hierarchical")
+    zord = build("zord", "zorder")
+
+    sh = hier.skipping_stats(band)
+    sz = zord.skipping_stats(band)
+    print(
+        f"\n# orthogonal u2-band: hierarchical scans "
+        f"{sh['files_scanned']}/{sh['files_total']}, zorder scans "
+        f"{sz['files_scanned']}/{sz['files_total']}"
+    )
+    assert sz["files_total"] >= 16
+    # the secondary dimension only prunes under zorder
+    assert sz["files_scanned"] < sh["files_scanned"]
+    assert sz["skipped_fraction"] >= 0.4
+    # the leading dimension still prunes under zorder too (rectangles)
+    s1 = zord.skipping_stats({"u1": (8, 15)})
+    assert s1["skipped_fraction"] >= 0.4
+
+    # exactness + content preservation on both layouts
+    for t in (hier, zord):
+        assert t.read().count() == 4096
+        got = {tuple(r) for r in t.read_where(band).collect()}
+        want = {
+            tuple(r)
+            for r in t.read().filter(F.col("u2").between(8, 15)).collect()
+        }
+        assert got == want and len(got) == 512
