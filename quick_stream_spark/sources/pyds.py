@@ -172,14 +172,32 @@ def _cdc_versions(path: str) -> list[int]:
 
 
 def _cdc_mapping(path: str, version: int) -> dict[int, list[str]]:
+    """Bucket->files of one snapshot, reconstructed with plain open()
+    (the reader runs outside any Spark session).  The manifest log is
+    SEGMENTED (r10): a version may be a delta document, so walk back
+    to the nearest full checkpoint and replay — through ManifestLog's
+    OWN apply function, the single source of truth for what a delta
+    means (chains are bounded by the log's checkpoint interval)."""
     import json
     import os
 
+    from quick_stream_spark.operators.commitlog import ManifestLog
+
     if version == 0:  # synthetic pre-history: the empty table
         return {}
-    with open(os.path.join(path, "_qss_manifest", f"v{version}.json")) as f:
-        doc = json.load(f)
-    return {int(b): list(fl) for b, fl in doc["buckets"].items()}
+    chain = []
+    v = version
+    while True:
+        with open(os.path.join(path, "_qss_manifest", f"v{v}.json")) as f:
+            doc = json.load(f)
+        if "delta" not in doc:
+            snap = ManifestLog._full_parts(doc)
+            break
+        chain.append(doc)
+        v -= 1
+    for raw in reversed(chain):
+        snap = ManifestLog._apply_delta(snap, raw)
+    return snap[0]
 
 
 class CdcStreamReader(DataSourceStreamReader):
