@@ -245,3 +245,43 @@ def test_real_10k_file_table_read_range(spark, tmp_table_dir):
     )
     assert stats["skipped_fraction"] > 0.98
     assert t_plan < 5.0
+
+
+@pytest.mark.slow
+def test_delta_commit_cost_independent_of_table_size(spark, tmp_table_dir):
+    """The structural segmentation claim, pinned without timing: the
+    DOCUMENT a steady-state commit writes is O(commit), so its size is
+    the same at 10^4 and at 10^5 table files, while the checkpoint
+    grows linearly.  (Byte asserts are deterministic — the wall-clock
+    envelope lives in test_manifest_scale_envelope_at_10k_files.)"""
+    sizes = {}
+    for label, fpb in (("10k", FILES_PER_BUCKET), ("100k", FILES_PER_BUCKET * 10)):
+        log = ManifestLog(
+            spark, os.path.join(tmp_table_dir, label), checkpoint_interval=16
+        )
+        mapping, stats, zones = _synthetic_state(N_BUCKETS, fpb)
+        v = log.commit(mapping, stats=stats, zones=zones)
+        ckpt = os.path.getsize(os.path.join(log.dir, f"v{v}.json"))
+        base = log.latest_version()
+        m, s, z = log.read(base), log.read_stats(base), log.read_zones(base)
+        for p in m[0]:
+            z.pop(p, None)
+        newp = "_qss_commits/cinc/__qss_bucket=0/part-0.parquet"
+        m[0] = [newp]
+        s[0] = [10, 9]
+        z[newp] = {"ts": ["2024-02-01T00:00:00", "2024-02-01T23:59:59"],
+                   "uid": [0, 99]}
+        v = log.commit(m, stats=s, touched={0}, base_version=base, zones=z)
+        delta = os.path.getsize(os.path.join(log.dir, f"v{v}.json"))
+        n_files = sum(len(fl) for fl in m.values())
+        sizes[label] = (n_files, ckpt, delta)
+    (n1, c1, d1), (n2, c2, d2) = sizes["10k"], sizes["100k"]
+    print(
+        f"\n# delta-cost independence: {n1} files -> checkpoint "
+        f"{c1 / 1e6:.2f} MB, delta {d1} B; {n2} files -> checkpoint "
+        f"{c2 / 1e6:.2f} MB, delta {d2} B"
+    )
+    assert n2 >= 9 * n1
+    assert c2 > 8 * c1          # checkpoints grow ~linearly with files
+    assert d2 == d1             # the delta document does not grow AT ALL
+    assert d1 < 2_000           # and stays O(commit): under 2 KB
