@@ -755,12 +755,32 @@ class ManifestLog:
             raw0 = self._read_doc(v0)
             if "delta" in raw0:
                 m0, s0, z0 = self._snapshot(v0)
+                body = self._full_doc_body(m0, s0, z0, v0)
                 fs0, _, jvm0 = _fs(self.spark, self.dir)
                 final = jvm0.org.apache.hadoop.fs.Path(
                     os.path.join(self.dir, f"v{v0}.json")
                 )
-                fs0.delete(final, False)
-                self._put_if_absent(self._full_doc_body(m0, s0, z0, v0), v0)
+                tmp = jvm0.org.apache.hadoop.fs.Path(
+                    os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
+                )
+                out = fs0.create(tmp, True)
+                out.write(bytearray(body))
+                out.close()
+                # ATOMIC replace, never delete-then-create: a crash
+                # between those two would leave v0 missing and every
+                # kept delta chain headless.  POSIX rename over an
+                # existing destination is atomic (the local Hadoop FS
+                # delegates to renameTo, which overwrites); stores
+                # whose rename is no-overwrite take the delete+rename
+                # fallback — the same window vacuum always had there.
+                if not fs0.rename(tmp, final):
+                    fs0.delete(final, False)
+                    if not fs0.rename(tmp, final):
+                        fs0.delete(tmp, False)
+                        raise OSError(
+                            f"vacuum could not replace v{v0}.json with "
+                            "its collapsed checkpoint"
+                        )
         fs, croot, jvm = _fs(self.spark, os.path.join(self.table_path, COMMITS_DIR))
         table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
         removed = 0
