@@ -783,18 +783,28 @@ class KeyedTable:
         ISO string compared lexicographically against naive bounds
         could prune files whose rows satisfy the predicate).
         ``timestamp_ntz`` is a wall clock: naive passes through, aware
-        input is a loud error instead of a silent wrong prune."""
+        input is a loud error instead of a silent wrong prune.
+
+        TYPE-MISMATCHED temporal bounds (a plain ``date`` against a
+        timestamp column, or a ``datetime`` against a date column)
+        encode as None — no pruning on that column, the residual
+        filter alone decides.  Their engine cast semantics (midnight
+        in SESSION time) don't match either encoding's string order at
+        day boundaries, so skipping on them could drop matching rows;
+        conservatively keeping every file is exact by contract."""
         import datetime as _dt
 
         from quick_stream_spark.operators.commitlog import zone_value
 
+        schema = self._read_schema_sidecar()
+        kind = (
+            schema[col].dataType.simpleString()
+            if schema is not None and col in schema.fieldNames()
+            else None
+        )
         if isinstance(v, _dt.datetime):
-            schema = self._read_schema_sidecar()
-            kind = (
-                schema[col].dataType.simpleString()
-                if schema is not None and col in schema.fieldNames()
-                else None
-            )
+            if kind == "date":
+                return None  # mismatched bound: residual filter decides
             if kind == "timestamp_ntz":
                 if v.tzinfo is not None:
                     raise ValueError(
@@ -805,6 +815,8 @@ class KeyedTable:
                 return v.isoformat(sep="T")
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return v.isoformat(sep="T")
+        if isinstance(v, _dt.date) and kind is not None and kind != "date":
+            return None  # date bound on a non-date column: no pruning
         return zone_value(v)
 
     def _pruned_mapping(

@@ -1079,3 +1079,31 @@ def test_zorder_compaction_prunes_orthogonal_dimensions(spark, tmp_table_dir):
             for r in t.read().filter(F.col("u2").between(8, 15)).collect()
         }
         assert got == want and len(got) == 512
+
+
+def test_type_mismatched_temporal_bounds_never_misprune(spark, tmp_table_dir):
+    """A plain DATE bound against a timestamp zone column (and the
+    reverse) has day-boundary cast semantics that no string encoding
+    orders correctly — such bounds disable pruning on that column and
+    the residual filter alone decides.  The midnight trap: rows AT
+    exactly the bound's midnight must survive."""
+    t = mk(spark, tmp_table_dir, "manifest")
+    from datetime import date
+
+    rows = [
+        (0, datetime(2024, 1, 14, 23, 59, 59), 0, "before"),
+        (1, datetime(2024, 1, 15, 0, 0, 0), 1, "midnight"),
+        (2, datetime(2024, 1, 15, 8, 0, 0), 2, "after"),
+    ]
+    t.upsert(df(spark, rows))
+
+    hi = date(2024, 1, 15)  # plain date against the timestamp column
+    got = {r.payload for r in t.read_range("modified_date", hi=hi).collect()}
+    want = {
+        r.payload
+        for r in t.read().filter(F.col("modified_date") <= F.lit(hi)).collect()
+    }
+    assert got == want and "midnight" in got
+    # and the planner reports no pruning rather than a wrong skip
+    s = t.skipping_stats({"modified_date": (None, hi)})
+    assert s["skipped_fraction"] == 0.0
