@@ -107,9 +107,17 @@ def test_manifest_scale_envelope_at_10k_files(spark, tmp_table_dir):
     m_cold = cold.read()
     z_cold = cold.read_zones()
     t_cold = time.monotonic() - t0
+    # warm reads: the structural claim is NO re-parse (cache hit probes
+    # existence only) — pinned by counting _read_doc calls, which is
+    # load-proof where a wall-clock bound is not
+    parses = []
+    real_read_doc = cold._read_doc
+    cold._read_doc = lambda v: (parses.append(v), real_read_doc(v))[1]
     t0 = time.monotonic()
     cold.read(), cold.read_zones()
     t_warm = time.monotonic() - t0
+    cold._read_doc = real_read_doc
+    assert parses == []  # warm: zero documents re-parsed
 
     # correctness of the whole chain: reconstruction == eager state
     assert m_cold == m and {p: z_cold[p] for p in z_cold} == z
@@ -143,7 +151,7 @@ def test_manifest_scale_envelope_at_10k_files(spark, tmp_table_dir):
     # every metadata op is sub-second at 10^4 files
     assert avg_delta < ckpt_bytes / 100
     assert avg_commit < 2.0 and t_cold < 5.0 and t_prune < 2.0
-    assert t_warm < 0.1  # cached: no re-parse
+    assert t_warm < 1.0  # loose wall bound; the re-parse pin is above
 
 
 def test_checkpoint_cadence_bounds_chains(spark, tmp_table_dir):
