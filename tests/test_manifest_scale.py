@@ -293,3 +293,30 @@ def test_delta_commit_cost_independent_of_table_size(spark, tmp_table_dir):
     assert c2 > 8 * c1          # checkpoints grow ~linearly with files
     assert d2 == d1             # the delta document does not grow AT ALL
     assert d1 < 2_000           # and stays O(commit): under 2 KB
+
+
+def test_restore_to_a_delta_version(spark, tmp_table_dir):
+    """RESTORE targeting a version whose document is a DELTA must
+    reconstruct that snapshot and republish it as a self-contained
+    checkpoint — values, stats and zones all byte-equal in meaning to
+    the original snapshot."""
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="v", arrival_col="a", num_buckets=4,
+        commit_protocol="manifest", zone_map_cols=("v",),
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "pkey long, v timestamp, a long")
+    t.upsert(mk([(i, datetime(2024, 1, 1), i) for i in range(8)]))
+    t.upsert(mk([(1, datetime(2024, 2, 1), 100)]), newer_wins=True)  # delta v2
+    v2 = t.snapshot_versions()[-1]
+    log = t._snapshot_log()
+    assert "delta" in log._read_doc(v2)
+    want = {tuple(r) for r in t.read().collect()}
+    z2 = log.read_zones(v2)
+
+    t.upsert(mk([(2, datetime(2024, 3, 1), 200)]), newer_wins=True)  # v3
+    v4 = t.restore(v2)
+    assert "buckets" in log._read_doc(v4)  # restore publishes a checkpoint
+    assert {tuple(r) for r in t.read().collect()} == want
+    assert log.read_zones(v4) == z2
+    assert t.count_fast() == 8
