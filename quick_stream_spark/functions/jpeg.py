@@ -864,9 +864,26 @@ def _coef_element_cap() -> int:
     """The effective coefficient-grid allocation cap: the
     ``QSS_JPEG_MAX_COEF_ELEMENTS`` environment variable when set (read
     per decode so executors honor ``spark.executorEnv`` settings),
-    else :data:`MAX_COEF_ELEMENTS`."""
+    else :data:`MAX_COEF_ELEMENTS`.  A malformed or non-positive value
+    is a configuration error and fails HERE with the variable named —
+    never as a per-row "malformed JPEG" rejection deep inside the
+    kernel (ADVICE r10)."""
     raw = os.environ.get("QSS_JPEG_MAX_COEF_ELEMENTS")
-    return int(raw) if raw else MAX_COEF_ELEMENTS
+    if raw is None or not raw.strip():
+        return MAX_COEF_ELEMENTS
+    try:
+        cap = int(raw)
+    except ValueError:
+        raise ValueError(
+            "QSS_JPEG_MAX_COEF_ELEMENTS must be a positive integer, "
+            f"got {raw!r}"
+        ) from None
+    if cap <= 0:
+        raise ValueError(
+            "QSS_JPEG_MAX_COEF_ELEMENTS must be a positive integer, "
+            f"got {raw!r} (0 or negative would reject every JPEG)"
+        )
+    return cap
 
 
 def decode_jpeg_pixels(data: bytes) -> dict:

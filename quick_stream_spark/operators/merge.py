@@ -1019,19 +1019,20 @@ class KeyedTable:
         self, key_rows, bucket_ids, version: int | None
     ) -> dict[int, list[str]] | None:
         """Zone pruning for point lookups: restrict the snapshot to
-        ``bucket_ids``, then keep only files whose committed bounds for
-        the LEADING key column contain SOME requested key's leading
-        component (binary search over the sorted encoded list — sharp
-        for key-clustered files, conservative otherwise).  Composite
-        keys prune on the ``keys[0]`` prefix: the remaining components
-        are resolved by the residual semi-join, so prefix pruning is
-        conservative-exact, and after a ``compact(k, sort_by=keys[0])``
-        a multi-key lookup reads ~1/k of its buckets just like the
-        single-key case.  ``None`` when not applicable (leading key not
-        zone-mapped, no zones)."""
-        import bisect
-
-        if self.keys[0] not in self.zone_map_cols:
+        ``bucket_ids``, then keep only files whose committed bounds
+        admit SOME requested key.  The test is per-TUPLE and per-
+        COMPONENT: a file survives when some requested key tuple fits
+        EVERY zone-mapped key component's bounds — a rectangle test,
+        which is exactly what a ``compact(method='zorder',
+        sort_by=keys)`` layout produces (narrow per-file rectangles on
+        both components), so composite lookups prune past the leading
+        prefix (r10 pruned on ``keys[0]`` only).  Conservative-exact as
+        always: a row with tuple (a, b) in a file implies a and b lie
+        inside that file's per-column bounds, so the surviving set is a
+        superset of the files holding any requested key, and the
+        residual semi-join resolves the rest.  ``None`` when not
+        applicable (no key component zone-mapped, no zones)."""
+        if not any(k in self.zone_map_cols for k in self.keys):
             return None
         log = self._snapshot_log()
         if log is None:
@@ -1039,26 +1040,53 @@ class KeyedTable:
         mapping, _, zones = log.snapshot_view(version)  # read-only view
         if zones is None:
             return None
-        keycol = self.keys[0]
-        try:
-            enc = sorted(self._encode_bound(keycol, r[0]) for r in key_rows)
-        except TypeError:
-            return None  # un-encodable / mixed-type keys: no zone help
-        if any(e is None for e in enc):
-            return None  # NULL/non-finite key component: no zone help
+        # Encode each requested tuple's zone-mapped components once.  A
+        # component that cannot be encoded (mixed-type keys, a tz-aware
+        # datetime on a timestamp_ntz key -- ADVICE r10 -- or NULL /
+        # non-finite values) encodes as None = prunes nothing; the
+        # residual semi-join resolves it, so degradation is per-
+        # COMPONENT, never a loud error and never a wrong skip.
+        zmapped = [
+            (i, k) for i, k in enumerate(self.keys)
+            if k in self.zone_map_cols
+        ]
+        enc_rows = []
+        for r in key_rows:
+            row_enc = []
+            for i, k in zmapped:
+                try:
+                    e = self._encode_bound(k, r[i])
+                except (TypeError, ValueError):
+                    e = None
+                row_enc.append((k, e))
+            enc_rows.append(row_enc)
 
-        def hits(zone):
-            if zone is None or zone[0] is None or zone[1] is None:
-                return True  # no bounds: cannot skip
-            i = bisect.bisect_left(enc, zone[0])
-            return i < len(enc) and enc[i] <= zone[1]
+        def file_hits(fzones):
+            for row_enc in enc_rows:
+                ok = True
+                for k, e in row_enc:
+                    if e is None:
+                        continue
+                    zone = fzones.get(k)
+                    if zone is None or zone[0] is None or zone[1] is None:
+                        continue  # no bounds: cannot skip on this one
+                    try:
+                        inside = zone[0] <= e <= zone[1]
+                    except TypeError:
+                        continue  # incomparable encodings: keep
+                    if not inside:
+                        ok = False
+                        break
+                if ok:
+                    return True
+            return False
 
         out = {}
         for b in bucket_ids:
             kept = [
                 p
                 for p in mapping.get(b, [])
-                if hits(zones.get(p, {}).get(keycol))
+                if file_hits(zones.get(p, {}))
             ]
             if kept:
                 out[b] = kept
@@ -1111,12 +1139,15 @@ class KeyedTable:
         tables, or tuples in ``self.keys`` order.  Only the bounded
         key list and its bucket ids cross the driver — never data.
 
-        When the (single) key column is zone-mapped, file-grain zone
-        pruning COMPOSES with the hash pruning: inside each key's
-        bucket only the files whose committed key bounds contain SOME
-        requested key are opened — after a clustered compaction
-        (``compact(k, sort_by=key)``) a point lookup reads ~1/k of its
-        bucket.  Conservative as always: files without bounds stay."""
+        When key columns are zone-mapped, file-grain zone pruning
+        COMPOSES with the hash pruning: inside each key's bucket only
+        the files whose committed bounds admit SOME requested key are
+        opened — after a clustered compaction (``compact(k,
+        sort_by=key)``) a point lookup reads ~1/k of its bucket, and a
+        COMPOSITE key on a ``compact(method='zorder', sort_by=keys)``
+        layout prunes on EVERY zone-mapped component (per-file
+        rectangles), not just the leading prefix.  Conservative as
+        always: files without bounds stay."""
         from pyspark.sql.types import StructType
 
         schema = self._read_schema_sidecar()
@@ -1644,9 +1675,11 @@ class KeyedTable:
         measured in plans/warehouse.py ``maintenance_zorder_stats``:
         raw-value interleaving degrades to a one-column sort whenever
         effective bit widths differ).  Rank-bucket boundaries come from
-        ``approxQuantile`` (one bounded action: ``2^bits - 1`` doubles
-        per column cross the driver); the code itself is a whole-stage-
-        codegen bit expression — no UDF, no extra shuffle.  Rank
+        ONE ``approxQuantile`` action over ALL columns — a single pass
+        of the data regardless of dimension count, ``2^bits - 1``
+        doubles per column crossing the driver (ADVICE r10: a per-
+        column loop cost N full passes); the code itself is a whole-
+        stage-codegen bit expression — no UDF, no extra shuffle.  Rank
         APPROXIMATION cannot affect correctness: zone bounds are always
         the files' true min/max and the residual filter still applies —
         a bad rank only costs skipping sharpness."""
@@ -1671,8 +1704,11 @@ class KeyedTable:
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
         ranks = []
         stats_df = df.select(*[num(c).alias(f"__qss_n{i}") for i, c in enumerate(cols)])
+        all_cuts = stats_df.approxQuantile(
+            [f"__qss_n{i}" for i in range(n)], probs, 0.01
+        )
         for i, c in enumerate(cols):
-            cuts = sorted(set(stats_df.approxQuantile(f"__qss_n{i}", probs, 0.01)))
+            cuts = sorted(set(all_cuts[i]))
             if not cuts:
                 ranks.append(F.lit(0))
                 continue

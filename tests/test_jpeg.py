@@ -417,3 +417,27 @@ def test_allocation_cap_is_session_configurable(monkeypatch):
     with pytest.raises(ValueError) as exc:  # default cap: passes the gate
         decode_jpeg_pixels(data)
     assert "allocation bound" not in str(exc.value)
+
+
+def test_allocation_cap_env_validated_loudly(monkeypatch):
+    """ADVICE r10: '0', a negative value, or garbage in
+    QSS_JPEG_MAX_COEF_ELEMENTS is a CONFIGURATION error — it must fail
+    with a message naming the variable, not silently reject every JPEG
+    ('0' passed the old truthiness check) or surface as a per-row
+    'malformed JPEG' ValueError from deep inside the kernel."""
+    from quick_stream_spark.functions.jpeg import (
+        MAX_COEF_ELEMENTS,
+        _coef_element_cap,
+    )
+
+    for bad in ("0", "-5", "banana", "1.5"):
+        monkeypatch.setenv("QSS_JPEG_MAX_COEF_ELEMENTS", bad)
+        with pytest.raises(ValueError, match="QSS_JPEG_MAX_COEF_ELEMENTS"):
+            _coef_element_cap()
+    # unset and empty fall back to the default cap
+    monkeypatch.setenv("QSS_JPEG_MAX_COEF_ELEMENTS", "")
+    assert _coef_element_cap() == MAX_COEF_ELEMENTS
+    monkeypatch.delenv("QSS_JPEG_MAX_COEF_ELEMENTS")
+    assert _coef_element_cap() == MAX_COEF_ELEMENTS
+    monkeypatch.setenv("QSS_JPEG_MAX_COEF_ELEMENTS", str(1 << 20))
+    assert _coef_element_cap() == 1 << 20

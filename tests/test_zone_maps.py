@@ -1107,3 +1107,155 @@ def test_type_mismatched_temporal_bounds_never_misprune(spark, tmp_table_dir):
     # and the planner reports no pruning rather than a wrong skip
     s = t.skipping_stats({"modified_date": (None, hi)})
     assert s["skipped_fraction"] == 0.0
+
+
+def test_composite_lookup_prunes_past_leading_prefix_on_zorder(
+    spark, tmp_table_dir
+):
+    """Verdict r10 ask #4: after compact(method='zorder', sort_by=keys)
+    the per-file bounds on BOTH key columns are narrow rectangles, so a
+    composite lookup intersects bounds on EVERY zone-mapped component
+    instead of the keys[0] prefix alone.  Measured: the rectangle test
+    keeps strictly fewer files than a prefix-only replay of the same
+    zones, and results stay exact."""
+    path = os.path.join(tmp_table_dir, "t")
+    t = KeyedTable(
+        spark, path, keys=("pkey", "sub"), version_col="modified_date",
+        arrival_col="arrival", num_buckets=2, commit_protocol="manifest",
+        zone_map_cols=("pkey", "sub"),
+    )
+    # a 32x32 orthogonal grid: pkey and sub carry independent bits, so
+    # a hierarchical sort would leave sub full-range within files
+    rows = [
+        (i % 32, i // 32, datetime(2024, 1, 1), i, f"p{i % 32}.{i // 32}")
+        for i in range(1024)
+    ]
+    t.upsert(
+        spark.createDataFrame(
+            rows,
+            "pkey long, sub long, modified_date timestamp, "
+            "arrival long, payload string",
+        )
+    )
+    t.compact(
+        target_files_per_bucket=16, sort_by=("pkey", "sub"), method="zorder"
+    )
+
+    probes = [(3, 5), (3, 6), (28, 30)]
+    looked = t.lookup(probes)
+    got = {(r.pkey, r.sub, r.payload) for r in looked.collect()}
+    assert got == {(3, 5, "p3.5"), (3, 6, "p3.6"), (28, 30, "p28.30")}
+
+    # replay the SAME snapshot zones with a prefix-only test, to
+    # measure what the r10 behavior would have kept
+    rows_req = [tuple(p) for p in probes]
+    ids = sorted(
+        r["__b"]
+        for r in spark.createDataFrame(rows_req, "pkey long, sub long")
+        .select(t._bucket_expr().alias("__b"))
+        .distinct()
+        .collect()
+    )
+    mapping, _, zones = t._snapshot_log().snapshot_view(None)
+    enc = sorted(t._encode_bound("pkey", r[0]) for r in rows_req)
+    prefix_kept = sum(
+        1
+        for b in ids
+        for p in mapping.get(b, [])
+        if (lambda z: z is None or z[0] is None or z[1] is None
+            or any(z[0] <= e <= z[1] for e in enc))(
+            zones.get(p, {}).get("pkey")
+        )
+    )
+    pm = t._key_pruned_mapping(rows_req, ids, None)
+    rect_kept = sum(len(fl) for fl in pm.values())
+    n_total = sum(len(fl) for fl in mapping.values())
+    print(
+        f"\n# composite zorder lookup: rectangle keeps {rect_kept} files, "
+        f"prefix-only would keep {prefix_kept}, table holds {n_total}"
+    )
+    assert rect_kept < prefix_kept  # strictly sharper than r10
+    assert rect_kept <= n_total // 4
+    # the scan opens exactly the rectangle-kept files
+    assert len(_files(looked)) == rect_kept
+
+
+def test_tz_aware_key_on_ntz_column_degrades_not_raises(
+    spark, tmp_table_dir
+):
+    """ADVICE r10: _encode_bound raises ValueError for a tz-aware
+    datetime against a timestamp_ntz key column (a wall clock has no
+    defined comparison) — the lookup planner must degrade that
+    COMPONENT to no-zone-help like every other un-encodable key, not
+    propagate the error out of lookup()."""
+    from datetime import timezone
+
+    path = os.path.join(tmp_table_dir, "t")
+    t = KeyedTable(
+        spark, path, keys=("pkey", "ts"), version_col="modified_date",
+        arrival_col="arrival", num_buckets=2, commit_protocol="manifest",
+        zone_map_cols=("pkey", "ts"),
+    )
+    rows = [
+        (i, datetime(2024, 1, 1 + i), datetime(2024, 2, 1), i, f"p{i}")
+        for i in range(8)
+    ]
+    t.upsert(
+        spark.createDataFrame(
+            rows,
+            "pkey long, ts timestamp_ntz, modified_date timestamp, "
+            "arrival long, payload string",
+        )
+    )
+    aware = datetime(2024, 1, 3, tzinfo=timezone.utc)
+    # the planner degrades the ntz component; the pkey component still
+    # prunes — no ValueError escapes
+    pm = t._key_pruned_mapping([(2, aware)], [0, 1], None)
+    assert pm is not None
+    # naive wall-clock keys keep full pruning and exact results
+    looked = t.lookup([(2, datetime(2024, 1, 3))])
+    assert [r.payload for r in looked.collect()] == ["p2"]
+
+
+def test_zorder_quantiles_one_action_for_all_columns(
+    spark, tmp_table_dir, monkeypatch
+):
+    """ADVICE r10: _zorder_expr must compute rank cut points with ONE
+    approxQuantile action covering every z-order column — a per-column
+    loop costs N full passes over the table before the compaction."""
+    try:  # Spark 4: the runtime class overrides the unified base
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    calls = []
+    orig = DataFrame.approxQuantile
+
+    def counting(self, col, probabilities, relativeError):
+        calls.append(col)
+        return orig(self, col, probabilities, relativeError)
+
+    monkeypatch.setattr(DataFrame, "approxQuantile", counting)
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="modified_date", arrival_col="arrival",
+        num_buckets=2, commit_protocol="manifest",
+        zone_map_cols=("u1", "u2"),
+    )
+    rows = [
+        (i, datetime(2024, 1, 1), i, i % 16, (i // 16) % 16)
+        for i in range(256)
+    ]
+    t.upsert(
+        spark.createDataFrame(
+            rows,
+            "pkey long, modified_date timestamp, arrival long, "
+            "u1 long, u2 long",
+        )
+    )
+    calls.clear()
+    t.compact(target_files_per_bucket=4, sort_by=("u1", "u2", "arrival"),
+              method="zorder")
+    quantile_calls = [c for c in calls if isinstance(c, list)]
+    assert len(quantile_calls) == 1 and len(quantile_calls[0]) == 3
+    assert sum(1 for c in calls if not isinstance(c, list)) == 0
