@@ -90,8 +90,23 @@ def main() -> None:
     # run), and the JSON carries every run plus the relative spread
     # (max-min)/median so the next round can tell noise from change.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+    # In-band load capture (r10 verdict ask #2): every drift
+    # adjudication so far (r6, r9, r10) needed out-of-band archaeology
+    # to separate box load from code change.  Record /proc/loadavg
+    # (1-min figure) immediately before EVERY repeat, per query, so the
+    # emitted JSON itself carries the evidence — a round whose elevated
+    # medians coincide with elevated recorded loads is self-adjudicating.
+    def loadavg() -> float | None:
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except (OSError, ValueError, IndexError):  # non-Linux: omit
+            return None
+
     timings: dict[str, float] = {}
     runs_all: dict[str, list[float]] = {}
+    loads_all: dict[str, list[float | None]] = {}
     # minimum alongside median (r6 verdict ask #8): under environmental
     # load the MIN is the load-robust floor — two rounds whose mins agree
     # but medians drift point at machine noise, not a plan change.
@@ -124,6 +139,7 @@ def main() -> None:
             print(f"# cold pass {name} failed, skipping: {exc}", file=sys.stderr)
             continue
         runs: list[float] = []
+        loads: list[float | None] = []
         n = -1
         for _ in range(repeats):
             # Independent attribution: clear every shared artifact cache
@@ -134,6 +150,7 @@ def main() -> None:
             # codegen cache warmed above is unaffected (that's harness
             # noise we DO want excluded).
             clear_session_caches()
+            loads.append(loadavg())
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # force full execution
@@ -141,6 +158,7 @@ def main() -> None:
         med = sorted(runs)[len(runs) // 2]
         timings[name] = med
         runs_all[name] = runs
+        loads_all[name] = loads
         mins[name] = min(runs)
         spread[name] = round((max(runs) - min(runs)) / med, 3) if med else 0.0
         print(
@@ -174,6 +192,9 @@ def main() -> None:
                 "runs": runs_all,
                 "min": mins,
                 "spread": spread,
+                # 1-min /proc/loadavg read before each repeat (r10
+                # verdict ask #2): drift adjudication data, in-band
+                "loadavg": loads_all,
                 # methodology marker (r6 ADVICE): since r6 an untimed
                 # cold pass at the target SF precedes the timed runs, so
                 # medians are not comparable to r5-and-earlier numbers
