@@ -29,7 +29,6 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       ON orders.o_custkey = ev.user_id AND ev.ts <= orders.o_orderdate
     """,
     tags=("join", "asof"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each order, the latest event of that user at or
@@ -103,7 +102,6 @@ def _connector_agg(df: DataFrame, fmt: str) -> DataFrame:
 
 @register(
     "source_roundtrips", oracle=_CONNECTOR_ORACLE_BOTH, tags=("source", "csv", "json", "orc"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV, JSON-lines and ORC connectors in one tagged result: write
@@ -164,7 +162,6 @@ def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE m.var > 0
     """,
     tags=("pandas", "grouped-map"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas UDF (applyInPandas): per-user z-score of event
@@ -211,7 +208,6 @@ def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("agg", "percentile"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (both engines use the same
@@ -230,6 +226,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_partitioned_pruning",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     SELECT doc_id, n_chars, lang FROM documents WHERE lang IN ('en', 'fr')
     """,
@@ -292,6 +289,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_python_stream_datasource",
+    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=f"""
     WITH gen AS (
       SELECT i AS id,
@@ -347,6 +345,7 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "pandas_scalar_revenue_cents",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -446,6 +445,7 @@ BINFILE_DOCS = 50  # bounded fixture subset written as individual files
 
 @register(
     "source_binaryfile_metadata",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -493,6 +493,7 @@ def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_xml_roundtrip",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"SELECT 'xml' AS fmt, * FROM ({_CONNECTOR_ORACLE})",
     tags=("source", "xml"),  # exported r9 rotation (was pytest-tier while the window was full)
 )

@@ -113,6 +113,7 @@ def r_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_upsert_endstate",
+    pytest_only=True,  # r11 rotation out (driver-green r1-r10); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
     FROM (
@@ -148,7 +149,6 @@ def r_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 with the newer-wins idempotency guard: end state is the global
@@ -173,7 +173,6 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge", "manifest"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r_upsert_endstate replayed through the MANIFEST commit protocol
@@ -191,6 +190,7 @@ def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_incremental_read_zonemap",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     # end state = guarded (newer-wins) latest per key; the incremental
     # read returns exactly its rows with ts >= max(ts) - 30 days.  The
     # cut is computed from the same events table by both engines — no
@@ -228,6 +228,7 @@ def r_incremental_read_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_point_lookup_endstate",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     # batch-wins end state (odd batch second, unconditional DO UPDATE)
     # restricted to the looked-up key set
     oracle="""
@@ -266,6 +267,7 @@ def r_point_lookup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_lookup_composite_endstate",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     # guarded (newer-wins) end state per COMPOSITE key, restricted to
     # the looked-up key tuples
     oracle="""
@@ -319,6 +321,7 @@ def r_lookup_composite_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_read_where_clustered",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     # guarded end state, conjunctively sliced: last 30 days AND a
     # user-id band; the ts cut comes from the data in both engines
     oracle="""
@@ -356,6 +359,57 @@ def r_read_where_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ev.agg(F.expr("max(ts) - INTERVAL 30 DAYS").alias("c")).collect()[0].c
     return target.read_where(
         {"ts": (cut, None), "user_id": (3, 9)}
+    ).select(*EVENT_COLS, "row_active")
+
+
+@register(
+    "r_read_where_zorder",
+    # the table is keyed on event_id (every event is a row), so the
+    # guarded end state is the events table itself; the query slices
+    # it on two ORTHOGONAL dimensions
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM events
+    WHERE user_id BETWEEN 20 AND 60 AND value BETWEEN 50.0 AND 120.0
+    """,
+    tags=("reference", "merge", "skipping"),
+)
+def r_read_where_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered conjunctive consumption (r11, verdict ask #6):
+    ``compact(method='zorder', sort_by=('user_id', 'value'))``
+    interleaves range-rank bits so every file covers a narrow
+    RECTANGLE in (user_id, value) — the right layout for fine-grained
+    ORTHOGONAL dimensions, where the hierarchical sort of
+    ``r_read_where_clustered`` would leave the secondary bounds
+    full-range.  ``read_where`` then slices on both dimensions,
+    opening only files whose committed per-file bounds overlap BOTH
+    bands (side-by-side layout measurement in tests/test_zone_maps.py:
+    13/32 vs 32/32 files on the orthogonal case).  The residual
+    filters keep the result exactly equal to ``read().filter(...)`` —
+    rank approximation can only cost skipping sharpness, never
+    correctness.  The table is keyed on ``event_id`` so the merged end
+    state is the full events set and the pruning works at data scale."""
+    ev = _events(spark, sf_dir)
+    target = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/t",
+        keys=("event_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=8,
+        commit_protocol="manifest",
+        zone_map_cols=("user_id", "value"),
+    )
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+        target.compact(
+            target_files_per_bucket=4,
+            sort_by=("user_id", "value"),
+            method="zorder",
+        )
+    return target.read_where(
+        {"user_id": (20, 60), "value": (50.0, 120.0)}
     ).select(*EVENT_COLS, "row_active")
 
 
@@ -506,7 +560,6 @@ def r_multi_table_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge", "schema-evolution"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def r_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution through the merge path (the reference's

@@ -107,7 +107,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "agg", "topk"),
     bench=True,
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2000-03-15 00:00:00").cast("timestamp")
@@ -190,7 +189,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     tags=("join", "semi", "anti"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (parts with a heavy shipment) and LEFT ANTI (customers
@@ -233,7 +231,6 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c FULL OUTER JOIN s ON c.nk = s.nk
     """,
     tags=("join", "agg"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
@@ -264,7 +261,6 @@ def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFra
     GROUP BY o_orderkey
     """,
     tags=("join", "range"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join: events occurring within a day of the
@@ -296,7 +292,6 @@ def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "agg", "topk"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned the most revenue."""
@@ -480,7 +475,6 @@ _ABOVE_AVG_SQL = """
     "subquery_orders_above_customer_avg",
     oracle=_ABOVE_AVG_SQL,
     tags=("subquery", "sql"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through the SQL front end — Catalyst
@@ -509,7 +503,6 @@ def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> Data
                             (l_returnflag), (l_linestatus), ())
     """,
     tags=("agg", "sql", "grouping"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def agg_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping analytics through the SQL front end: the full
@@ -541,7 +534,6 @@ def agg_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     tags=("agg",),
-    pytest_only=True,
 )
 def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-API ROLLUP twin of agg_grouping_analytics."""
@@ -560,7 +552,6 @@ def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     tags=("agg",),
-    pytest_only=True,
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-API CUBE twin of agg_grouping_analytics."""
@@ -585,7 +576,6 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
     tags=("agg", "argmax", "distinct", "skew", "scale"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type event profile combining three aggregation families:
@@ -665,19 +655,43 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    # HLL sketch VALUES are engine-specific, so the oracle states the
+    # sketch's ACCURACY CONTRACT instead: per group, the exact distinct
+    # count plus the assertion that the Spark-side HLL estimate landed
+    # within tolerance (always-TRUE column in SQL; Spark computes it
+    # for real, so a broken sketch hash-mismatches)
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     tags=("agg", "approx"),
-    pytest_only=True,
 )
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++).  No oracle: sketch values
-    are engine-specific by construction; the exact twin
-    (agg_events_by_type) is the verified one, so this stays out of the
-    driver window."""
+    """approx_count_distinct (HyperLogLog++), driver-checkable (r11):
+    raw sketch estimates are engine-specific by construction, so the
+    exported row is the sketch's accuracy contract — the exact distinct
+    count per group alongside ``approx_within_5pct``, computed by
+    comparing the REAL HLL estimate (rsd=0.01) against the exact count
+    in the same plan.  A regressed sketch flips the boolean and fails
+    the hash compare; the estimate itself stays out of the hashed
+    columns.  The exact twin is agg_events_by_type."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -709,7 +723,6 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       ws AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
     tags=("window", "rank"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function families in one pass over orders: running
@@ -768,7 +781,6 @@ def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "topk", "sort"),
     bench=True,
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k both ways: per-customer top-3 (row_number window + filter —
@@ -827,7 +839,6 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE prev_ts IS NOT NULL
     """,
     tags=("window", "sessionization"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag gaps + batch sessionization: a session break is a gap over
@@ -876,7 +887,6 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,
     tags=("sort", "topk"),
-    pytest_only=True,
 )
 def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
@@ -905,7 +915,6 @@ def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT SELECT s_nationkey FROM supplier)
     """,
     tags=("setop",),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three set operators (set semantics, like the SQL twins) over
@@ -961,7 +970,6 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     """,
     tags=("scalar", "string", "math", "regex", "map", "struct", "array"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def scalar_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function families over ``part`` in one wide projection:
@@ -1028,7 +1036,6 @@ def scalar_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("scalar", "json", "bitwise", "null", "date"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function families over ``events`` in one wide projection:
@@ -1146,7 +1153,6 @@ _LATERAL_TOPK_SQL = """
     "join_lateral_topk_per_nation",
     oracle=_LATERAL_TOPK_SQL,
     tags=("join", "lateral", "sql"),
-    pytest_only=True,
 )
 def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery in the FROM clause: the two
@@ -1163,6 +1169,7 @@ def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_strategy_hints",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     SELECT 'merge' AS strategy, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -1209,6 +1216,7 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_twap_per_user",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS t,
@@ -1265,6 +1273,7 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "diagnose_key_skew_events",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH freqs AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS freq
@@ -1365,6 +1374,7 @@ def _corr_oracle() -> str:
 
 @register(
     "stats_lineitem_correlations",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (generated pairwise arms)
     tags=("agg", "statistics", "ml"),
     # r10: rotated INTO the driver window (first-time driver check)

@@ -80,7 +80,6 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     GROUP BY o_orderpriority
     """,
     tags=("join", "bucketed", "scale"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact join on pre-bucketed catalog tables: both sides are
@@ -124,7 +123,6 @@ _FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     FROM documents
     """,
     tags=("sampling", "pipeline", "stratified"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed sampling, three shapes in one pass: the
@@ -520,7 +518,6 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type FROM events
     """,
     tags=("streaming", "dedup"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on the event key: keeps the first
@@ -571,7 +568,6 @@ def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     GROUP BY 1, 2
     """,
     tags=("analytics", "cohort"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention — the classic product-analytics matrix: users
@@ -654,6 +650,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_resample_hourly_ffill",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -738,6 +735,7 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rolling_anomaly",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -851,6 +849,7 @@ _MIX_FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
 
 @register(
     "sample_domain_mixture",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH rated AS (
       SELECT doc_id, source,
@@ -984,6 +983,7 @@ _TIER_RATES = {"high": 100, "mid": 50, "low": 10}
 
 @register(
     "sample_quality_stratified",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, {_tx.quality_score_sql('text')} AS quality_score
@@ -1208,6 +1208,7 @@ _PSI_SPLIT_H = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT %
 
 @register(
     "monitor_split_drift_psi",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH scored AS (
       SELECT doc_id,
@@ -1391,6 +1392,7 @@ EWMA_LAGS = 16  # truncated horizon; weight of lag k is 2^(15-k)
 
 @register(
     "events_ewma_smooth",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH lagged AS (
       SELECT user_id, event_id, ts,

@@ -62,7 +62,6 @@ _COS = vec.cosine_sql("q.v", "c.v", DIM)
     """,
     tags=("similarity",),
     bench=True,
-    pytest_only=True,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
@@ -139,7 +138,6 @@ def _sig_sql(v: str) -> str:
     FROM q
     """,
     tags=("similarity", "quantize"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of embeddings (the 4x storage
@@ -337,7 +335,6 @@ def _lloyd_rounds(spark: SparkSession, e: DataFrame, cents, to_lists):
     "emb_centroids",
     oracle=None,  # set at module end (kmeans side is generated, unrolled)
     tags=("similarity", "agg", "ivf", "iterative", "ml"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both codebook constructions, tagged by method:
@@ -511,6 +508,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_lsh_signatures",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT vec_id, {_sig_sql('v')} AS sig FROM e
@@ -826,7 +824,6 @@ def _trained_ivf_cand_sql() -> str:
     "emb_ivf_trained_topk",
     oracle=None,  # assigned below from the generated CTE stack
     tags=("similarity", "ivf", "approx", "ml"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete ANN story end-to-end: TRAIN the coarse codebook
@@ -1092,7 +1089,6 @@ def _pq_codebooks_impl(spark: SparkSession, sf_dir: str) -> list:
     "emb_pq_topk",
     oracle=None,  # set at module end (unrolled per-subspace training)
     tags=("similarity", "pq", "ann", "ml"),
-    pytest_only=True,
 )
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank (the FAISS
@@ -1288,6 +1284,7 @@ _AUG_Q = "list_concat(q.v, [0.0])"
 
 @register(
     "emb_mips_topk",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     mx AS (SELECT max({vec.dot_sql('v', 'v', DIM)}) AS m2 FROM e),
@@ -1411,6 +1408,7 @@ def _semdedup_oracle() -> str:
 
 @register(
     "dedup_semantic_kmeans",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: unrolled-k-means CTEs + within-cell verdicts
     tags=("similarity", "dedup", "ml", "iterative"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -1496,7 +1494,6 @@ _SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
     "emb_ann_quality_eval",
     oracle=None,  # composed below from the exact/LSH/IVF/PQ oracles
     tags=("similarity", "ann", "evaluation", "arrow"),
-    pytest_only=True,
 )
 def emb_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOP_K} AND candidate fraction of every approximate
@@ -1737,6 +1734,7 @@ _SIMREG["emb_matryoshka_eval"].oracle = " ".join(_mrl_oracle().split())
 
 @register(
     "dedup_embedding_quality_eval",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (exact brute pairs vs the LSH-blocked set)
     # 'arrow': inherits the fast-signature Arrow seam via its call into
     # dedup_embedding_cosine's registered plan.

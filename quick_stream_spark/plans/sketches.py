@@ -267,6 +267,7 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_moments_by_type",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH cents AS (
       SELECT event_type,

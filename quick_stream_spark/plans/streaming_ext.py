@@ -110,7 +110,6 @@ def _run_to_memory(
     )
     """,
     tags=("streaming", "window", "session"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation through REAL streaming queries,
@@ -322,6 +321,7 @@ def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "stream_dedup_clusters_incremental",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=None,  # set below: recursive CTE over the uncapped pair set
     tags=("streaming", "dedup", "lsh", "iterative"),  # the driver window is full; oracle-checked here
 )
@@ -478,6 +478,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_enrich",
+    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=f"""
     SELECT n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -536,7 +537,6 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "matview", "incremental"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance
@@ -911,6 +911,7 @@ def _emb_dup_corpus_banded_sql() -> str:
 
 @register(
     "stream_emb_neardup_incremental",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=None,  # set below (generated from the similarity constants)
     tags=("streaming", "similarity", "dedup", "lsh"),  # the driver window is full; oracle-checked here
 )

@@ -241,7 +241,6 @@ def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corpus GROUP BY 1 HAVING count(*) > 1
     """,
     tags=("text", "dedup"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-content fingerprint
@@ -366,7 +365,6 @@ def _verified_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(inter * 1.0 / greatest(na.n + nb.n - inter, 1), 6) >= {JACCARD_THRESHOLD}
     """,
     tags=("text", "dedup"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard dedup (full recall, unlike LSH): explode
@@ -470,7 +468,6 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
     FROM chunks
     """,
     tags=("text", "chunking"),
-    pytest_only=True,  # rotated to pytest tier r4 (driver-green r1-r3)
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking for LLM training: overlapping windows of
@@ -523,7 +520,6 @@ VOCAB_TOP_K = 50
     ) WHERE rank <= {VOCAB_TOP_K}
     """,
     tags=("text", "vocab"),
-    pytest_only=True,  # rotated out of the driver window in round 3 (driver-green r01+r02); still oracle-gated here
 )
 def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary extraction: token frequencies with a
@@ -554,7 +550,6 @@ SIMHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 => >= 1 band equal
     "dedup_simhash_pairs",
     oracle=None,  # set below (built from the simhash CTE)
     tags=("text", "dedup", "simhash"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the duplicated corpus: 60-bit document
@@ -645,7 +640,6 @@ _SPLIT_HASH_ID = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT %
     "pipeline_decontamination",
     oracle=None,  # set below (composes the minhash oracle with splits)
     tags=("text", "dedup", "pipeline", "contamination"),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: near-dup pairs that STRADDLE the
@@ -769,7 +763,6 @@ _REG2["pipeline_decontamination"].oracle = " ".join(_decontamination_oracle().sp
     FROM documents
     """,
     tags=("multimodal",),
-    pytest_only=True,  # r5 rotation out (driver-green r1-r4); still oracle-checked locally
 )
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque payload column — the pattern for
@@ -791,6 +784,7 @@ _JPEG_HEAD = "FFD8FFE000104A4649460001"
 
 @register(
     "mm_image_header_parse",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH payloads AS (
       SELECT doc_id,
@@ -1529,6 +1523,7 @@ def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_decode",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1602,6 +1597,7 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_video_frames",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1709,6 +1705,7 @@ _URL_PARAMS_SQL = (
 
 @register(
     "dedup_url_canonical",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH urls AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
     parts AS (
@@ -1874,7 +1871,6 @@ def _substr_fold_sql(th: str, i: str) -> str:
     FROM merged GROUP BY id, n_tokens
     """,
     tags=("text", "dedup", "substring"),
-    pytest_only=True,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring detection (Lee et al. 2022,
@@ -1983,6 +1979,7 @@ _REG4["dedup_substring_spans"].oracle = " ".join(
 
 @register(
     "pipeline_multimodal_curation",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
@@ -2205,6 +2202,7 @@ def _pct_predict(cp: list[int], cn: list[int]):
 
 @register(
     "text_quality_classifier_train",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (generated)
     tags=("text", "ml", "classifier"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -2267,6 +2265,7 @@ _REG4["text_quality_classifier_train"].oracle = " ".join(_pct_oracle().split())
 
 @register(
     "text_bigram_lm_score",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH toks AS (
       SELECT doc_id,
@@ -2373,6 +2372,7 @@ PACK_BUDGET = 512  # tokens per packed training sequence
 
 @register(
     "text_sequence_packing",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH sized AS (
       SELECT doc_id, md5(text) AS okey,
@@ -2517,6 +2517,7 @@ def _bm25_oracle() -> str:
 
 @register(
     "text_bm25_topk",
+    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=None,  # set below
     tags=("text", "retrieval", "bm25"),
 )
@@ -2732,6 +2733,7 @@ def _deduped_corpus_oracle() -> str:
 
 @register(
     "pipeline_deduped_corpus",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (composes the CC oracle)
     tags=("text", "dedup", "pipeline"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -2782,6 +2784,7 @@ def _cooc_pairs_sql(k: int) -> str:
 
 @register(
     "text_cooccurrence_topk",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH pairs AS (
       {" UNION ALL ".join(_cooc_pairs_sql(k) for k in range(1, COOC_WINDOW + 1))}
@@ -2836,6 +2839,7 @@ def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_lexical_diversity",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(
@@ -2918,6 +2922,7 @@ _LINES_SQL = f"""
 
 @register(
     "dedup_boilerplate_lines",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH built AS ({_LINES_SQL}),
     lined AS (
@@ -3017,6 +3022,7 @@ _DECON_SPLIT_SQL = "(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT %
 
 @register(
     "pipeline_ngram_decontamination",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH corpus AS ({DUP_CORPUS_SQL}),
     grams AS (
@@ -3089,6 +3095,7 @@ def pipeline_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "dedup_lsh_quality_eval",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: composes the minhash + exact-jaccard oracles
     tags=("text", "dedup", "evaluation"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -3164,6 +3171,7 @@ _REG2["dedup_lsh_quality_eval"].oracle = " ".join(_lsh_eval_oracle().split())
 
 @register(
     "sample_cluster_safe_split",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: composes the CC oracle with the hash split
     tags=("sampling", "dedup", "leakage"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -3389,6 +3397,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 
 @register(
     "text_bpe_tokenize",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=None,  # set below: the training CTE stack + the vocab join
     tags=("text", "tokenizer", "ml"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
@@ -3471,6 +3480,7 @@ _REG4["text_bpe_tokenize"].oracle = " ".join(_bpe_tokenize_oracle().split())
 
 @register(
     "pipeline_curation_report",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: composed from the member queries' oracles
     tags=("pipeline", "curation", "composition"),
     # r10: rotated INTO the driver window (first-time driver check)

@@ -592,7 +592,6 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "agg", "topk", "tpch"),
-    pytest_only=True,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with very large orders.  The HAVING
@@ -691,7 +690,6 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     """,
     tags=("join", "semi", "anti", "agg", "tpch"),
-    pytest_only=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: a returned line in a failed order

@@ -432,6 +432,7 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_markov_transitions",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type AS src,
@@ -560,6 +561,7 @@ _WREG["graph_triangles_dupgraph"].oracle = " ".join(_triangles_oracle().split())
 
 @register(
     "orders_rfm_segments",
+    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH per_cust AS (
       SELECT o_custkey,
@@ -654,6 +656,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_range_frame_rolling",
+    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=f"""
     SELECT event_id, user_id, ts,
            CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
@@ -706,6 +709,7 @@ ATTR_WINDOW_MIN = 30
 
 @register(
     "events_attribution_last_touch",
+    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type,
@@ -1243,7 +1247,6 @@ _WREG["join_scd2_point_in_time"].oracle = " ".join(_scd2_pit_oracle().split())
     HAVING count(*) > 1
     """,
     tags=("warehouse", "entity-resolution", "pipeline", "iterative"),
-    pytest_only=True,
 )
 def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution END-TO-END — the warehouse MDM pipeline:
