@@ -172,6 +172,7 @@ class ManifestLog:
         spark: SparkSession,
         table_path: str,
         checkpoint_interval: int = 16,
+        parquet_checkpoint_threshold: int = 50_000,
     ) -> None:
         self.spark = spark
         self.table_path = table_path
@@ -180,6 +181,14 @@ class ManifestLog:
             raise ValueError("checkpoint_interval must be >= 1")
         # 1 = every commit is a full document (the pre-r10 layout)
         self.checkpoint_interval = int(checkpoint_interval)
+        # FULL documents at/above this many snapshot files are written
+        # as PARQUET checkpoints behind a tiny pointer doc (the Delta
+        # checkpoint design, r11): the JSON log entry stays the atomic
+        # commit arbiter, the O(files) payload moves to a format a
+        # Spark job can read and prune DISTRIBUTEDLY.  0 = always
+        # parquet; below the threshold small tables keep the inline
+        # JSON layout (the driver walk is faster there).
+        self.parquet_checkpoint_threshold = int(parquet_checkpoint_threshold)
         # version -> resolved (mapping, stats, zones); bounded FIFO
         self._snap_cache: dict[int, tuple] = {}
         self._snap_cache_max = 4
@@ -238,6 +247,375 @@ class ManifestLog:
         else:
             zones = None
         return mapping, stats, zones
+
+    def _resolve_full(self, raw: dict) -> tuple:
+        """Resolve a FULL document to ``(mapping, stats, zones)`` —
+        inline JSON bodies via :meth:`_full_parts`, parquet-checkpoint
+        POINTER documents via a Spark read of the checkpoint rows."""
+        if "checkpoint_parquet" in raw:
+            return self._load_parquet_checkpoint(raw)
+        return self._full_parts(raw)
+
+    # ------------------------------------------ parquet checkpoints
+
+    @staticmethod
+    def _zone_col_type(values) -> str | None:
+        """Parquet type for one zone column's encoded bounds: encoding
+        is type-stable per table column (ints stay int, floats float,
+        strings/ISO timestamps str), so a mixed set means something
+        unexpected — publish ``None`` = no engine-side pruning on that
+        column (the exact ``zones_json`` twin still carries it)."""
+        kinds = {type(v) for v in values if v is not None}
+        if not kinds:
+            return None
+        if kinds == {int}:
+            return "long"
+        if kinds == {float}:
+            return "double"
+        if kinds == {str}:
+            return "string"
+        return None
+
+    def _write_parquet_checkpoint(
+        self, mapping, stats, zones, version: int
+    ) -> tuple[str, dict]:
+        """Write one snapshot as a parquet checkpoint directory under
+        the manifest dir; returns ``(relative_dir_name, pointer-doc
+        fields)``.  One row per data file (kind='file': bucket, path,
+        exact ``zones_json``, plus TYPED ``zmin_<i>``/``zmax_<i>``
+        columns so a Spark job can prune on committed bounds without
+        the driver materializing them) and one row per bucket
+        (kind='bucket': the [rows, active_rows] stats).  The directory
+        name embeds a uuid so racing writers at the same version can
+        never collide; the loser's orphan directory is reclaimed by
+        :meth:`vacuum`."""
+        import pyarrow as pa
+        import pyarrow.parquet  # noqa: F401
+
+        name = f"cp-v{version}-{uuid.uuid4().hex}"
+        zone_cols = sorted({c for cols in (zones or {}).values() for c in cols})
+        col_types = {}
+        for c in zone_cols:
+            vals = []
+            for cols in (zones or {}).values():
+                if c in cols:
+                    vals.extend(cols[c])
+            col_types[c] = self._zone_col_type(vals)
+        kind, bucket, path, zjson = [], [], [], []
+        rows_c, active_c = [], []
+        zmin = {i: [] for i in range(len(zone_cols))}
+        zmax = {i: [] for i in range(len(zone_cols))}
+        for b, files in sorted(mapping.items()):
+            for p in sorted(files):
+                kind.append("file")
+                bucket.append(int(b))
+                path.append(p)
+                z = (zones or {}).get(p)
+                zjson.append(
+                    json.dumps(z, sort_keys=True) if z is not None else None
+                )
+                rows_c.append(None)
+                active_c.append(None)
+                for i, c in enumerate(zone_cols):
+                    mm = (z or {}).get(c)
+                    if mm is None or col_types[c] is None:
+                        zmin[i].append(None)
+                        zmax[i].append(None)
+                    else:
+                        zmin[i].append(mm[0])
+                        zmax[i].append(mm[1])
+        for b, st in sorted((stats or {}).items()):
+            kind.append("bucket")
+            bucket.append(int(b))
+            path.append(None)
+            zjson.append(None)
+            rows_c.append(int(st[0]))
+            active_c.append(int(st[1]))
+            for i in range(len(zone_cols)):
+                zmin[i].append(None)
+                zmax[i].append(None)
+        pa_types = {"long": pa.int64(), "double": pa.float64(), "string": pa.string()}
+        cols = {
+            "kind": pa.array(kind, pa.string()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "path": pa.array(path, pa.string()),
+            "zones_json": pa.array(zjson, pa.string()),
+            "rows": pa.array(rows_c, pa.int64()),
+            "active_rows": pa.array(active_c, pa.int64()),
+        }
+        for i, c in enumerate(zone_cols):
+            t = pa_types.get(col_types[c], pa.string())
+            cols[f"zmin_{i}"] = pa.array(zmin[i], t)
+            cols[f"zmax_{i}"] = pa.array(zmax[i], t)
+        tbl = pa.table(cols)
+        df = self.spark.createDataFrame(tbl)
+        # a checkpoint row is ~100 B; ~500k rows per output file keeps
+        # both the file count and the per-task read bounded
+        nparts = max(1, (len(kind) + 499_999) // 500_000)
+        df.coalesce(nparts).write.mode("overwrite").parquet(
+            os.path.join(self.dir, name)
+        )
+        fields = {
+            "checkpoint_parquet": name,
+            "nfiles": sum(len(fl) for fl in mapping.values()),
+            "has_stats": stats is not None,
+            "has_zones": zones is not None,
+            "zone_cols": zone_cols,
+            "zone_col_types": col_types,
+        }
+        if zones is not None:
+            fields["zone_tz"] = "UTC"
+        return name, fields
+
+    def _load_parquet_checkpoint(self, raw: dict) -> tuple:
+        """Materialize ``(mapping, stats, zones)`` from a parquet
+        checkpoint — an Arrow-batched Spark read (the 19.9 MB-at-10^5-
+        files JSON parse this replaces was a single-threaded driver
+        ``json.loads``).  Pruning-only callers never come here: they
+        plan through :meth:`pruned_mapping_distributed` instead."""
+        cp = self.spark.read.parquet(
+            os.path.join(self.dir, raw["checkpoint_parquet"])
+        )
+        want_zones = bool(raw.get("has_zones")) and raw.get("zone_tz") == "UTC"
+        cols = ["kind", "bucket", "path", "rows", "active_rows"]
+        if want_zones:
+            cols.append("zones_json")
+        tbl = cp.select(*cols).toArrow().to_pydict()
+        mapping: dict[int, list[str]] = {}
+        stats: dict[int, list[int]] | None = (
+            {} if raw.get("has_stats") else None
+        )
+        zones: dict[str, dict] | None = {} if want_zones else None
+        zj = tbl.get("zones_json", [])
+        for idx, k in enumerate(tbl["kind"]):
+            b = int(tbl["bucket"][idx])
+            if k == "file":
+                mapping.setdefault(b, []).append(tbl["path"][idx])
+                if zones is not None:
+                    zstr = zj[idx]
+                    if zstr is None:
+                        # COVERAGE invariant: any file without bounds
+                        # means no trusted zones for the snapshot
+                        zones = None
+                    else:
+                        zones[tbl["path"][idx]] = json.loads(zstr)
+            elif k == "bucket" and stats is not None:
+                stats[b] = [int(tbl["rows"][idx]), int(tbl["active_rows"][idx])]
+        if stats is not None and set(stats) != set(mapping):
+            stats = None
+        return mapping, stats, zones
+
+    def _chain_to_checkpoint(self, version: int) -> tuple[dict, list[dict]]:
+        """Walk back from ``version`` to its nearest FULL document
+        WITHOUT materializing it: ``(full_raw, deltas oldest-first)``.
+        Every walked document is a small JSON (deltas are O(commit),
+        pointer docs are O(1)); chains are bounded by the checkpoint
+        interval."""
+        deltas: list[dict] = []
+        v = version
+        while True:
+            raw = self._read_doc(v)
+            if "delta" not in raw:
+                return raw, list(reversed(deltas))
+            deltas.append(raw)
+            v -= 1
+
+    def _distributed_chain(self, version: int):
+        """Shared front half of the distributed planning paths:
+        ``(status, head, touched_map, delta_zones)`` where status is
+        ``'ok'`` (head is a parquet-checkpoint pointer with trusted
+        zones, deltas replayed driver-side in O(deltas)),
+        ``'unavailable'`` (inline/legacy checkpoint or the snapshot is
+        already cached driver-side), or ``'no_zones'`` (coverage lost:
+        callers must scan)."""
+        from pyspark.sql import functions as F
+
+        if version in self._snap_cache:
+            # already materialized driver-side (small/warm tables): the
+            # in-memory walk is free, a Spark job is not
+            return "unavailable", None, None, None
+        head, deltas = self._chain_to_checkpoint(version)
+        if "checkpoint_parquet" not in head:
+            return "unavailable", None, None, None
+        if not head.get("has_zones") or head.get("zone_tz") != "UTC":
+            return "no_zones", None, None, None
+        for raw in deltas:
+            d = raw["delta"]
+            if d.get("zones_lost") or (
+                d.get("zones") and raw.get("zone_tz") != "UTC"
+            ):
+                return "no_zones", None, None, None
+        # O(deltas) driver replay: the final file list of every bucket
+        # any delta touched, plus the zones the deltas carried
+        touched_map: dict[int, list[str]] = {}
+        delta_zones: dict[str, dict] = {}
+        for raw in deltas:
+            d = raw["delta"]
+            for b in d.get("replaced", []):
+                touched_map[int(b)] = []
+            for b, fl in d.get("added", {}).items():
+                touched_map[int(b)] = list(fl)
+            for pth, cols in d.get("zones", {}).items():
+                delta_zones[pth] = {c: list(mm) for c, mm in cols.items()}
+        # carried-forward files a delta re-added without re-stating
+        # bounds (rebase paths): fetch their exact zones from the
+        # checkpoint; a file with no bounds ANYWHERE = coverage lost
+        missing = sorted(
+            p
+            for fl in touched_map.values()
+            for p in fl
+            if p not in delta_zones
+        )
+        if missing:
+            cp = self.spark.read.parquet(
+                os.path.join(self.dir, head["checkpoint_parquet"])
+            )
+            fetched = (
+                cp.filter(
+                    (F.col("kind") == "file") & F.col("path").isin(missing)
+                )
+                .select("path", "zones_json")
+                .collect()
+            )
+            for r in fetched:
+                if r.zones_json is not None:
+                    delta_zones[r.path] = json.loads(r.zones_json)
+            if any(
+                p not in delta_zones
+                for fl in touched_map.values()
+                for p in fl
+            ):
+                return "no_zones", None, None, None
+        return "ok", head, touched_map, delta_zones
+
+    def agg_bounds_distributed(
+        self, col: str, version: int
+    ) -> tuple[str, tuple | None]:
+        """``agg_fast``'s metadata sweep OFF the driver: the committed
+        [min, max] of ``col`` over every snapshot file, computed as a
+        Spark aggregation over the parquet checkpoint rows plus an
+        O(deltas) driver merge.  ``('ok', (min_enc, max_enc))`` in the
+        encoded domain, ``('uncovered', None)`` when some file lacks
+        bounds for the column (callers take the honest scan — exactly
+        the driver walk's contract), ``('unavailable', None)`` when the
+        snapshot's checkpoint is not parquet or the column's bounds
+        could not be typed (callers take the driver walk)."""
+        from pyspark.sql import functions as F
+
+        status, head, touched_map, delta_zones = self._distributed_chain(
+            version
+        )
+        if status == "no_zones":
+            return "uncovered", None
+        if status != "ok":
+            return "unavailable", None
+        zone_cols = list(head.get("zone_cols", []))
+        if col not in zone_cols:
+            # the checkpoint's zone-column union lacks it: no file
+            # carries bounds, so metadata cannot answer
+            return "uncovered", None
+        if head.get("zone_col_types", {}).get(col) is None:
+            return "unavailable", None  # untyped: let the walk decide
+        i = zone_cols.index(col)
+        cp = self.spark.read.parquet(
+            os.path.join(self.dir, head["checkpoint_parquet"])
+        )
+        cond = F.col("kind") == "file"
+        if touched_map:
+            cond &= ~F.col("bucket").isin(*[int(b) for b in touched_map])
+        row = cp.filter(cond).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(f"zmin_{i}").alias("nmin"),
+            F.count(f"zmax_{i}").alias("nmax"),
+            F.min(f"zmin_{i}").alias("mn"),
+            F.max(f"zmax_{i}").alias("mx"),
+        ).collect()[0]
+        if row.nmin < row.n or row.nmax < row.n:
+            return "uncovered", None  # some carried file has no bounds
+        mn, mx = row.mn, row.mx
+        for fl in touched_map.values():
+            for p in fl:
+                z = delta_zones.get(p, {}).get(col)
+                if z is None or z[0] is None or z[1] is None:
+                    return "uncovered", None
+                mn = z[0] if mn is None or z[0] < mn else mn
+                mx = z[1] if mx is None or z[1] > mx else mx
+        if mn is None or mx is None:
+            return "uncovered", None  # empty snapshot: scan answers
+        return "ok", (mn, mx)
+
+    def pruned_mapping_distributed(
+        self, enc_ranges: dict, version: int
+    ) -> tuple[str, dict | None]:
+        """Zone pruning planned OFF the driver: evaluate the
+        conjunctive encoded ``{col: (lo, hi)}`` ranges as a Spark
+        filter over the parquet checkpoint's typed bound columns, then
+        replay the (O(commit)-sized) deltas driver-side.  Returns
+        ``(status, mapping)``:
+
+        - ``('ok', mapping)`` — the pruned bucket->files mapping,
+          identical in meaning to the driver walk's;
+        - ``('no_zones', None)`` — zone coverage lost somewhere in the
+          chain: callers must scan (same contract as the driver walk);
+        - ``('unavailable', None)`` — the snapshot's checkpoint is not
+          parquet (small table / legacy layout): callers take the
+          in-memory walk.
+
+        Conservative-exact like every pruning path: a NULL bound, a
+        column the checkpoint couldn't type, or a failed comparison
+        cast keeps the file; the residual filter always applies."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        status, head, touched_map, delta_zones = self._distributed_chain(
+            version
+        )
+        if status != "ok":
+            return status, None
+        cp = self.spark.read.parquet(
+            os.path.join(self.dir, head["checkpoint_parquet"])
+        )
+        zone_cols = list(head.get("zone_cols", []))
+        col_types = head.get("zone_col_types", {})
+        cond = F.col("kind") == "file"
+        if touched_map:
+            cond &= ~F.col("bucket").isin(*[int(b) for b in touched_map])
+        for c, (lo, hi) in enc_ranges.items():
+            if lo is None and hi is None:
+                continue
+            if c not in zone_cols or col_types.get(c) is None:
+                continue  # untyped/unknown column: cannot skip on it
+            i = zone_cols.index(c)
+            zmin, zmax = F.col(f"zmin_{i}"), F.col(f"zmax_{i}")
+            excl = []
+            if lo is not None:
+                excl.append(zmax < F.lit(lo))
+            if hi is not None:
+                excl.append(zmin > F.lit(hi))
+            overlap = ~reduce(lambda a, b: a | b, excl)
+            # NULL bounds (or a NULL-valued comparison after an engine
+            # cast) must KEEP the file — coalesce, never drop-on-null
+            cond &= (
+                zmin.isNull() | zmax.isNull() | F.coalesce(overlap, F.lit(True))
+            )
+        out: dict[int, list[str]] = {}
+        for r in cp.filter(cond).select("bucket", "path").collect():
+            out.setdefault(int(r.bucket), []).append(r.path)
+        for b, fl in touched_map.items():
+            kept = [
+                p
+                for p in fl
+                if all(
+                    zone_overlaps(delta_zones.get(p, {}).get(c), lo, hi)
+                    for c, (lo, hi) in enc_ranges.items()
+                )
+            ]
+            if kept:
+                out[b] = kept
+            else:
+                out.pop(b, None)
+        return "ok", out
 
     @staticmethod
     def _apply_delta(snapshot: tuple, raw: dict) -> tuple:
@@ -316,7 +694,7 @@ class ManifestLog:
         while v not in self._snap_cache:
             raw = self._read_doc(v)
             if "delta" not in raw:
-                snap = self._full_parts(raw)
+                snap = self._resolve_full(raw)
                 break
             chain.append(raw)
             v -= 1
@@ -433,9 +811,36 @@ class ManifestLog:
             if delta.get("zones"):
                 doc["zone_tz"] = "UTC"
             body = json.dumps(doc).encode("utf-8")
-        else:
-            body = self._full_doc_body(mapping, stats, zones, version)
-        return self._put_if_absent(body, version)
+            return self._put_if_absent(body, version)
+        body, cp_name = self._full_body(mapping, stats, zones, version)
+        ok = self._put_if_absent(body, version)
+        if not ok and cp_name is not None:
+            # lost the publish race: reclaim this attempt's checkpoint
+            # directory immediately (vacuum would get it eventually)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(os.path.join(self.dir, cp_name)),
+                True,
+            )
+        return ok
+
+    def _full_body(
+        self, mapping, stats, zones, version: int
+    ) -> tuple[bytes, str | None]:
+        """The JSON body of a FULL document at ``version`` — inline
+        below ``parquet_checkpoint_threshold`` snapshot files, a
+        pointer to a freshly written parquet checkpoint at/above it.
+        Returns ``(body, checkpoint_dir_name_or_None)``; the parquet
+        directory is written BEFORE the pointer publishes, so a
+        published pointer always resolves (a crash in between leaves
+        an orphan directory for vacuum, never a dangling pointer)."""
+        nfiles = sum(len(fl) for fl in mapping.values())
+        if nfiles >= self.parquet_checkpoint_threshold:
+            name, fields = self._write_parquet_checkpoint(
+                mapping, stats, zones, version
+            )
+            doc = {"version": version, **fields}
+            return json.dumps(doc).encode("utf-8"), name
+        return self._full_doc_body(mapping, stats, zones, version), None
 
     @staticmethod
     def _full_doc_body(mapping, stats, zones, version: int) -> bytes:
@@ -755,7 +1160,7 @@ class ManifestLog:
             raw0 = self._read_doc(v0)
             if "delta" in raw0:
                 m0, s0, z0 = self._snapshot(v0)
-                body = self._full_doc_body(m0, s0, z0, v0)
+                body, _cp = self._full_body(m0, s0, z0, v0)
                 fs0, _, jvm0 = _fs(self.spark, self.dir)
                 final = jvm0.org.apache.hadoop.fs.Path(
                     os.path.join(self.dir, f"v{v0}.json")
@@ -807,4 +1212,23 @@ class ManifestLog:
                 jvm2.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{v}.json")),
                 False,
             )
+        # checkpoint parquet dirs: keep only the ones a surviving
+        # document points at — this also reclaims orphans from crashed
+        # or race-losing publishes (vacuum already requires no commit
+        # in flight, so an unreferenced cp-* dir is never in use)
+        fs3, mdir_p, jvm3 = _fs(self.spark, self.dir)
+        if fs3.exists(mdir_p):
+            live_cps = set()
+            for v in self.versions():
+                doc = self._read_doc(v)
+                if "checkpoint_parquet" in doc:
+                    live_cps.add(doc["checkpoint_parquet"])
+            for st in fs3.listStatus(mdir_p):
+                name = st.getPath().getName()
+                if (
+                    st.isDirectory()
+                    and name.startswith("cp-")
+                    and name not in live_cps
+                ):
+                    fs3.delete(st.getPath(), True)
         return removed

@@ -212,6 +212,7 @@ class KeyedTable:
         store=None,
         zone_map_cols: Sequence[str] | None = None,
         manifest_checkpoint_interval: int = 16,
+        manifest_parquet_threshold: int = 50_000,
     ) -> None:
         if commit_protocol not in ("direct", "manifest"):
             raise ValueError(
@@ -288,7 +289,10 @@ class KeyedTable:
             # every Nth version (and restore) is a full checkpoint —
             # see ManifestLog.  1 = a full document per commit.
             self._log = ManifestLog(
-                spark, path, checkpoint_interval=manifest_checkpoint_interval
+                spark,
+                path,
+                checkpoint_interval=manifest_checkpoint_interval,
+                parquet_checkpoint_threshold=manifest_parquet_threshold,
             )
         else:
             self._log = None
@@ -835,15 +839,29 @@ class KeyedTable:
         log = self._snapshot_log()
         if log is None:
             return None
+        enc = {
+            c: (self._encode_bound(c, lo), self._encode_bound(c, hi))
+            for c, (lo, hi) in ranges.items()
+        }
+        # Distributed fast path (r11): when the snapshot's checkpoint is
+        # a PARQUET document (big tables, above the log's threshold),
+        # plan the prune as a Spark filter over the checkpoint rows +
+        # an O(deltas) driver replay — the driver never materializes
+        # every file's bounds.  'unavailable' = inline-JSON checkpoint
+        # (small/legacy tables): the in-memory walk below is faster
+        # there and stays the reference semantics.
+        v = version if version is not None else log.latest_version()
+        if v is not None and hasattr(log, "pruned_mapping_distributed"):
+            status, pm = log.pruned_mapping_distributed(enc, v)
+            if status == "ok":
+                return pm
+            if status == "no_zones":
+                return None
         # zero-copy view: this walk touches every file's bounds, so the
         # defensive copy read_zones() makes would dominate at scale
         mapping, _, zones = log.snapshot_view(version)
         if zones is None:
             return None
-        enc = {
-            c: (self._encode_bound(c, lo), self._encode_bound(c, hi))
-            for c, (lo, hi) in ranges.items()
-        }
         out = {}
         for b, files in mapping.items():
             kept = [
@@ -938,6 +956,38 @@ class KeyedTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def _decode_zone_bound(self, col: str, best):
+        """Decode one committed zone bound back into the column's value
+        domain (timestamps as ``datetime`` etc.) — shared by the
+        driver-walk and distributed ``agg_fast`` paths."""
+        field = next(
+            f for f in self._read_schema_sidecar().fields if f.name == col
+        )
+        kind = field.dataType.simpleString()
+        if kind == "timestamp":
+            # persisted bounds are UTC-naive; a scan would return
+            # process-local naive (pyspark converts via libc) — match
+            # it exactly
+            import datetime as _dt
+
+            return (
+                _dt.datetime.fromisoformat(best)
+                .replace(tzinfo=_dt.timezone.utc)
+                .astimezone()
+                .replace(tzinfo=None)
+            )
+        if kind == "timestamp_ntz":
+            from datetime import datetime as _dt
+
+            return _dt.fromisoformat(best)
+        if kind == "date":
+            from datetime import date as _d
+
+            return _d.fromisoformat(best)
+        if kind == "boolean":
+            return bool(best)
+        return best
+
     def agg_fast(self, col: str, fn: str, version: int | None = None):
         """MIN/MAX of a zone-mapped column answered from MANIFEST
         METADATA only — no data file is opened (the Delta
@@ -952,13 +1002,34 @@ class KeyedTable:
         if fn not in ("min", "max"):
             raise ValueError(f"agg_fast supports 'min'/'max', got {fn!r}")
         log = self._snapshot_log()
+        idx = 0 if fn == "min" else 1
+        # Distributed fast path (r11): parquet-checkpointed snapshots
+        # answer from a Spark aggregation over the checkpoint rows +
+        # an O(deltas) driver merge — the driver never sweeps every
+        # file's bounds.  'unavailable' = inline checkpoint (small
+        # tables): the in-memory sweep below is faster there.
+        v = version if version is not None else (
+            log.latest_version() if log is not None else None
+        )
+        if (
+            log is not None
+            and v is not None
+            and hasattr(log, "agg_bounds_distributed")
+        ):
+            st, mm = log.agg_bounds_distributed(col, v)
+            if st == "ok":
+                return self._decode_zone_bound(col, mm[idx])
+            if st == "uncovered":
+                row = self.read(version=version).agg(
+                    (F.min(col) if fn == "min" else F.max(col)).alias("v")
+                ).collect()[0]
+                return row.v
         # zero-copy view (this sweep touches every file's bounds — the
         # r9 "agg_fast is O(total files) on the driver" hotspot; the
         # walk itself is inherent, the per-call copies are not)
         mapping, _, zones = (
             log.snapshot_view(version) if log is not None else ({}, {}, None)
         )
-        idx = 0 if fn == "min" else 1
         if zones is not None:
             bounds = []
             covered = True
@@ -980,35 +1051,7 @@ class KeyedTable:
                 # Spark's NaN-greatest answer (ADVICE r9: Python
                 # min/max over NaN is order-dependent)
                 best = min(bounds) if fn == "min" else max(bounds)
-                field = next(
-                    f
-                    for f in self._read_schema_sidecar().fields
-                    if f.name == col
-                )
-                kind = field.dataType.simpleString()
-                if kind == "timestamp":
-                    # persisted bounds are UTC-naive; a scan would
-                    # return process-local naive (pyspark converts via
-                    # libc) — match it exactly
-                    import datetime as _dt
-
-                    return (
-                        _dt.datetime.fromisoformat(best)
-                        .replace(tzinfo=_dt.timezone.utc)
-                        .astimezone()
-                        .replace(tzinfo=None)
-                    )
-                if kind == "timestamp_ntz":
-                    from datetime import datetime as _dt
-
-                    return _dt.fromisoformat(best)
-                if kind == "date":
-                    from datetime import date as _d
-
-                    return _d.fromisoformat(best)
-                if kind == "boolean":
-                    return bool(best)
-                return best
+                return self._decode_zone_bound(col, best)
         # honest fallback: one aggregation scan
         row = self.read(version=version).agg(
             (F.min(col) if fn == "min" else F.max(col)).alias("v")

@@ -191,7 +191,29 @@ def _cdc_mapping(path: str, version: int) -> dict[int, list[str]]:
         with open(os.path.join(path, "_qss_manifest", f"v{v}.json")) as f:
             doc = json.load(f)
         if "delta" not in doc:
-            snap = ManifestLog._full_parts(doc)
+            if "checkpoint_parquet" in doc:
+                # r11 parquet checkpoint: read the file rows with plain
+                # pyarrow (this reader runs outside any Spark session).
+                # CDC planning only needs the MAPPING; stats/zones are
+                # irrelevant here, and _apply_delta degrades them to
+                # None conservatively.
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(
+                    os.path.join(
+                        path, "_qss_manifest", doc["checkpoint_parquet"]
+                    ),
+                    columns=["kind", "bucket", "path"],
+                ).to_pydict()
+                mapping: dict[int, list[str]] = {}
+                for i, k in enumerate(tbl["kind"]):
+                    if k == "file":
+                        mapping.setdefault(int(tbl["bucket"][i]), []).append(
+                            tbl["path"][i]
+                        )
+                snap = (mapping, None, None)
+            else:
+                snap = ManifestLog._full_parts(doc)
             break
         chain.append(doc)
         v -= 1

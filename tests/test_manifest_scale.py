@@ -264,8 +264,14 @@ def test_delta_commit_cost_independent_of_table_size(spark, tmp_table_dir):
     envelope lives in test_manifest_scale_envelope_at_10k_files.)"""
     sizes = {}
     for label, fpb in (("10k", FILES_PER_BUCKET), ("100k", FILES_PER_BUCKET * 10)):
+        # inline-JSON layout pinned explicitly: at 10^5 files the
+        # DEFAULT threshold (50k) publishes a parquet checkpoint behind
+        # an O(1) pointer instead (test_parquet_checkpoint_envelope_at_
+        # 100k_files) — this test pins the pre-r11 growth claim that
+        # motivated it
         log = ManifestLog(
-            spark, os.path.join(tmp_table_dir, label), checkpoint_interval=16
+            spark, os.path.join(tmp_table_dir, label), checkpoint_interval=16,
+            parquet_checkpoint_threshold=10**9,
         )
         mapping, stats, zones = _synthetic_state(N_BUCKETS, fpb)
         v = log.commit(mapping, stats=stats, zones=zones)
@@ -320,3 +326,218 @@ def test_restore_to_a_delta_version(spark, tmp_table_dir):
     assert {tuple(r) for r in t.read().collect()} == want
     assert log.read_zones(v4) == z2
     assert t.count_fast() == 8
+
+
+# --------------------------------------------------------------------------
+# r11: parquet checkpoint (verdict ask #3) — the distributed-readable
+# full-document layout behind ManifestLog, same delta-log semantics.
+
+
+def _mk_keyed(spark, path, threshold):
+    return KeyedTable(
+        spark, path, keys=("pkey",), version_col="ts", arrival_col="a",
+        num_buckets=4, commit_protocol="manifest", zone_map_cols=("ts",),
+        manifest_parquet_threshold=threshold,
+    )
+
+
+def test_parquet_checkpoint_full_table_contract(spark, tmp_table_dir):
+    """The whole KeyedTable contract on the parquet-checkpoint layout
+    (threshold=0 forces every full document to parquet): upsert /
+    newer-wins / soft delete / read_range / lookup / clustered compact
+    / time travel / restore / vacuum behave byte-identically to the
+    inline-JSON layout built from the same batches."""
+    a = _mk_keyed(spark, os.path.join(tmp_table_dir, "pq"), threshold=0)
+    b = _mk_keyed(spark, os.path.join(tmp_table_dir, "js"), threshold=10**9)
+    mk = lambda rows: spark.createDataFrame(rows, "pkey long, ts timestamp, a long")
+    batches = [
+        [(i, datetime(2024, 1, 1 + i % 5), i) for i in range(16)],
+        [(3, datetime(2024, 2, 1), 100), (99, datetime(2024, 2, 2), 101)],
+        [(4, datetime(2023, 12, 1), 102)],  # older: newer-wins drops it
+    ]
+    for t in (a, b):
+        for rows in batches:
+            t.upsert(mk(rows), newer_wins=True)
+        t.soft_delete(mk([(5, datetime(2024, 3, 1), 200)]))
+        t.compact(target_files_per_bucket=2, sort_by="ts")
+    # every full document of the threshold-0 table is a pointer
+    log = a._snapshot_log()
+    fulls = [v for v in log.versions() if "delta" not in log._read_doc(v)]
+    assert fulls and all(
+        "checkpoint_parquet" in log._read_doc(v) for v in fulls
+    )
+    for kwargs in (
+        dict(active_only=False),
+        dict(active_only=True),
+    ):
+        ga = {tuple(r) for r in a.read(**kwargs).collect()}
+        gb = {tuple(r) for r in b.read(**kwargs).collect()}
+        assert ga == gb and len(ga) > 0
+    lo, hi = datetime(2024, 1, 2), datetime(2024, 2, 1)
+    assert (
+        {tuple(r) for r in a.read_range("ts", lo=lo, hi=hi).collect()}
+        == {tuple(r) for r in b.read_range("ts", lo=lo, hi=hi).collect()}
+    )
+    assert (
+        {tuple(r) for r in a.lookup([3, 4, 99]).collect()}
+        == {tuple(r) for r in b.lookup([3, 4, 99]).collect()}
+    )
+    assert a.count_fast() == b.count_fast()
+    assert a.content_checksum() == b.content_checksum()
+    for fn in ("min", "max"):
+        assert a.agg_fast("ts", fn) == b.agg_fast("ts", fn)
+    # time travel + restore + vacuum on the pointer layout
+    v_old = a.snapshot_versions()[1]
+    old_rows = {tuple(r) for r in a.read(version=v_old).collect()}
+    a.restore(v_old)
+    assert {tuple(r) for r in a.read().collect()} == old_rows
+    a.vacuum(keep_versions=1)
+    assert {tuple(r) for r in a.read().collect()} == old_rows
+    import glob
+    live = [
+        log._read_doc(v).get("checkpoint_parquet")
+        for v in a.snapshot_versions()
+    ]
+    on_disk = {
+        os.path.basename(p) for p in glob.glob(os.path.join(log.dir, "cp-*"))
+    }
+    assert on_disk == {c for c in live if c}  # orphan cp dirs swept
+
+
+def test_parquet_checkpoint_cdc_source_reads_pointer(spark, tmp_table_dir):
+    """The no-Spark CDC reader (sources/pyds.py) reconstructs snapshot
+    mappings through pointer documents with plain pyarrow."""
+    from quick_stream_spark.sources.pyds import _cdc_mapping
+
+    t = _mk_keyed(spark, os.path.join(tmp_table_dir, "t"), threshold=0)
+    mk = lambda rows: spark.createDataFrame(rows, "pkey long, ts timestamp, a long")
+    t.upsert(mk([(i, datetime(2024, 1, 1), i) for i in range(8)]))
+    t.upsert(mk([(1, datetime(2024, 2, 1), 100)]), newer_wins=True)
+    log = t._snapshot_log()
+    for v in t.snapshot_versions():
+        assert _cdc_mapping(t.path, v) == log.read(v)
+
+
+@pytest.mark.slow
+def test_parquet_checkpoint_envelope_at_100k_files(spark, tmp_table_dir):
+    """The 10^5-file envelope (r10 verdict ask #3): at this size the
+    r10 layout wrote a ~19.9 MB JSON checkpoint parsed single-threaded
+    on the driver, and read_range planning walked every file's bounds
+    driver-side.  With the parquet checkpoint: (a) the published JSON
+    document stays O(1) (a pointer), (b) planning runs as a Spark
+    filter over the checkpoint rows and — pinned structurally, not by
+    wall clock — never materializes the snapshot on the driver, and
+    (c) the pruned mapping is exactly the driver walk's."""
+    log = ManifestLog(
+        spark, os.path.join(tmp_table_dir, "t"),
+        checkpoint_interval=16, parquet_checkpoint_threshold=50_000,
+    )
+    mapping, stats, zones = _synthetic_state(N_BUCKETS, FILES_PER_BUCKET * 10)
+    n_files = sum(len(fl) for fl in mapping.values())
+    assert n_files >= 99_000
+
+    t0 = time.monotonic()
+    v = log.commit(mapping, stats=stats, zones=zones)
+    t_ckpt = time.monotonic() - t0
+    ptr_bytes = os.path.getsize(os.path.join(log.dir, f"v{v}.json"))
+    assert "checkpoint_parquet" in log._read_doc(v)
+    assert ptr_bytes < 2_000  # the pointer, not the 19.9 MB payload
+
+    # one steady-state delta on top (the incremental-commit shape)
+    base = log.latest_version()
+    m = log.read(base)
+    s = log.read_stats(base)
+    z = log.read_zones(base)
+    for p in m[0]:
+        z.pop(p, None)
+    newp = "_qss_commits/cinc/__qss_bucket=0/part-0.parquet"
+    m[0] = [newp]
+    s[0] = [10, 9]
+    z[newp] = {"ts": ["2024-02-01T00:00:00", "2024-02-01T23:59:59"],
+               "uid": [0, 99]}
+    v2 = log.commit(m, stats=s, touched={0}, base_version=base, zones=z)
+    assert "delta" in log._read_doc(v2)
+
+    # planning OFF the driver's critical path: a fresh instance prunes
+    # without ever resolving the snapshot driver-side
+    cold = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=16, parquet_checkpoint_threshold=50_000,
+    )
+    resolved = []
+    orig = cold._snapshot
+    cold._snapshot = lambda v: (resolved.append(v), orig(v))[1]
+    t0 = time.monotonic()
+    status, pm = cold.pruned_mapping_distributed(
+        {"ts": ("2024-02-01T00:00:00", None)}, v2
+    )
+    t_plan = time.monotonic() - t0
+    cold._snapshot = orig
+    assert status == "ok"
+    assert resolved == []  # never materialized on the driver
+    assert pm == {0: [newp]}  # exactly the delta's fresh file
+
+    # parity with the driver walk on a selective AND an open slice
+    from quick_stream_spark.operators.commitlog import zone_overlaps
+
+    mw, _, zw = cold._snapshot(v2)
+    # the distributed calls need an instance whose cache is cold: a
+    # cached snapshot deliberately short-circuits to the driver walk
+    dist = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=16, parquet_checkpoint_threshold=50_000,
+    )
+    for enc in (
+        {"uid": (150_000, 150_999)},
+        {"ts": (None, "2024-01-03T00:00:00"), "uid": (0, 10_000)},
+    ):
+        status, got = dist.pruned_mapping_distributed(enc, v2)
+        assert status == "ok"
+        walk = {}
+        for b, fl in mw.items():
+            kept = [
+                p for p in fl
+                if all(
+                    zone_overlaps(zw.get(p, {}).get(c), lo, hi)
+                    for c, (lo, hi) in enc.items()
+                )
+            ]
+            if kept:
+                walk[b] = kept
+        assert {b: sorted(f) for b, f in got.items()} == {
+            b: sorted(f) for b, f in walk.items()
+        }
+
+    # agg_fast's metadata sweep, also off the driver: min/max from a
+    # Spark aggregation over checkpoint rows + the delta's file
+    dist2 = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=16, parquet_checkpoint_threshold=50_000,
+    )
+    st, mm = dist2.agg_bounds_distributed("uid", v2)
+    assert st == "ok"
+    # driver-walk parity: uid max over carried files is (fpb-1)*100+99,
+    # and the delta file's [0, 99] cannot beat it; min is 0
+    assert mm[0] == 0 and mm[1] == (FILES_PER_BUCKET * 10 - 1) * 100 + 99
+    st, mm_ts = dist2.agg_bounds_distributed("ts", v2)
+    assert st == "ok" and mm_ts[1] == "2024-02-01T23:59:59"
+
+    # cold full materialization (read paths that DO need the mapping)
+    cold2 = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=16, parquet_checkpoint_threshold=50_000,
+    )
+    t0 = time.monotonic()
+    m_cold = cold2.read(v2)
+    t_cold = time.monotonic() - t0
+    assert m_cold == m and cold2.read_stats(v2) == s
+    assert cold2.read_zones(v2) == z
+
+    print(
+        f"\n# parquet checkpoint @ {n_files} files: pointer {ptr_bytes} B "
+        f"(vs ~19.9 MB inline JSON at r10), checkpoint write "
+        f"{t_ckpt:.1f} s, distributed read_range planning "
+        f"{t_plan * 1e3:.0f} ms with ZERO driver snapshot "
+        f"materializations, cold full read {t_cold:.1f} s"
+    )
+    assert t_plan < 10.0
