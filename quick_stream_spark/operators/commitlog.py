@@ -544,6 +544,94 @@ class ManifestLog:
             return "uncovered", None  # empty snapshot: scan answers
         return "ok", (mn, mx)
 
+    def bucket_zones_distributed(
+        self, bucket_ids, version: int
+    ) -> tuple[str, tuple | None]:
+        """Point-lookup planning OFF the driver: the file lists and
+        exact zone entries of ONLY the requested buckets, fetched from
+        the parquet checkpoint with a bucket-pushdown filter plus the
+        O(deltas) replay — bounded by the lookup's buckets, never the
+        table.  ``('ok', (mapping_subset, zones_subset))`` /
+        ``('no_zones', None)`` / ``('unavailable', None)`` with the
+        same contracts as :meth:`pruned_mapping_distributed`."""
+        from pyspark.sql import functions as F
+
+        status, head, touched_map, delta_zones = self._distributed_chain(
+            version
+        )
+        if status != "ok":
+            return status, None
+        want = {int(b) for b in bucket_ids}
+        untouched = sorted(want - set(touched_map))
+        mapping: dict[int, list[str]] = {}
+        zones: dict[str, dict] = {}
+        if untouched:
+            cp = self.spark.read.parquet(
+                os.path.join(self.dir, head["checkpoint_parquet"])
+            )
+            got = (
+                cp.filter(
+                    (F.col("kind") == "file")
+                    & F.col("bucket").isin(untouched)
+                )
+                .select("bucket", "path", "zones_json")
+                .collect()
+            )
+            for r in got:
+                if r.zones_json is None:
+                    return "no_zones", None  # coverage invariant
+                mapping.setdefault(int(r.bucket), []).append(r.path)
+                zones[r.path] = json.loads(r.zones_json)
+        for b in want & set(touched_map):
+            fl = touched_map[b]
+            if not fl:
+                continue
+            mapping[b] = list(fl)
+            for pth in fl:
+                if pth not in delta_zones:
+                    return "no_zones", None
+                zones[pth] = delta_zones[pth]
+        return "ok", (mapping, zones)
+
+    def snapshot_totals(self, version: int) -> tuple[int, int] | None:
+        """``(files_total, buckets_total)`` of a snapshot WITHOUT
+        materializing it driver-side when its checkpoint is parquet
+        (one count aggregation + the O(deltas) replay); ``None`` when
+        the snapshot is inline/cached — callers take the view."""
+        from pyspark.sql import functions as F
+
+        status, head, touched_map, _ = self._distributed_chain(version)
+        if status == "unavailable":
+            return None
+        if status == "no_zones":
+            # zones-trust is irrelevant for counting: fall back to the
+            # chain pieces directly
+            head, deltas = self._chain_to_checkpoint(version)
+            if "checkpoint_parquet" not in head:
+                return None
+            touched_map = {}
+            for raw in deltas:
+                d = raw["delta"]
+                for b in d.get("replaced", []):
+                    touched_map[int(b)] = []
+                for b, fl in d.get("added", {}).items():
+                    touched_map[int(b)] = list(fl)
+        cp = self.spark.read.parquet(
+            os.path.join(self.dir, head["checkpoint_parquet"])
+        )
+        cond = F.col("kind") == "file"
+        if touched_map:
+            cond &= ~F.col("bucket").isin(*[int(b) for b in touched_map])
+        row = cp.filter(cond).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("bucket").alias("nb"),
+        ).collect()[0]
+        files_total = int(row.n) + sum(len(fl) for fl in touched_map.values())
+        buckets_total = int(row.nb) + sum(
+            1 for fl in touched_map.values() if fl
+        )
+        return files_total, buckets_total
+
     def pruned_mapping_distributed(
         self, enc_ranges: dict, version: int
     ) -> tuple[str, dict | None]:

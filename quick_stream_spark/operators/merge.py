@@ -1080,7 +1080,20 @@ class KeyedTable:
         log = self._snapshot_log()
         if log is None:
             return None
-        mapping, _, zones = log.snapshot_view(version)  # read-only view
+        # Distributed fast path (r11): parquet-checkpointed snapshots
+        # fetch ONLY the requested buckets' file lists + zone entries
+        # via a bucket-pushdown filter over the checkpoint rows —
+        # bounded by the lookup, never by table size.
+        mapping = zones = None
+        v = version if version is not None else log.latest_version()
+        if v is not None and hasattr(log, "bucket_zones_distributed"):
+            st, sub = log.bucket_zones_distributed(bucket_ids, v)
+            if st == "no_zones":
+                return None
+            if st == "ok":
+                mapping, zones = sub
+        if zones is None:
+            mapping, _, zones = log.snapshot_view(version)  # read-only
         if zones is None:
             return None
         # Encode each requested tuple's zone-mapped components once.  A
@@ -1151,17 +1164,34 @@ class KeyedTable:
                 "skipping_stats requires commit_protocol='manifest' or "
                 "a manifest-backed store"
             )
-        mapping, _, _ = log.snapshot_view(version)  # read-only view
-        total = sum(len(fl) for fl in mapping.values())
-        pm = self._pruned_mapping(ranges, version=version)
-        if pm is None:
-            pm = mapping
-        scanned = sum(len(fl) for fl in pm.values())
+        totals = None
+        v = version if version is not None else log.latest_version()
+        if v is not None and hasattr(log, "snapshot_totals"):
+            # parquet-checkpointed snapshots count from one aggregation
+            # instead of materializing the mapping driver-side (r11)
+            totals = log.snapshot_totals(v)
+        if totals is not None:
+            total, n_buckets = totals
+            pm = self._pruned_mapping(ranges, version=version)
+            if pm is None:
+                scanned, b_scanned = total, n_buckets
+            else:
+                scanned = sum(len(fl) for fl in pm.values())
+                b_scanned = len(pm)
+        else:
+            mapping, _, _ = log.snapshot_view(version)  # read-only view
+            total = sum(len(fl) for fl in mapping.values())
+            n_buckets = len(mapping)
+            pm = self._pruned_mapping(ranges, version=version)
+            if pm is None:
+                pm = mapping
+            scanned = sum(len(fl) for fl in pm.values())
+            b_scanned = len(pm)
         return {
             "files_total": total,
             "files_scanned": scanned,
-            "buckets_total": len(mapping),
-            "buckets_scanned": len(pm),
+            "buckets_total": n_buckets,
+            "buckets_scanned": b_scanned,
             "skipped_fraction": (
                 round(1.0 - scanned / total, 6) if total else 0.0
             ),

@@ -522,6 +522,22 @@ def test_parquet_checkpoint_envelope_at_100k_files(spark, tmp_table_dir):
     st, mm_ts = dist2.agg_bounds_distributed("ts", v2)
     assert st == "ok" and mm_ts[1] == "2024-02-01T23:59:59"
 
+    # point-lookup planning: bounded bucket fetch, no materialization
+    dist3 = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=16, parquet_checkpoint_threshold=50_000,
+    )
+    st, (msub, zsub) = dist3.bucket_zones_distributed([0, 5], v2)
+    assert st == "ok"
+    assert set(msub) == {0, 5} and msub[0] == [newp]
+    assert len(msub[5]) == FILES_PER_BUCKET * 10
+    assert all(p in zsub for fl in msub.values() for p in fl)
+    # diagnostic totals from one aggregation, not a driver walk
+    assert dist3.snapshot_totals(v2) == (
+        63 * FILES_PER_BUCKET * 10 + 1,
+        64,
+    )
+
     # cold full materialization (read paths that DO need the mapping)
     cold2 = ManifestLog(
         spark, log.table_path,
