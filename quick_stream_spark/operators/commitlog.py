@@ -593,6 +593,52 @@ class ManifestLog:
                 zones[pth] = delta_zones[pth]
         return "ok", (mapping, zones)
 
+    def bucket_mapping_distributed(
+        self, bucket_ids, version: int
+    ) -> dict[int, list[str]] | None:
+        """File lists of ONLY the requested buckets — the zones-
+        agnostic twin of :meth:`bucket_zones_distributed` for read
+        paths that need no bounds (bucket-pruned lookups without zone
+        help, CDC bucket reads).  A bucket-pushdown filter over the
+        parquet checkpoint plus the O(deltas) replay; ``None`` when the
+        snapshot's checkpoint is inline/cached (callers take the
+        in-memory mapping)."""
+        from pyspark.sql import functions as F
+
+        if version in self._snap_cache:
+            return None
+        head, deltas = self._chain_to_checkpoint(version)
+        if "checkpoint_parquet" not in head:
+            return None
+        touched_map: dict[int, list[str]] = {}
+        for raw in deltas:
+            d = raw["delta"]
+            for b in d.get("replaced", []):
+                touched_map[int(b)] = []
+            for b, fl in d.get("added", {}).items():
+                touched_map[int(b)] = list(fl)
+        want = {int(b) for b in bucket_ids}
+        untouched = sorted(want - set(touched_map))
+        mapping: dict[int, list[str]] = {}
+        if untouched:
+            cp = self.spark.read.parquet(
+                os.path.join(self.dir, head["checkpoint_parquet"])
+            )
+            got = (
+                cp.filter(
+                    (F.col("kind") == "file")
+                    & F.col("bucket").isin(untouched)
+                )
+                .select("bucket", "path")
+                .collect()
+            )
+            for r in got:
+                mapping.setdefault(int(r.bucket), []).append(r.path)
+        for b in want & set(touched_map):
+            if touched_map[b]:
+                mapping[b] = list(touched_map[b])
+        return mapping
+
     def snapshot_totals(self, version: int) -> tuple[int, int] | None:
         """``(files_total, buckets_total)`` of a snapshot WITHOUT
         materializing it driver-side when its checkpoint is parquet

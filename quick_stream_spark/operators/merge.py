@@ -435,6 +435,11 @@ class KeyedTable:
         the bucket column — the change-data read, routed to the inline
         manifest io or the store's versioned reader."""
         if self._log is not None:
+            sub = self._log.bucket_mapping_distributed(bucket_ids, version)
+            if sub is not None:  # bounded fetch on parquet checkpoints
+                return self._read_manifest(
+                    version=version, mapping_override=sub
+                )
             return self._read_manifest(version=version, bucket_ids=bucket_ids)
         return self._store.read_version(
             self._read_schema_sidecar(), version, bucket_ids
@@ -1248,9 +1253,22 @@ class KeyedTable:
             if active_only:
                 df = df.filter(F.col(self.soft_delete_col))
         elif self._log is not None:
-            df = self._read_manifest(
-                active_only=active_only, version=version, bucket_ids=ids
+            v = version if version is not None else self._log.latest_version()
+            sub = (
+                self._log.bucket_mapping_distributed(ids, v)
+                if v is not None
+                else None
             )
+            if sub is not None:  # bounded fetch, no snapshot walk (r11)
+                df = self._read_manifest(
+                    active_only=active_only,
+                    version=version,
+                    mapping_override=sub,
+                )
+            else:
+                df = self._read_manifest(
+                    active_only=active_only, version=version, bucket_ids=ids
+                )
         elif self._store_time_travel():
             df = self._store.read_version(
                 schema, version, ids

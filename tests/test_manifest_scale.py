@@ -532,6 +532,9 @@ def test_parquet_checkpoint_envelope_at_100k_files(spark, tmp_table_dir):
     assert set(msub) == {0, 5} and msub[0] == [newp]
     assert len(msub[5]) == FILES_PER_BUCKET * 10
     assert all(p in zsub for fl in msub.values() for p in fl)
+    # zones-agnostic bounded fetch (lookup fallback / CDC bucket reads)
+    sub = dist3.bucket_mapping_distributed([0, 5], v2)
+    assert sub == {0: msub[0], 5: msub[5]}
     # diagnostic totals from one aggregation, not a driver walk
     assert dist3.snapshot_totals(v2) == (
         63 * FILES_PER_BUCKET * 10 + 1,
