@@ -560,3 +560,56 @@ def test_parquet_checkpoint_envelope_at_100k_files(spark, tmp_table_dir):
         f"materializations, cold full read {t_cold:.1f} s"
     )
     assert t_plan < 10.0
+
+
+def test_parquet_checkpoint_threshold_crossing_mid_history(
+    spark, tmp_table_dir
+):
+    """A table that GROWS past the threshold transitions layouts
+    mid-log: early full documents are inline JSON, later ones parquet
+    pointers — readers resolve mixed chains (inline full -> deltas ->
+    parquet full -> deltas) transparently, and time travel still reads
+    every version."""
+    t = KeyedTable(
+        spark, os.path.join(tmp_table_dir, "t"), keys=("pkey",),
+        version_col="ts", arrival_col="a", num_buckets=8,
+        commit_protocol="manifest", zone_map_cols=("ts",),
+        manifest_checkpoint_interval=3, manifest_parquet_threshold=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "pkey long, ts timestamp, a long")
+    states = {}
+    for i in range(8):  # growing key set: file count crosses 4 by v3
+        batch = [
+            (100 * i + j, datetime(2024, 1, 1 + i), 10 * i + j)
+            for j in range(1 + i)
+        ]
+        t.upsert(mk(batch), newer_wins=True)
+        states[t.snapshot_versions()[-1]] = {
+            tuple(r) for r in t.read().collect()
+        }
+    log = t._snapshot_log()
+    kinds = []
+    for v in log.versions():
+        raw = log._read_doc(v)
+        kinds.append(
+            "delta" if "delta" in raw
+            else ("pointer" if "checkpoint_parquet" in raw else "inline")
+        )
+    # both full layouts must occur in one log
+    assert "inline" in kinds and "pointer" in kinds, kinds
+    # every retained version reads exactly its recorded state
+    fresh = KeyedTable(
+        spark, t.path, keys=("pkey",), version_col="ts", arrival_col="a",
+        num_buckets=8, commit_protocol="manifest", zone_map_cols=("ts",),
+        manifest_checkpoint_interval=3, manifest_parquet_threshold=4,
+    )
+    for v, want in states.items():
+        assert {tuple(r) for r in fresh.read(version=v).collect()} == want
+    # range planning agrees across the transition
+    lo = datetime(2024, 1, 5)
+    got = {tuple(r) for r in fresh.read_range("ts", lo=lo).collect()}
+    want = {
+        tuple(r)
+        for r in fresh.read().filter(F.col("ts") >= F.lit(lo)).collect()
+    }
+    assert got == want and len(got) > 0
