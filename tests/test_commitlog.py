@@ -542,3 +542,62 @@ def test_snapshot_ops_on_logstore_backend(spark, tmp_table_dir):
     reader = mk_ls()
     assert 1 not in {r.pkey for r in reader.read().collect()}
     assert len(reader.snapshot_versions()) == 1  # history gone
+
+
+def test_disjoint_race_on_parquet_pointer_layout(
+    spark, tmp_table_dir, monkeypatch
+):
+    """The OCC disjoint-race resolution on the r11 PARQUET-checkpoint
+    layout (threshold=0, interval=1: every publish is a pointer doc
+    over a parquet directory): both commits land, the race loser's
+    orphaned checkpoint directory is reclaimed immediately, and no
+    pointer on disk dangles."""
+    import glob
+
+    from quick_stream_spark.operators.commitlog import ManifestLog
+
+    def mk_pq(root):
+        return mk(
+            spark, root, "t",
+            manifest_checkpoint_interval=1, manifest_parquet_threshold=0,
+        )
+
+    t = mk_pq(tmp_table_dir)
+    t.upsert(df(spark, _OCC_SEED))
+    buckets = _bucket_of(t)
+    other_key = next(k for k, b in buckets.items() if b != buckets[1])
+
+    real_try = ManifestLog._try_publish
+    state = {"injected": False}
+
+    def racing(self, mapping, stats, version, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            other = mk_pq(tmp_table_dir)
+            other.upsert(
+                df(spark, [(other_key, datetime(2024, 3, 1), 11, "x-B")])
+            )
+        return real_try(self, mapping, stats, version, **kw)
+
+    monkeypatch.setattr(ManifestLog, "_try_publish", racing)
+    t.upsert(df(spark, [(1, datetime(2024, 3, 1), 10, "a-A")]))
+    monkeypatch.setattr(ManifestLog, "_try_publish", real_try)
+
+    reader = mk_pq(tmp_table_dir)
+    log = reader._snapshot_log()
+    rows = {r.pkey: r.payload for r in reader.read().collect()}
+    assert rows[1] == "a-A" and rows[other_key] == "x-B"
+    assert reader.count_fast() == reader.read().count() == len(_OCC_SEED)
+    # every version on disk is a pointer that resolves; every cp dir on
+    # disk is referenced by exactly one pointer (the loser's orphan was
+    # deleted at the failed publish)
+    live = set()
+    for v in log.versions():
+        raw = log._read_doc(v)
+        assert "checkpoint_parquet" in raw
+        live.add(raw["checkpoint_parquet"])
+        assert log.read(v)  # resolves
+    on_disk = {
+        os.path.basename(p) for p in glob.glob(os.path.join(log.dir, "cp-*"))
+    }
+    assert on_disk == live
