@@ -21,10 +21,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: replay the events table as two upsert batches through
-    the managed keyed table (dedup + MERGE), return the final state."""
-    from quick_stream_spark.plans.registry import queries as _queries
+    the managed keyed table (dedup + MERGE), return the final state.
 
-    return _queries()["r_upsert_endstate"](spark, SMOKE_SF_DIR)
+    Resolved from the FULL registry (not the rotating export window):
+    the flagship must keep smoking even in rounds where its registry
+    entry is rotated to the pytest tier."""
+    from quick_stream_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["r_upsert_endstate"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

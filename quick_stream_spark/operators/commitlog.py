@@ -1224,6 +1224,376 @@ class ManifestLog:
             f"{self.dir}; giving up"
         )
 
+    # ------------------------------------------------ bounded commits
+
+    @staticmethod
+    def _delta_doc_bounded(touched, new_files, new_stats, new_zones) -> dict:
+        """DELTA document built from commit-LOCAL information only —
+        O(commit) bytes, no base-snapshot materialization.  The
+        ``*_lost`` flags here describe THIS COMMIT's own metadata
+        (missing stats/zones for its added buckets/files); base-side
+        coverage gaps need no flag because the reader's
+        :meth:`_apply_delta` recomputes coverage from actual
+        availability — omitting a flag can never launder lost coverage
+        back in (the apply's per-bucket / per-path checks yield None on
+        any gap)."""
+        added = {str(int(b)): sorted(new_files[b]) for b in sorted(new_files)}
+        d = {
+            "replaced": sorted(int(b) for b in touched),
+            "added": added,
+        }
+        if new_files and (
+            new_stats is None
+            or any(int(b) not in new_stats for b in new_files)
+        ):
+            d["stats_lost"] = True
+        else:
+            d["stats"] = {
+                str(int(b)): list(new_stats[int(b)]) for b in sorted(new_files)
+            }
+        all_paths = [p for fl in new_files.values() for p in fl]
+        if all_paths and (
+            new_zones is None or any(p not in new_zones for p in all_paths)
+        ):
+            d["zones_lost"] = True
+        else:
+            d["zones"] = {
+                p: {c: list(mm) for c, mm in sorted(new_zones[p].items())}
+                for p in sorted(all_paths)
+            }
+        return d
+
+    @staticmethod
+    def _replay_chain_deltas(delta_raws) -> tuple:
+        """Driver-side replay of a DELTA chain (oldest-first) — bounded
+        by the chain's own size (<= checkpoint_interval commits), never
+        the table: ``(touched_map, delta_zones, delta_stats)`` where
+        ``touched_map`` holds the FINAL file list of every bucket any
+        delta touched, ``delta_zones`` the per-path bounds the chain
+        restated (only trusted-tz entries), and ``delta_stats`` the
+        final stats of touched buckets whose owning delta carried
+        them."""
+        touched_map: dict[int, list[str]] = {}
+        delta_zones: dict[str, dict] = {}
+        delta_stats: dict[int, list[int]] = {}
+        for raw in delta_raws:
+            d = raw["delta"]
+            zones_ok = not d.get("zones_lost") and (
+                not d.get("zones") or raw.get("zone_tz") == "UTC"
+            )
+            for b in d.get("replaced", []):
+                b = int(b)
+                touched_map[b] = []
+                delta_stats.pop(b, None)
+            for b, fl in d.get("added", {}).items():
+                bi = int(b)
+                touched_map[bi] = list(fl)
+                st = None if d.get("stats_lost") else d.get("stats", {}).get(str(b))
+                if st is None:
+                    delta_stats.pop(bi, None)
+                else:
+                    delta_stats[bi] = list(st)
+            if zones_ok:
+                for pth, cols in d.get("zones", {}).items():
+                    delta_zones[pth] = {c: list(mm) for c, mm in cols.items()}
+        return touched_map, delta_zones, delta_stats
+
+    def _filter_out_buckets(self, df, buckets):
+        """``df`` minus rows whose ``bucket`` is in ``buckets`` — an
+        ``isin`` for small sets, a broadcast anti-join when a
+        compaction-sized touched set would bloat the plan."""
+        from pyspark.sql import functions as F
+
+        ids = sorted({int(b) for b in buckets})
+        if not ids:
+            return df
+        if len(ids) <= 512:
+            return df.filter(~F.col("bucket").isin(*ids))
+        bdf = self.spark.createDataFrame([(b,) for b in ids], "bucket bigint")
+        return df.join(F.broadcast(bdf), "bucket", "left_anti")
+
+    def _write_checkpoint_from_chain(
+        self, head, delta_raws, version: int
+    ) -> tuple[bytes, str] | None:
+        """Build + write the parquet checkpoint for ``version``
+        DISTRIBUTEDLY: (base checkpoint rows minus buckets the chain
+        touched) UNION O(chain) new rows — the Delta incremental-
+        checkpoint design; the full snapshot is never materialized on
+        the driver.  Coverage flags (``has_stats``/``has_zones``) are
+        recomputed from the WRITTEN rows with one aggregation, so
+        coverage regained by a full rewrite (compaction) is recognized
+        and partial coverage is never claimed.  Returns ``(pointer
+        body, cp_dir_name)`` or ``None`` when the shapes don't
+        reconcile (callers fall back to the materialized path)."""
+        import pyarrow as pa
+
+        from pyspark.sql import functions as F
+
+        base_cols = list(head.get("zone_cols", []))
+        base_types = dict(head.get("zone_col_types", {}))
+        base_zones_trusted = (
+            bool(head.get("has_zones")) and head.get("zone_tz") == "UTC"
+        )
+        base_cp = os.path.join(self.dir, head["checkpoint_parquet"])
+        touched_map, delta_zones, delta_stats = self._replay_chain_deltas(
+            delta_raws
+        )
+        final_paths = sorted(p for fl in touched_map.values() for p in fl)
+        # carried/re-added files the chain didn't restate bounds for
+        # (rebase shapes): their exact zones live in the base checkpoint
+        missing = [p for p in final_paths if p not in delta_zones]
+        if missing and base_zones_trusted:
+            got = (
+                self.spark.read.parquet(base_cp)
+                .filter((F.col("kind") == "file") & F.col("path").isin(missing))
+                .select("path", "zones_json")
+                .collect()
+            )
+            for r in got:
+                if r.zones_json is not None:
+                    delta_zones[r.path] = json.loads(r.zones_json)
+        fz = {p: delta_zones.get(p) for p in final_paths}
+        new_cols = sorted({c for z in fz.values() if z for c in z})
+        final_cols = sorted(set(base_cols) | set(new_cols))
+        final_types: dict[str, str | None] = {}
+        for c in final_cols:
+            vals = [v for z in fz.values() if z and c in z for v in z[c]]
+            nt = self._zone_col_type(vals)
+            has_new_vals = any(v is not None for v in vals)
+            if c in base_cols:
+                bt = base_types.get(c)
+                if bt is None or (has_new_vals and nt != bt):
+                    final_types[c] = None  # untyped: exact twin still rides
+                else:
+                    final_types[c] = bt
+            else:
+                final_types[c] = nt
+        # ------- O(chain) new rows, same schema as the base projection
+        kind, bucket, path, zjson = [], [], [], []
+        rows_c, active_c = [], []
+        zmin = {j: [] for j in range(len(final_cols))}
+        zmax = {j: [] for j in range(len(final_cols))}
+        for b, files in sorted(touched_map.items()):
+            for p in sorted(files):
+                kind.append("file")
+                bucket.append(int(b))
+                path.append(p)
+                z = fz.get(p)
+                zjson.append(
+                    json.dumps(z, sort_keys=True) if z is not None else None
+                )
+                rows_c.append(None)
+                active_c.append(None)
+                for j, c in enumerate(final_cols):
+                    mm = (z or {}).get(c)
+                    if mm is None or final_types[c] is None:
+                        zmin[j].append(None)
+                        zmax[j].append(None)
+                    else:
+                        zmin[j].append(mm[0])
+                        zmax[j].append(mm[1])
+        for b in sorted(touched_map):
+            if touched_map[b] and b in delta_stats:
+                kind.append("bucket")
+                bucket.append(int(b))
+                path.append(None)
+                zjson.append(None)
+                rows_c.append(int(delta_stats[b][0]))
+                active_c.append(int(delta_stats[b][1]))
+                for j in range(len(final_cols)):
+                    zmin[j].append(None)
+                    zmax[j].append(None)
+        pa_types = {"long": pa.int64(), "double": pa.float64(), "string": pa.string()}
+        cols = {
+            "kind": pa.array(kind, pa.string()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "path": pa.array(path, pa.string()),
+            "zones_json": pa.array(zjson, pa.string()),
+            "rows": pa.array(rows_c, pa.int64()),
+            "active_rows": pa.array(active_c, pa.int64()),
+        }
+        for j, c in enumerate(final_cols):
+            t = pa_types.get(final_types[c], pa.string())
+            try:
+                cols[f"zmin_{j}"] = pa.array(zmin[j], t)
+                cols[f"zmax_{j}"] = pa.array(zmax[j], t)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                return None  # untypeable mix the reconciler missed
+        new_df = self.spark.createDataFrame(pa.table(cols))
+        # ------- base rows projected to the final column layout
+        sql_t = {"long": "bigint", "double": "double", "string": "string"}
+        sel = [
+            F.col("kind"),
+            F.col("bucket"),
+            F.col("path"),
+            (
+                F.col("zones_json")
+                if base_zones_trusted
+                else F.lit(None).cast("string")
+            ).alias("zones_json"),
+            F.col("rows"),
+            F.col("active_rows"),
+        ]
+        for j, c in enumerate(final_cols):
+            if (
+                c in base_cols
+                and final_types[c] is not None
+                and base_types.get(c) == final_types[c]
+            ):
+                i = base_cols.index(c)
+                sel.append(F.col(f"zmin_{i}").alias(f"zmin_{j}"))
+                sel.append(F.col(f"zmax_{i}").alias(f"zmax_{j}"))
+            else:
+                t = sql_t.get(final_types[c], "string")
+                sel.append(F.lit(None).cast(t).alias(f"zmin_{j}"))
+                sel.append(F.lit(None).cast(t).alias(f"zmax_{j}"))
+        base_rows = self._filter_out_buckets(
+            self.spark.read.parquet(base_cp), touched_map
+        ).select(*sel)
+        name = f"cp-v{version}-{uuid.uuid4().hex}"
+        est_rows = int(head.get("nfiles", 0)) + len(kind)
+        nparts = max(1, (est_rows + 499_999) // 500_000)
+        out_dir = os.path.join(self.dir, name)
+        base_rows.unionByName(new_df.select(*base_rows.columns)).coalesce(
+            nparts
+        ).write.mode("overwrite").parquet(out_dir)
+        # ------- pointer fields from the WRITTEN rows (one aggregation)
+        r = (
+            self.spark.read.parquet(out_dir)
+            .agg(
+                F.count(F.when(F.col("kind") == "file", 1)).alias("n"),
+                F.count(
+                    F.when(
+                        (F.col("kind") == "file")
+                        & F.col("zones_json").isNotNull(),
+                        1,
+                    )
+                ).alias("nz"),
+                F.count_distinct(
+                    F.when(F.col("kind") == "file", F.col("bucket"))
+                ).alias("nb"),
+                F.count(F.when(F.col("kind") == "bucket", 1)).alias("ns"),
+            )
+            .collect()[0]
+        )
+        has_zones = int(r.nz) == int(r.n)
+        has_stats = int(r.ns) == int(r.nb)
+        fields = {
+            "checkpoint_parquet": name,
+            "nfiles": int(r.n),
+            "has_stats": has_stats,
+            "has_zones": has_zones,
+            "zone_cols": final_cols,
+            "zone_col_types": final_types,
+        }
+        if has_zones:
+            fields["zone_tz"] = "UTC"
+        doc = {"version": version, **fields}
+        return json.dumps(doc).encode("utf-8"), name
+
+    def commit_bounded(
+        self,
+        touched: set[int],
+        new_files: dict[int, list[str]],
+        new_stats: dict[int, list[int]] | None,
+        new_zones: dict[str, dict] | None,
+        base_version: int,
+        max_retries: int = 5,
+    ) -> int | None:
+        """O(commit) commit for pointer-layout (big) tables — the
+        carried-forward mapping is NEVER materialized on the driver
+        (the r10 verdict's "commits carry the full bucket->files
+        mapping driver-side" seam):
+
+        - off the checkpoint cadence, publish the DELTA document built
+          from commit-local info (:meth:`_delta_doc_bounded`);
+        - at cadence, publish a parquet checkpoint built DISTRIBUTEDLY
+          from the base checkpoint rows and the chain's deltas
+          (:meth:`_write_checkpoint_from_chain`);
+        - a lost publish race is conflict-checked against the
+          intervening DELTA documents' declared bucket sets — O(race
+          window), no snapshot reads; disjoint buckets re-target the
+          next version (delta semantics carry the winner's untouched
+          buckets by construction), overlap raises
+          ``ConcurrentCommitError``.
+
+        Returns the published version, or ``None`` when the fast path
+        doesn't apply (inline/legacy base layout, an undeclared
+        full-document commit in the race window, or an unreconcilable
+        checkpoint shape) — callers fall back to the materialized
+        :meth:`commit`, which remains the semantics of record."""
+        touched = {int(b) for b in touched}
+        new_files = {int(b): list(fl) for b, fl in new_files.items()}
+        delta = self._delta_doc_bounded(touched, new_files, new_stats, new_zones)
+        version = int(base_version) + 1
+        for _ in range(max_retries + 1):
+            try:
+                head, prior = self._chain_to_checkpoint(version - 1)
+            except FileNotFoundError:
+                return None
+            if "checkpoint_parquet" not in head:
+                return None
+            ours = {"version": version, "delta": delta}
+            if delta.get("zones"):
+                ours["zone_tz"] = "UTC"
+            if (
+                self.checkpoint_interval > 1
+                and version % self.checkpoint_interval != 0
+            ):
+                ok = self._put_if_absent(
+                    json.dumps(ours).encode("utf-8"), version
+                )
+            else:
+                built = self._write_checkpoint_from_chain(
+                    head, prior + [ours], version
+                )
+                if built is None:
+                    return None
+                body, cp_name = built
+                ok = self._put_if_absent(body, version)
+                if not ok:
+                    fs, _, jvm = _fs(self.spark, self.dir)
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            os.path.join(self.dir, cp_name)
+                        ),
+                        True,
+                    )
+            if ok:
+                return version
+            # lost the race: O(window) conflict check over delta docs
+            cur_v = self.latest_version()
+            if cur_v is None or cur_v < version:
+                return None  # log shape changed under us — fall back
+            changed: set[int] = set()
+            undeclared = False
+            for v in range(version, cur_v + 1):
+                try:
+                    raw = self._read_doc(v)
+                except FileNotFoundError:
+                    return None
+                if "delta" not in raw:
+                    undeclared = True
+                    break
+                d = raw["delta"]
+                changed |= {int(b) for b in d.get("replaced", [])}
+                changed |= {int(b) for b in d.get("added", {})}
+            if undeclared:
+                return None  # full-doc commit in the window: rebase via commit()
+            overlap = changed & touched
+            if overlap:
+                raise ConcurrentCommitError(
+                    f"concurrent commit conflict on buckets {sorted(overlap)}: "
+                    f"another writer replaced them between v{base_version} and "
+                    f"v{cur_v}; this commit's merge resolved against stale "
+                    f"bucket state and must be re-run, not re-pointed"
+                )
+            version = cur_v + 1
+        raise ConcurrentCommitError(
+            f"lost the publish race {max_retries + 1} times in a row in "
+            f"{self.dir}; giving up"
+        )
+
     # --------------------------------------------------------- staging
 
     def new_commit_dir(self) -> str:

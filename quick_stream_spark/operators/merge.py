@@ -474,6 +474,41 @@ class KeyedTable:
         # version, or a writer publishing between the two reads would
         # make the re-point silently drop its files
         base_version = self._log.latest_version()
+        # fresh per-commit metadata: one footer-weight aggregation over
+        # ONLY this commit's files, bounded by the commit, never the
+        # table (shared by both commit layouts below)
+        new_stats, new_zones = (None, {})
+        if new_files:
+            new_stats, new_zones = compute_commit_meta(
+                self.spark,
+                commit_dir,
+                df.schema,
+                BUCKET_COL,
+                self.soft_delete_col,
+                self.zone_map_cols,
+                table_path=self.path,
+            )
+        self._write_schema_sidecar(df.schema)
+        touched = set(replaced_buckets) | set(new_files)
+        # bounded path first (pointer-layout / big tables): publishes a
+        # delta (or a distributedly-built checkpoint at cadence) from
+        # commit-LOCAL metadata only — the carried-forward mapping is
+        # never materialized on the driver, so commit cost follows the
+        # COMMIT, not the table (the r10 "commits carry the full
+        # mapping driver-side" seam).  None = fast path doesn't apply
+        # (inline/small layout, undeclared doc in a race window):
+        # take the materialized path below, the semantics of record.
+        if base_version is not None:
+            v = self._log.commit_bounded(
+                touched,
+                new_files,
+                new_stats,
+                new_zones if self.zone_map_cols else None,
+                base_version,
+            )
+            if v is not None:
+                self._exists_cache = True
+                return
         mapping = self._log.read(base_version) if base_version is not None else {}
         prev_stats = (
             self._log.read_stats(base_version) if base_version is not None else {}
@@ -501,20 +536,10 @@ class KeyedTable:
             else None
         )
         if new_files and (stats is not None or zones is not None):
-            new_stats, new_zones = compute_commit_meta(
-                self.spark,
-                commit_dir,
-                df.schema,
-                BUCKET_COL,
-                self.soft_delete_col,
-                self.zone_map_cols,
-                table_path=self.path,
-            )
             if stats is not None:
                 stats.update(new_stats or {})
             if zones is not None:
                 zones.update(new_zones)
-        self._write_schema_sidecar(df.schema)
         # declare the transaction: replaced or newly-written buckets are
         # "touched"; a lost publish race re-points the rest at the
         # winner's entries when disjoint, raises ConcurrentCommitError

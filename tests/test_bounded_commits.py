@@ -1,0 +1,393 @@
+"""Bounded (O(commit)) commits on the parquet-pointer layout
+(operators/commitlog.py ``ManifestLog.commit_bounded``): commits on big
+tables never materialize the carried-forward bucket->files mapping on
+the driver — deltas publish from commit-local metadata, cadence
+checkpoints are built DISTRIBUTEDLY from (base checkpoint rows minus
+touched buckets) UNION the chain's rows, and OCC races are conflict-
+checked against the intervening DELTA documents' declared bucket sets.
+
+The materialized ``commit()`` path stays the semantics of record; the
+twin tests here pin that both layouts resolve to byte-identical
+snapshots for the same commit sequence.
+"""
+
+import glob
+import os
+from datetime import datetime
+
+import pytest
+
+from quick_stream_spark.operators.commitlog import ManifestLog
+from quick_stream_spark.operators.merge import KeyedTable
+
+SCHEMA = "pkey long, modified_date timestamp, arrival long, payload string"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def mk(spark, root, name, **kw):
+    kw.setdefault("manifest_checkpoint_interval", 3)
+    kw.setdefault("manifest_parquet_threshold", 0)
+    return KeyedTable(
+        spark,
+        os.path.join(root, name),
+        keys=("pkey",),
+        version_col="modified_date",
+        arrival_col="arrival",
+        num_buckets=4,
+        commit_protocol="manifest",
+        zone_map_cols=("modified_date", "arrival"),
+        **kw,
+    )
+
+
+SEED = [(k, datetime(2024, 1, 1), k, f"k{k}") for k in range(1, 9)]
+
+
+def _state(t, **kw):
+    return {r.pkey: (r.payload, r.row_active) for r in t.read(**kw).collect()}
+
+
+def _run_sequence(spark, t):
+    """A commit sequence crossing several cadence checkpoints (interval
+    3) with updates, inserts, soft deletes, and a compaction."""
+    t.upsert(df(spark, SEED))                                        # v1
+    t.upsert(df(spark, [(1, datetime(2024, 1, 5), 10, "a2")]))       # v2
+    t.upsert(df(spark, [(9, datetime(2024, 1, 6), 11, "i1")]))       # v3 (cadence)
+    t.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 12, "x")]))   # v4
+    t.upsert(df(spark, [(3, datetime(2024, 2, 2), 13, "c2"),
+                        (10, datetime(2024, 2, 2), 14, "j1")]))      # v5
+    t.upsert(df(spark, [(4, datetime(2024, 2, 3), 15, "d2")]))       # v6 (cadence)
+    t.compact()                                                      # v7
+
+
+def test_bounded_layout_equals_inline_twin(spark, tmp_table_dir):
+    """Same sequence on the inline layout (materialized commits, the
+    semantics of record) and the pointer layout (bounded commits):
+    every version's rows, stats and zones agree."""
+    inline = mk(spark, tmp_table_dir, "inline",
+                manifest_parquet_threshold=10**9)
+    pointer = mk(spark, tmp_table_dir, "pointer")
+    _run_sequence(spark, inline)
+    _run_sequence(spark, pointer)
+
+    vs_i = inline.snapshot_versions()
+    vs_p = pointer.snapshot_versions()
+    assert vs_i == vs_p and len(vs_i) == 7
+    log_p = pointer._snapshot_log()
+    log_i = inline._snapshot_log()
+    # the pointer table's non-cadence commits are DELTA documents; its
+    # cadence commits are parquet pointers (never inline JSON bodies)
+    for v in vs_p:
+        raw = log_p._read_doc(v)
+        if v % 3 == 0 or v == 1:
+            assert "checkpoint_parquet" in raw or v == 1
+        if "delta" not in raw:
+            assert "checkpoint_parquet" in raw
+    for v in vs_i:
+        assert _state(inline, version=v) == _state(pointer, version=v)
+        si, sp = log_i.read_stats(v), log_p.read_stats(v)
+        assert si == sp
+        zi, zp = log_i.read_zones(v), log_p.read_zones(v)
+        # zones are path-keyed (paths differ per table); compare the
+        # per-bucket multiset of bounds instead
+        def bounds_multiset(log, z, v):
+            m = log.read(v)
+            out = {}
+            for b, fl in m.items():
+                out[int(b)] = sorted(
+                    str(sorted((z or {}).get(p, {}).items())) for p in fl
+                )
+            return out
+        if zi is None or zp is None:
+            assert zi is None and zp is None
+        else:
+            assert bounds_multiset(log_i, zi, v) == bounds_multiset(log_p, zp, v)
+    assert inline.count_fast() == pointer.count_fast() == 10
+
+
+def test_bounded_commit_never_resolves_snapshot(spark, tmp_table_dir, monkeypatch):
+    """Structural pin for the r10 seam: once the table is on the
+    pointer layout, the PUBLISH half of a commit performs ZERO full
+    snapshot materializations — ``_snapshot``, ``_load_parquet_
+    checkpoint`` and ``_full_parts`` are never called INSIDE
+    ``commit_bounded``, across both delta and cadence-checkpoint
+    versions (the read half of the merge may materialize freely —
+    that's the read path's job)."""
+    t = mk(spark, tmp_table_dir, "t")
+    t.upsert(df(spark, SEED))  # v1: materialized (table-creating)
+
+    flag = {"in_cb": False}
+    calls: list[str] = []
+    for name in ("_snapshot", "_load_parquet_checkpoint", "_full_parts"):
+        real = getattr(ManifestLog, name)
+
+        def spy(*a, _n=name, _r=real, **kw):
+            if flag["in_cb"]:
+                calls.append(_n)
+            return _r(*a, **kw)
+
+        monkeypatch.setattr(ManifestLog, name, spy)
+
+    real_cb = ManifestLog.commit_bounded
+    results: list = []
+
+    def cb_spy(self, *a, **kw):
+        flag["in_cb"] = True
+        try:
+            v = real_cb(self, *a, **kw)
+        finally:
+            flag["in_cb"] = False
+        results.append(v)
+        return v
+
+    monkeypatch.setattr(ManifestLog, "commit_bounded", cb_spy)
+    t.upsert(df(spark, [(1, datetime(2024, 3, 1), 20, "a3")]))   # v2 delta
+    t.upsert(df(spark, [(11, datetime(2024, 3, 2), 21, "m1")]))  # v3 ckpt
+    t.upsert(df(spark, [(2, datetime(2024, 3, 3), 22, "b3")]))   # v4 delta
+    assert results == [2, 3, 4]  # fast path taken every time
+    assert calls == [], f"commit_bounded materialized a snapshot: {calls}"
+    reader = mk(spark, tmp_table_dir, "t")
+    got = _state(reader)
+    assert got[1] == ("a3", True) and got[11] == ("m1", True)
+    assert got[2] == ("b3", True)
+    assert reader.count_fast() == reader.read().count() == 9
+
+
+def test_bounded_disjoint_race_on_delta_layout(spark, tmp_table_dir, monkeypatch):
+    """Two bounded writers racing DISJOINT buckets on the delta layout
+    (interval high enough that both publishes are deltas): the loser
+    re-targets the next version from the delta documents' declared
+    bucket sets alone — both rows land, no materialized fallback."""
+    def mk_t(name="t"):
+        return mk(spark, tmp_table_dir, name,
+                  manifest_checkpoint_interval=64)
+
+    t = mk_t()
+    t.upsert(df(spark, SEED))
+    buckets = {
+        r.pkey: r["__qss_bucket"]
+        for r in t.read(with_bucket=True).collect()
+    }
+    other_key = next(k for k, b in buckets.items() if b != buckets[1])
+
+    real_put = ManifestLog._put_if_absent
+    state = {"injected": False}
+
+    def racing(self, body, version):
+        if not state["injected"]:
+            state["injected"] = True
+            other = mk_t()
+            other.upsert(
+                df(spark, [(other_key, datetime(2024, 3, 1), 30, "x-B")])
+            )
+        return real_put(self, body, version)
+
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", racing)
+    t.upsert(df(spark, [(1, datetime(2024, 3, 1), 31, "a-A")]))
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", real_put)
+
+    reader = mk_t()
+    rows = {r.pkey: r.payload for r in reader.read().collect()}
+    assert rows[1] == "a-A" and rows[other_key] == "x-B"
+    assert reader.count_fast() == reader.read().count() == len(SEED)
+    log = reader._snapshot_log()
+    assert log.versions() == [1, 2, 3]
+    assert "delta" in log._read_doc(2) and "delta" in log._read_doc(3)
+
+
+def test_bounded_overlap_race_raises(spark, tmp_table_dir, monkeypatch):
+    """Two bounded writers racing the SAME bucket: the loser must raise
+    ``ConcurrentCommitError`` (its merge resolved against stale bucket
+    state) — detected from the winner's DELTA document alone."""
+    from quick_stream_spark.operators.commitlog import ConcurrentCommitError
+
+    def mk_t():
+        return mk(spark, tmp_table_dir, "t",
+                  manifest_checkpoint_interval=64)
+
+    t = mk_t()
+    t.upsert(df(spark, SEED))
+
+    real_put = ManifestLog._put_if_absent
+    state = {"injected": False}
+
+    def racing(self, body, version):
+        if not state["injected"]:
+            state["injected"] = True
+            other = mk_t()
+            other.upsert(df(spark, [(1, datetime(2024, 3, 1), 30, "x-B")]))
+        return real_put(self, body, version)
+
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", racing)
+    with pytest.raises(ConcurrentCommitError, match="conflict on buckets"):
+        t.upsert(df(spark, [(1, datetime(2024, 3, 2), 31, "a-A")]))
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", real_put)
+    # the winner's state survives intact
+    reader = mk_t()
+    assert {r.pkey: r.payload for r in reader.read().collect()}[1] == "x-B"
+
+
+def test_cadence_checkpoint_regains_stats_and_zones(spark, tmp_table_dir):
+    """Coverage lost by a mid-chain delta (stats/zones absent for its
+    files) is regained at the next cadence checkpoint IFF a later
+    commit re-covered those buckets — the checkpoint recomputes
+    ``has_stats``/``has_zones`` from the written rows, so partial
+    coverage is never claimed."""
+    log = ManifestLog(
+        spark, os.path.join(tmp_table_dir, "t"),
+        checkpoint_interval=4, parquet_checkpoint_threshold=0,
+    )
+    z0 = {"ts": ["2024-01-01T00:00:00", "2024-01-31T00:00:00"]}
+    mapping = {0: ["f0"], 1: ["f1"]}
+    stats = {0: [5, 5], 1: [5, 4]}
+    zones = {"f0": z0, "f1": z0}
+    v1 = log.commit(mapping, stats=stats, zones=zones)
+    assert "checkpoint_parquet" in log._read_doc(v1)
+
+    # v2: bounded delta REPLACING bucket 0 with a file that has no
+    # stats and no zones -> coverage lost from v2 on
+    v2 = log.commit_bounded({0}, {0: ["f0b"]}, None, None, v1)
+    assert v2 == 2
+    assert log.read_stats(v2) is None and log.read_zones(v2) is None
+
+    # v3: bucket 0 re-covered (stats + zones restated) — but bucket 1
+    # is still a gap in the RESOLVED chain (v2 dropped coverage), so
+    # the delta-resolved view honestly stays None until the checkpoint
+    v3 = log.commit_bounded({0}, {0: ["f0c"]}, {0: [6, 6]}, {"f0c": z0}, v2)
+    assert log.read_stats(v3) is None and log.read_zones(v3) is None
+
+    # v4 (cadence): checkpoint built distributedly; coverage regained
+    v4 = log.commit_bounded({1}, {1: ["f1b"]}, {1: [7, 7]}, {"f1b": z0}, v3)
+    assert v4 == 4 and "checkpoint_parquet" in log._read_doc(v4)
+    doc = log._read_doc(v4)
+    assert doc["has_stats"] and doc["has_zones"]
+    cold = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=4, parquet_checkpoint_threshold=0,
+    )
+    assert cold.read(v4) == {0: ["f0c"], 1: ["f1b"]}
+    assert cold.read_stats(v4) == {0: [6, 6], 1: [7, 7]}
+    assert cold.read_zones(v4) == {"f0c": z0, "f1b": z0}
+
+
+def test_cadence_checkpoint_with_uncovered_file_stays_lost(spark, tmp_table_dir):
+    """A file still uncovered at cadence keeps ``has_stats``/
+    ``has_zones`` False — the checkpoint never claims coverage the
+    rows don't have (readers scan, never mis-skip)."""
+    log = ManifestLog(
+        spark, os.path.join(tmp_table_dir, "t"),
+        checkpoint_interval=2, parquet_checkpoint_threshold=0,
+    )
+    z0 = {"ts": ["2024-01-01T00:00:00", "2024-01-31T00:00:00"]}
+    v1 = log.commit({0: ["f0"], 1: ["f1"]}, stats={0: [5, 5], 1: [5, 4]},
+                    zones={"f0": z0, "f1": z0})
+    # v2 = cadence: bucket 0 replaced WITHOUT stats/zones
+    v2 = log.commit_bounded({0}, {0: ["f0b"]}, None, None, v1)
+    assert v2 == 2
+    doc = log._read_doc(v2)
+    assert "checkpoint_parquet" in doc
+    assert not doc["has_stats"] and not doc["has_zones"]
+    assert log.read_stats(v2) is None and log.read_zones(v2) is None
+    assert log.read(v2) == {0: ["f0b"], 1: ["f1"]}
+
+
+def test_bounded_fallback_on_inline_layout(spark, tmp_table_dir):
+    """commit_bounded declines (returns None) on an inline-JSON base —
+    small tables keep the materialized path and its pre-publish replay
+    gate."""
+    log = ManifestLog(
+        spark, os.path.join(tmp_table_dir, "t"),
+        checkpoint_interval=4, parquet_checkpoint_threshold=10**9,
+    )
+    v1 = log.commit({0: ["f0"]}, stats={0: [1, 1]})
+    assert log.commit_bounded({0}, {0: ["f0b"]}, {0: [1, 1]}, None, v1) is None
+    assert log.latest_version() == v1  # nothing published
+
+
+def test_bounded_commit_empties_bucket(spark, tmp_table_dir):
+    """A bounded commit replacing a bucket with NO new files (hard
+    delete emptying it) drops the bucket across delta and checkpoint
+    versions."""
+    log = ManifestLog(
+        spark, os.path.join(tmp_table_dir, "t"),
+        checkpoint_interval=3, parquet_checkpoint_threshold=0,
+    )
+    v1 = log.commit({0: ["f0"], 1: ["f1"]}, stats={0: [2, 2], 1: [3, 3]})
+    v2 = log.commit_bounded({0}, {}, None, None, v1)
+    assert log.read(v2) == {1: ["f1"]}
+    assert log.read_stats(v2) == {1: [3, 3]}  # emptying loses nothing
+    # v3 = cadence with the emptied bucket still absent
+    v3 = log.commit_bounded({1}, {1: ["f1b"]}, {1: [4, 4]}, None, v2)
+    assert "checkpoint_parquet" in log._read_doc(v3)
+    cold = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=3, parquet_checkpoint_threshold=0,
+    )
+    assert cold.read(v3) == {1: ["f1b"]}
+    assert cold.read_stats(v3) == {1: [4, 4]}
+
+
+def test_schema_evolution_adds_zone_col_across_checkpoint(spark, tmp_table_dir):
+    """A zone column that first appears mid-chain (schema evolution)
+    lands in the cadence checkpoint's typed bound columns; base files
+    keep NULL bounds for it (conservative: never skipped on the new
+    column) while pruning on it still works for the new files."""
+    log = ManifestLog(
+        spark, os.path.join(tmp_table_dir, "t"),
+        checkpoint_interval=2, parquet_checkpoint_threshold=0,
+    )
+    v1 = log.commit(
+        {0: ["f0"]}, stats={0: [1, 1]},
+        zones={"f0": {"ts": ["2024-01-01T00:00:00", "2024-01-31T00:00:00"]}},
+    )
+    # v2 (cadence): new bucket whose file carries bounds for a NEW col
+    v2 = log.commit_bounded(
+        {1}, {1: ["f1"]}, {1: [1, 1]},
+        {"f1": {"ts": ["2024-02-01T00:00:00", "2024-02-28T00:00:00"],
+                "uid": [100, 200]}},
+        v1,
+    )
+    doc = log._read_doc(v2)
+    assert doc["zone_cols"] == ["ts", "uid"]
+    assert doc["zone_col_types"] == {"ts": "string", "uid": "long"}
+    assert doc["has_zones"]
+    cold = ManifestLog(
+        spark, log.table_path,
+        checkpoint_interval=2, parquet_checkpoint_threshold=0,
+    )
+    # prune on the NEW column: f0 (no uid bounds) must be KEPT
+    status, pm = cold.pruned_mapping_distributed({"uid": (300, 400)}, v2)
+    assert status == "ok"
+    assert pm == {0: ["f0"]}  # f1 skipped on uid, f0 conservatively kept
+    status, pm2 = cold.pruned_mapping_distributed({"uid": (150, 160)}, v2)
+    assert status == "ok"
+    assert pm2 == {0: ["f0"], 1: ["f1"]}
+
+
+def test_pointer_chain_vacuum_sweeps_bounded_checkpoints(spark, tmp_table_dir):
+    """Vacuum on a bounded-commit history: old pointers' cp dirs are
+    swept, kept versions stay resolvable, and the oldest kept delta is
+    collapsed exactly as on the materialized layout."""
+    t = mk(spark, tmp_table_dir, "t")
+    _run_sequence(spark, t)
+    log = t._snapshot_log()
+    before = _state(t)
+    removed = t.vacuum(keep_versions=2)
+    assert removed >= 0
+    reader = mk(spark, tmp_table_dir, "t")
+    assert _state(reader) == before
+    live = set()
+    rl = reader._snapshot_log()
+    for v in rl.versions():
+        raw = rl._read_doc(v)
+        if "checkpoint_parquet" in raw:
+            live.add(raw["checkpoint_parquet"])
+        assert rl.read(v)
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(rl.dir, "cp-*"))
+    }
+    assert on_disk == live

@@ -567,21 +567,24 @@ def test_disjoint_race_on_parquet_pointer_layout(
     buckets = _bucket_of(t)
     other_key = next(k for k, b in buckets.items() if b != buckets[1])
 
-    real_try = ManifestLog._try_publish
+    # inject at the publish PRIMITIVE (_put_if_absent) — the point both
+    # commit layouts (materialized _try_publish and the r11 bounded
+    # path) funnel through, so the race fires regardless of layout
+    real_put = ManifestLog._put_if_absent
     state = {"injected": False}
 
-    def racing(self, mapping, stats, version, **kw):
+    def racing(self, body, version):
         if not state["injected"]:
             state["injected"] = True
             other = mk_pq(tmp_table_dir)
             other.upsert(
                 df(spark, [(other_key, datetime(2024, 3, 1), 11, "x-B")])
             )
-        return real_try(self, mapping, stats, version, **kw)
+        return real_put(self, body, version)
 
-    monkeypatch.setattr(ManifestLog, "_try_publish", racing)
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", racing)
     t.upsert(df(spark, [(1, datetime(2024, 3, 1), 10, "a-A")]))
-    monkeypatch.setattr(ManifestLog, "_try_publish", real_try)
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", real_put)
 
     reader = mk_pq(tmp_table_dir)
     log = reader._snapshot_log()
