@@ -1700,11 +1700,22 @@ class ManifestLog:
                         continue
                     for f in fs.listStatus(bdir.getPath()):
                         rel = os.path.relpath(f.getPath().toUri().getPath(), table_root)
-                        if rel not in referenced and f.getPath().getName().endswith(
-                            ".parquet"
-                        ):
+                        name = f.getPath().getName()
+                        if rel not in referenced and name.endswith(".parquet"):
                             fs.delete(f.getPath(), False)
                             removed += 1
+                        elif (
+                            name.startswith(".")
+                            and name.endswith(".kbloom")
+                            and os.path.join(
+                                os.path.dirname(rel),
+                                name[1 : -len(".kbloom")],
+                            )
+                            not in referenced
+                        ):
+                            # key-bloom sidecar of an unreferenced (or
+                            # crash-orphaned) data file: reclaim with it
+                            fs.delete(f.getPath(), False)
                     if not fs.listStatus(bdir.getPath()):
                         fs.delete(bdir.getPath(), True)
                 if not fs.listStatus(cdir.getPath()):

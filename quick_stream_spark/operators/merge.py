@@ -40,6 +40,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__qss_bucket"
+# seed for the key-bloom sidecar hash (xxhash64); independent of the
+# bucket hash so bloom bits and bucket routing never correlate
+_KBLOOM_SEED = 0x51B0
+
+
+def _kbloom_sidecar_path(data_file_path: str) -> str:
+    """Sidecar path of a data file: ``.<basename>.kbloom`` in the same
+    directory — the DOT prefix hides it from Spark's file listings
+    (compute_commit_meta and any directory-grain read would otherwise
+    try to parse it as parquet), while manifest reads are unaffected
+    (they resolve explicit file paths)."""
+    d, base = os.path.split(data_file_path)
+    return os.path.join(d, f".{base}.kbloom")
 _SRC = "__qss_src"
 _RN = "__qss_rn"
 
@@ -213,6 +226,8 @@ class KeyedTable:
         zone_map_cols: Sequence[str] | None = None,
         manifest_checkpoint_interval: int = 16,
         manifest_parquet_threshold: int = 50_000,
+        key_bloom_bits: int = 0,
+        key_bloom_hashes: int = 6,
     ) -> None:
         if commit_protocol not in ("direct", "manifest"):
             raise ValueError(
@@ -308,6 +323,38 @@ class KeyedTable:
         # per-merge Observation metrics (rows_written / rows_active),
         # refreshed by every upsert — the reference's cycle-count logs
         self.last_merge_stats: dict | None = None
+        # Per-file KEY BLOOM FILTER sidecars (the Delta/Iceberg bloom-
+        # index analog): zone maps prune point lookups only on SORTED
+        # layouts; on an unsorted high-cardinality key a bucket's every
+        # file (one per commit) must be opened.  With key_bloom_bits>0
+        # each commit writes a `<data-file>.kbloom` sidecar holding an
+        # m-bit bloom over the file's key tuples, and lookup() drops
+        # candidate files whose bloom excludes every requested key —
+        # false positives only (a kept file is re-filtered by the
+        # residual semi-join), never false negatives.  The index rides
+        # NEXT TO the data file (no manifest/checkpoint bloat — the
+        # metadata log stays O(paths)), travels with carry-forward and
+        # rebase by construction, and a missing/corrupt sidecar
+        # degrades to an opened file, never a wrong answer.
+        self.key_bloom_bits = int(key_bloom_bits)
+        self.key_bloom_hashes = int(key_bloom_hashes)
+        if self.key_bloom_bits:
+            if self.key_bloom_bits < 64 or self.key_bloom_bits > (1 << 23):
+                raise ValueError(
+                    "key_bloom_bits must be in [64, 2^23] (8 B to 1 MB "
+                    "per file); size at ~10 bits per expected row per file"
+                )
+            if not 1 <= self.key_bloom_hashes <= 16:
+                raise ValueError("key_bloom_hashes must be in [1, 16]")
+            if self._log is None:
+                raise ValueError(
+                    "key_bloom_bits requires commit_protocol='manifest' "
+                    "(sidecars are written under the append-only commit "
+                    "protocol, before each snapshot publishes)"
+                )
+            # round up to a whole number of bytes
+            self.key_bloom_bits = (self.key_bloom_bits + 7) // 8 * 8
+        self._kbloom_cache: dict[str, tuple | None] = {}
 
     # ---------------------------------------------------------------- io
 
@@ -469,6 +516,8 @@ class KeyedTable:
             writer = writer.option(key, val)
         writer.partitionBy(BUCKET_COL).parquet(commit_dir)
         new_files = self._log.list_bucket_files(commit_dir)
+        if self.key_bloom_bits and new_files:
+            self._write_kbloom_sidecars(commit_dir, df.schema)
         # pin the base snapshot: the carried-forward entries and the
         # optimistic-concurrency conflict check must describe the SAME
         # version, or a writer publishing between the two reads would
@@ -552,6 +601,136 @@ class KeyedTable:
             zones=zones,
         )
         self._exists_cache = True
+
+    # ------------------------------------------------- key bloom sidecars
+
+    def _kbloom_hash_expr(self):
+        """The 64-bit key-tuple hash both bloom sides share: computed
+        JVM-side (``xxhash64``) at write AND at lookup, so no Python
+        reimplementation of the hash exists to drift."""
+        return F.xxhash64(*[F.col(c) for c in self.keys], F.lit(_KBLOOM_SEED))
+
+    def _kbloom_pos_expr(self):
+        """Column: array of ``key_bloom_hashes`` bit positions in
+        ``[0, key_bloom_bits)`` via Kirsch-Mitzenmacher double hashing
+        of the 64-bit key hash — h2 is forced into [1, m-1] so the k
+        probes never degenerate to one position."""
+        m, k = self.key_bloom_bits, self.key_bloom_hashes
+        h = self._kbloom_hash_expr()
+        h1 = F.pmod(h, F.lit(m))
+        h2 = F.pmod(F.shiftrightunsigned(h, 17), F.lit(m - 1)) + F.lit(1)
+        return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+
+    @staticmethod
+    def _kbloom_positions_py(h: int, m: int, k: int) -> list[int]:
+        """Python twin of :meth:`_kbloom_pos_expr` used only to PROBE a
+        sidecar at lookup time (the hash itself still comes from the
+        JVM): ``pmod`` == Python ``%`` for a positive modulus, and
+        ``shiftrightunsigned`` == a logical shift of the 64-bit two's
+        complement.  Parity is pinned by a test over random keys."""
+        h1 = h % m
+        h2 = ((h & 0xFFFFFFFFFFFFFFFF) >> 17) % (m - 1) + 1
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    def _write_kbloom_sidecars(self, commit_dir: str, schema) -> None:
+        """One aggregation over ONLY the commit's files (bounded by the
+        commit, never the table): per-file distinct bloom bit positions
+        of every key tuple, collected (<= m positions per file) and
+        written as ``<data-file>.kbloom`` sidecars BEFORE the manifest
+        publishes — a crash in between leaves orphan sidecars next to
+        orphan data files, reclaimed together by vacuum; a published
+        file missing its sidecar merely opens unconditionally."""
+        import struct
+        from urllib.parse import unquote, urlparse
+
+        rows = (
+            self.spark.read.schema(schema)
+            .parquet(commit_dir)
+            .select(
+                F.input_file_name().alias("__qss_f"),
+                F.explode(self._kbloom_pos_expr()).alias("__qss_p"),
+            )
+            .groupBy("__qss_f")
+            .agg(F.collect_set("__qss_p").alias("__qss_ps"))
+            .collect()
+        )
+        fs, _, jvm = _hadoop_fs(self.spark, self.path)
+        header = b"QSSKB1" + struct.pack(
+            "<IH", self.key_bloom_bits, self.key_bloom_hashes
+        )
+        for r in rows:
+            bits = bytearray(self.key_bloom_bits // 8)
+            for p in r["__qss_ps"]:
+                p = int(p)
+                bits[p >> 3] |= 1 << (p & 7)
+            fpath = unquote(urlparse(r["__qss_f"]).path)
+            out = fs.create(
+                jvm.org.apache.hadoop.fs.Path(_kbloom_sidecar_path(fpath)), True
+            )
+            out.write(bytearray(header + bytes(bits)))
+            out.close()
+
+    def _read_kbloom(self, abs_path: str) -> tuple | None:
+        """``(m, k, bits)`` of one sidecar, or ``None`` (absent,
+        foreign, or corrupt — the file opens unconditionally).
+        Sidecars are immutable once their manifest publishes, so a
+        small per-instance cache is sound."""
+        if abs_path in self._kbloom_cache:
+            return self._kbloom_cache[abs_path]
+        import struct
+
+        out = None
+        try:
+            fs, p, jvm = _hadoop_fs(self.spark, _kbloom_sidecar_path(abs_path))
+            if fs.exists(p):
+                stream = fs.open(p)
+                try:
+                    data = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    )
+                finally:
+                    stream.close()
+                if data[:6] == b"QSSKB1" and len(data) >= 12:
+                    m, k = struct.unpack("<IH", data[6:12])
+                    bits = data[12:]
+                    if m >= 64 and 1 <= k <= 16 and len(bits) * 8 >= m:
+                        out = (m, k, bits)
+        except Exception:  # pragma: no cover - unreadable sidecar
+            out = None
+        if len(self._kbloom_cache) > 4096:
+            self._kbloom_cache.clear()
+        self._kbloom_cache[abs_path] = out
+        return out
+
+    def _bloom_prune(
+        self, mapping: dict[int, list[str]], key_hashes: Sequence[int]
+    ) -> dict[int, list[str]]:
+        """Drop candidate files whose bloom excludes EVERY requested
+        key.  Per-file (m, k) come from each sidecar's own header, so
+        filters written under older sizing options keep working.  False
+        positives keep a file (the residual semi-join filters rows);
+        absence of a sidecar keeps a file; no false negative is
+        possible because every key tuple written to a file set its k
+        bits in that file's sidecar."""
+        out: dict[int, list[str]] = {}
+        for b, files in mapping.items():
+            kept = []
+            for rel in files:
+                kb = self._read_kbloom(os.path.join(self.path, rel))
+                if kb is None:
+                    kept.append(rel)
+                    continue
+                m, k, bits = kb
+                for h in key_hashes:
+                    if all(
+                        bits[p >> 3] & (1 << (p & 7))
+                        for p in self._kbloom_positions_py(int(h), m, k)
+                    ):
+                        kept.append(rel)
+                        break
+            if kept:
+                out[b] = kept
+        return out
 
     # ------------------------------------------------------ observability
 
@@ -1262,13 +1441,38 @@ class KeyedTable:
             for v in key_values
         ]
         kdf = self.spark.createDataFrame(rows, StructType(key_fields))
-        ids = sorted(
-            r["__b"]
-            for r in kdf.select(self._bucket_expr().alias("__b"))
-            .distinct()
-            .collect()
-        )
+        # one bounded collect: bucket id + the bloom key hash per
+        # requested key (the hash is computed JVM-side so it matches
+        # the sidecar writer's bit positions exactly)
+        sel = kdf.select(
+            self._bucket_expr().alias("__b"),
+            self._kbloom_hash_expr().alias("__h"),
+        ).collect()
+        ids = sorted({r["__b"] for r in sel})
+        key_hashes = [int(r["__h"]) for r in sel]
         pm = self._key_pruned_mapping(rows, ids, version)
+        if self.key_bloom_bits and self._log is not None:
+            # bloom-prune the candidate files: compose with zone
+            # pruning when available, else fetch just the requested
+            # buckets' file lists (bounded by the lookup)
+            if pm is None:
+                v = (
+                    version
+                    if version is not None
+                    else self._log.latest_version()
+                )
+                if v is not None:
+                    sub = self._log.bucket_mapping_distributed(ids, v)
+                    if sub is None:
+                        full, _, _ = self._log.snapshot_view(version)
+                        sub = {
+                            b: list(full.get(b, []))
+                            for b in ids
+                            if full.get(b)
+                        }
+                    pm = sub
+            if pm is not None:
+                pm = self._bloom_prune(pm, key_hashes)
         if pm is not None and self._log is not None:
             df = self._read_manifest(
                 active_only=active_only, version=version, mapping_override=pm
@@ -1893,13 +2097,15 @@ class KeyedTable:
             return
         current = self.read(with_bucket=True)
         options = None
-        if sort_by is not None:
+        k = max(int(target_files_per_bucket), 1)
+        if sort_by is not None or k > 1:
+            # deterministic file cut for ANY multi-file target: the
+            # writer's maxRecordsPerFile rolls each bucket's stream
+            # every ~1/k of the largest bucket — salt-only placement
+            # is fragile under AQE, which coalesces small shuffles
+            # into one partition and would emit one file per bucket
             import math
 
-            sort_cols = (
-                [sort_by] if isinstance(sort_by, str) else list(sort_by)
-            )
-            k = max(int(target_files_per_bucket), 1)
             worst = (
                 current.groupBy(BUCKET_COL)
                 .count()
@@ -1909,6 +2115,10 @@ class KeyedTable:
             if not worst:
                 return
             options = {"maxRecordsPerFile": str(max(math.ceil(worst / k), 1))}
+        if sort_by is not None:
+            sort_cols = (
+                [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            )
             if method == "zorder" and len(sort_cols) >= 2:
                 z = self._zorder_expr(current, sort_cols)
                 compacted = (

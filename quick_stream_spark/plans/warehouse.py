@@ -14,6 +14,12 @@ from quick_stream_spark.plans._util import pin_session, sql_dsum
 from quick_stream_spark.plans.registry import register
 from quick_stream_spark.sources.readers import load_table
 
+# module-level oracle builders below dereference entries text.py
+# registers (e.g. dedup_minhash_lsh); importing it here makes this
+# module import-order-independent (registry._load_all imports text
+# first, but a test file importing warehouse alone must work too)
+import quick_stream_spark.plans.text  # noqa: E402,F401  (registration order)
+
 # ------------------------------------------------------- market basket
 
 BASKET_TOPK = 30
