@@ -413,6 +413,58 @@ def r_read_where_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*EVENT_COLS, "row_active")
 
 
+@register(
+    "r_lookup_bloom_endstate",
+    pytest_only=True,  # new in r11; queued for the r12 driver window
+    # keyed on event_id, so the end state is the events table itself
+    # restricted to the looked-up key set
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+    tags=("reference", "merge", "skipping"),
+)
+def r_lookup_bloom_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar point lookups on an UNSORTED high-cardinality key
+    (r11): the table is keyed on ``event_id`` with
+    ``key_bloom_bits`` set, so every commit writes a per-file
+    ``.kbloom`` sidecar over the file's key tuples; after an unsorted
+    multi-file compaction (``compact(target_files_per_bucket=4)`` —
+    the shape of a large rolled bucket, where zone maps cannot prune
+    because nothing is sorted), a bounded key lookup opens ~1 file per
+    key instead of the key's whole bucket: hash pruning picks the
+    bucket, the bloom drops its other rolled files (file-skip rate
+    measured in tests/test_key_bloom.py; false positives only — the
+    residual semi-join keeps the result exactly the key-filtered end
+    state).  Delta/Iceberg expose the same capability as bloom filter
+    indexes; the reference re-reads whole tables per cycle
+    (upsert.rs:271-303)."""
+    ev = _events(spark, sf_dir)
+    target = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/t",
+        keys=("event_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=8,
+        commit_protocol="manifest",
+        key_bloom_bits=1 << 14,
+    )
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+        target.compact(target_files_per_bucket=4)  # rolled, UNSORTED
+    keys = sorted(
+        r.event_id
+        for r in ev.select("event_id")
+        .filter(F.col("event_id") % 97 == 0)
+        .distinct()
+        .collect()
+    )
+    return target.lookup(keys).select(*EVENT_COLS, "row_active")
+
+
 # --------------------------------------------------------------------------
 # O6 — soft / hard delete end state
 
