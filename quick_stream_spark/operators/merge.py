@@ -1406,30 +1406,61 @@ class KeyedTable:
             ),
         }
 
-    def lookup(
-        self,
-        key_values: Sequence,
-        active_only: bool = True,
-        version: int | None = None,
-    ) -> DataFrame:
-        """Point reads: the current rows for the given keys, scanning
-        ONLY their hash buckets — bucket = hash(keys) % N is the
-        table's layout, so a lookup of k keys opens at most k buckets
-        out of ``num_buckets`` on every layout (manifest file-list
-        pruning, store versioned reads, or partition-dir pruning on
-        the direct layout).  ``key_values``: scalars for single-key
-        tables, or tuples in ``self.keys`` order.  Only the bounded
-        key list and its bucket ids cross the driver — never data.
+    def lookup_stats(
+        self, key_values: Sequence, version: int | None = None
+    ) -> dict:
+        """Planning diagnostic for a point lookup — the ``lookup()``
+        twin of :meth:`skipping_stats`: how many buckets/files the
+        hash + zone + bloom pruning pipeline would open for these keys,
+        without running the scan.  ``{buckets_total, buckets_scanned,
+        files_in_buckets, files_scanned, skipped_fraction}`` where
+        ``skipped_fraction`` is relative to the scanned buckets' files
+        (the hash pruning already bounded the search to them) — the
+        operational signal that an unsorted hot-lookup table needs
+        ``key_bloom_bits`` or a clustered compaction."""
+        log = self._snapshot_log()
+        if log is None:
+            raise ValueError(
+                "lookup_stats requires commit_protocol='manifest' or "
+                "a manifest-backed store"
+            )
+        pm, ids, _ = self._lookup_plan(key_values, version)
+        v = version if version is not None else log.latest_version()
+        totals = log.snapshot_totals(v) if hasattr(log, "snapshot_totals") else None
+        if totals is not None:
+            _, buckets_total = totals
+            sub = (
+                log.bucket_mapping_distributed(ids, v)
+                if hasattr(log, "bucket_mapping_distributed")
+                else None
+            )
+            if sub is None:
+                full, _, _ = log.snapshot_view(version)
+                sub = {b: full.get(b, []) for b in ids}
+            cand = sum(len(fl) for fl in sub.values())
+        else:
+            full, _, _ = log.snapshot_view(version)
+            buckets_total = len(full)
+            cand = sum(len(full.get(b, [])) for b in ids)
+        scanned = cand if pm is None else sum(len(fl) for fl in pm.values())
+        return {
+            "buckets_total": buckets_total,
+            "buckets_scanned": len(ids),
+            "files_in_buckets": cand,
+            "files_scanned": scanned,
+            "skipped_fraction": (
+                round(1.0 - scanned / cand, 6) if cand else 0.0
+            ),
+        }
 
-        When key columns are zone-mapped, file-grain zone pruning
-        COMPOSES with the hash pruning: inside each key's bucket only
-        the files whose committed bounds admit SOME requested key are
-        opened — after a clustered compaction (``compact(k,
-        sort_by=key)``) a point lookup reads ~1/k of its bucket, and a
-        COMPOSITE key on a ``compact(method='zorder', sort_by=keys)``
-        layout prunes on EVERY zone-mapped component (per-file
-        rectangles), not just the leading prefix.  Conservative as
-        always: files without bounds stay."""
+    def _lookup_plan(
+        self, key_values: Sequence, version: int | None
+    ) -> tuple[dict[int, list[str]] | None, list[int], list]:
+        """Shared planning half of ``lookup()``/``lookup_stats()``:
+        ``(pruned_mapping_or_None, bucket_ids, key_rows)``.  One
+        bounded collect resolves each key's bucket id AND its bloom
+        hash (computed JVM-side so it matches the sidecar writer's bit
+        positions exactly); zone pruning and bloom pruning compose."""
         from pyspark.sql.types import StructType
 
         schema = self._read_schema_sidecar()
@@ -1441,9 +1472,6 @@ class KeyedTable:
             for v in key_values
         ]
         kdf = self.spark.createDataFrame(rows, StructType(key_fields))
-        # one bounded collect: bucket id + the bloom key hash per
-        # requested key (the hash is computed JVM-side so it matches
-        # the sidecar writer's bit positions exactly)
         sel = kdf.select(
             self._bucket_expr().alias("__b"),
             self._kbloom_hash_expr().alias("__h"),
@@ -1473,6 +1501,42 @@ class KeyedTable:
                     pm = sub
             if pm is not None:
                 pm = self._bloom_prune(pm, key_hashes)
+        return pm, ids, rows
+
+    def lookup(
+        self,
+        key_values: Sequence,
+        active_only: bool = True,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point reads: the current rows for the given keys, scanning
+        ONLY their hash buckets — bucket = hash(keys) % N is the
+        table's layout, so a lookup of k keys opens at most k buckets
+        out of ``num_buckets`` on every layout (manifest file-list
+        pruning, store versioned reads, or partition-dir pruning on
+        the direct layout).  ``key_values``: scalars for single-key
+        tables, or tuples in ``self.keys`` order.  Only the bounded
+        key list and its bucket ids cross the driver — never data.
+
+        When key columns are zone-mapped, file-grain zone pruning
+        COMPOSES with the hash pruning: inside each key's bucket only
+        the files whose committed bounds admit SOME requested key are
+        opened — after a clustered compaction (``compact(k,
+        sort_by=key)``) a point lookup reads ~1/k of its bucket, and a
+        COMPOSITE key on a ``compact(method='zorder', sort_by=keys)``
+        layout prunes on EVERY zone-mapped component (per-file
+        rectangles), not just the leading prefix.  With
+        ``key_bloom_bits`` set, the per-file bloom sidecars prune the
+        UNSORTED case too: inside the key's bucket, rolled files whose
+        bloom excludes every requested key never open.  Conservative
+        as always: files without bounds or sidecars stay."""
+        from pyspark.sql.types import StructType
+
+        pm, ids, rows = self._lookup_plan(key_values, version)
+        schema = self._read_schema_sidecar()
+        kdf = self.spark.createDataFrame(
+            rows, StructType([schema[k] for k in self.keys])
+        )
         if pm is not None and self._log is not None:
             df = self._read_manifest(
                 active_only=active_only, version=version, mapping_override=pm

@@ -213,3 +213,25 @@ def test_bloom_requires_manifest_protocol(spark, tmp_table_dir):
             commit_protocol="manifest",
             key_bloom_bits=8,
         )
+
+
+def test_lookup_stats_reports_bloom_skipping(spark, tmp_table_dir):
+    """lookup_stats: the lookup() twin of skipping_stats — bucket
+    pruning bounds the candidate set, bloom pruning bounds the files
+    actually opened, and the fractions are consistent with a real
+    lookup's plan."""
+    t = mk(spark, tmp_table_dir, "ls")
+    t.upsert(df(spark, [
+        (k, datetime(2024, 1, 1), k, f"p{k}") for k in range(4000)
+    ]))
+    t.compact(target_files_per_bucket=8)
+    st = t.lookup_stats([7, 1234])
+    assert st["buckets_total"] == 2
+    assert 1 <= st["buckets_scanned"] <= 2
+    assert st["files_scanned"] < st["files_in_buckets"]
+    assert 0.0 < st["skipped_fraction"] < 1.0
+    # the real lookup still resolves exactly
+    assert sorted(r.pkey for r in t.lookup([7, 1234]).collect()) == [7, 1234]
+    # absent key: everything pruned away
+    st2 = t.lookup_stats([999999])
+    assert st2["files_scanned"] == 0 and st2["skipped_fraction"] == 1.0
