@@ -391,3 +391,84 @@ def test_pointer_chain_vacuum_sweeps_bounded_checkpoints(spark, tmp_table_dir):
         for p in glob.glob(os.path.join(rl.dir, "cp-*"))
     }
     assert on_disk == live
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_record = st.tuples(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=99),
+)
+_batch = st.lists(_record, min_size=1, max_size=5)
+_op = st.tuples(st.sampled_from(["upsert", "soft", "hard", "compact"]), _batch)
+_seq = st.lists(_op, min_size=2, max_size=5)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_seq)
+def test_property_bounded_layout_equals_inline(spark, tmp_path_factory, ops):
+    """Property net replacing the pre-publish replay gate on the
+    bounded path: for RANDOM sequences of upsert / soft-delete /
+    hard-delete / compact, the pointer-layout table (bounded O(commit)
+    commits, distributed cadence checkpoints at interval 2 — every
+    other commit crosses the checkpoint builder) resolves to the exact
+    same rows, stats, and per-version states as the inline-layout twin
+    driven by the materialized commit path."""
+    from datetime import timedelta
+
+    work = tmp_path_factory.mktemp("bprop")
+    BASE = datetime(2024, 1, 1)
+
+    def mk_twin(name, threshold):
+        return KeyedTable(
+            spark,
+            str(work / name),
+            keys=("pkey",),
+            version_col="modified_date",
+            arrival_col="arrival",
+            num_buckets=2,
+            commit_protocol="manifest",
+            zone_map_cols=("modified_date",),
+            manifest_checkpoint_interval=2,
+            manifest_parquet_threshold=threshold,
+        )
+
+    inline, pointer = mk_twin("i", 10**9), mk_twin("p", 0)
+    arrival = 0
+    for op, records in ops:
+        rows = [
+            (k, BASE + timedelta(hours=v), arrival + i, f"p{p}")
+            for i, (k, v, p) in enumerate(records)
+        ]
+        b = spark.createDataFrame(
+            rows,
+            "pkey long, modified_date timestamp, arrival long, payload string",
+        )
+        for t in (inline, pointer):
+            if op == "upsert":
+                t.upsert(b)
+            elif op == "soft":
+                t.soft_delete(b)
+            elif op == "hard":
+                t.hard_delete(b)
+            elif t.exists():
+                t.compact()
+        arrival += len(records)
+    if not inline.exists():
+        assert not pointer.exists()
+        return
+    vs_i, vs_p = inline.snapshot_versions(), pointer.snapshot_versions()
+    assert vs_i == vs_p
+    li, lp = inline._snapshot_log(), pointer._snapshot_log()
+    for v in vs_i:
+        assert _state(inline, version=v) == _state(pointer, version=v)
+        assert li.read_stats(v) == lp.read_stats(v)
+        zi, zp = li.read_zones(v), lp.read_zones(v)
+        assert (zi is None) == (zp is None)
