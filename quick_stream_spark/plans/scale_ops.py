@@ -5,6 +5,7 @@ shuffle-elimination pattern big MERGEs and fact-fact joins need at
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -27,30 +28,54 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     metadata; a real deployment uses the metastore/Delta the same way.)
     """
     pin_session(spark)
-    # STABLE per-sf_dir suffix: Python's str hash is randomized per
-    # process (PYTHONHASHSEED), which minted a fresh table pair every
-    # run — unbounded warehouse growth and zero cross-process reuse
+    # Per-(sf_dir, PROCESS) suffix: the sf_dir hash keeps names stable
+    # within a process (Python's str hash is randomized per process,
+    # which once minted a fresh table pair every run), and the pid
+    # component keeps CONCURRENT processes from clobbering each other
+    # (a stable shared name let process B's stale-location sweep delete
+    # the warehouse dir process A was mid-read on — observed as a
+    # FILE_NOT_EXIST flake under parallel suite runs).  Leftover dirs
+    # of DEAD pids are swept below, bounding warehouse growth.
     import hashlib
 
-    suffix = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16)
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    suffix = f"{int(digest, 16)}_{os.getpid()}"
     o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
 
+    def _warehouse(spark):
+        return spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:").rstrip("/")
+
+    def _sweep_dead_pid_dirs() -> None:
+        # reclaim bucketed-table dirs minted by processes that no
+        # longer exist (same sf_dir digest, different pid)
+        import glob as _glob
+        import re
+        import shutil
+
+        pat = re.compile(
+            rf"^(orders|lineitem)_b_{int(digest, 16)}_(\d+)$"
+        )
+        for d in _glob.glob(f"{_warehouse(spark)}/*_b_*"):
+            mt = pat.match(os.path.basename(d))
+            if not mt or int(mt.group(2)) == os.getpid():
+                continue
+            if not os.path.exists(f"/proc/{mt.group(2)}"):
+                shutil.rmtree(d, ignore_errors=True)
+
     def _clear_stale_location(name: str) -> None:
-        # the stable name persists its warehouse dir across processes,
-        # but the in-memory catalog does not: a fresh session would hit
-        # "managed table location already exists" on saveAsTable and
-        # silently fall back to the shuffled join — drop the orphan dir
-        # (it is a cache of a dead catalog, cheap to rebuild)
+        # the in-memory catalog does not persist: a fresh session would
+        # hit "managed table location already exists" on saveAsTable —
+        # drop the orphan dir (ours alone, per-pid name) and rebuild
         from quick_stream_spark.operators.merge import _hadoop_fs
 
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        fs, p, _ = _hadoop_fs(spark, f"{wh.rstrip('/')}/{name.lower()}")
+        fs, p, _ = _hadoop_fs(spark, f"{_warehouse(spark)}/{name.lower()}")
         if fs.exists(p):
             fs.delete(p, True)
 
     if not spark.catalog.tableExists(o_name):
+        _sweep_dead_pid_dirs()
         _clear_stale_location(o_name)
         (
             load_table(spark, sf_dir, "orders")
