@@ -906,7 +906,71 @@ class ManifestLog:
             for path, cols in zones.items()
         }
 
+    def history(self) -> list[dict]:
+        """Per-version commit metadata, oldest first — the DESCRIBE
+        HISTORY analog, derived from the DOCUMENTS alone (no snapshot
+        materialization: deltas are O(commit), pointer docs O(1); an
+        inline full body is parsed for its counts).  Each row:
+        ``version``, ``op`` / ``committed_at`` (None for commits that
+        declared none, e.g. raw ManifestLog callers), ``kind``
+        (``delta`` / ``checkpoint`` / ``checkpoint_parquet``),
+        ``buckets_touched`` and ``files_added`` (delta commits; None
+        for full documents, which restate everything), and
+        ``files_total`` (full documents; None for deltas — computing
+        it would mean resolving the snapshot)."""
+        out = []
+        for v in self.versions():
+            raw = self._read_doc(v)
+            row = {
+                "version": v,
+                "op": raw.get("op"),
+                "committed_at": raw.get("committed_at"),
+            }
+            if "delta" in raw:
+                d = raw["delta"]
+                touched = {int(b) for b in d.get("replaced", [])} | {
+                    int(b) for b in d.get("added", {})
+                }
+                row.update(
+                    kind="delta",
+                    buckets_touched=len(touched),
+                    files_added=sum(
+                        len(fl) for fl in d.get("added", {}).values()
+                    ),
+                    files_total=None,
+                )
+            elif "checkpoint_parquet" in raw:
+                row.update(
+                    kind="checkpoint_parquet",
+                    buckets_touched=None,
+                    files_added=None,
+                    files_total=int(raw.get("nfiles", 0)),
+                )
+            else:
+                row.update(
+                    kind="checkpoint",
+                    buckets_touched=None,
+                    files_added=None,
+                    files_total=sum(
+                        len(fl) for fl in raw.get("buckets", {}).values()
+                    ),
+                )
+            out.append(row)
+        return out
+
     # ----------------------------------------------------------- write
+
+    @staticmethod
+    def _op_fields(op: str | None) -> dict:
+        """Optional commit provenance riding the atomic publish: the
+        operation name and an integer epoch timestamp — the DESCRIBE
+        HISTORY fields.  Omitted entirely when no op is declared (raw
+        ``ManifestLog`` users keep byte-identical documents)."""
+        if op is None:
+            return {}
+        import time
+
+        return {"op": str(op), "committed_at": int(time.time())}
 
     def _try_publish(
         self,
@@ -915,6 +979,7 @@ class ManifestLog:
         version: int,
         zones: dict[int, dict[str, list]] | None = None,
         delta: dict | None = None,
+        op: str | None = None,
     ) -> bool:
         """Atomically publish one snapshot attempt at ``version``:
         write-temp + atomic put-if-absent, so the snapshot either fully
@@ -941,12 +1006,12 @@ class ManifestLog:
         fs, _, jvm = _fs(self.spark, self.dir)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.dir))
         if delta is not None:
-            doc = {"version": version, "delta": delta}
+            doc = {"version": version, "delta": delta, **self._op_fields(op)}
             if delta.get("zones"):
                 doc["zone_tz"] = "UTC"
             body = json.dumps(doc).encode("utf-8")
             return self._put_if_absent(body, version)
-        body, cp_name = self._full_body(mapping, stats, zones, version)
+        body, cp_name = self._full_body(mapping, stats, zones, version, op=op)
         ok = self._put_if_absent(body, version)
         if not ok and cp_name is not None:
             # lost the publish race: reclaim this attempt's checkpoint
@@ -958,7 +1023,7 @@ class ManifestLog:
         return ok
 
     def _full_body(
-        self, mapping, stats, zones, version: int
+        self, mapping, stats, zones, version: int, op: str | None = None
     ) -> tuple[bytes, str | None]:
         """The JSON body of a FULL document at ``version`` — inline
         below ``parquet_checkpoint_threshold`` snapshot files, a
@@ -972,9 +1037,14 @@ class ManifestLog:
             name, fields = self._write_parquet_checkpoint(
                 mapping, stats, zones, version
             )
-            doc = {"version": version, **fields}
+            doc = {"version": version, **fields, **self._op_fields(op)}
             return json.dumps(doc).encode("utf-8"), name
-        return self._full_doc_body(mapping, stats, zones, version), None
+        body = self._full_doc_body(mapping, stats, zones, version)
+        if op is not None:
+            doc = json.loads(body.decode("utf-8"))
+            doc.update(self._op_fields(op))
+            body = json.dumps(doc).encode("utf-8")
+        return body, None
 
     @staticmethod
     def _full_doc_body(mapping, stats, zones, version: int) -> bytes:
@@ -1043,7 +1113,8 @@ class ManifestLog:
         return canon(a) == canon(b)
 
     def _publish_attempt(
-        self, mapping, stats, zones, version, touched, base_version
+        self, mapping, stats, zones, version, touched, base_version,
+        op: str | None = None,
     ) -> bool:
         """One publish attempt: a DELTA document when the commit is
         declared, based on the immediately preceding version, off the
@@ -1069,9 +1140,10 @@ class ManifestLog:
                 )
                 if self._same_state(applied, (mapping, stats, zones)):
                     return self._try_publish(
-                        mapping, stats, version, zones=zones, delta=delta
+                        mapping, stats, version, zones=zones, delta=delta,
+                        op=op,
                     )
-        return self._try_publish(mapping, stats, version, zones=zones)
+        return self._try_publish(mapping, stats, version, zones=zones, op=op)
 
     def _put_if_absent(self, body: bytes, version: int) -> bool:
         fs, _, jvm = _fs(self.spark, self.dir)
@@ -1111,6 +1183,7 @@ class ManifestLog:
         base_version: int | None = None,
         max_retries: int = 5,
         zones: dict[int, dict[str, list]] | None = None,
+        op: str | None = None,
     ) -> int:
         """Publish ``mapping`` as the next snapshot.  ``stats``
         (per-bucket ``[rows, active_rows]``) and ``zones`` (per-bucket
@@ -1148,7 +1221,7 @@ class ManifestLog:
         else:
             version = (self.latest_version() or 0) + 1
         if self._publish_attempt(
-            mapping, stats, zones, version, touched, base_version
+            mapping, stats, zones, version, touched, base_version, op=op
         ):
             return version
         if touched is None:
@@ -1216,7 +1289,8 @@ class ManifestLog:
             merged_stats = _rebase_meta(stats, self.read_stats(cur_v))
             merged_zones = _rebase_zones(zones, self.read_zones(cur_v))
             if self._publish_attempt(
-                merged_map, merged_stats, merged_zones, cur_v + 1, touched, cur_v
+                merged_map, merged_stats, merged_zones, cur_v + 1, touched,
+                cur_v, op=op,
             ):
                 return cur_v + 1
         raise ConcurrentCommitError(
@@ -1499,6 +1573,7 @@ class ManifestLog:
         new_zones: dict[str, dict] | None,
         base_version: int,
         max_retries: int = 5,
+        op: str | None = None,
     ) -> int | None:
         """O(commit) commit for pointer-layout (big) tables — the
         carried-forward mapping is NEVER materialized on the driver
@@ -1533,7 +1608,7 @@ class ManifestLog:
                 return None
             if "checkpoint_parquet" not in head:
                 return None
-            ours = {"version": version, "delta": delta}
+            ours = {"version": version, "delta": delta, **self._op_fields(op)}
             if delta.get("zones"):
                 ours["zone_tz"] = "UTC"
             if (
@@ -1550,6 +1625,10 @@ class ManifestLog:
                 if built is None:
                     return None
                 body, cp_name = built
+                if op is not None:
+                    doc = json.loads(body.decode("utf-8"))
+                    doc.update(self._op_fields(op))
+                    body = json.dumps(doc).encode("utf-8")
                 ok = self._put_if_absent(body, version)
                 if not ok:
                     fs, _, jvm = _fs(self.spark, self.dir)
@@ -1665,6 +1744,14 @@ class ManifestLog:
             if "delta" in raw0:
                 m0, s0, z0 = self._snapshot(v0)
                 body, _cp = self._full_body(m0, s0, z0, v0)
+                if "op" in raw0 or "committed_at" in raw0:
+                    # the collapse is a LAYOUT rewrite: keep the
+                    # original commit's provenance, not the collapse's
+                    doc0 = json.loads(body.decode("utf-8"))
+                    for k in ("op", "committed_at"):
+                        if k in raw0:
+                            doc0[k] = raw0[k]
+                    body = json.dumps(doc0).encode("utf-8")
                 fs0, _, jvm0 = _fs(self.spark, self.dir)
                 final = jvm0.org.apache.hadoop.fs.Path(
                     os.path.join(self.dir, f"v{v0}.json")

@@ -497,6 +497,7 @@ class KeyedTable:
         df: DataFrame,
         replaced_buckets: list[int],
         options: dict | None = None,
+        op: str = "write",
     ) -> None:
         """Append-only commit: write ``df`` (with its bucket column)
         under a fresh commit dir, then publish a new manifest carrying
@@ -554,6 +555,7 @@ class KeyedTable:
                 new_stats,
                 new_zones if self.zone_map_cols else None,
                 base_version,
+                op=op,
             )
             if v is not None:
                 self._exists_cache = True
@@ -599,6 +601,7 @@ class KeyedTable:
             touched=set(replaced_buckets) | set(new_files),
             base_version=base_version,
             zones=zones,
+            op=op,
         )
         self._exists_cache = True
 
@@ -782,6 +785,42 @@ class KeyedTable:
             return 0
         return log.vacuum(keep_versions=1)
 
+    def history(self) -> DataFrame:
+        """Per-commit audit log, oldest first — the Delta DESCRIBE
+        HISTORY analog, derived from the manifest DOCUMENTS alone
+        (delta docs are O(commit), pointer docs O(1); no snapshot is
+        resolved).  Columns: ``version``, ``op`` (upsert / soft_delete
+        / hard_delete / compact / rebucket / restore / write; NULL for
+        commits made through the raw ManifestLog API), ``committed_at``
+        (epoch seconds; NULL likewise), ``kind`` (delta / checkpoint /
+        checkpoint_parquet), ``buckets_touched`` / ``files_added``
+        (delta commits), ``files_total`` (full documents).  Vacuumed
+        versions drop out; the collapse retains the oldest kept
+        commit's own op and timestamp."""
+        log = self._snapshot_log()
+        if log is None:
+            raise ValueError(
+                "history requires commit_protocol='manifest' or a "
+                "manifest-backed store"
+            )
+        rows = [
+            (
+                r["version"],
+                r["op"],
+                r["committed_at"],
+                r["kind"],
+                r["buckets_touched"],
+                r["files_added"],
+                r["files_total"],
+            )
+            for r in log.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, op string, committed_at long, kind string, "
+            "buckets_touched long, files_added long, files_total long",
+        )
+
     def restore(self, version: int) -> int:
         """Roll the table back to an earlier snapshot (manifest protocol
         only) — the Delta RESTORE analog.  The old snapshot's
@@ -803,6 +842,7 @@ class KeyedTable:
             mapping,
             stats=log.read_stats(version),
             zones=log.read_zones(version),
+            op="restore",
         )
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
@@ -1725,7 +1765,7 @@ class KeyedTable:
             # every old bucket is replaced; the new snapshot holds only
             # the new assignment (atomic: readers see old or new, never
             # a mix)
-            self._write_manifest_commit(df, list(self._log.read().keys()))
+            self._write_manifest_commit(df, list(self._log.read().keys()), op="rebucket")
         else:
             df = df.persist()
             try:
@@ -1953,7 +1993,7 @@ class KeyedTable:
         if not self.exists():
             first, obs = self._observe_merge(self._dedup(up))
             if self._log is not None:
-                self._write_manifest_commit(first, [])
+                self._write_manifest_commit(first, [], op="upsert")
             else:
                 self._write(first, "overwrite")
             self._record_merge_stats(obs)
@@ -1983,7 +2023,7 @@ class KeyedTable:
             )
             merged, obs = self._observe_merge(merged)
             if self._log is not None:
-                self._write_manifest_commit(merged, touched)
+                self._write_manifest_commit(merged, touched, op="upsert")
             else:
                 self._write(merged, "overwrite", repartition=False)
             self._record_merge_stats(obs)
@@ -2202,7 +2242,8 @@ class KeyedTable:
             compacted = current.repartition(F.col(BUCKET_COL), salt)
         if self._log is not None:
             self._write_manifest_commit(
-                compacted, list(self._log.read().keys()), options=options
+                compacted, list(self._log.read().keys()), options=options,
+                op="compact",
             )
             return
         self._write(compacted, "overwrite", repartition=False, options=options)
@@ -2316,7 +2357,7 @@ class KeyedTable:
                 F.when(F.col("__qss_del"), F.lit(False)).otherwise(F.col(self.soft_delete_col)),
             ).drop("__qss_del")
             if self._log is not None:
-                self._write_manifest_commit(merged, touched)
+                self._write_manifest_commit(merged, touched, op="soft_delete")
             else:
                 # like the upsert path (repartition=False): the flag join
                 # keyed on the key columns leaves rows bucket-coherent, so
@@ -2345,7 +2386,7 @@ class KeyedTable:
             if self._log is not None:
                 current = self._read_manifest(with_bucket=True, bucket_ids=touched)
                 remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")
-                self._write_manifest_commit(remaining, touched)
+                self._write_manifest_commit(remaining, touched, op="hard_delete")
                 return
             current = self._current_in(touched)
             # one materialization serves the emptied-bucket probe AND the

@@ -472,3 +472,46 @@ def test_property_bounded_layout_equals_inline(spark, tmp_path_factory, ops):
         assert li.read_stats(v) == lp.read_stats(v)
         zi, zp = li.read_zones(v), lp.read_zones(v)
         assert (zi is None) == (zp is None)
+
+
+def test_history_describes_every_commit(spark, tmp_table_dir):
+    """KeyedTable.history(): per-commit op / timestamp / document kind
+    derived from the manifest documents alone — on BOTH layouts, with
+    vacuum keeping the oldest surviving commit's own provenance."""
+    import time as _time
+
+    t0 = int(_time.time())
+    for name, threshold in (("hi", 10**9), ("hp", 0)):
+        t = mk(spark, tmp_table_dir, name,
+               manifest_parquet_threshold=threshold)
+        t.upsert(df(spark, SEED))                                      # v1
+        t.upsert(df(spark, [(1, datetime(2024, 2, 1), 20, "a2")]))     # v2
+        t.soft_delete(df(spark, [(2, datetime(2024, 3, 1), 21, "x")]))  # v3
+        t.compact()                                                    # v4
+        v_restored = t.restore(2)                                      # v5
+        h = {r.version: r for r in t.history().collect()}
+        assert sorted(h) == [1, 2, 3, 4, 5]
+        assert [h[v].op for v in sorted(h)] == [
+            "upsert", "upsert", "soft_delete", "compact", "restore"
+        ]
+        assert all(h[v].committed_at >= t0 for v in h)
+        assert all(
+            h[a].committed_at <= h[b].committed_at
+            for a, b in zip(sorted(h), sorted(h)[1:])
+        )
+        # delta rows expose commit-grain counts; full docs expose totals
+        deltas = [r for r in h.values() if r.kind == "delta"]
+        fulls = [r for r in h.values() if r.kind != "delta"]
+        assert all(r.files_added >= 0 and r.buckets_touched >= 1 for r in deltas)
+        assert all(r.files_total >= 1 for r in fulls)
+        if threshold == 0:
+            assert all(
+                r.kind in ("delta", "checkpoint_parquet") for r in h.values()
+            )
+            assert h[2].kind == "delta" and h[2].files_added >= 1
+        # restore is a FULL document (undeclared commit) on both layouts
+        assert h[v_restored].kind != "delta"
+        t.vacuum(keep_versions=2)
+        h2 = {r.version: r.op for r in t.history().collect()}
+        assert sorted(h2) == [4, 5]
+        assert h2[4] == "compact" and h2[5] == "restore"
