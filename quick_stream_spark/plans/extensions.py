@@ -19,6 +19,7 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 @register(
     "join_asof_last_event_before_order",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     WITH ev AS (
       SELECT user_id, ts, max(event_id) AS event_id
@@ -102,6 +103,7 @@ def _connector_agg(df: DataFrame, fmt: str) -> DataFrame:
 
 @register(
     "source_roundtrips", oracle=_CONNECTOR_ORACLE_BOTH, tags=("source", "csv", "json", "orc"),
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
 )
 def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV, JSON-lines and ORC connectors in one tagged result: write
@@ -139,6 +141,7 @@ def source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pandas_zscore_per_user",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     WITH stats AS (
       SELECT user_id,
@@ -200,6 +203,7 @@ def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentiles",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT o_orderpriority,
            round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
@@ -265,7 +269,6 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gen
     """,
     tags=("source", "python-datasource"),
-    pytest_only=True,
 )
 def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source connector (sources/pyds.py): a pure-
@@ -411,7 +414,6 @@ UDTF_CHUNK = 32
     WHERE n > 0
     """,
     tags=("pandas", "udtf"),
-    pytest_only=True,
 )
 def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python user-defined TABLE function (Spark 4 @udtf) invoked as a

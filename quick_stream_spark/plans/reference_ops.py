@@ -140,6 +140,7 @@ def r_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_upsert_endstate_guarded",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
     FROM (
@@ -163,6 +164,7 @@ def r_upsert_endstate_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_upsert_endstate_manifest",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
     FROM (
@@ -364,6 +366,7 @@ def r_read_where_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_read_where_zorder",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     # the table is keyed on event_id (every event is a row), so the
     # guarded end state is the events table itself; the query slices
     # it on two ORTHOGONAL dimensions
@@ -415,7 +418,6 @@ def r_read_where_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_lookup_bloom_endstate",
-    pytest_only=True,  # new in r11; queued for the r12 driver window
     # keyed on event_id, so the end state is the events table itself
     # restricted to the looked-up key set
     oracle="""
@@ -463,6 +465,110 @@ def r_lookup_bloom_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     return target.lookup(keys).select(*EVENT_COLS, "row_active")
+
+
+_PRUNING_CHECKS = (
+    "zone_files_positive",
+    "zone_prunes_some_files",
+    "zone_skip_floor",
+    "zone_counts_consistent",
+    "unmapped_col_full_scan",
+    "lookup_buckets_bounded",
+    "bloom_prunes_some_files",
+    "bloom_skip_floor",
+)
+
+
+@register(
+    "r_pruning_diagnostics",
+    # the contract is a fixed set of (check, ok) rows: every check must
+    # hold on ANY correct layout at ANY sf, the way the HLL accuracy
+    # contract pins approx_count_distinct — a silent regression of the
+    # zone/bloom pruning pipeline to full scans flips a row to FALSE
+    # and hash-mismatches
+    oracle="SELECT check_name, TRUE AS ok FROM (VALUES "
+    + ", ".join(f"('{c}')" for c in _PRUNING_CHECKS)
+    + ") AS t(check_name)",
+    tags=("reference", "merge", "skipping", "diagnostics"),
+)
+def r_pruning_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning-diagnostics contract (r11 verdict ask #3): the storage
+    layer's ``skipping_stats`` / ``lookup_stats`` answers — how much a
+    conjunctive range scan and a bounded point lookup would skip,
+    WITHOUT running the scan — exported as boolean contract rows so the
+    driver oracle fails if pruning silently regresses to full scans.
+
+    One Z-order-clustered, bloom-indexed table exercises both planning
+    pipelines (the same layout the ``r_read_where_zorder`` /
+    ``r_lookup_bloom_endstate`` flagships consume):
+
+    - ``skipping_stats`` on the conjunctive (user_id, value) rectangle
+      must report fewer files scanned than total (zone pruning engaged)
+      with a skip-rate floor, while a range on an UN-zone-mapped column
+      must honestly report 0.0 skipped (everything scans) — the
+      operational "this table needs zone_map_cols" signal;
+    - ``lookup_stats`` on 3 point keys must bound the scanned buckets
+      by the key count (hash layout) and report the bloom sidecars
+      dropping rolled files inside those buckets, with a skip floor.
+
+    The reference re-reads whole tables per cycle (upsert.rs:271-303);
+    Delta/Iceberg expose the same planning metadata via file stats +
+    bloom indexes but no first-class skip-rate diagnostic."""
+    ev = _events(spark, sf_dir)
+    target = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/t",
+        keys=("event_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=8,
+        commit_protocol="manifest",
+        zone_map_cols=("user_id", "value"),
+        key_bloom_bits=1 << 17,
+    )
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+        target.compact(
+            target_files_per_bucket=4,
+            sort_by=("user_id", "value"),
+            method="zorder",
+        )
+    zs = target.skipping_stats({"user_id": (20, 60), "value": (50.0, 120.0)})
+    fs = target.skipping_stats({"event_type": ("a", "z")})  # no zones col
+    keys = [
+        r.event_id
+        for r in ev.select("event_id")
+        .filter(F.col("event_id") % 97 == 0)
+        .distinct()
+        .orderBy("event_id")
+        .limit(3)
+        .collect()
+    ]
+    ls = target.lookup_stats(keys)
+    results = {
+        "zone_files_positive": zs["files_total"] > 0,
+        "zone_prunes_some_files": zs["files_scanned"] < zs["files_total"],
+        "zone_skip_floor": zs["skipped_fraction"] >= 0.25,
+        "zone_counts_consistent": (
+            zs["files_scanned"] <= zs["files_total"]
+            and zs["buckets_scanned"] <= zs["buckets_total"]
+        ),
+        "unmapped_col_full_scan": (
+            fs["skipped_fraction"] == 0.0
+            and fs["files_scanned"] == fs["files_total"]
+        ),
+        "lookup_buckets_bounded": (
+            ls["buckets_scanned"] <= len(keys)
+            and ls["buckets_scanned"] <= ls["buckets_total"]
+        ),
+        "bloom_prunes_some_files": ls["files_scanned"] < ls["files_in_buckets"],
+        "bloom_skip_floor": ls["skipped_fraction"] >= 0.4,
+    }
+    return spark.createDataFrame(
+        [(c, bool(results[c])) for c in _PRUNING_CHECKS],
+        "check_name string, ok boolean",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -601,6 +707,7 @@ def r_multi_table_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_schema_evolution",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props,
            CASE WHEN event_id % 2 = 1 THEN round(value * 2, 2) END AS score,
@@ -797,7 +904,6 @@ def r_wide_row_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("reference",),
-    pytest_only=True,  # rotated out r7 (driver-green r1-r6) for mm_jpeg_decode
 )
 def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 (lib.rs:24-58): the 100/10/1 size-class split is physically

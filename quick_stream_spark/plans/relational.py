@@ -67,7 +67,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
     tags=("agg", "filter", "scan"),
     bench=True,
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -92,6 +91,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_top_revenue_orders",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT o_orderkey, o_orderdate, o_orderpriority,
            CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
@@ -143,7 +143,6 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "agg", "broadcast"),
     bench=True,
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume: revenue from lineitems whose supplier sits
@@ -180,6 +179,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_semi_anti",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT 'semi_part' AS kind, p_partkey AS key, p_name AS name FROM part
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
@@ -220,6 +220,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_full_outer_nation_activity",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS customers
                FROM customer GROUP BY c_nationkey),
@@ -252,6 +253,7 @@ def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "join_range_events_orders",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT o_orderkey, COUNT(e.event_id) AS events_that_day
     FROM orders o
@@ -280,6 +282,7 @@ def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_item_revenue",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT c_custkey, c_name, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
     FROM customer
@@ -323,7 +326,6 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     tags=("agg", "tpch"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue-change forecast — a pure
@@ -356,7 +358,6 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,  # r8 rotation out (driver-green r6+r7); still oracle-checked locally
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotion revenue share — conditional decimal
@@ -396,7 +397,6 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand, p_type, p_size
     """,
     tags=("join", "agg", "distinct", "tpch"),
-    pytest_only=True,
 )
 def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (adapted: supplier-part relationships come from
@@ -429,7 +429,6 @@ def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFra
            AND l_quantity BETWEEN 20 AND 40)
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction-of-conjunctions across both join
@@ -473,6 +472,7 @@ _ABOVE_AVG_SQL = """
 
 @register(
     "subquery_orders_above_customer_avg",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=_ABOVE_AVG_SQL,
     tags=("subquery", "sql"),
 )
@@ -494,6 +494,7 @@ def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> Data
 
 @register(
     "agg_grouping_analytics",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            {sql_dsum("l_quantity", "sum_qty")},
@@ -528,6 +529,7 @@ def agg_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup_returns",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n, {sql_dsum("l_quantity", "sum_qty")}
@@ -546,6 +548,7 @@ def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_cube_orders",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n, {sql_dsum("o_totalprice", "sum_price")}
@@ -564,6 +567,7 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_events_by_type",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
@@ -655,6 +659,7 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_users",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     # HLL sketch VALUES are engine-specific, so the oracle states the
     # sketch's ACCURACY CONTRACT instead: per group, the exact distinct
     # count plus the assertion that the Spark-side HLL estimate landed
@@ -701,6 +706,7 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_order_analytics",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wrun AS DOUBLE)
@@ -764,6 +770,7 @@ def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_orders",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT 'per_customer' AS scope, o_custkey, o_orderkey, o_totalprice, rank FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -819,6 +826,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_lag_event_gaps",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT user_id, event_id,
            CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds,
@@ -882,6 +890,7 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sort_top10_orders",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
@@ -901,6 +910,7 @@ def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "set_ops",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT 'union' AS op, nationkey FROM (
       SELECT c_nationkey AS nationkey FROM customer
@@ -942,6 +952,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_part_funcs",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT p_partkey,
            upper(p_brand) AS brand_upper,
@@ -1014,6 +1025,7 @@ def scalar_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_event_funcs",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
@@ -1079,7 +1091,6 @@ def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("scalar", "variant", "json"),
-    pytest_only=True,
 )
 def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through Spark 4's VARIANT type: the JSON
@@ -1119,7 +1130,6 @@ _RECURSIVE_HIERARCHY_SQL = """
     "recursive_cte_hierarchy",
     oracle=_RECURSIVE_HIERARCHY_SQL,
     tags=("sql", "recursive"),
-    pytest_only=True,
 )
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE through Spark's SQL front end (WITH RECURSIVE,
@@ -1151,6 +1161,7 @@ _LATERAL_TOPK_SQL = """
 
 @register(
     "join_lateral_topk_per_nation",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=_LATERAL_TOPK_SQL,
     tags=("join", "lateral", "sql"),
 )

@@ -98,6 +98,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
 
 @register(
     "join_bucketed_colocated",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_items,
            {sql_dsum("l_extendedprice", "sum_price")}
@@ -135,6 +136,7 @@ _FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
 
 @register(
     "sample_splits",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT doc_id,
            CASE WHEN {_SPLIT_HASH} < 90 THEN 'train'
@@ -249,7 +251,6 @@ def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # set below: assembled from the same function twins
     tags=("text", "pipeline"),
     bench=True,
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-data pipeline over the duplicated corpus:
@@ -363,7 +364,6 @@ _SREG["pipeline_training_data"].oracle = " ".join(_pipeline_oracle().split())
     FROM events GROUP BY user_id
     """,
     tags=("streaming", "stateful"),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
@@ -539,6 +539,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_drop_duplicates_watermark",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT event_id, user_id, event_type FROM events
     """,
@@ -576,6 +577,7 @@ def stream_drop_duplicates_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "events_cohort_retention",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     WITH firsts AS (
       SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
@@ -1371,7 +1373,6 @@ SESSION_GAP_MIN = 30
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("analytics", "sessionization"),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the canonical event-analytics

@@ -45,6 +45,7 @@ _COS = vec.cosine_sql("q.v", "c.v", DIM)
 
 @register(
     "emb_cosine_topk",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT * FROM e WHERE vec_id < {NUM_QUERIES}),
@@ -116,6 +117,7 @@ def _sig_sql(v: str) -> str:
 
 @register(
     "emb_quantize_int8",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (
@@ -333,6 +335,7 @@ def _lloyd_rounds(spark: SparkSession, e: DataFrame, cents, to_lists):
 
 @register(
     "emb_centroids",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # set at module end (kmeans side is generated, unrolled)
     tags=("similarity", "agg", "ivf", "iterative", "ml"),
 )
@@ -636,7 +639,6 @@ def _lsh_candidates(e: DataFrame) -> DataFrame:
     # ArrowEvalPython only under this tag (BatchEvalPython is always banned).
     tags=("similarity", "lsh", "approx", "arrow"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN by collision-count thresholding: each vector's
@@ -822,6 +824,7 @@ def _trained_ivf_cand_sql() -> str:
 
 @register(
     "emb_ivf_trained_topk",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # assigned below from the generated CTE stack
     tags=("similarity", "ivf", "approx", "ml"),
 )
@@ -922,7 +925,6 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     # emb_lsh_ann_topk's tag note.
     tags=("similarity", "dedup", "lsh", "approx", "arrow"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the semantic-dedup
@@ -1087,6 +1089,7 @@ def _pq_codebooks_impl(spark: SparkSession, sf_dir: str) -> list:
 
 @register(
     "emb_pq_topk",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # set at module end (unrolled per-subspace training)
     tags=("similarity", "pq", "ann", "ml"),
 )
@@ -1492,6 +1495,7 @@ _SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
 
 @register(
     "emb_ann_quality_eval",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # composed below from the exact/LSH/IVF/PQ oracles
     tags=("similarity", "ann", "evaluation", "arrow"),
 )
@@ -1660,7 +1664,6 @@ def _mrl_oracle() -> str:
     "emb_matryoshka_eval",
     oracle=None,  # set below (generated per truncation width)
     tags=("similarity", "evaluation", "mrl"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation evaluation (Kusupati et al. 2022,
@@ -1867,7 +1870,6 @@ HN_PER_ANCHOR = 3
     ) WHERE rank <= {HN_PER_ANCHOR}
     """,
     tags=("similarity", "mining", "training-pairs", "arrow"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining — the contrastive-training companion of

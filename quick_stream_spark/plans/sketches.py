@@ -86,7 +86,6 @@ def _cms_probe_sql() -> str:
     GROUP BY p.l_partkey, p.exact_n
     """,
     tags=("sketch", "countmin", "heavy-hitters"),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over lineitem part frequencies, probed for the
@@ -392,7 +391,6 @@ _LC_KEYS = (  # (tag, table, column)
     FROM agg
     """,
     tags=("sketch", "distinct", "linear-counting"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by linear counting (Whang et al. 1990)
@@ -500,7 +498,6 @@ _HLL_RHO_SQL = _hll.rho_sql(HLL_P)
     FROM corrected
     """,
     tags=("sketch", "distinct", "hll"),
-    pytest_only=True,  # r8 rotation out (driver-green r6+r7); still oracle-checked locally
 )
 def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by explicit HyperLogLog registers

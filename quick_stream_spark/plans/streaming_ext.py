@@ -81,6 +81,7 @@ def _run_to_memory(
 
 @register(
     "stream_windows",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT 'tumbling' AS kind,
            event_type AS grp,
@@ -407,7 +408,6 @@ _SEREG["stream_dedup_clusters_incremental"].oracle = " ".join(
      AND p.ts <= v.ts + INTERVAL '30 minutes'
     """,
     tags=("streaming", "join"),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join — the canonical funnel query: each
@@ -529,6 +529,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_matview_hourly",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT event_type,
            time_bucket(INTERVAL '1 hour', ts) AS hour,

@@ -81,7 +81,6 @@ _PHONE_RE = "\\+[0-9][0-9-]{7,}"
     """,
     tags=("text", "quality", "langid", "pii", "dedup"),
     bench=True,
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one wide map-only projection:
@@ -230,6 +229,7 @@ def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH corpus AS (
       SELECT doc_id AS id, text FROM documents
@@ -285,7 +285,6 @@ def _jaccard_sql(a: str, b: str) -> str:
     """,
     tags=("text", "dedup", "lsh"),
     bench=True,
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: hashed integer shingles (one md5 per TOKEN,
@@ -342,6 +341,7 @@ def _verified_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH corpus AS ({DUP_CORPUS_SQL}),
     sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
@@ -447,6 +447,7 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
 
 @register(
     "text_chunking",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
@@ -507,6 +508,7 @@ VOCAB_TOP_K = 50
 
 @register(
     "text_vocabulary_topk",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH toks AS (
       SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
@@ -548,6 +550,7 @@ SIMHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 => >= 1 band equal
 
 @register(
     "dedup_simhash_pairs",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # set below (built from the simhash CTE)
     tags=("text", "dedup", "simhash"),
 )
@@ -638,6 +641,7 @@ _SPLIT_HASH_ID = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT %
 
 @register(
     "pipeline_decontamination",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # set below (composes the minhash oracle with splits)
     tags=("text", "dedup", "pipeline", "contamination"),
 )
@@ -697,7 +701,6 @@ def _decontamination_oracle() -> str:
     oracle=None,  # set below: recursive-CTE oracle over the minhash pairs
     tags=("text", "dedup", "iterative"),
     bench=True,
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over the
@@ -755,6 +758,7 @@ _REG2["pipeline_decontamination"].oracle = " ".join(_decontamination_oracle().sp
 
 @register(
     "mm_binary_meta",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT doc_id,
            strlen(text) AS n_bytes,
@@ -882,7 +886,6 @@ def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize a complete valid PNG
@@ -963,7 +966,6 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
-    pytest_only=True,
 )
 def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode end-to-end (the T.81 sibling of
@@ -1825,6 +1827,7 @@ def _substr_fold_sql(th: str, i: str) -> str:
 
 @register(
     "dedup_substring_spans",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH corpus AS ({{corpus}}),
     th AS (
@@ -2644,7 +2647,6 @@ def _pagerank_oracle() -> str:
     "graph_pagerank_dupgraph",
     oracle=None,  # set below (generated: unrolled fixed-iteration CTEs)
     tags=("graph", "iterative", "pagerank"),
-    pytest_only=True,
 )
 def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-duplicate graph ({PR_ITERS} fixed Lloyd-
@@ -3304,7 +3306,6 @@ def _bpe_oracle() -> str:
     oracle=None,  # set below: fully unrolled rounds
     tags=("text", "tokenizer", "iterative", "ml"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
-    pytest_only=True,
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,

@@ -71,7 +71,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "window", "tpch"),
-    pytest_only=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: supply cost := min lineitem price per
@@ -176,7 +175,6 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between two nations by year.  Both
@@ -241,7 +239,6 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_year
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold
@@ -308,7 +305,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: supply cost := 10% of retail price per
@@ -361,7 +357,6 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT CAST(SUM(value_d) AS DOUBLE) * 0.001 FROM pv)
     """,
     tags=("join", "agg", "subquery", "tpch"),
-    pytest_only=True,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose stocked value exceeds a fraction of
@@ -412,7 +407,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_linestatus
     """,
     tags=("join", "agg", "tpch"),
-    pytest_only=True,
 )
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (adapted: line status classes stand in for ship
@@ -455,7 +449,6 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM co GROUP BY c_count
     """,
     tags=("join", "outer", "agg", "tpch"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of per-customer order counts,
@@ -498,7 +491,6 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     """,
     tags=("join", "agg", "subquery", "tpch"),
-    pytest_only=True,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
@@ -543,7 +535,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
     """,
     tags=("join", "agg", "subquery", "tpch"),
-    pytest_only=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders far below a part's average
@@ -576,6 +567,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_volume_customers",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     WITH big AS (
       SELECT l_orderkey,
@@ -644,7 +636,6 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("join", "semi", "agg", "tpch"),
-    pytest_only=True,  # r9 rotation out (driver-green r7-r8); still oracle-checked locally
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: shipped quantity from lineitem stands
@@ -674,6 +665,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_waiting_suppliers",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
     FROM supplier

@@ -48,7 +48,6 @@ BASKET_TOPK = 30
     LIMIT {BASKET_TOPK}
     """,
     tags=("warehouse", "affinity", "basket"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: the top-{BASKET_TOPK} co-purchased part
@@ -145,7 +144,6 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM collapsed
     """,
     tags=("warehouse", "scd2", "window"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from an event log: per
@@ -237,7 +235,6 @@ def _bloom_pos(j: int, key) -> F.Column:
     FROM probe pr LEFT JOIN probe_hits ph ON pr.o_custkey = ph.o_custkey
     """,
     tags=("warehouse", "bloom", "join-pruning"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning, the runtime-filter pattern Spark
@@ -370,7 +367,6 @@ def _interleave_spark(x: str, y: str) -> F.Column:
     FROM filed GROUP BY file_id
     """,
     tags=("warehouse", "zorder", "data-skipping"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering for data skipping (Delta OPTIMIZE ZORDER BY
@@ -494,7 +490,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangles_dupgraph",
     oracle=None,  # set below: shares the minhash pair CTEs
     tags=("graph", "triangles"),
-    pytest_only=True,  # r9 rotation out (driver-green r7-r8); still oracle-checked locally
 )
 def graph_triangles_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the near-dup pair graph — the clustering
@@ -834,7 +829,6 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     tags=("warehouse", "quality", "constraints"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
-    pytest_only=True,  # rotated out r7: multi-round driver-green
 )
 def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint checking (the Deequ pattern,
@@ -1058,7 +1052,6 @@ _PROFILE_ARMS_SQL = """
     FROM stats s JOIN tops t ON s.col_name = t.col_name
     """,
     tags=("warehouse", "quality", "profiling"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the Deequ/Glue-crawler analyzer pattern): per
@@ -1150,7 +1143,6 @@ def _scd2_pit_oracle() -> str:
     "join_scd2_point_in_time",
     oracle=None,  # set below: SCD2 CTE + ASOF lookup
     tags=("warehouse", "scd2", "join", "asof"),
-    pytest_only=True,  # r8 rotation out (driver-green r5-r7); still oracle-checked locally
 )
 def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup — the query SCD2 histories exist
@@ -1218,6 +1210,7 @@ _WREG["join_scd2_point_in_time"].oracle = " ".join(_scd2_pit_oracle().split())
 
 @register(
     "pipeline_entity_resolution",
+    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH RECURSIVE
     {_FUZZY_CORPUS_CTES.format(off=FUZZY_OFFSET)},
@@ -1318,7 +1311,6 @@ PRIV_L = 2  # l-diversity floor for the sensitive attribute
     GROUP BY c_nationkey, c_mktsegment
     """,
     tags=("warehouse", "privacy", "governance"),
-    pytest_only=True,
 )
 def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
