@@ -355,6 +355,7 @@ class KeyedTable:
             # round up to a whole number of bytes
             self.key_bloom_bits = (self.key_bloom_bits + 7) // 8 * 8
         self._kbloom_cache: dict[str, tuple | None] = {}
+        self._kbloom_read_warned = False
 
     # ---------------------------------------------------------------- io
 
@@ -636,15 +637,45 @@ class KeyedTable:
         return [(h1 + i * h2) % m for i in range(k)]
 
     def _write_kbloom_sidecars(self, commit_dir: str, schema) -> None:
-        """One aggregation over ONLY the commit's files (bounded by the
-        commit, never the table): per-file distinct bloom bit positions
-        of every key tuple, collected (<= m positions per file) and
-        written as ``<data-file>.kbloom`` sidecars BEFORE the manifest
-        publishes — a crash in between leaves orphan sidecars next to
-        orphan data files, reclaimed together by vacuum; a published
-        file missing its sidecar merely opens unconditionally."""
+        """Build each commit file's bloom bitmap EXECUTOR-SIDE and pull
+        only the packed ``m/8`` bytes per file to the driver (ADVICE
+        r11: collecting the distinct bit POSITIONS instead meant up to
+        hundreds of millions of boxed ints for a properly-sized
+        multi-file commit).  One job over ONLY the commit's files:
+        positions fold into per-(file, 64-bit-chunk) words with a
+        JVM-side ``bit_or`` (map-side combinable), then an Arrow-batched
+        per-file pandas aggregation scatters the words into the final
+        little-endian bitmap — byte-for-byte the layout
+        :meth:`_kbloom_positions_py` probes (bit ``p`` lives at byte
+        ``p >> 3``, mask ``1 << (p & 7)``; parity pinned in
+        tests/test_key_bloom.py).  Sidecars are written BEFORE the
+        manifest publishes — a crash in between leaves orphan sidecars
+        next to orphan data files, reclaimed together by vacuum; a
+        published file missing its sidecar merely opens
+        unconditionally."""
         import struct
         from urllib.parse import unquote, urlparse
+
+        import numpy as np
+        import pandas as pd
+
+        m = self.key_bloom_bits
+        nbytes = m // 8
+
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            buf = np.zeros(((m + 63) // 64) * 8, dtype=np.uint8)
+            ch = pdf["__qss_c"].to_numpy(dtype=np.int64)
+            words = pdf["__qss_v"].to_numpy(dtype=np.int64).astype(np.uint64)
+            for i in range(8):  # explicit little-endian byte scatter
+                buf[ch * 8 + i] = (
+                    (words >> np.uint64(8 * i)) & np.uint64(0xFF)
+                ).astype(np.uint8)
+            return pd.DataFrame(
+                {
+                    "__qss_f": [pdf["__qss_f"].iloc[0]],
+                    "__qss_bm": [buf[:nbytes].tobytes()],
+                }
+            )
 
         rows = (
             self.spark.read.schema(schema)
@@ -653,8 +684,17 @@ class KeyedTable:
                 F.input_file_name().alias("__qss_f"),
                 F.explode(self._kbloom_pos_expr()).alias("__qss_p"),
             )
+            .groupBy(
+                "__qss_f",
+                F.shiftrightunsigned(F.col("__qss_p"), 6).alias("__qss_c"),
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, int(__qss_p % 64))")
+                ).alias("__qss_v")
+            )
             .groupBy("__qss_f")
-            .agg(F.collect_set("__qss_p").alias("__qss_ps"))
+            .applyInPandas(_pack, "__qss_f string, __qss_bm binary")
             .collect()
         )
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
@@ -662,22 +702,25 @@ class KeyedTable:
             "<IH", self.key_bloom_bits, self.key_bloom_hashes
         )
         for r in rows:
-            bits = bytearray(self.key_bloom_bits // 8)
-            for p in r["__qss_ps"]:
-                p = int(p)
-                bits[p >> 3] |= 1 << (p & 7)
             fpath = unquote(urlparse(r["__qss_f"]).path)
             out = fs.create(
                 jvm.org.apache.hadoop.fs.Path(_kbloom_sidecar_path(fpath)), True
             )
-            out.write(bytearray(header + bytes(bits)))
+            out.write(bytearray(header + bytes(r["__qss_bm"])))
             out.close()
 
     def _read_kbloom(self, abs_path: str) -> tuple | None:
         """``(m, k, bits)`` of one sidecar, or ``None`` (absent,
         foreign, or corrupt — the file opens unconditionally).
         Sidecars are immutable once their manifest publishes, so a
-        small per-instance cache is sound."""
+        small per-instance cache is sound.
+
+        A sidecar that EXISTS but cannot be read (FS permissions, a
+        py4j/classpath fault) also degrades to ``None`` — correct but
+        quietly losing the skip rate the option was enabled for — so
+        that case logs one warning per table instead of passing
+        silently (ADVICE r11); plain absence stays signal-free (it is
+        the documented contract for pre-bloom files)."""
         if abs_path in self._kbloom_cache:
             return self._kbloom_cache[abs_path]
         import struct
@@ -698,8 +741,22 @@ class KeyedTable:
                     bits = data[12:]
                     if m >= 64 and 1 <= k <= 16 and len(bits) * 8 >= m:
                         out = (m, k, bits)
-        except Exception:  # pragma: no cover - unreadable sidecar
+        except Exception as exc:  # pragma: no cover - unreadable sidecar
             out = None
+            if not self._kbloom_read_warned:
+                self._kbloom_read_warned = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "key-bloom sidecar for %s exists but could not be "
+                    "read (%s: %s); bloom pruning is disabled for "
+                    "unreadable files on table %s — lookups stay "
+                    "correct but lose file skipping",
+                    abs_path,
+                    type(exc).__name__,
+                    exc,
+                    self.path,
+                )
         if len(self._kbloom_cache) > 4096:
             self._kbloom_cache.clear()
         self._kbloom_cache[abs_path] = out
@@ -1464,7 +1521,7 @@ class KeyedTable:
                 "lookup_stats requires commit_protocol='manifest' or "
                 "a manifest-backed store"
             )
-        pm, ids, _ = self._lookup_plan(key_values, version)
+        pm, ids, _, _ = self._lookup_plan(key_values, version)
         v = version if version is not None else log.latest_version()
         totals = log.snapshot_totals(v) if hasattr(log, "snapshot_totals") else None
         if totals is not None:
@@ -1495,12 +1552,16 @@ class KeyedTable:
 
     def _lookup_plan(
         self, key_values: Sequence, version: int | None
-    ) -> tuple[dict[int, list[str]] | None, list[int], list]:
+    ) -> tuple:
         """Shared planning half of ``lookup()``/``lookup_stats()``:
-        ``(pruned_mapping_or_None, bucket_ids, key_rows)``.  One
+        ``(pruned_mapping_or_None, bucket_ids, key_df, schema)``.  One
         bounded collect resolves each key's bucket id AND its bloom
         hash (computed JVM-side so it matches the sidecar writer's bit
-        positions exactly); zone pruning and bloom pruning compose."""
+        positions exactly); zone pruning and bloom pruning compose.
+        The schema and key DataFrame return to the caller so
+        ``lookup()`` doesn't re-read the sidecar or rebuild the keys
+        (ADVICE r11: two extra driver round-trips on a
+        latency-sensitive path)."""
         from pyspark.sql.types import StructType
 
         schema = self._read_schema_sidecar()
@@ -1517,7 +1578,7 @@ class KeyedTable:
             self._kbloom_hash_expr().alias("__h"),
         ).collect()
         ids = sorted({r["__b"] for r in sel})
-        key_hashes = [int(r["__h"]) for r in sel]
+        key_hashes = sorted({int(r["__h"]) for r in sel})
         pm = self._key_pruned_mapping(rows, ids, version)
         if self.key_bloom_bits and self._log is not None:
             # bloom-prune the candidate files: compose with zone
@@ -1541,7 +1602,7 @@ class KeyedTable:
                     pm = sub
             if pm is not None:
                 pm = self._bloom_prune(pm, key_hashes)
-        return pm, ids, rows
+        return pm, ids, kdf, schema
 
     def lookup(
         self,
@@ -1570,13 +1631,7 @@ class KeyedTable:
         UNSORTED case too: inside the key's bucket, rolled files whose
         bloom excludes every requested key never open.  Conservative
         as always: files without bounds or sidecars stay."""
-        from pyspark.sql.types import StructType
-
-        pm, ids, rows = self._lookup_plan(key_values, version)
-        schema = self._read_schema_sidecar()
-        kdf = self.spark.createDataFrame(
-            rows, StructType([schema[k] for k in self.keys])
-        )
+        pm, ids, kdf, schema = self._lookup_plan(key_values, version)
         if pm is not None and self._log is not None:
             df = self._read_manifest(
                 active_only=active_only, version=version, mapping_override=pm

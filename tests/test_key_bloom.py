@@ -235,3 +235,39 @@ def test_lookup_stats_reports_bloom_skipping(spark, tmp_table_dir):
     # absent key: everything pruned away
     st2 = t.lookup_stats([999999])
     assert st2["files_scanned"] == 0 and st2["skipped_fraction"] == 1.0
+
+
+def test_sidecar_bitmap_matches_python_reference(spark, tmp_table_dir):
+    """Byte-exact writer parity: the executor-side packed bitmap (per-
+    (file, 64-bit-chunk) JVM bit_or -> pandas little-endian scatter)
+    equals a bitmap rebuilt in plain Python from each file's key hashes
+    — pinning the packing's endianness and byte layout against the
+    probe side's ``bits[p >> 3] & (1 << (p & 7))`` contract.  Also pins
+    the ADVICE-r11 shape: exactly m/8 payload bytes per sidecar, never
+    a positions list."""
+    t = mk(spark, tmp_table_dir, key_bloom_bits=1 << 10, key_bloom_hashes=4)
+    rows = [
+        (k, datetime(2026, 1, 1), k, f"p{k}") for k in range(200)
+    ]
+    t.upsert(df(spark, rows))
+    sidecars = _sidecars(t)
+    assert sidecars and len(sidecars) == len(_datafiles(t))
+    m, k = t.key_bloom_bits, t.key_bloom_hashes
+    for sc in sidecars:
+        data = open(sc, "rb").read()
+        assert data[:6] == b"QSSKB1"
+        assert len(data) == 12 + m // 8  # header + packed bitmap only
+        datafile = os.path.join(
+            os.path.dirname(sc), os.path.basename(sc)[1:-len(".kbloom")]
+        )
+        hashes = [
+            int(r.h)
+            for r in spark.read.parquet(datafile)
+            .select(t._kbloom_hash_expr().alias("h"))
+            .collect()
+        ]
+        want = bytearray(m // 8)
+        for h in hashes:
+            for p in t._kbloom_positions_py(h, m, k):
+                want[p >> 3] |= 1 << (p & 7)
+        assert data[12:] == bytes(want), sc
