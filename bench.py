@@ -55,6 +55,34 @@ def main() -> None:
         .count()
     )
 
+    # Per-session calibration constant (r11 verdict ask #4): the driver
+    # trend drifted four rounds in a row on box-load alone, each time
+    # adjudicated by an out-of-band checkout A/B.  Two fixed probes —
+    # a single-thread Python loop (per-core scalar envelope) and a
+    # fixed pure-JVM scan-agg (aggregate JVM throughput, the shape
+    # every benched query bottoms out on) — run before AND after the
+    # query loop; cross-round ratios can then be load-corrected by the
+    # probe ratio without re-checking out the previous round's code.
+    def calibrate() -> dict:
+        py, jvm = [], []
+        for _ in range(2):  # best-of-2: the first pass may pay JIT
+            t0 = time.perf_counter()
+            acc = 0
+            for i in range(2_000_000):
+                acc += i * i
+            py.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spark.range(20_000_000).select(
+                # top halves: 20M 32-bit terms can't overflow ANSI long
+                F.sum(F.shiftrightunsigned(F.xxhash64("id"), 32)).alias("s")
+            ).collect()
+            jvm.append(time.perf_counter() - t0)
+        return {
+            "py_sec": round(min(py), 3),
+            "jvm_sec": round(min(jvm), 3),
+            "loadavg_1min": loadavg(),
+        }
+
     from quick_stream_spark.plans._util import clear_session_caches
     from quick_stream_spark.plans.registry import REGISTRY, queries
 
@@ -104,6 +132,7 @@ def main() -> None:
         except (OSError, ValueError, IndexError):  # non-Linux: omit
             return None
 
+    calib_before = calibrate()
     timings: dict[str, float] = {}
     runs_all: dict[str, list[float]] = {}
     loads_all: dict[str, list[float | None]] = {}
@@ -165,6 +194,7 @@ def main() -> None:
             f"# {name}: {med}s median of {runs} ({n} rows)", file=sys.stderr
         )
 
+    calib_after = calibrate()
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # ingestion throughput: the end-state replays push every events row
@@ -195,6 +225,14 @@ def main() -> None:
                 # 1-min /proc/loadavg read before each repeat (r10
                 # verdict ask #2): drift adjudication data, in-band
                 "loadavg": loads_all,
+                # fixed-probe calibration before/after the query loop
+                # (r11 verdict ask #4): correct cross-round ratios by
+                # the probe ratio instead of a checkout A/B
+                "calibration": {
+                    "before": calib_before,
+                    "after": calib_after,
+                    "cpu_count": os.cpu_count(),
+                },
                 # methodology marker (r6 ADVICE): since r6 an untimed
                 # cold pass at the target SF precedes the timed runs, so
                 # medians are not comparable to r5-and-earlier numbers

@@ -28,72 +28,67 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     metadata; a real deployment uses the metastore/Delta the same way.)
     """
     pin_session(spark)
-    # Per-(sf_dir, PROCESS) suffix: the sf_dir hash keeps names stable
-    # within a process (Python's str hash is randomized per process,
-    # which once minted a fresh table pair every run), and the pid
-    # component keeps CONCURRENT processes from clobbering each other
-    # (a stable shared name let process B's stale-location sweep delete
-    # the warehouse dir process A was mid-read on — observed as a
-    # FILE_NOT_EXIST flake under parallel suite runs).  Leftover dirs
-    # of DEAD pids are swept below, bounding warehouse growth.
+    # One SHARED bucketed pair per sf_dir (ADVICE r11): the table data
+    # is immutable (derived from the fixed source parquet), so ALL
+    # processes can share one on-disk pair — no per-pid rebuild, no
+    # dead-pid sweeps (the r11 per-pid names fixed a clobbering flake
+    # but forfeit reuse and leaned on /proc liveness).  Safety comes
+    # from an ATOMIC PUBLISH instead of liveness: a builder writes the
+    # bucketed files under a process-unique staging table, renames the
+    # directory into the shared location (atomic on one filesystem —
+    # existence == complete data, so readers can never see a partial
+    # build and nothing ever deletes a published dir), and every
+    # process registers its own catalog entry as an EXTERNAL bucketed
+    # table over that location.
     import hashlib
+    import shutil
 
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    suffix = f"{int(digest, 16)}_{os.getpid()}"
-    o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
 
     def _warehouse(spark):
-        return spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:").rstrip("/")
-
-    def _sweep_dead_pid_dirs() -> None:
-        # reclaim bucketed-table dirs minted by processes that no
-        # longer exist (same sf_dir digest, different pid)
-        import glob as _glob
-        import re
-        import shutil
-
-        pat = re.compile(
-            rf"^(orders|lineitem)_b_{int(digest, 16)}_(\d+)$"
+        return os.path.abspath(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            .removeprefix("file:")
+            .rstrip("/")
         )
-        for d in _glob.glob(f"{_warehouse(spark)}/*_b_*"):
-            mt = pat.match(os.path.basename(d))
-            if not mt or int(mt.group(2)) == os.getpid():
-                continue
-            if not os.path.exists(f"/proc/{mt.group(2)}"):
-                shutil.rmtree(d, ignore_errors=True)
 
-    def _clear_stale_location(name: str) -> None:
-        # the in-memory catalog does not persist: a fresh session would
-        # hit "managed table location already exists" on saveAsTable —
-        # drop the orphan dir (ours alone, per-pid name) and rebuild
-        from quick_stream_spark.operators.merge import _hadoop_fs
-
-        fs, p, _ = _hadoop_fs(spark, f"{_warehouse(spark)}/{name.lower()}")
-        if fs.exists(p):
-            fs.delete(p, True)
-
-    if not spark.catalog.tableExists(o_name):
-        _sweep_dead_pid_dirs()
-        _clear_stale_location(o_name)
-        (
-            load_table(spark, sf_dir, "orders")
-            .write.bucketBy(N_BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .saveAsTable(o_name)
+    names = []
+    for base, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"{base}_b_{int(digest, 16)}"
+        names.append(name)
+        if spark.catalog.tableExists(name):
+            continue
+        shared = os.path.join(_warehouse(spark), f"qss_bucketed_{digest}", base)
+        if not os.path.isdir(shared):
+            # stage under a process-unique managed table, then publish
+            stage = f"{base}_stage_{int(digest, 16)}_{os.getpid()}"
+            stage_dir = os.path.join(_warehouse(spark), stage.lower())
+            shutil.rmtree(stage_dir, ignore_errors=True)  # crash leftovers
+            (
+                load_table(spark, sf_dir, base)
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(stage)
+            )
+            os.makedirs(os.path.dirname(shared), exist_ok=True)
+            try:
+                os.rename(stage_dir, shared)
+            except OSError:
+                # another builder published first — use theirs
+                pass
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in load_table(spark, sf_dir, base).schema.fields
         )
-    if not spark.catalog.tableExists(l_name):
-        _clear_stale_location(l_name)
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .write.bucketBy(N_BUCKETS, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .saveAsTable(l_name)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{shared}'"
         )
-    return o_name, l_name
+    return names[0], names[1]
 
 
 @register(

@@ -515,3 +515,190 @@ def test_history_describes_every_commit(spark, tmp_table_dir):
         h2 = {r.version: r.op for r in t.history().collect()}
         assert sorted(h2) == [4, 5]
         assert h2[4] == "compact" and h2[5] == "restore"
+
+
+def test_restore_is_distributed_on_pointer_layout(spark, tmp_table_dir, monkeypatch):
+    """RESTORE on the pointer layout republishes the target snapshot as
+    a checkpoint built DISTRIBUTEDLY from the target's own chain (r11
+    verdict ask #2): zero snapshot materializations — ``_snapshot``,
+    ``_load_parquet_checkpoint`` and ``_full_parts`` are never called —
+    for a target mid-chain (delta doc) AND a target that IS a
+    checkpoint (empty chain), with stats/zones coverage riding along."""
+    t = mk(spark, tmp_table_dir, "tr")
+    _run_sequence(spark, t)  # 7 versions
+    want = {v: _state(t, version=v) for v in (2, 6)}
+
+    calls: list[str] = []
+    for name in ("_snapshot", "_load_parquet_checkpoint", "_full_parts"):
+        real = getattr(ManifestLog, name)
+
+        def spy(*a, _n=name, _r=real, **kw):
+            calls.append(_n)
+            return _r(*a, **kw)
+
+        monkeypatch.setattr(ManifestLog, name, spy)
+    reader = mk(spark, tmp_table_dir, "tr")
+    v8 = reader.restore(2)   # target is a DELTA version
+    assert calls == [], f"restore materialized a snapshot: {calls}"
+    v9 = reader.restore(6)   # target is a CHECKPOINT version (empty chain)
+    assert calls == [], f"restore materialized a snapshot: {calls}"
+    monkeypatch.undo()
+
+    rlog = reader._snapshot_log()
+    for v_new, v_old in ((v8, 2), (v9, 6)):
+        raw = rlog._read_doc(v_new)
+        assert "checkpoint_parquet" in raw and raw.get("op") == "restore"
+        assert raw.get("has_stats") and raw.get("has_zones")
+        assert _state(reader, version=v_new) == want[v_old]
+    assert _state(reader) == want[6]
+    assert reader.count_fast() == reader.read().count()
+
+
+def test_restore_bounded_equals_materialized_restore(spark, tmp_table_dir):
+    """Twin pin: the distributed restore and the materialized restore
+    (inline layout) land identical states, stats and history ops for
+    the same sequence."""
+    ti = mk(spark, tmp_table_dir, "ri", manifest_parquet_threshold=10**9)
+    tp = mk(spark, tmp_table_dir, "rp")
+    _run_sequence(spark, ti)
+    _run_sequence(spark, tp)
+    vi, vp = ti.restore(3), tp.restore(3)
+    assert vi == vp == 8
+    assert _state(ti) == _state(tp)
+    li, lp = ti._snapshot_log(), tp._snapshot_log()
+    assert li.read_stats(vi) == lp.read_stats(vp)
+    hi = {r.version: r.op for r in ti.history().collect()}
+    hp = {r.version: r.op for r in tp.history().collect()}
+    assert hi[8] == hp[8] == "restore"
+
+
+def test_seed_checkpoint_on_first_crossing_is_bounded(spark, tmp_table_dir, monkeypatch):
+    """First parquet-threshold crossing of an INLINE table (r11 verdict
+    ask #2): the seed checkpoint is built inside ``commit_bounded``
+    from the raw head document + O(chain) deltas — no ``_snapshot`` /
+    ``_load_parquet_checkpoint`` call (parsing the inline head itself
+    is inherent: it is a driver-side JSON bounded by the threshold by
+    construction), and subsequent commits ride the bounded pointer
+    path."""
+    t = mk(spark, tmp_table_dir, "ts", manifest_parquet_threshold=5)
+    t.upsert(df(spark, SEED))                                      # v1 inline
+    t.upsert(df(spark, [(1, datetime(2024, 3, 1), 20, "a2")]))     # v2 delta
+    log = t._snapshot_log()
+    assert "buckets" in log._read_doc(1)  # inline full body below threshold
+
+    flag = {"in_cb": False}
+    calls: list[str] = []
+    for name in ("_snapshot", "_load_parquet_checkpoint"):
+        real = getattr(ManifestLog, name)
+
+        def spy(*a, _n=name, _r=real, **kw):
+            if flag["in_cb"]:
+                calls.append(_n)
+            return _r(*a, **kw)
+
+        monkeypatch.setattr(ManifestLog, name, spy)
+    real_cb = ManifestLog.commit_bounded
+    results: list = []
+
+    def cb_spy(self, *a, **kw):
+        flag["in_cb"] = True
+        try:
+            v = real_cb(self, *a, **kw)
+        finally:
+            flag["in_cb"] = False
+        results.append(v)
+        return v
+
+    monkeypatch.setattr(ManifestLog, "commit_bounded", cb_spy)
+    t.compact(target_files_per_bucket=2)  # v3 (cadence): crosses threshold
+    t.upsert(df(spark, [(2, datetime(2024, 3, 2), 21, "b2")]))     # v4 delta
+    assert results == [3, 4], results  # seed + bounded delta, no fallback
+    assert calls == [], f"seed crossing materialized a snapshot: {calls}"
+    raw3 = log._read_doc(3)
+    assert "checkpoint_parquet" in raw3 and raw3.get("op") == "compact"
+    assert raw3.get("has_stats") and raw3.get("has_zones")
+    assert "delta" in log._read_doc(4)
+    reader = mk(spark, tmp_table_dir, "ts", manifest_parquet_threshold=5)
+    got = _state(reader)
+    assert got[1] == ("a2", True) and got[2] == ("b2", True)
+    assert reader.count_fast() == reader.read().count() == len(SEED)
+
+
+def test_overlap_race_with_identical_files_re_targets(spark, tmp_table_dir, monkeypatch):
+    """A racing winner that DECLARED a bucket but left its file list
+    identical to the base state (delta restating the same files) is
+    not a real conflict: the loser compares declared lists against the
+    base buckets (one bounded fetch) and re-targets instead of raising
+    (ADVICE r11 on commit_bounded's stricter-than-commit() check)."""
+    t = mk(spark, tmp_table_dir, "t")
+    _run_sequence(spark, t)  # pointer layout, 7 versions
+    log = t._snapshot_log()
+    base_v = log.latest_version()
+    bucket_of_1 = next(
+        r["__qss_bucket"]
+        for r in t.read(with_bucket=True).collect()
+        if r.pkey == 1
+    )
+    base_files = log.read(base_v)[bucket_of_1]
+
+    real_put = ManifestLog._put_if_absent
+    state = {"injected": False}
+
+    def racing(self, body, version):
+        if not state["injected"]:
+            state["injected"] = True
+            import json as _json
+            winner = {
+                "version": version,
+                "delta": {
+                    "replaced": [int(bucket_of_1)],
+                    "added": {str(int(bucket_of_1)): sorted(base_files)},
+                    "stats_lost": True,
+                    "zones_lost": True,
+                },
+            }
+            assert real_put(
+                self, _json.dumps(winner).encode("utf-8"), version
+            )
+        return real_put(self, body, version)
+
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", racing)
+    t.upsert(df(spark, [(1, datetime(2024, 4, 1), 40, "a-post")]))
+    monkeypatch.setattr(ManifestLog, "_put_if_absent", real_put)
+
+    reader = mk(spark, tmp_table_dir, "t")
+    assert {r.pkey: r.payload for r in reader.read().collect()}[1] == "a-post"
+    rlog = reader._snapshot_log()
+    assert rlog.latest_version() == base_v + 2  # winner + re-targeted loser
+
+
+def test_history_row_count_deltas(spark, tmp_table_dir):
+    """history() carries the Delta operationMetrics analog (r11 verdict
+    ask #6): num_rows_added / num_rows_removed from the stats the
+    documents already carry, plus the running rows_total — on BOTH
+    layouts, surviving vacuum's collapse."""
+    for name, threshold in (("hi", 10**9), ("hp", 0)):
+        t = mk(spark, tmp_table_dir, name,
+               manifest_parquet_threshold=threshold)
+        t.upsert(df(spark, SEED))                                     # v1: 8 rows
+        t.upsert(df(spark, [(1, datetime(2024, 2, 1), 20, "a2"),
+                            (9, datetime(2024, 2, 1), 21, "i1")]))    # v2
+        t.soft_delete(df(spark, [(2, datetime(2024, 3, 1), 22, "x")]))  # v3
+        h = {r.version: r for r in t.history().collect()}
+        assert h[1].rows_total == 8
+        assert h[2].rows_total == 9 and h[3].rows_total == 9
+        # v2 rewrote the buckets holding keys 1 and 9: one update, one
+        # insert -> net +1 row
+        if h[2].kind == "delta":
+            assert h[2].num_rows_added - h[2].num_rows_removed == 1
+        # soft delete keeps the row (liveness flip): net 0
+        if h[3].kind == "delta":
+            assert h[3].num_rows_added - h[3].num_rows_removed == 0
+        # full documents restate everything: per-commit deltas are NULL
+        for r in h.values():
+            if r.kind != "delta":
+                assert r.num_rows_added is None and r.num_rows_removed is None
+        t.vacuum(keep_versions=2)
+        h2 = {r.version: r for r in t.history().collect()}
+        assert sorted(h2) == [2, 3]
+        assert h2[2].rows_total == 9  # collapse regains totals as a full doc

@@ -261,3 +261,33 @@ def test_all_null_liveness_does_not_crash_the_stats_commit(
     assert t.count_fast() == 4
     assert t.count_fast(active_only=True) == 0
     assert t.read(active_only=True).count() == 0
+
+
+def test_commit_meta_is_free_when_nothing_is_tracked():
+    """Structural pin (r11 verdict ask #5): ``compute_commit_meta`` on
+    a table that tracks neither liveness stats nor zone maps performs
+    ZERO Spark actions — the guard returns before any read.  Pinned by
+    passing no SparkSession at all: if the footer aggregation ever ran
+    for a metadata-free commit, this would raise instead of returning
+    the empty result."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from quick_stream_spark.operators.merge import compute_commit_meta
+
+    schema = StructType(
+        [StructField("pkey", LongType()), StructField("bucket", LongType())]
+    )
+    stats, zones = compute_commit_meta(
+        None,  # would crash on any Spark use
+        "/nonexistent-commit-dir",
+        schema,
+        "bucket",
+        None,  # no soft-delete column -> no stats
+        (),    # no zone columns -> no zones
+    )
+    assert stats is None and zones == {}
+    # same guard when the configured columns are absent from the schema
+    stats, zones = compute_commit_meta(
+        None, "/nonexistent", schema, "bucket", "row_active", ("missing",)
+    )
+    assert stats is None and zones == {}
