@@ -1892,6 +1892,128 @@ class ManifestLog:
 
     # ---------------------------------------------------------- vacuum
 
+    def _kept_paths_df(self, versions):
+        """Referenced file paths of the kept snapshots as a DataFrame —
+        built from each version's base checkpoint rows + O(chain)
+        delta replay, so vacuum never materializes a referenced SET on
+        the driver.  ``None`` when any kept version resolves to an
+        inline head (small tables: the materialized walk is bounded by
+        the parquet threshold by construction)."""
+        from pyspark.sql import functions as F
+
+        parts = []
+        for v in versions:
+            try:
+                head, deltas = self._chain_to_checkpoint(v)
+            except FileNotFoundError:
+                return None
+            if "checkpoint_parquet" not in head:
+                return None
+            touched_map: dict[int, list[str]] = {}
+            for raw in deltas:
+                d = raw["delta"]
+                for b in d.get("replaced", []):
+                    touched_map[int(b)] = []
+                for b, fl in d.get("added", {}).items():
+                    touched_map[int(b)] = list(fl)
+            base = self._filter_out_buckets(
+                self.spark.read.parquet(
+                    os.path.join(self.dir, head["checkpoint_parquet"])
+                ).filter(F.col("kind") == "file"),
+                touched_map,
+            ).select("path")
+            parts.append(base)
+            adds = sorted(p for fl in touched_map.values() for p in fl)
+            if adds:
+                parts.append(
+                    self.spark.createDataFrame(
+                        [(p,) for p in adds], "path string"
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def _vacuum_files_distributed(self, referenced_df) -> int | None:
+        """Data-file reclaim with DRIVER MEMORY BOUNDED BY THE GARBAGE,
+        not the table: the on-disk listing streams through a JSONL spool
+        (constant memory), the garbage set is ``listing ANTI JOIN
+        referenced`` (one Spark job), and only the doomed paths return
+        to the driver — batched — for deletion.  The listing walk
+        itself stays a driver-side FS iteration (each file must be
+        seen to be judged — the same walk the materialized path does),
+        but nothing table-sized is ever HELD.  Returns the number of
+        data files removed, or ``None`` when there is nothing to walk.
+        Key-bloom sidecars ride their data file's referencedness,
+        exactly as the materialized path decides it."""
+        fs, croot, jvm = _fs(
+            self.spark, os.path.join(self.table_path, COMMITS_DIR)
+        )
+        if not fs.exists(croot):
+            return None
+        table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
+        # the spool lives on the TABLE's filesystem so executors can
+        # read it on a real cluster (a driver-local tempfile cannot be)
+        spool_name = os.path.join(
+            self.dir, f"vacuum-spool-{uuid.uuid4().hex}.jsonl"
+        )
+        spool_path = jvm.org.apache.hadoop.fs.Path(spool_name)
+        out = fs.create(spool_path, True)
+        n_listed = 0
+        try:
+            for cdir in fs.listStatus(croot):
+                for bdir in fs.listStatus(cdir.getPath()):
+                    if not bdir.isDirectory():
+                        continue
+                    for f in fs.listStatus(bdir.getPath()):
+                        name = f.getPath().getName()
+                        abs_p = f.getPath().toUri().getPath()
+                        rel = os.path.relpath(abs_p, table_root)
+                        if name.endswith(".parquet"):
+                            row = {"p": abs_p, "rel": rel, "k": "pq"}
+                        elif name.startswith(".") and name.endswith(".kbloom"):
+                            row = {
+                                "p": abs_p,
+                                "rel": os.path.join(
+                                    os.path.dirname(rel),
+                                    name[1 : -len(".kbloom")],
+                                ),
+                                "k": "kb",
+                            }
+                        else:
+                            continue
+                        out.write(
+                            bytearray(
+                                (json.dumps(row) + "\n").encode("utf-8")
+                            )
+                        )
+                        n_listed += 1
+            out.close()
+            if not n_listed:
+                return 0
+            listing = self.spark.read.json(spool_name)
+            doomed = listing.join(
+                referenced_df.withColumnRenamed("path", "rel"),
+                "rel",
+                "left_anti",
+            ).select("p", "k")
+            removed = 0
+            for r in doomed.toLocalIterator():
+                fs.delete(jvm.org.apache.hadoop.fs.Path(r.p), False)
+                if r.k == "pq":
+                    removed += 1
+        finally:
+            fs.delete(spool_path, False)
+        # empty-dir sweep (O(dirs), driver-side like the listing)
+        for cdir in fs.listStatus(croot):
+            for bdir in fs.listStatus(cdir.getPath()):
+                if bdir.isDirectory() and not fs.listStatus(bdir.getPath()):
+                    fs.delete(bdir.getPath(), True)
+            if not fs.listStatus(cdir.getPath()):
+                fs.delete(cdir.getPath(), True)
+        return removed
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files unreferenced by the ``keep_versions`` most
         recent snapshots, plus older manifests.  Returns the number of
@@ -1909,10 +2031,16 @@ class ManifestLog:
         loudly (FileNotFoundError), never silently."""
         vs = self.versions()
         keep = vs[-keep_versions:] if vs else []
+        # pointer-layout kept versions: referenced paths stay a
+        # DataFrame and the reclaim joins against it — the driver never
+        # holds a table-sized set (r12; the materialized set below
+        # remains for inline heads, bounded by the parquet threshold)
+        ref_df = self._kept_paths_df(keep) if keep else None
         referenced: set[str] = set()
-        for v in keep:
-            for files in self.read(v).values():
-                referenced.update(files)
+        if ref_df is None:
+            for v in keep:
+                for files in self.read(v).values():
+                    referenced.update(files)
         # Segmented log: the oldest KEPT version may be a delta whose
         # reconstruction chain reaches into versions about to be
         # deleted — collapse it into a full document first (identical
@@ -1967,6 +2095,9 @@ class ManifestLog:
                             f"vacuum could not replace v{v0}.json with "
                             "its collapsed checkpoint"
                         )
+        if ref_df is not None:
+            removed = self._vacuum_files_distributed(ref_df) or 0
+            return removed + self._vacuum_metadata(vs, keep_versions)
         fs, croot, jvm = _fs(self.spark, os.path.join(self.table_path, COMMITS_DIR))
         table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
         removed = 0
@@ -1997,17 +2128,22 @@ class ManifestLog:
                         fs.delete(bdir.getPath(), True)
                 if not fs.listStatus(cdir.getPath()):
                     fs.delete(cdir.getPath(), True)
-        # old manifests
+        self._vacuum_metadata(vs, keep_versions)
+        return removed
+
+    def _vacuum_metadata(self, vs: list[int], keep_versions: int) -> int:
+        """Vacuum's metadata tail, shared by both reclaim paths: delete
+        pre-keep manifests, then reclaim checkpoint parquet dirs no
+        surviving document points at (incl. orphans from crashed or
+        race-losing publishes — vacuum already requires no commit in
+        flight, so an unreferenced cp-* dir is never in use).  Returns
+        0 (data-file counting happens in the reclaim paths)."""
         for v in vs[:-keep_versions] if keep_versions else vs:
             fs2, _, jvm2 = _fs(self.spark, self.dir)
             fs2.delete(
                 jvm2.org.apache.hadoop.fs.Path(os.path.join(self.dir, f"v{v}.json")),
                 False,
             )
-        # checkpoint parquet dirs: keep only the ones a surviving
-        # document points at — this also reclaims orphans from crashed
-        # or race-losing publishes (vacuum already requires no commit
-        # in flight, so an unreferenced cp-* dir is never in use)
         fs3, mdir_p, jvm3 = _fs(self.spark, self.dir)
         if fs3.exists(mdir_p):
             live_cps = set()
@@ -2023,4 +2159,4 @@ class ManifestLog:
                     and name not in live_cps
                 ):
                     fs3.delete(st.getPath(), True)
-        return removed
+        return 0

@@ -402,7 +402,9 @@ _record = st.tuples(
     st.integers(min_value=0, max_value=99),
 )
 _batch = st.lists(_record, min_size=1, max_size=5)
-_op = st.tuples(st.sampled_from(["upsert", "soft", "hard", "compact"]), _batch)
+_op = st.tuples(
+    st.sampled_from(["upsert", "soft", "hard", "compact", "restore"]), _batch
+)
 _seq = st.lists(_op, min_size=2, max_size=5)
 
 
@@ -416,7 +418,7 @@ _seq = st.lists(_op, min_size=2, max_size=5)
 def test_property_bounded_layout_equals_inline(spark, tmp_path_factory, ops):
     """Property net replacing the pre-publish replay gate on the
     bounded path: for RANDOM sequences of upsert / soft-delete /
-    hard-delete / compact, the pointer-layout table (bounded O(commit)
+    hard-delete / compact / restore, the pointer-layout table (bounded O(commit)
     commits, distributed cadence checkpoints at interval 2 — every
     other commit crosses the checkpoint builder) resolves to the exact
     same rows, stats, and per-version states as the inline-layout twin
@@ -458,7 +460,13 @@ def test_property_bounded_layout_equals_inline(spark, tmp_path_factory, ops):
                 t.soft_delete(b)
             elif op == "hard":
                 t.hard_delete(b)
-            elif t.exists():
+            elif op == "restore" and t.exists():
+                # same deterministic earlier target on both twins:
+                # pointer restores ride the distributed chain builder,
+                # inline restores the materialized path
+                vs = t.snapshot_versions()
+                t.restore(vs[len(records) % len(vs)])
+            elif op == "compact" and t.exists():
                 t.compact()
         arrival += len(records)
     if not inline.exists():
@@ -702,3 +710,43 @@ def test_history_row_count_deltas(spark, tmp_table_dir):
         h2 = {r.version: r for r in t.history().collect()}
         assert sorted(h2) == [2, 3]
         assert h2[2].rows_total == 9  # collapse regains totals as a full doc
+
+
+def test_vacuum_is_distributed_on_pointer_layout(spark, tmp_table_dir, monkeypatch):
+    """Vacuum on the pointer layout: referenced paths stay a DataFrame
+    (listing ANTI JOIN referenced — the driver never holds a
+    table-sized set), the oldest-kept-delta collapse is chain-built,
+    and the whole run performs ZERO snapshot materializations — while
+    reclaiming exactly what the materialized (inline-twin) path
+    reclaims, with identical surviving reads."""
+    ti = mk(spark, tmp_table_dir, "vi", manifest_parquet_threshold=10**9)
+    tp = mk(spark, tmp_table_dir, "vp")
+    _run_sequence(spark, ti)
+    _run_sequence(spark, tp)
+    want = {v: _state(tp, version=v) for v in (5, 6, 7)}
+
+    calls: list[str] = []
+    for name in ("_snapshot", "_load_parquet_checkpoint", "_full_parts"):
+        real = getattr(ManifestLog, name)
+
+        def spy(*a, _n=name, _r=real, **kw):
+            calls.append(_n)
+            return _r(*a, **kw)
+
+        monkeypatch.setattr(ManifestLog, name, spy)
+    fresh_p = mk(spark, tmp_table_dir, "vp")  # cold caches: honest pin
+    rp = fresh_p.vacuum(keep_versions=3)  # keeps [5,6,7]; v5 is a delta
+    assert calls == [], f"pointer vacuum materialized a snapshot: {calls}"
+    monkeypatch.undo()
+    ri = ti.vacuum(keep_versions=3)
+    assert rp == ri and rp > 0
+
+    reader = mk(spark, tmp_table_dir, "vp")
+    log = reader._snapshot_log()
+    assert log.versions() == [5, 6, 7]
+    for v in (5, 6, 7):
+        assert _state(reader, version=v) == want[v]
+    with pytest.raises(FileNotFoundError):
+        log._read_doc(4)
+    # the collapsed v5 is now a self-contained full document
+    assert "delta" not in log._read_doc(5)
