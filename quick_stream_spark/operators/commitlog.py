@@ -1701,8 +1701,16 @@ class ManifestLog:
           intervening DELTA documents' declared bucket sets — O(race
           window), no snapshot reads; disjoint buckets re-target the
           next version (delta semantics carry the winner's untouched
-          buckets by construction), overlap raises
-          ``ConcurrentCommitError``.
+          buckets by construction); an overlapped bucket whose
+          declared files equal its base state re-targets too (one
+          bounded fetch), and only a real divergence raises
+          ``ConcurrentCommitError``;
+        - on an INLINE base layout the fast path declines — except the
+          SEED CROSSING: at cadence, when the raw head + chain put the
+          table at/above ``parquet_checkpoint_threshold``, the first
+          parquet checkpoint is built here from the raw documents
+          (r11 verdict ask #2) so the transition never resolves a
+          snapshot.
 
         Returns the published version, or ``None`` when the fast path
         doesn't apply (inline/legacy base layout, an undeclared
