@@ -269,6 +269,7 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gen
     """,
     tags=("source", "python-datasource"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source connector (sources/pyds.py): a pure-
@@ -414,6 +415,7 @@ UDTF_CHUNK = 32
     WHERE n > 0
     """,
     tags=("pandas", "udtf"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python user-defined TABLE function (Spark 4 @udtf) invoked as a

@@ -79,7 +79,6 @@ _LATEST_PER_KEY_SQL = """
 
 @register(
     "r_dedup_latest_per_key",
-    pytest_only=True,  # r10 rotation out (driver-green r1-r9); still oracle-checked locally
     oracle=f"""
     SELECT 'window' AS impl, * FROM ({_LATEST_PER_KEY_SQL})
     UNION ALL
@@ -426,6 +425,7 @@ def r_read_where_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_id % 97 = 0
     """,
     tags=("reference", "merge", "skipping"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def r_lookup_bloom_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar point lookups on an UNSORTED high-cardinality key
@@ -490,6 +490,7 @@ _PRUNING_CHECKS = (
     + ", ".join(f"('{c}')" for c in _PRUNING_CHECKS)
     + ") AS t(check_name)",
     tags=("reference", "merge", "skipping", "diagnostics"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def r_pruning_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planning-diagnostics contract (r11 verdict ask #3): the storage
@@ -571,13 +572,181 @@ def r_pruning_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAINT_CHECKS = (
+    "restore_roundtrip_state",
+    "restore_is_metadata_only",
+    "restore_keeps_time_travel",
+    "history_versions_match",
+    "history_rows_reconcile",
+    "vacuum_reclaims_exact",
+    "vacuum_preserves_endstate",
+    "vacuum_drops_old_versions",
+)
+
+
+@register(
+    "r_maintenance_contract",
+    # like r_pruning_diagnostics: the contract is a fixed set of
+    # (check, ok) rows that must hold on ANY correct maintenance
+    # implementation at ANY sf — a silent regression of restore /
+    # vacuum / history flips a row to FALSE and hash-mismatches
+    oracle="SELECT check_name, TRUE AS ok FROM (VALUES "
+    + ", ".join(f"('{c}')" for c in _MAINT_CHECKS)
+    + ") AS t(check_name)",
+    tags=("reference", "merge", "maintenance", "diagnostics"),
+)
+def r_maintenance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance contract (r12 verdict ask #3): the table-maintenance
+    surface — ``restore`` (Delta RESTORE analog), ``vacuum``
+    (unreferenced-file reclaim) and ``history()`` row metrics (the
+    operationMetrics analog) — exported as boolean contract rows, the
+    way ``r_pruning_diagnostics`` pins pruning.
+
+    The table runs on the POINTER layout (``manifest_parquet_threshold
+    =0``, cadence 3), so the paths this round's predecessors
+    distributed — ``restore_bounded``'s chain-built checkpoint, the
+    seed checkpoint inside ``commit_bounded``, and vacuum's
+    spool + ANTI JOIN reclaim (commitlog.py) — are exactly the code
+    under check, not the inline-JSON small-table path:
+
+    - **restore** must round-trip the pre-corruption end state
+      exactly (symmetric ``exceptAll`` empty both ways), be pure
+      metadata (the republished bucket->file mapping is identical to
+      the target version's), and keep the undone version time-travel
+      readable (restore is a NEW commit, not history rewrite);
+    - **history()** must list exactly the snapshot versions in order,
+      tag the rollback commit ``op='restore'``, and its row metrics
+      must reconcile: for every delta commit with stats coverage,
+      ``rows_total == prev rows_total + num_rows_added -
+      num_rows_removed`` (at least one such row must exist — the
+      check cannot pass vacuously);
+    - **vacuum(keep_versions=1)** must reclaim EXACTLY the data files
+      on disk that the kept snapshot does not reference (the expected
+      set is computed independently here by walking the commits dir
+      and diffing against the kept manifest), preserve the end state
+      byte-for-byte, and make the dropped version's time travel fail
+      loudly (FileNotFoundError), never return stale rows.
+
+    The reference has no maintenance surface at all — it re-reads
+    whole tables per cycle (upsert.rs:271-303) and leaves retention to
+    the DBA; Delta documents the same three contracts (RESTORE /
+    VACUUM / DESCRIBE HISTORY) informally but ships no executable
+    check of them."""
+    import os
+
+    from quick_stream_spark.operators.commitlog import COMMITS_DIR
+
+    ev = _events(spark, sf_dir)
+    target = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="qss-q-") + "/t",
+        keys=("event_id",),
+        version_col="ts",
+        arrival_col="event_id",
+        num_buckets=8,
+        commit_protocol="manifest",
+        manifest_checkpoint_interval=3,
+        manifest_parquet_threshold=0,
+    )
+    log = target._snapshot_log()
+    with _events_scope(spark, sf_dir):
+        target.upsert(ev.filter(F.col("event_id") % 2 == 0), newer_wins=True)
+        target.upsert(ev.filter(F.col("event_id") % 2 == 1), newer_wins=True)
+        # v3 = cadence: the seed parquet checkpoint crossing
+        target.soft_delete(ev.filter(F.col("event_id") % 11 == 0))
+        good = target.snapshot_versions()[-1]
+        # the "bad" batch restore must undo: newer timestamps so
+        # newer-wins applies, values corrupted
+        target.upsert(
+            ev.filter(F.col("event_id") % 7 == 0)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+            .withColumn("value", -F.col("value")),
+            newer_wins=True,
+        )
+        bad = target.snapshot_versions()[-1]
+        restored = target.restore(good)
+
+    def _same_state(va, vb) -> bool:
+        a = target.read(version=va).select(*EVENT_COLS, "row_active")
+        b = target.read(version=vb).select(*EVENT_COLS, "row_active")
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    results = {
+        "restore_roundtrip_state": _same_state(restored, good),
+        "restore_is_metadata_only": (
+            {b: sorted(fl) for b, fl in log.read(restored).items()}
+            == {b: sorted(fl) for b, fl in log.read(good).items()}
+        ),
+        "restore_keeps_time_travel": (
+            not _same_state(bad, good)  # still readable AND different
+        ),
+    }
+    hist = target.history().orderBy("version").collect()
+    results["history_versions_match"] = (
+        [r["version"] for r in hist] == target.snapshot_versions()
+        and hist[-1]["op"] == "restore"
+    )
+    prev_total, reconciled, ok = None, 0, True
+    for r in hist:
+        if (
+            r["kind"] == "delta"
+            and prev_total is not None
+            and r["num_rows_added"] is not None
+            and r["num_rows_removed"] is not None
+            and r["rows_total"] is not None
+        ):
+            reconciled += 1
+            ok = ok and (
+                r["rows_total"]
+                == prev_total + r["num_rows_added"] - r["num_rows_removed"]
+            )
+        if r["rows_total"] is not None:
+            prev_total = r["rows_total"]
+    results["history_rows_reconcile"] = (
+        ok and reconciled >= 1 and hist[-1]["rows_total"] == target.count_fast()
+    )
+    # independent expected-garbage set: every data file on disk under
+    # the commits dir minus the kept (latest) snapshot's references
+    croot = os.path.join(target.path, COMMITS_DIR)
+    on_disk = {
+        os.path.relpath(os.path.join(d, f), target.path)
+        for d, _, fl in os.walk(croot)
+        for f in fl
+        if f.endswith(".parquet")
+    }
+    referenced = {p for fl in log.read(restored).values() for p in fl}
+    expected_garbage = on_disk - referenced
+    # independent pre-vacuum end-state snapshot (plain parquet copy):
+    # if vacuum wrongly reclaims a REFERENCED file, the post-vacuum
+    # read loses rows (or fails) against this copy
+    pre_dir = tempfile.mkdtemp(prefix="qss-q-") + "/pre"
+    target.read().select(*EVENT_COLS, "row_active").write.parquet(pre_dir)
+    removed = target.vacuum(keep_versions=1)
+    results["vacuum_reclaims_exact"] = (
+        removed == len(expected_garbage) and removed > 0
+    )
+    pre = spark.read.parquet(pre_dir)
+    post = target.read().select(*EVENT_COLS, "row_active")
+    results["vacuum_preserves_endstate"] = (
+        pre.exceptAll(post).isEmpty() and post.exceptAll(pre).isEmpty()
+    )
+    try:
+        target.read(version=bad).count()
+        results["vacuum_drops_old_versions"] = False
+    except FileNotFoundError:
+        results["vacuum_drops_old_versions"] = True
+    return spark.createDataFrame(
+        [(c, bool(results[c])) for c in _MAINT_CHECKS],
+        "check_name string, ok boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # O6 — soft / hard delete end state
 
 
 @register(
     "r_delete_endstate",
-    pytest_only=True,  # r10 rotation out (driver-green r2-r9); still oracle-checked locally
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -644,7 +813,6 @@ def _build_router(spark: SparkSession, ev: DataFrame) -> MultiTableRouter:
 
 @register(
     "r_multi_table_endstate",
-    pytest_only=True,  # r10 rotation out (driver-green r2-r9); still oracle-checked locally
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -835,7 +1003,6 @@ _WIDE_SELECT_SQL = ",\n".join(f"{sql} AS {name}" for name, sql in _WIDE_COLS)
 
 @register(
     "r_wide_row_endstate",
-    pytest_only=True,  # r10 rotation out (driver-green r4-r9); still oracle-checked locally
     oracle=f"""
     SELECT {_WIDE_SELECT_SQL},
            CASE WHEN event_id % 2 = 1 THEN 'cdc-replay' END AS ftpc_sync_source,
@@ -904,6 +1071,7 @@ def r_wide_row_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("reference",),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 (lib.rs:24-58): the 100/10/1 size-class split is physically
@@ -928,7 +1096,6 @@ def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_stream_upsert_endstate",
-    pytest_only=True,  # r10 rotation out (driver-green r1-r9); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
     FROM (
@@ -988,7 +1155,6 @@ _CDC_S2_SQL = """
 
 @register(
     "r_cdc_changes",
-    pytest_only=True,  # r10 rotation out (driver-green r6-r9); still oracle-checked locally
     oracle=f"""
     WITH s1 AS ({_CDC_S1_SQL}), s2 AS ({_CDC_S2_SQL})
     SELECT s2.event_id, s2.ts, s2.user_id, s2.event_type, s2.value, s2.props,
@@ -1031,7 +1197,6 @@ def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_cdc_replication",
-    pytest_only=True,  # r10 rotation out (driver-green r3-r9); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props,
            user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
@@ -1077,7 +1242,6 @@ def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_cdc_matview",
-    pytest_only=True,  # r10 rotation out (driver-green r6-r9); still oracle-checked locally
     oracle="""
     WITH latest AS (
       SELECT * FROM (
@@ -1129,7 +1293,6 @@ def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_cdc_stream_feed",
-    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=f"""
     WITH s1 AS ({_CDC_S1_SQL}), s2 AS ({_CDC_S2_SQL})
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active,

@@ -67,6 +67,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
     tags=("agg", "filter", "scan"),
     bench=True,
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -143,6 +144,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "agg", "broadcast"),
     bench=True,
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume: revenue from lineitems whose supplier sits
@@ -326,6 +328,7 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     tags=("agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue-change forecast — a pure
@@ -358,6 +361,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotion revenue share — conditional decimal
@@ -397,6 +401,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand, p_type, p_size
     """,
     tags=("join", "agg", "distinct", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (adapted: supplier-part relationships come from
@@ -429,6 +434,7 @@ def q16_parts_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFra
            AND l_quantity BETWEEN 20 AND 40)
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction-of-conjunctions across both join
@@ -630,7 +636,6 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 @register(
     "pivot_unpivot_roundtrip",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY user_id, event_type
@@ -1091,6 +1096,7 @@ def scalar_event_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("scalar", "variant", "json"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through Spark 4's VARIANT type: the JSON
@@ -1130,6 +1136,7 @@ _RECURSIVE_HIERARCHY_SQL = """
     "recursive_cte_hierarchy",
     oracle=_RECURSIVE_HIERARCHY_SQL,
     tags=("sql", "recursive"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE through Spark's SQL front end (WITH RECURSIVE,
@@ -1227,7 +1234,6 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_twap_per_user",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS t,
@@ -1284,7 +1290,6 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "diagnose_key_skew_events",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH freqs AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS freq

@@ -198,7 +198,6 @@ ORDER_BUCKET_BITS = 6  # 64 range buckets over the hash's high bits
     FROM h
     """,
     tags=("sampling", "pipeline", "ordering"),
-    pytest_only=True,
 )
 def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle — every document gets
@@ -246,6 +245,7 @@ def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # set below: assembled from the same function twins
     tags=("text", "pipeline"),
     bench=True,
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-data pipeline over the duplicated corpus:
@@ -359,6 +359,7 @@ _SREG["pipeline_training_data"].oracle = " ".join(_pipeline_oracle().split())
     FROM events GROUP BY user_id
     """,
     tags=("streaming", "stateful"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
@@ -619,7 +620,6 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_funnel_conversion",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH stages AS (
       SELECT user_id,
@@ -672,7 +672,6 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_resample_hourly_ffill",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -757,7 +756,6 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rolling_anomaly",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -943,7 +941,6 @@ _MIX_RATE_SQL = (
     FROM rep, UNNEST(range(repeats)) AS u(c)
     """,
     tags=("sampling", "pipeline", "mixture"),
-    pytest_only=True,
 )
 def sample_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture UPSAMPLING materializer — the other half of the training
@@ -1092,7 +1089,6 @@ _DSIR_BUCKETS = (
 
 @register(
     "sample_importance_dsir",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH db AS (
       SELECT doc_id, lang, unnest({_DSIR_BUCKETS}) AS b FROM documents
@@ -1368,6 +1364,7 @@ SESSION_GAP_MIN = 30
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("analytics", "sessionization"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the canonical event-analytics
@@ -1413,7 +1410,6 @@ EWMA_LAGS = 16  # truncated horizon; weight of lag k is 2^(15-k)
 
 @register(
     "events_ewma_smooth",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH lagged AS (
       SELECT user_id, event_id, ts,

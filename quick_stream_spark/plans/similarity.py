@@ -413,7 +413,6 @@ def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list
 
 @register(
     "emb_ivf_ann_topk",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
     {_CENTROIDS_CTE},
@@ -511,7 +510,6 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_lsh_signatures",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT vec_id, {_sig_sql('v')} AS sig FROM e
@@ -639,6 +637,7 @@ def _lsh_candidates(e: DataFrame) -> DataFrame:
     # ArrowEvalPython only under this tag (BatchEvalPython is always banned).
     tags=("similarity", "lsh", "approx", "arrow"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN by collision-count thresholding: each vector's
@@ -925,6 +924,7 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     # emb_lsh_ann_topk's tag note.
     tags=("similarity", "dedup", "lsh", "approx", "arrow"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the semantic-dedup
@@ -1287,7 +1287,6 @@ _AUG_Q = "list_concat(q.v, [0.0])"
 
 @register(
     "emb_mips_topk",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     mx AS (SELECT max({vec.dot_sql('v', 'v', DIM)}) AS m2 FROM e),
@@ -1411,7 +1410,6 @@ def _semdedup_oracle() -> str:
 
 @register(
     "dedup_semantic_kmeans",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: unrolled-k-means CTEs + within-cell verdicts
     tags=("similarity", "dedup", "ml", "iterative"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -1664,6 +1662,7 @@ def _mrl_oracle() -> str:
     "emb_matryoshka_eval",
     oracle=None,  # set below (generated per truncation width)
     tags=("similarity", "evaluation", "mrl"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation evaluation (Kusupati et al. 2022,
@@ -1737,7 +1736,6 @@ _SIMREG["emb_matryoshka_eval"].oracle = " ".join(_mrl_oracle().split())
 
 @register(
     "dedup_embedding_quality_eval",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (exact brute pairs vs the LSH-blocked set)
     # 'arrow': inherits the fast-signature Arrow seam via its call into
     # dedup_embedding_cosine's registered plan.
@@ -1870,6 +1868,7 @@ HN_PER_ANCHOR = 3
     ) WHERE rank <= {HN_PER_ANCHOR}
     """,
     tags=("similarity", "mining", "training-pairs", "arrow"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining — the contrastive-training companion of

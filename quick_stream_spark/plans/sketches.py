@@ -86,6 +86,7 @@ def _cms_probe_sql() -> str:
     GROUP BY p.l_partkey, p.exact_n
     """,
     tags=("sketch", "countmin", "heavy-hitters"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over lineitem part frequencies, probed for the
@@ -157,7 +158,6 @@ def _exact_q_case_sql(q_expr: str) -> str:
 
 @register(
     "agg_histogram_quantiles",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH hist AS (
       SELECT least(CAST(floor(o_totalprice / {_W}) AS BIGINT), {HIST_BINS - 1}) AS b,
@@ -266,7 +266,6 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_moments_by_type",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH cents AS (
       SELECT event_type,
@@ -391,6 +390,7 @@ _LC_KEYS = (  # (tag, table, column)
     FROM agg
     """,
     tags=("sketch", "distinct", "linear-counting"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by linear counting (Whang et al. 1990)
@@ -498,6 +498,7 @@ _HLL_RHO_SQL = _hll.rho_sql(HLL_P)
     FROM corrected
     """,
     tags=("sketch", "distinct", "hll"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation by explicit HyperLogLog registers
@@ -614,7 +615,6 @@ _SO_EST_SQL = "CAST(round(-{m} * ln(CAST({m} - {f} AS DOUBLE) / {m})) AS BIGINT)
            (e1 + e2 - eu) - (x1 + x2 - xu) FROM est
     """,
     tags=("sketch", "distinct", "set-ops"),
-    pytest_only=True,
 )
 def sketch_set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations on distinct-count sketches — the theta-sketch

@@ -166,7 +166,6 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_data_watermark",
-    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     # Deterministic oracle: availableNow drains the two delivery files
     # in written order (file source sorts by mtime; batch-00000 is
     # written first), so the final append output is a pure function of
@@ -277,7 +276,6 @@ def _uncapped_lsh_pairs_sql() -> str:
 
 @register(
     "stream_dedup_minhash_incremental",
-    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=None,  # set below (generated from the minhash twins)
     tags=("streaming", "dedup", "lsh"),
 )
@@ -408,6 +406,7 @@ _SEREG["stream_dedup_clusters_incremental"].oracle = " ".join(
      AND p.ts <= v.ts + INTERVAL '30 minutes'
     """,
     tags=("streaming", "join"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join — the canonical funnel query: each
@@ -606,7 +605,6 @@ def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("streaming", "matview", "distinct"),
-    pytest_only=True,
 )
 def stream_matview_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matview's second monoid: mergeable DISTINCT counting per
@@ -667,7 +665,6 @@ STREAM_HLL_P = 10  # m=1024 registers per event_type
     "stream_distinct_hll",
     oracle=None,  # set below: shared HLL CTE stack + exact join
     tags=("streaming", "sketch", "distinct", "hll"),
-    pytest_only=True,
 )
 def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct counting with HyperLogLog register state
@@ -782,7 +779,6 @@ def _stream_cms_oracle() -> str:
     "stream_countmin_heavy_hitters",
     oracle=None,  # set below: identical to the batch CMS oracle
     tags=("streaming", "sketch", "countmin", "heavy-hitters"),
-    pytest_only=True,
 )
 def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters maintained over a STREAM — the
@@ -970,7 +966,6 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "stream_emb_ann_topk",
-    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=None,  # set below: identical contract to the batch banded LSH
     tags=("streaming", "similarity", "lsh", "ann"),
 )
@@ -1031,7 +1026,6 @@ _wire_ann_stream_oracles()
 
 @register(
     "stream_session_windows",
-    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts,
@@ -1097,7 +1091,6 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_quality_filter",
-    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle=None,  # set below from the classifier's shared CTE stack
     tags=("streaming", "text", "ml", "classifier"),
 )

@@ -81,6 +81,7 @@ _PHONE_RE = "\\+[0-9][0-9-]{7,}"
     """,
     tags=("text", "quality", "langid", "pii", "dedup"),
     bench=True,
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one wide map-only projection:
@@ -285,6 +286,7 @@ def _jaccard_sql(a: str, b: str) -> str:
     """,
     tags=("text", "dedup", "lsh"),
     bench=True,
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: hashed integer shingles (one md5 per TOKEN,
@@ -411,7 +413,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=None,  # set below — generated SQL needs the vote expressions
     tags=("text", "dedup"),
 )
@@ -701,6 +702,7 @@ def _decontamination_oracle() -> str:
     oracle=None,  # set below: recursive-CTE oracle over the minhash pairs
     tags=("text", "dedup", "iterative"),
     bench=True,
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over the
@@ -886,6 +888,7 @@ def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize a complete valid PNG
@@ -966,6 +969,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode end-to-end (the T.81 sibling of
@@ -1037,7 +1041,6 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_jpeg_progressive",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id, 5 + doc_id % 21 AS w, 5 + doc_id % 17 AS h
@@ -1122,7 +1125,6 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_mp4_mjpeg_frames",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1217,7 +1219,6 @@ def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_mp4_av_demux",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1316,7 +1317,6 @@ def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_png_layout_matrix",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1434,7 +1434,6 @@ def mm_png_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_pcm_depths",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1707,7 +1706,6 @@ _URL_PARAMS_SQL = (
 
 @register(
     "dedup_url_canonical",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH urls AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
     parts AS (
@@ -2647,6 +2645,7 @@ def _pagerank_oracle() -> str:
     "graph_pagerank_dupgraph",
     oracle=None,  # set below (generated: unrolled fixed-iteration CTEs)
     tags=("graph", "iterative", "pagerank"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-duplicate graph ({PR_ITERS} fixed Lloyd-
@@ -2924,7 +2923,6 @@ _LINES_SQL = f"""
 
 @register(
     "dedup_boilerplate_lines",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH built AS ({_LINES_SQL}),
     lined AS (
@@ -3097,7 +3095,6 @@ def pipeline_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "dedup_lsh_quality_eval",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: composes the minhash + exact-jaccard oracles
     tags=("text", "dedup", "evaluation"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -3306,6 +3303,7 @@ def _bpe_oracle() -> str:
     oracle=None,  # set below: fully unrolled rounds
     tags=("text", "tokenizer", "iterative", "ml"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4)
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,

@@ -71,6 +71,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "window", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: supply cost := min lineitem price per
@@ -131,7 +132,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     tags=("join", "semi", "agg", "tpch"),
-    pytest_only=True,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS over lineitem (adapted predicate:
@@ -175,6 +175,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between two nations by year.  Both
@@ -239,6 +240,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_year
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold
@@ -305,6 +307,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: supply cost := 10% of retail price per
@@ -357,6 +360,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT CAST(SUM(value_d) AS DOUBLE) * 0.001 FROM pv)
     """,
     tags=("join", "agg", "subquery", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose stocked value exceeds a fraction of
@@ -407,6 +411,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_linestatus
     """,
     tags=("join", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (adapted: line status classes stand in for ship
@@ -449,6 +454,7 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM co GROUP BY c_count
     """,
     tags=("join", "outer", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of per-customer order counts,
@@ -491,6 +497,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     """,
     tags=("join", "agg", "subquery", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
@@ -535,6 +542,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
     """,
     tags=("join", "agg", "subquery", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders far below a part's average
@@ -636,6 +644,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("join", "semi", "agg", "tpch"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: shipped quantity from lineitem stands
@@ -730,7 +739,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_sales_opportunity",
-    pytest_only=True,  # r10 rotation out (driver-green r7-r9); still oracle-checked locally
     oracle="""
     WITH avg_bal AS (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

@@ -48,6 +48,7 @@ BASKET_TOPK = 30
     LIMIT {BASKET_TOPK}
     """,
     tags=("warehouse", "affinity", "basket"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: the top-{BASKET_TOPK} co-purchased part
@@ -144,6 +145,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM collapsed
     """,
     tags=("warehouse", "scd2", "window"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from an event log: per
@@ -235,6 +237,7 @@ def _bloom_pos(j: int, key) -> F.Column:
     FROM probe pr LEFT JOIN probe_hits ph ON pr.o_custkey = ph.o_custkey
     """,
     tags=("warehouse", "bloom", "join-pruning"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning, the runtime-filter pattern Spark
@@ -367,6 +370,7 @@ def _interleave_spark(x: str, y: str) -> F.Column:
     FROM filed GROUP BY file_id
     """,
     tags=("warehouse", "zorder", "data-skipping"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering for data skipping (Delta OPTIMIZE ZORDER BY
@@ -434,7 +438,6 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_markov_transitions",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type AS src,
@@ -490,6 +493,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangles_dupgraph",
     oracle=None,  # set below: shares the minhash pair CTEs
     tags=("graph", "triangles"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def graph_triangles_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the near-dup pair graph — the clustering
@@ -710,7 +714,6 @@ ATTR_WINDOW_MIN = 30
 
 @register(
     "events_attribution_last_touch",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type,
@@ -829,6 +832,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     tags=("warehouse", "quality", "constraints"),
     bench=True,  # LLM-pipeline tier benched at sf0.1 (r4),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint checking (the Deequ pattern,
@@ -959,7 +963,6 @@ def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_fuzzy_part_names",
-    pytest_only=True,  # r10 rotation out (driver-green r8-r9); still oracle-checked locally
     oracle=f"""
     WITH {_FUZZY_CORPUS_CTES.format(off=FUZZY_OFFSET)}
     SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
@@ -1052,6 +1055,7 @@ _PROFILE_ARMS_SQL = """
     FROM stats s JOIN tops t ON s.col_name = t.col_name
     """,
     tags=("warehouse", "quality", "profiling"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the Deequ/Glue-crawler analyzer pattern): per
@@ -1143,6 +1147,7 @@ def _scd2_pit_oracle() -> str:
     "join_scd2_point_in_time",
     oracle=None,  # set below: SCD2 CTE + ASOF lookup
     tags=("warehouse", "scd2", "join", "asof"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup — the query SCD2 histories exist
@@ -1311,6 +1316,7 @@ PRIV_L = 2  # l-diversity floor for the sensitive attribute
     GROUP BY c_nationkey, c_mktsegment
     """,
     tags=("warehouse", "privacy", "governance"),
+    pytest_only=True,  # r13 rotation out (driver-green r12); still oracle-checked locally
 )
 def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala

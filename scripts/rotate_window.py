@@ -1,5 +1,5 @@
-"""One-shot r12 window rotation: flip ``pytest_only`` flags in the plans
-sources so the exported corpus becomes the queued r12 re-verification
+"""One-shot r13 window rotation: flip ``pytest_only`` flags in the plans
+sources so the exported corpus becomes the queued r13 re-verification
 window (COVERAGE.md). Idempotent; edit the two lists for the next
 rotation.
 """
@@ -10,68 +10,13 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-# r11 window -> pytest tier (rotate OUT, add the flag)
+# r12 window -> pytest tier (rotate OUT, add the flag)
 OUT = [
-    "r_upsert_endstate_guarded",
-    "r_upsert_endstate_manifest",
-    "r_read_where_zorder",
-    "r_schema_evolution",
-    "q3_top_revenue_orders",
-    "join_semi_anti",
-    "join_full_outer_nation_activity",
-    "join_range_events_orders",
-    "q10_returned_item_revenue",
-    "subquery_orders_above_customer_avg",
-    "agg_grouping_analytics",
-    "agg_rollup_returns",
-    "agg_cube_orders",
-    "agg_events_by_type",
-    "agg_approx_distinct_users",
-    "window_order_analytics",
-    "topk_orders",
-    "window_lag_event_gaps",
-    "sort_top10_orders",
-    "set_ops",
-    "scalar_part_funcs",
-    "scalar_event_funcs",
-    "join_lateral_topk_per_nation",
-    "join_asof_last_event_before_order",
-    "source_roundtrips",
-    "pandas_zscore_per_user",
-    "agg_percentiles",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_chunking",
-    "text_vocabulary_topk",
-    "dedup_simhash_pairs",
-    "pipeline_decontamination",
-    "mm_binary_meta",
-    "dedup_substring_spans",
-    "emb_cosine_topk",
-    "emb_quantize_int8",
-    "emb_centroids",
-    "emb_ivf_trained_topk",
-    "emb_pq_topk",
-    "emb_ann_quality_eval",
-    "join_bucketed_colocated",
-    "sample_splits",
-    "stream_drop_duplicates_watermark",
-    "events_cohort_retention",
-    "stream_windows",
-    "stream_matview_hourly",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "pipeline_entity_resolution",
-]
-
-# queued r12 window -> exported (rotate IN, drop the flag)
-IN = [
     "r_lookup_bloom_endstate",
-    # r5 leftovers
+    "r_pruning_diagnostics",
     "q2_min_cost_supplier", "recursive_cte_hierarchy",
     "scalar_variant_props", "source_python_datasource",
     "text_bpe_train", "udtf_chunk_docs",
-    # all of r6
     "dedup_connected_components", "dedup_embedding_cosine",
     "dedup_minhash_lsh", "emb_lsh_ann_topk", "events_sessionize",
     "mm_image_decode", "pipeline_training_data", "q1_pricing_summary",
@@ -79,7 +24,6 @@ IN = [
     "r_split_size_classes", "sketch_countmin_heavy_hitters",
     "stream_stateful_user_counter", "stream_stream_interval_join",
     "text_metrics",
-    # all of r7
     "emb_hard_negatives", "emb_matryoshka_eval", "events_scd2_intervals",
     "join_bloom_pruned", "join_scd2_point_in_time",
     "maintenance_zorder_stats", "orders_market_basket",
@@ -87,8 +31,6 @@ IN = [
     "q14_promo_revenue", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_product_type_profit", "sketch_hll_registers",
     "sketch_linear_counting",
-    # 11 alphabetically-first of r8 (q4_order_priority displaced to r13
-    # by the new r_pruning_diagnostics flagship, first-time priority)
     "graph_pagerank_dupgraph", "graph_triangles_dupgraph",
     "mm_jpeg_decode", "privacy_k_anonymity_audit", "q11_important_parts",
     "q12_priority_shipping", "q15_top_supplier",
@@ -96,10 +38,45 @@ IN = [
     "q19_discounted_revenue", "q20_excess_suppliers",
 ]
 
+# queued r13 window -> exported (rotate IN, drop the flag).  The new
+# first-time entry `r_maintenance_contract` is registered exported at
+# birth (no flag to drop) and takes the 50th slot, displacing the 16th
+# alphabetical r10 entry (join_strategy_hints) to the r14 queue head —
+# the same first-time-priority precedent as r11/r12.
+IN = [
+    # r8 leftovers (7; q4_order_priority displaced from r12 by the
+    # pruning flagship)
+    "q4_order_priority", "sample_mixture_upsample",
+    "sample_training_order", "sketch_set_ops_distinct",
+    "stream_countmin_heavy_hitters", "stream_distinct_hll",
+    "stream_matview_distinct_users",
+    # all 27 entries last driver-checked r9
+    "agg_histogram_quantiles", "dedup_simhash", "emb_ivf_ann_topk",
+    "events_funnel_conversion", "join_fuzzy_part_names",
+    "mm_audio_pcm_depths", "mm_jpeg_progressive", "mm_mp4_av_demux",
+    "mm_mp4_mjpeg_frames", "mm_png_layout_matrix",
+    "pivot_unpivot_roundtrip", "q22_sales_opportunity", "r_cdc_changes",
+    "r_cdc_matview", "r_cdc_replication", "r_cdc_stream_feed",
+    "r_dedup_latest_per_key", "r_delete_endstate",
+    "r_multi_table_endstate", "r_stream_upsert_endstate",
+    "r_wide_row_endstate", "sample_importance_dsir",
+    "stream_dedup_minhash_incremental", "stream_emb_ann_topk",
+    "stream_late_data_watermark", "stream_quality_filter",
+    "stream_session_windows",
+    # 15 alphabetically-first of r10's 50
+    "agg_moments_by_type", "dedup_boilerplate_lines",
+    "dedup_embedding_quality_eval", "dedup_lsh_quality_eval",
+    "dedup_semantic_kmeans", "dedup_url_canonical",
+    "diagnose_key_skew_events", "emb_lsh_signatures", "emb_mips_topk",
+    "events_attribution_last_touch", "events_ewma_smooth",
+    "events_markov_transitions", "events_resample_hourly_ffill",
+    "events_rolling_anomaly", "events_twap_per_user",
+]
+
 PLANS = list((ROOT / "quick_stream_spark" / "plans").glob("*.py"))
 
 FLAG = (
-    "    pytest_only=True,  # r12 rotation out (driver-green r11); "
+    "    pytest_only=True,  # r13 rotation out (driver-green r12); "
     "still oracle-checked locally\n"
 )
 
