@@ -637,22 +637,34 @@ class KeyedTable:
         return [(h1 + i * h2) % m for i in range(k)]
 
     def _write_kbloom_sidecars(self, commit_dir: str, schema) -> None:
-        """Build each commit file's bloom bitmap EXECUTOR-SIDE and pull
-        only the packed ``m/8`` bytes per file to the driver (ADVICE
-        r11: collecting the distinct bit POSITIONS instead meant up to
-        hundreds of millions of boxed ints for a properly-sized
-        multi-file commit).  One job over ONLY the commit's files:
-        positions fold into per-(file, 64-bit-chunk) words with a
-        JVM-side ``bit_or`` (map-side combinable), then an Arrow-batched
+        """Build each commit file's bloom bitmap EXECUTOR-SIDE and write
+        the sidecar FROM THE SAME TASK that packs it — the driver
+        receives only (file, ok) acks (r12 verdict ask #2: the previous
+        driver hop collected ``m/8`` packed bytes per commit file,
+        ~10 GiB of driver traffic for a 10^4-file compaction at the
+        documented max ``m=2^23``).  One job over ONLY the commit's
+        files: positions fold into per-(file, 64-bit-chunk) words with
+        a JVM-side ``bit_or`` (map-side combinable), an Arrow-batched
         per-file pandas aggregation scatters the words into the final
         little-endian bitmap — byte-for-byte the layout
         :meth:`_kbloom_positions_py` probes (bit ``p`` lives at byte
         ``p >> 3``, mask ``1 << (p & 7)``; parity pinned in
-        tests/test_key_bloom.py).  Sidecars are written BEFORE the
-        manifest publishes — a crash in between leaves orphan sidecars
-        next to orphan data files, reclaimed together by vacuum; a
-        published file missing its sidecar merely opens
-        unconditionally."""
+        tests/test_key_bloom.py) — and the task writes
+        ``header + bitmap`` next to its data file (posix for
+        ``file:``/bare paths, ``pyarrow.fs`` for any URI it can open).
+        A task that CANNOT reach the table filesystem (driver-only FS
+        handle, e.g. a py4j-reachable-only scheme) acks ``ok=False``
+        with its bitmap riding along, and the driver writes exactly
+        those through its own FS handle — the fallback traffic is
+        bounded by the unreachable files only, never the whole commit
+        (structural pin: tests/test_key_bloom.py spies the fallback).
+        Write guarantees are unchanged from the driver path
+        (``fs.create`` overwrite, no tmp+rename): a torn sidecar reads
+        as corrupt -> ``None`` -> the file opens unconditionally.
+        Sidecars land BEFORE the manifest publishes — a crash in
+        between leaves orphan sidecars next to orphan data files,
+        reclaimed together by vacuum; a published file missing its
+        sidecar merely opens unconditionally."""
         import struct
         from urllib.parse import unquote, urlparse
 
@@ -661,6 +673,27 @@ class KeyedTable:
 
         m = self.key_bloom_bits
         nbytes = m // 8
+        header = b"QSSKB1" + struct.pack(
+            "<IH", self.key_bloom_bits, self.key_bloom_hashes
+        )
+
+        def _write_from_task(uri: str, payload: bytes) -> bool:
+            u = urlparse(uri)
+            try:
+                if u.scheme in ("", "file"):
+                    with open(
+                        _kbloom_sidecar_path(unquote(u.path)), "wb"
+                    ) as f:
+                        f.write(payload)
+                    return True
+                import pyarrow.fs as pafs
+
+                pfs, p = pafs.FileSystem.from_uri(uri)
+                with pfs.open_output_stream(_kbloom_sidecar_path(p)) as f:
+                    f.write(payload)
+                return True
+            except Exception:
+                return False
 
         def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
             buf = np.zeros(((m + 63) // 64) * 8, dtype=np.uint8)
@@ -670,14 +703,18 @@ class KeyedTable:
                 buf[ch * 8 + i] = (
                     (words >> np.uint64(8 * i)) & np.uint64(0xFF)
                 ).astype(np.uint8)
+            uri = pdf["__qss_f"].iloc[0]
+            bm = buf[:nbytes].tobytes()
+            ok = _write_from_task(uri, header + bm)
             return pd.DataFrame(
                 {
-                    "__qss_f": [pdf["__qss_f"].iloc[0]],
-                    "__qss_bm": [buf[:nbytes].tobytes()],
+                    "__qss_f": [uri],
+                    "__qss_ok": [ok],
+                    "__qss_bm": [None if ok else bm],
                 }
             )
 
-        rows = (
+        acks = (
             self.spark.read.schema(schema)
             .parquet(commit_dir)
             .select(
@@ -694,20 +731,30 @@ class KeyedTable:
                 ).alias("__qss_v")
             )
             .groupBy("__qss_f")
-            .applyInPandas(_pack, "__qss_f string, __qss_bm binary")
+            .applyInPandas(
+                _pack, "__qss_f string, __qss_ok boolean, __qss_bm binary"
+            )
             .collect()
         )
+        for r in acks:
+            if not r["__qss_ok"]:
+                self._write_kbloom_sidecar_fallback(
+                    r["__qss_f"], header + bytes(r["__qss_bm"])
+                )
+
+    def _write_kbloom_sidecar_fallback(self, uri: str, payload: bytes) -> None:
+        """Driver-side sidecar write through the py4j Hadoop FS handle —
+        reached only for commit files whose task could not write to the
+        table filesystem itself (acked ``ok=False``)."""
+        from urllib.parse import unquote, urlparse
+
         fs, _, jvm = _hadoop_fs(self.spark, self.path)
-        header = b"QSSKB1" + struct.pack(
-            "<IH", self.key_bloom_bits, self.key_bloom_hashes
+        fpath = unquote(urlparse(uri).path)
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(_kbloom_sidecar_path(fpath)), True
         )
-        for r in rows:
-            fpath = unquote(urlparse(r["__qss_f"]).path)
-            out = fs.create(
-                jvm.org.apache.hadoop.fs.Path(_kbloom_sidecar_path(fpath)), True
-            )
-            out.write(bytearray(header + bytes(r["__qss_bm"])))
-            out.close()
+        out.write(bytearray(payload))
+        out.close()
 
     def _read_kbloom(self, abs_path: str) -> tuple | None:
         """``(m, k, bits)`` of one sidecar, or ``None`` (absent,

@@ -271,3 +271,49 @@ def test_sidecar_bitmap_matches_python_reference(spark, tmp_table_dir):
             for p in t._kbloom_positions_py(h, m, k):
                 want[p >> 3] |= 1 << (p & 7)
         assert data[12:] == bytes(want), sc
+
+
+def test_sidecar_write_is_executor_side(spark, tmp_table_dir, monkeypatch):
+    """Structural pin for the r12 verdict ask #2: on an executor-
+    reachable table filesystem (posix / ``file:``), a multi-file
+    commit's sidecar BYTES never transit the driver — each bitmap is
+    written by the pandas task that packs it, and the driver-side
+    fallback (`_write_kbloom_sidecar_fallback`, the ONLY code path that
+    writes sidecar bytes from the driver) is never invoked.  Any task
+    acking ``ok=False`` would route through the spy and fail here."""
+    calls = []
+    monkeypatch.setattr(
+        KeyedTable,
+        "_write_kbloom_sidecar_fallback",
+        lambda self, uri, payload: calls.append(uri),
+    )
+    t = mk(spark, tmp_table_dir, key_bloom_bits=1 << 12, key_bloom_hashes=4)
+    t.upsert(
+        df(spark, [(k, datetime(2026, 1, 1), k, f"p{k}") for k in range(64)])
+    )
+    files = _datafiles(t)
+    assert len(files) >= 2  # a genuinely multi-file commit
+    assert calls == []  # zero sidecar bytes through the driver
+    assert len(_sidecars(t)) == len(files)
+    # lookups still prune through the executor-written sidecars
+    stats = t.lookup_stats([1])
+    assert stats["files_scanned"] <= stats["files_in_buckets"]
+
+
+def test_sidecar_fallback_writes_identical_sidecar(spark, tmp_table_dir):
+    """The driver fallback leg (tasks that cannot reach the table FS)
+    produces a byte-identical, probe-readable sidecar: rewrite one
+    executor-written sidecar through the fallback and compare."""
+    t = mk(spark, tmp_table_dir, key_bloom_bits=1 << 10, key_bloom_hashes=4)
+    t.upsert(
+        df(spark, [(k, datetime(2026, 1, 1), k, f"p{k}") for k in range(40)])
+    )
+    sc = _sidecars(t)[0]
+    original = open(sc, "rb").read()
+    datafile = os.path.join(
+        os.path.dirname(sc), os.path.basename(sc)[1 : -len(".kbloom")]
+    )
+    os.remove(sc)
+    t._write_kbloom_sidecar_fallback("file://" + datafile, original)
+    assert open(sc, "rb").read() == original
+    assert t._read_kbloom(datafile) is not None
