@@ -132,6 +132,26 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(hconf), p, jvm
 
 
+def _vacuum_listing_row(abs_p: str, name: str, table_root: str) -> dict | None:
+    """Classify one commits-tree entry for vacuum's reclaim join:
+    data parquet (``pq``, rel = its own table-root-relative path) or a
+    key-bloom sidecar (``kb``, rel = its DATA file's path so it rides
+    that file's referencedness).  Module-level so both the driver spool
+    walk and the executor ``flatMap`` walk share one classification."""
+    rel = os.path.relpath(abs_p, table_root)
+    if name.endswith(".parquet"):
+        return {"p": abs_p, "rel": rel, "k": "pq"}
+    if name.startswith(".") and name.endswith(".kbloom"):
+        return {
+            "p": abs_p,
+            "rel": os.path.join(
+                os.path.dirname(rel), name[1 : -len(".kbloom")]
+            ),
+            "k": "kb",
+        }
+    return None
+
+
 class ManifestLog:
     """Versioned bucket->files manifests under ``<table>/_qss_manifest``.
 
@@ -1943,64 +1963,136 @@ class ManifestLog:
             out = out.unionByName(p)
         return out.distinct()
 
-    def _vacuum_files_distributed(self, referenced_df) -> int | None:
-        """Data-file reclaim with DRIVER MEMORY BOUNDED BY THE GARBAGE,
-        not the table: the on-disk listing streams through a JSONL spool
-        (constant memory), the garbage set is ``listing ANTI JOIN
-        referenced`` (one Spark job), and only the doomed paths return
-        to the driver — batched — for deletion.  The listing walk
-        itself stays a driver-side FS iteration (each file must be
-        seen to be judged — the same walk the materialized path does),
-        but nothing table-sized is ever HELD.  Returns the number of
-        data files removed, or ``None`` when there is nothing to walk.
-        Key-bloom sidecars ride their data file's referencedness,
-        exactly as the materialized path decides it."""
-        fs, croot, jvm = _fs(
-            self.spark, os.path.join(self.table_path, COMMITS_DIR)
-        )
-        if not fs.exists(croot):
-            return None
-        table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
-        # the spool lives on the TABLE's filesystem so executors can
-        # read it on a real cluster (a driver-local tempfile cannot be)
+    def _vacuum_listing_spool(self, fs, croot, jvm, table_root: str):
+        """Fallback listing walk for filesystems only the driver's py4j
+        Hadoop handle can reach: a driver-side FS iteration STREAMING
+        through a JSONL spool on the table's filesystem (constant
+        driver memory, nothing table-sized ever HELD — the r12 shape).
+        Returns ``(listing_df | None, spool_path)``; ``None`` = empty
+        tree.  The caller deletes the spool."""
         spool_name = os.path.join(
             self.dir, f"vacuum-spool-{uuid.uuid4().hex}.jsonl"
         )
         spool_path = jvm.org.apache.hadoop.fs.Path(spool_name)
         out = fs.create(spool_path, True)
         n_listed = 0
-        try:
-            for cdir in fs.listStatus(croot):
-                for bdir in fs.listStatus(cdir.getPath()):
-                    if not bdir.isDirectory():
+        for cdir in fs.listStatus(croot):
+            for bdir in fs.listStatus(cdir.getPath()):
+                if not bdir.isDirectory():
+                    continue
+                for f in fs.listStatus(bdir.getPath()):
+                    row = _vacuum_listing_row(
+                        f.getPath().toUri().getPath(),
+                        f.getPath().getName(),
+                        table_root,
+                    )
+                    if row is None:
                         continue
-                    for f in fs.listStatus(bdir.getPath()):
-                        name = f.getPath().getName()
-                        abs_p = f.getPath().toUri().getPath()
-                        rel = os.path.relpath(abs_p, table_root)
-                        if name.endswith(".parquet"):
-                            row = {"p": abs_p, "rel": rel, "k": "pq"}
-                        elif name.startswith(".") and name.endswith(".kbloom"):
-                            row = {
-                                "p": abs_p,
-                                "rel": os.path.join(
-                                    os.path.dirname(rel),
-                                    name[1 : -len(".kbloom")],
-                                ),
-                                "k": "kb",
-                            }
-                        else:
-                            continue
-                        out.write(
-                            bytearray(
-                                (json.dumps(row) + "\n").encode("utf-8")
-                            )
+                    out.write(
+                        bytearray((json.dumps(row) + "\n").encode("utf-8"))
+                    )
+                    n_listed += 1
+        out.close()
+        if not n_listed:
+            return None, spool_path
+        return self.spark.read.json(spool_name), spool_path
+
+    def _vacuum_listing_executor(self, cdir_uris: list[str], table_root: str):
+        """The commits-tree listing walk as an EXECUTOR job (r12 verdict
+        ask #6): the driver lists only the FIRST level (one entry per
+        commit — O(versions), already bounded), and each task walks its
+        commit directories with ``os.scandir`` (posix / ``file:``) or
+        ``pyarrow.fs`` (any URI it can open) — at 10^6 files the walk
+        itself is the vacuum's wall-clock, and per-bucket directory
+        listing is embarrassingly parallel.  One imperative
+        ``flatMap`` is exactly the per-partition-I/O case RDDs exist
+        for; the result is immediately a DataFrame for the ANTI JOIN."""
+
+        def _walk(cdir_uri: str):
+            from urllib.parse import unquote, urlparse
+
+            u = urlparse(cdir_uri)
+            if u.scheme in ("", "file"):
+                base = unquote(u.path) if u.scheme else cdir_uri
+                for bdir in os.scandir(base):
+                    if not bdir.is_dir():
+                        continue
+                    for f in os.scandir(bdir.path):
+                        row = _vacuum_listing_row(
+                            f.path, f.name, table_root
                         )
-                        n_listed += 1
-            out.close()
-            if not n_listed:
-                return 0
-            listing = self.spark.read.json(spool_name)
+                        if row is not None:
+                            yield (row["p"], row["rel"], row["k"])
+            else:
+                import pyarrow.fs as pafs
+
+                pfs, path = pafs.FileSystem.from_uri(cdir_uri)
+                sel = pafs.FileSelector(path, recursive=True)
+                for info in pfs.get_file_info(sel):
+                    if not info.is_file:
+                        continue
+                    row = _vacuum_listing_row(
+                        info.path, info.base_name, table_root
+                    )
+                    if row is not None:
+                        yield (row["p"], row["rel"], row["k"])
+
+        sc = self.spark.sparkContext
+        rdd = sc.parallelize(
+            sorted(cdir_uris), min(len(cdir_uris), sc.defaultParallelism)
+        ).flatMap(_walk)
+        return self.spark.createDataFrame(rdd, "p string, rel string, k string")
+
+    def _vacuum_files_distributed(self, referenced_df) -> int | None:
+        """Data-file reclaim with DRIVER MEMORY BOUNDED BY THE GARBAGE,
+        not the table: the commits-tree listing is built EXECUTOR-SIDE
+        wherever tasks can reach the table filesystem (posix /
+        pyarrow-openable URIs — the driver only lists the O(versions)
+        first level), the garbage set is ``listing ANTI JOIN
+        referenced`` (one Spark job), and only the doomed paths return
+        to the driver — batched — for deletion.  Filesystems reachable
+        solely through the driver's py4j Hadoop handle fall back to the
+        r12 driver-side STREAMING walk (spool on the table FS, constant
+        memory).  Returns the number of data files removed, or ``None``
+        when there is nothing to walk.  Key-bloom sidecars ride their
+        data file's referencedness, exactly as the materialized path
+        decides it.  The per-delete FS calls stay driver-side
+        (bounded by the garbage)."""
+        from urllib.parse import urlparse
+
+        fs, croot, jvm = _fs(
+            self.spark, os.path.join(self.table_path, COMMITS_DIR)
+        )
+        if not fs.exists(croot):
+            return None
+        table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
+        cdir_uris = [
+            c.getPath().toUri().toString() for c in fs.listStatus(croot)
+        ]
+        if not cdir_uris:
+            return 0
+        scheme = urlparse(cdir_uris[0]).scheme
+        executor_reachable = scheme in ("", "file")
+        if not executor_reachable:
+            try:  # pragma: no cover - non-posix FS not in this env
+                import pyarrow.fs as pafs
+
+                pafs.FileSystem.from_uri(cdir_uris[0])
+                executor_reachable = True
+            except Exception:
+                executor_reachable = False
+        spool_path = None
+        try:
+            if executor_reachable:
+                listing = self._vacuum_listing_executor(
+                    cdir_uris, table_root
+                )
+            else:  # pragma: no cover - py4j-only FS not in this env
+                listing, spool_path = self._vacuum_listing_spool(
+                    fs, croot, jvm, table_root
+                )
+                if listing is None:
+                    return 0
             doomed = listing.join(
                 referenced_df.withColumnRenamed("path", "rel"),
                 "rel",
@@ -2012,7 +2104,8 @@ class ManifestLog:
                 if r.k == "pq":
                     removed += 1
         finally:
-            fs.delete(spool_path, False)
+            if spool_path is not None:
+                fs.delete(spool_path, False)
         # empty-dir sweep (O(dirs), driver-side like the listing)
         for cdir in fs.listStatus(croot):
             for bdir in fs.listStatus(cdir.getPath()):

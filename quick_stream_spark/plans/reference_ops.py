@@ -190,6 +190,44 @@ def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_upsert_endstate_pointer",
+    bench=True,  # the bounded-commit ingestion leg in BENCH (r12 ask #4)
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY (event_id % 4) DESC, ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "merge", "bounded"),
+)
+def r_upsert_endstate_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r_upsert_endstate replayed on the POINTER layout (bounded
+    O(commit) commits: ``manifest_parquet_threshold=0``, checkpoint
+    cadence 3) with four sequential batches, so the paths a long-lived
+    big table actually runs — delta documents, the seed parquet-
+    checkpoint crossing inside ``commit_bounded``, and a cadence
+    checkpoint — are exercised AND timed in BENCH, not only in unit
+    timings (r12 verdict ask #4).  Batch-wins semantics: the winner per
+    key is the row from the highest batch index (later batch
+    unconditionally overwrites — lib.rs:111), then latest ``ts``,
+    earliest arrival."""
+    ev = _events(spark, sf_dir)
+    target = _table(
+        spark,
+        commit_protocol="manifest",
+        manifest_checkpoint_interval=3,
+        manifest_parquet_threshold=0,
+    )
+    with _events_scope(spark, sf_dir):
+        for b in range(4):
+            target.upsert(ev.filter(F.col("event_id") % 4 == b))
+    return target.read().select(*EVENT_COLS, "row_active")
+
+
+@register(
     "r_incremental_read_zonemap",
     pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     # end state = guarded (newer-wins) latest per key; the incremental

@@ -1234,6 +1234,9 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_twap_per_user",
+    pytest_only=True,  # displaced from the r13 window by the second
+    # first-time entry (r_upsert_endstate_pointer) — leads the r14
+    # queue (driver-green r10); still oracle-checked locally
     oracle="""
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS t,

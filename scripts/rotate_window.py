@@ -38,11 +38,13 @@ OUT = [
     "q19_discounted_revenue", "q20_excess_suppliers",
 ]
 
-# queued r13 window -> exported (rotate IN, drop the flag).  The new
-# first-time entry `r_maintenance_contract` is registered exported at
-# birth (no flag to drop) and takes the 50th slot, displacing the 16th
-# alphabetical r10 entry (join_strategy_hints) to the r14 queue head —
-# the same first-time-priority precedent as r11/r12.
+# queued r13 window -> exported (rotate IN, drop the flag).  The TWO
+# new first-time entries (`r_maintenance_contract` and the benched
+# `r_upsert_endstate_pointer`) are registered exported at birth (no
+# flag to drop) and take the 49th/50th slots, displacing the 15th and
+# 16th alphabetical r10 entries (events_twap_per_user,
+# join_strategy_hints) to the r14 queue head — the same
+# first-time-priority precedent as r11/r12.
 IN = [
     # r8 leftovers (7; q4_order_priority displaced from r12 by the
     # pruning flagship)
@@ -63,14 +65,14 @@ IN = [
     "stream_dedup_minhash_incremental", "stream_emb_ann_topk",
     "stream_late_data_watermark", "stream_quality_filter",
     "stream_session_windows",
-    # 15 alphabetically-first of r10's 50
+    # 14 alphabetically-first of r10's 50
     "agg_moments_by_type", "dedup_boilerplate_lines",
     "dedup_embedding_quality_eval", "dedup_lsh_quality_eval",
     "dedup_semantic_kmeans", "dedup_url_canonical",
     "diagnose_key_skew_events", "emb_lsh_signatures", "emb_mips_topk",
     "events_attribution_last_touch", "events_ewma_smooth",
     "events_markov_transitions", "events_resample_hourly_ffill",
-    "events_rolling_anomaly", "events_twap_per_user",
+    "events_rolling_anomaly",
 ]
 
 PLANS = list((ROOT / "quick_stream_spark" / "plans").glob("*.py"))

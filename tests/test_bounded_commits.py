@@ -750,3 +750,31 @@ def test_vacuum_is_distributed_on_pointer_layout(spark, tmp_table_dir, monkeypat
         log._read_doc(4)
     # the collapsed v5 is now a self-contained full document
     assert "delta" not in log._read_doc(5)
+
+
+def test_vacuum_listing_walk_is_executor_side(spark, tmp_table_dir, monkeypatch):
+    """Structural pin for the r12 verdict ask #6: on an executor-
+    reachable table filesystem (posix / ``file:``), vacuum's commits-
+    tree listing walk runs as an EXECUTOR job — the driver-side spool
+    walk (`_vacuum_listing_spool`, the only remaining O(files) driver
+    iteration on this path) is never invoked — and the reclaim still
+    equals the inline twin's."""
+    ti = mk(spark, tmp_table_dir, "wi", manifest_parquet_threshold=10**9)
+    tp = mk(spark, tmp_table_dir, "wp")
+    _run_sequence(spark, ti)
+    _run_sequence(spark, tp)
+
+    def boom(self, *a, **kw):  # pragma: no cover - the pin
+        raise AssertionError(
+            "driver spool walk invoked on an executor-reachable FS"
+        )
+
+    monkeypatch.setattr(ManifestLog, "_vacuum_listing_spool", boom)
+    rp = tp.vacuum(keep_versions=1)
+    monkeypatch.undo()
+    ri = ti.vacuum(keep_versions=1)
+    assert rp == ri and rp > 0
+    assert _state(tp) == _state(ti)
+    # post-vacuum sidecar/data invariants: nothing referenced was lost
+    reader = mk(spark, tmp_table_dir, "wp")
+    assert reader.count_fast() == 10
