@@ -604,3 +604,33 @@ def test_disjoint_race_on_parquet_pointer_layout(
         os.path.basename(p) for p in glob.glob(os.path.join(log.dir, "cp-*"))
     }
     assert on_disk == live
+
+
+def test_vacuum_listing_row_classification():
+    """The single classifier both listing walks (driver spool and
+    executor flatMap) share: data parquet keeps its own rel path,
+    a kbloom sidecar's rel is its DATA file's path (it rides that
+    file's referencedness), everything else is ignored."""
+    from quick_stream_spark.operators.commitlog import _vacuum_listing_row
+
+    root = "/tbl"
+    pq = _vacuum_listing_row(
+        "/tbl/_qss_commits/c1/b0/part-0.parquet", "part-0.parquet", root
+    )
+    assert pq == {
+        "p": "/tbl/_qss_commits/c1/b0/part-0.parquet",
+        "rel": "_qss_commits/c1/b0/part-0.parquet",
+        "k": "pq",
+    }
+    kb = _vacuum_listing_row(
+        "/tbl/_qss_commits/c1/b0/.part-0.parquet.kbloom",
+        ".part-0.parquet.kbloom",
+        root,
+    )
+    assert kb == {
+        "p": "/tbl/_qss_commits/c1/b0/.part-0.parquet.kbloom",
+        "rel": "_qss_commits/c1/b0/part-0.parquet",
+        "k": "kb",
+    }
+    assert _vacuum_listing_row("/tbl/_qss_commits/c1/b0/_SUCCESS", "_SUCCESS", root) is None
+    assert _vacuum_listing_row("/tbl/_qss_commits/c1/b0/x.crc", "x.crc", root) is None
