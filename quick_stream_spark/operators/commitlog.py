@@ -659,6 +659,49 @@ class ManifestLog:
                 mapping[b] = list(touched_map[b])
         return mapping
 
+    def files_per_bucket_max(self, version: int) -> int | None:
+        """The worst per-bucket file count of a snapshot WITHOUT
+        materializing the mapping driver-side when its checkpoint is
+        parquet: one groupBy-count aggregation over the untouched
+        buckets + the O(deltas) replay for the touched ones.  ``None``
+        when the snapshot is inline or cached — callers take the
+        in-memory view (free there).  Backs the streaming
+        auto-compaction cadence check (``KeyedTable.maybe_compact``),
+        which otherwise paid a full mapping materialization per
+        cadence on pointer-layout tables (r13)."""
+        from pyspark.sql import functions as F
+
+        if version in self._snap_cache:
+            return None
+        head, deltas = self._chain_to_checkpoint(version)
+        if "checkpoint_parquet" not in head:
+            return None
+        touched_map: dict[int, list[str]] = {}
+        for raw in deltas:
+            d = raw["delta"]
+            for b in d.get("replaced", []):
+                touched_map[int(b)] = []
+            for b, fl in d.get("added", {}).items():
+                touched_map[int(b)] = list(fl)
+        cp = self.spark.read.parquet(
+            os.path.join(self.dir, head["checkpoint_parquet"])
+        )
+        cond = F.col("kind") == "file"
+        if touched_map:
+            cond &= ~F.col("bucket").isin(*[int(b) for b in touched_map])
+        row = (
+            cp.filter(cond)
+            .groupBy("bucket")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()
+        )
+        base_max = int(row[0].m) if row and row[0].m is not None else 0
+        return max(
+            base_max,
+            max((len(fl) for fl in touched_map.values()), default=0),
+        )
+
     def snapshot_totals(self, version: int) -> tuple[int, int] | None:
         """``(files_total, buckets_total)`` of a snapshot WITHOUT
         materializing it driver-side when its checkpoint is parquet

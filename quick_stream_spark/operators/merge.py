@@ -478,6 +478,30 @@ class KeyedTable:
             df = df.withColumn(BUCKET_COL, self._bucket_expr())
         return df
 
+    def _read_current_buckets(self, touched: list[int]) -> DataFrame:
+        """Current rows of ONLY the touched buckets — the merge half's
+        snapshot read.  On pointer-layout (parquet-checkpoint)
+        snapshots the bucket->files mapping comes from a bucket-
+        pushdown fetch (``bucket_mapping_distributed``: one filtered
+        checkpoint aggregation + the O(chain) delta replay) instead of
+        materializing the FULL snapshot mapping on the driver — which
+        was the last O(files)-per-commit driver term on the write path
+        (r13; the PUBLISH half has been bounded since r11: a steady-
+        state commit paid ``_load_parquet_checkpoint`` — a full
+        checkpoint read + toArrow — just to prune to its touched
+        buckets).  Inline or cached snapshots return ``None`` from the
+        pushdown and take the in-memory mapping, bounded by the
+        parquet threshold by construction."""
+        v = self._log.latest_version()
+        sub = (
+            self._log.bucket_mapping_distributed(touched, v)
+            if v is not None
+            else None
+        )
+        if sub is not None:
+            return self._read_manifest(with_bucket=True, mapping_override=sub)
+        return self._read_manifest(with_bucket=True, bucket_ids=touched)
+
     def _read_snapshot(self, version: int, bucket_ids: list[int]) -> DataFrame:
         """A historical snapshot restricted to ``bucket_ids``, WITHOUT
         the bucket column — the change-data read, routed to the inline
@@ -2131,7 +2155,7 @@ class KeyedTable:
                 # pruning), so the touched-bucket list is collected
                 # explicitly — bounded by num_buckets
                 touched = self._touched(up)
-                current = self._read_manifest(with_bucket=True, bucket_ids=touched)
+                current = self._read_current_buckets(touched)
             else:
                 current = self._pruned_current(up)
             merged = (
@@ -2416,9 +2440,17 @@ class KeyedTable:
         if not self.exists():
             return False
         if self._log is not None:
-            worst = max(
-                (len(fl) for fl in self._log.read().values()), default=0
+            # pointer-layout tables answer the worst-bucket question
+            # with one pruned aggregation (r13); inline/cached
+            # snapshots take the in-memory mapping (free there)
+            v = self._log.latest_version()
+            worst = (
+                self._log.files_per_bucket_max(v) if v is not None else None
             )
+            if worst is None:
+                worst = max(
+                    (len(fl) for fl in self._log.read().values()), default=0
+                )
         else:
             fs, root, jvm = _hadoop_fs(self.spark, self.path)
             worst = 0
@@ -2464,7 +2496,7 @@ class KeyedTable:
         try:
             if self._log is not None:
                 touched = self._touched(dk)
-                current = self._read_manifest(with_bucket=True, bucket_ids=touched)
+                current = self._read_current_buckets(touched)
             else:
                 touched = None
                 current = self._pruned_current(dk)
@@ -2505,7 +2537,7 @@ class KeyedTable:
             if not touched:
                 return
             if self._log is not None:
-                current = self._read_manifest(with_bucket=True, bucket_ids=touched)
+                current = self._read_current_buckets(touched)
                 remaining = current.join(dk.drop(BUCKET_COL), on=self.keys, how="left_anti")
                 self._write_manifest_commit(remaining, touched, op="hard_delete")
                 return

@@ -778,3 +778,77 @@ def test_vacuum_listing_walk_is_executor_side(spark, tmp_table_dir, monkeypatch)
     # post-vacuum sidecar/data invariants: nothing referenced was lost
     reader = mk(spark, tmp_table_dir, "wp")
     assert reader.count_fast() == 10
+
+
+def test_merge_half_never_resolves_snapshot(spark, tmp_table_dir, monkeypatch):
+    """Structural pin for the r13 seam: the MERGE half of a steady-
+    state pointer-layout write is bounded too — the WHOLE upsert /
+    soft_delete (not just the publish half pinned above) performs ZERO
+    full snapshot materializations.  The current-rows read routes
+    through the bucket-pushdown mapping fetch
+    (`bucket_mapping_distributed`) instead of resolving the full
+    snapshot, which previously cost a `_load_parquet_checkpoint`
+    (full checkpoint read + toArrow, O(files) driver memory) on EVERY
+    commit."""
+    t = mk(spark, tmp_table_dir, "mh")
+    t.upsert(df(spark, SEED))                                      # v1
+    t.upsert(df(spark, [(9, datetime(2024, 1, 6), 11, "i1")]))     # v2
+    t.upsert(df(spark, [(1, datetime(2024, 2, 1), 12, "a2")]))     # v3 ckpt
+
+    calls: list[str] = []
+    for name in ("_snapshot", "_load_parquet_checkpoint", "_full_parts"):
+        real = getattr(ManifestLog, name)
+
+        def spy(*a, _n=name, _r=real, **kw):
+            calls.append(_n)
+            return _r(*a, **kw)
+
+        monkeypatch.setattr(ManifestLog, name, spy)
+    fresh = mk(spark, tmp_table_dir, "mh")  # cold caches: honest pin
+    fresh.upsert(df(spark, [(2, datetime(2024, 3, 1), 30, "b9")]))      # v4
+    fresh.soft_delete(df(spark, [(3, datetime(2024, 3, 2), 31, "x")]))  # v5
+    assert calls == [], f"steady-state write materialized a snapshot: {calls}"
+    monkeypatch.undo()
+    got = _state(mk(spark, tmp_table_dir, "mh"))
+    assert got[2] == ("b9", True)
+    assert got[3][1] is False  # soft-deleted
+    assert got[1] == ("a2", True) and got[9] == ("i1", True)
+    assert len(got) == 9
+
+
+def test_maybe_compact_check_is_bounded_on_pointer_layout(
+    spark, tmp_table_dir, monkeypatch
+):
+    """The streaming auto-compaction cadence check (r13): on the
+    pointer layout `maybe_compact`'s worst-bucket probe is one pruned
+    aggregation (`files_per_bucket_max`) — never a full mapping
+    materialization — and it answers exactly the materialized view's
+    number on both layouts."""
+    ti = mk(spark, tmp_table_dir, "ci", manifest_parquet_threshold=10**9)
+    tp = mk(spark, tmp_table_dir, "cp")
+    _run_sequence(spark, ti)
+    _run_sequence(spark, tp)
+    li, lp = ti._snapshot_log(), tp._snapshot_log()
+    want = max(len(fl) for fl in li.read().values())
+    fresh = mk(spark, tmp_table_dir, "cp")  # cold caches: honest pin
+    lf = fresh._snapshot_log()
+    got = lf.files_per_bucket_max(lf.latest_version())
+    assert got == want, (got, want)
+
+    calls: list[str] = []
+    for name in ("_snapshot", "_load_parquet_checkpoint", "_full_parts"):
+        real = getattr(ManifestLog, name)
+
+        def spy(*a, _n=name, _r=real, **kw):
+            calls.append(_n)
+            return _r(*a, **kw)
+
+        monkeypatch.setattr(ManifestLog, name, spy)
+    fresh2 = mk(spark, tmp_table_dir, "cp")
+    # threshold above the worst bucket: the check runs, no compaction
+    assert fresh2.maybe_compact(max_files_per_bucket=want) is False
+    assert calls == [], f"cadence check materialized a snapshot: {calls}"
+    monkeypatch.undo()
+    # and the policy still fires through the bounded check
+    assert fresh2.maybe_compact(max_files_per_bucket=want - 1) is True
+    assert _state(fresh2) == _state(ti)
