@@ -229,9 +229,45 @@ class JdbcUpsertQuickStream:
             f"INSERT INTO {self.sink.staging_table_name()} VALUES ({ph})", rows
         )
 
+    # rows per executemany chunk when streaming a delivery into the
+    # staging table: large enough to amortize the DBAPI round-trip,
+    # small enough that driver memory is bounded by the CHUNK, not the
+    # delivery (r13 — the staging collect was the last batch-sized
+    # driver-memory term on this path; a driver-side DBAPI connection
+    # makes the rows' TRANSIT through the driver inherent, holding them
+    # all at once was not)
+    STAGE_CHUNK_ROWS = 10_000
+
+    def _stage_stream(self, df: DataFrame) -> None:
+        """Stream a delivery into the staging table with the same
+        truncate-first crash-replay contract as :meth:`_stage`, but
+        bounded driver memory: rows arrive through ``toLocalIterator``
+        (one partition in flight) and land in
+        :attr:`STAGE_CHUNK_ROWS`-sized ``executemany`` chunks."""
+        self.con.execute(
+            f"TRUNCATE TABLE {self.sink.staging_table_name()}"
+        )
+        sql = None
+        chunk: list[tuple] = []
+        for r in df.toLocalIterator():
+            t = tuple(r)
+            if sql is None:
+                ph = ", ".join(self._placeholder() for _ in t)
+                sql = (
+                    f"INSERT INTO {self.sink.staging_table_name()} "
+                    f"VALUES ({ph})"
+                )
+            chunk.append(t)
+            if len(chunk) >= self.STAGE_CHUNK_ROWS:
+                self.con.executemany(sql, chunk)
+                chunk.clear()
+        if chunk:
+            self.con.executemany(sql, chunk)
+
     def upsert_batch(self, batch: DataFrame) -> None:
         """One micro-batch through the full sequence: dedup → stage
-        (truncate-then-insert) → ON CONFLICT merge → truncate staging."""
+        (truncate-then-insert, streamed) → ON CONFLICT merge →
+        truncate staging."""
         from quick_stream_spark.operators.dedup import latest_per_key
 
         deduped = latest_per_key(
@@ -246,18 +282,17 @@ class JdbcUpsertQuickStream:
             version_col=self.version_col,
             newer_wins=self.newer_wins,
         )
-        self._stage([tuple(r) for r in deduped.collect()])
+        self._stage_stream(deduped)
         self.con.execute(stmts[1])
         self.con.execute(stmts[2])
 
     def soft_delete_batch(self, batch: DataFrame) -> None:
         """One delete delivery: stage the key columns
         (truncate-then-insert, same crash-replay reasoning as
-        :meth:`_stage`) → UPDATE … FROM → truncate staging (requires a
-        key-only staging table, matching the reference's dedicated
-        delete statement)."""
-        rows = [tuple(r) for r in batch.select(*self.keys).distinct().collect()]
-        self._stage(rows)
+        :meth:`_stage`, streamed) → UPDATE … FROM → truncate staging
+        (requires a key-only staging table, matching the reference's
+        dedicated delete statement)."""
+        self._stage_stream(batch.select(*self.keys).distinct())
         self.con.execute(
             self.sink.soft_delete_statement(self.keys, self.soft_delete_col)
         )

@@ -358,3 +358,51 @@ def test_placeholder_derived_from_dbapi_paramstyle():
             writer_for(FakeCon())._placeholder()
     finally:
         del sys.modules["fake_pg_driver"]
+
+
+def test_staging_streams_in_bounded_chunks(spark, monkeypatch):
+    """r13: the staging insert streams through ``toLocalIterator`` in
+    ``STAGE_CHUNK_ROWS`` chunks — driver memory is bounded by the
+    chunk, not the delivery.  With the chunk forced to 3, a 10-key
+    delivery lands in 4 executemany calls and the merged end state is
+    identical to the unchunked path's."""
+    from quick_stream_spark.sources.jdbc import JdbcUpsertQuickStream
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE target (pkey BIGINT PRIMARY KEY, modified_date TIMESTAMP,"
+        " arrival BIGINT, payload VARCHAR)"
+    )
+    con.execute(
+        "CREATE TABLE target__qss_staging (pkey BIGINT, modified_date TIMESTAMP,"
+        " arrival BIGINT, payload VARCHAR)"
+    )
+    calls: list[int] = []
+
+    class CountingCon:  # duckdb connection attrs are read-only
+        def __init__(self, inner):
+            self._inner = inner
+
+        def executemany(self, sql, rows):
+            calls.append(len(rows))
+            return self._inner.executemany(sql, rows)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    sink = JdbcSink(url="jdbc:postgresql://db:5432/x", table="target")
+    writer = JdbcUpsertQuickStream(
+        sink, CountingCon(con), columns=COLS, keys=["pkey"],
+        version_col="modified_date", arrival_col="arrival",
+    )
+    monkeypatch.setattr(JdbcUpsertQuickStream, "STAGE_CHUNK_ROWS", 3)
+    batch = _batch(
+        spark, [(k, 1, 0, k, f"p{k}") for k in range(1, 11)]
+    )
+    writer.upsert_batch(batch)
+    assert calls == [3, 3, 3, 1]  # bounded chunks, whole delivery lands
+    state = {
+        r[0]: r[1]
+        for r in con.execute("SELECT pkey, payload FROM target").fetchall()
+    }
+    assert state == {k: f"p{k}" for k in range(1, 11)}
