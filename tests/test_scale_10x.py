@@ -141,8 +141,18 @@ _HEAVY_BOUND = 11.0
 @pytest.mark.slow
 @pytest.mark.parametrize("name", HEAVY)
 def test_heavy_dedup_wall_sublinear_on_synthetic_10x(spark, name, sf_synth_10x):
+    # retry-once-on-breach (r13): a single-measurement wall ratio is
+    # load-sensitive — this canary flaked at 11.7x inside a full-suite
+    # run (both sides byte-identical to green runs the same day, 6.3x
+    # standalone).  The green case pays one measurement per side; a
+    # breach re-measures BOTH sides once and takes the per-side min —
+    # a genuinely super-linear plan (>=25x for a mis-tuned bucket cap)
+    # breaches every time, transient box load does not.
     small = _timed(spark, name, SF_BIG)
     big = _timed(spark, name, sf_synth_10x)
+    if big / max(small, 1e-9) >= _HEAVY_BOUND:
+        small = min(small, _timed(spark, name, SF_BIG))
+        big = min(big, _timed(spark, name, sf_synth_10x))
     ratio = big / max(small, 1e-9)
     print(f"\n# 10x-scaling {name}: sf0.1 {small:.2f}s -> 10x-synth "
           f"{big:.2f}s (ratio {ratio:.2f}x)")
