@@ -152,6 +152,47 @@ def _vacuum_listing_row(abs_p: str, name: str, table_root: str) -> dict | None:
     return None
 
 
+def _vacuum_walk_pyarrow(cdir_uri: str, table_uri: str):
+    """Executor-side listing walk for one commit directory over
+    ``pyarrow.fs`` (any URI it can open — s3/gs/hdfs/file).  Three
+    invariants keep all three walks (posix scandir, this, the py4j
+    driver spool) classifying the IDENTICAL file set (r13 advice):
+
+    - **native-root relpath**: pyarrow's ``info.path`` is
+      filesystem-NATIVE (``bucket/key`` for object stores, no scheme)
+      while the Hadoop-derived table root is a URI path
+      (``/key-prefix``) — relpath across the two never matches, so the
+      table root is re-derived HERE via ``from_uri(table_uri)`` and
+      every relpath is native-vs-native;
+    - **URI-qualified ``p``**: the driver's ``fs.delete`` needs an
+      absolute qualified Path, so ``p`` is rebuilt as
+      ``table_uri + '/' + rel(self)`` (scheme/authority restored),
+      never the scheme-less native path;
+    - **two-level shape**: bucket DIRS first, then their files — a
+      stray file at commit-dir level or nested deeper is skipped,
+      exactly like the other two walks.
+    """
+    import pyarrow.fs as pafs
+
+    pfs, cpath = pafs.FileSystem.from_uri(cdir_uri)
+    table_native = pafs.FileSystem.from_uri(table_uri)[1]
+    base_uri = table_uri.rstrip("/")
+    for bdir in pfs.get_file_info(pafs.FileSelector(cpath)):
+        if bdir.type != pafs.FileType.Directory:
+            continue
+        for info in pfs.get_file_info(pafs.FileSelector(bdir.path)):
+            if info.type != pafs.FileType.File:
+                continue
+            row = _vacuum_listing_row(
+                info.path, info.base_name, table_native
+            )
+            if row is not None:
+                row["p"] = base_uri + "/" + os.path.relpath(
+                    info.path, table_native
+                )
+                yield (row["p"], row["rel"], row["k"])
+
+
 class ManifestLog:
     """Versioned bucket->files manifests under ``<table>/_qss_manifest``.
 
@@ -2018,29 +2059,42 @@ class ManifestLog:
         )
         spool_path = jvm.org.apache.hadoop.fs.Path(spool_name)
         out = fs.create(spool_path, True)
-        n_listed = 0
-        for cdir in fs.listStatus(croot):
-            for bdir in fs.listStatus(cdir.getPath()):
-                if not bdir.isDirectory():
-                    continue
-                for f in fs.listStatus(bdir.getPath()):
-                    row = _vacuum_listing_row(
-                        f.getPath().toUri().getPath(),
-                        f.getPath().getName(),
-                        table_root,
-                    )
-                    if row is None:
+        # The caller's finally only covers spool_path AFTER we return;
+        # a raise mid-walk must clean up the stream + spool file here
+        # or both leak (r13 advice — the pre-refactor caller-side
+        # finally used to cover this).
+        try:
+            n_listed = 0
+            for cdir in fs.listStatus(croot):
+                for bdir in fs.listStatus(cdir.getPath()):
+                    if not bdir.isDirectory():
                         continue
-                    out.write(
-                        bytearray((json.dumps(row) + "\n").encode("utf-8"))
-                    )
-                    n_listed += 1
+                    for f in fs.listStatus(bdir.getPath()):
+                        row = _vacuum_listing_row(
+                            f.getPath().toUri().getPath(),
+                            f.getPath().getName(),
+                            table_root,
+                        )
+                        if row is None:
+                            continue
+                        out.write(
+                            bytearray(
+                                (json.dumps(row) + "\n").encode("utf-8")
+                            )
+                        )
+                        n_listed += 1
+        except BaseException:
+            out.close()
+            fs.delete(spool_path, False)
+            raise
         out.close()
         if not n_listed:
             return None, spool_path
         return self.spark.read.json(spool_name), spool_path
 
-    def _vacuum_listing_executor(self, cdir_uris: list[str], table_root: str):
+    def _vacuum_listing_executor(
+        self, cdir_uris: list[str], table_root: str, table_uri: str
+    ):
         """The commits-tree listing walk as an EXECUTOR job (r12 verdict
         ask #6): the driver lists only the FIRST level (one entry per
         commit — O(versions), already bounded), and each task walks its
@@ -2067,18 +2121,7 @@ class ManifestLog:
                         if row is not None:
                             yield (row["p"], row["rel"], row["k"])
             else:
-                import pyarrow.fs as pafs
-
-                pfs, path = pafs.FileSystem.from_uri(cdir_uri)
-                sel = pafs.FileSelector(path, recursive=True)
-                for info in pfs.get_file_info(sel):
-                    if not info.is_file:
-                        continue
-                    row = _vacuum_listing_row(
-                        info.path, info.base_name, table_root
-                    )
-                    if row is not None:
-                        yield (row["p"], row["rel"], row["k"])
+                yield from _vacuum_walk_pyarrow(cdir_uri, table_uri)
 
         sc = self.spark.sparkContext
         rdd = sc.parallelize(
@@ -2108,7 +2151,9 @@ class ManifestLog:
         )
         if not fs.exists(croot):
             return None
-        table_root = _fs(self.spark, self.table_path)[1].toUri().getPath()
+        table_jpath = _fs(self.spark, self.table_path)[1]
+        table_root = table_jpath.toUri().getPath()
+        table_uri = table_jpath.toUri().toString()
         cdir_uris = [
             c.getPath().toUri().toString() for c in fs.listStatus(croot)
         ]
@@ -2128,7 +2173,7 @@ class ManifestLog:
         try:
             if executor_reachable:
                 listing = self._vacuum_listing_executor(
-                    cdir_uris, table_root
+                    cdir_uris, table_root, table_uri
                 )
             else:  # pragma: no cover - py4j-only FS not in this env
                 listing, spool_path = self._vacuum_listing_spool(

@@ -634,3 +634,139 @@ def test_vacuum_listing_row_classification():
     }
     assert _vacuum_listing_row("/tbl/_qss_commits/c1/b0/_SUCCESS", "_SUCCESS", root) is None
     assert _vacuum_listing_row("/tbl/_qss_commits/c1/b0/x.crc", "x.crc", root) is None
+
+
+def _mk_commit_tree(root):
+    """A commits tree with one commit dir holding: a bucket data file +
+    its kbloom sidecar (the reclaim-join pair), a stray file AT the
+    commit-dir level and one nested a level TOO DEEP (both outside the
+    two-level cdir/bdir/file shape every walk must honor), and a
+    _SUCCESS marker (classifier-ignored)."""
+    cdir = os.path.join(root, "tbl", COMMITS_DIR, "c1")
+    bdir = os.path.join(cdir, "b0")
+    deep = os.path.join(bdir, "nested")
+    os.makedirs(deep)
+    for p in (
+        os.path.join(bdir, "part-0.parquet"),
+        os.path.join(bdir, ".part-0.parquet.kbloom"),
+        os.path.join(bdir, "_SUCCESS"),
+        os.path.join(cdir, "stray-commit-level.parquet"),
+        os.path.join(deep, "too-deep.parquet"),
+    ):
+        with open(p, "w") as f:
+            f.write("x")
+    return os.path.join(root, "tbl"), cdir
+
+
+def test_vacuum_walk_pyarrow_two_level_shape_local(tmp_path):
+    """`_vacuum_walk_pyarrow` over a genuine pyarrow local filesystem
+    classifies exactly the two-level cdir/bdir/file set — the stray
+    commit-level parquet and the too-deeply-nested parquet are SKIPPED
+    (r13 advice: the old recursive FileSelector reclaimed both,
+    diverging from the posix and spool walks), and `p` comes back
+    URI-qualified for the driver's fs.delete."""
+    from quick_stream_spark.operators.commitlog import _vacuum_walk_pyarrow
+
+    table, cdir = _mk_commit_tree(str(tmp_path))
+    table_uri = "file://" + table
+    rows = sorted(_vacuum_walk_pyarrow("file://" + cdir, table_uri))
+    rel_pq = f"{COMMITS_DIR}/c1/b0/part-0.parquet"
+    assert rows == [
+        (f"{table_uri}/{COMMITS_DIR}/c1/b0/.part-0.parquet.kbloom",
+         rel_pq, "kb"),
+        (f"{table_uri}/{rel_pq}", rel_pq, "pq"),
+    ]
+
+
+def test_vacuum_walk_pyarrow_object_store_native_paths(tmp_path, monkeypatch):
+    """The object-store path contract (r13 advice, medium): pyarrow's
+    info.path is filesystem-NATIVE (`bucket/key`, no scheme, no leading
+    slash) while the Hadoop table root is a URI path (`/key`).  Pinned
+    by routing from_uri through a SubTreeFileSystem whose native paths
+    are exactly that bucket/key shape: rel must still be table-relative
+    (native root re-derived via from_uri(table_uri), NOT the Hadoop
+    path), and `p` must be the absolute URI, never the scheme-less
+    native path the old code handed fs.delete."""
+    import pyarrow.fs as pafs
+
+    from quick_stream_spark.operators import commitlog
+
+    table, cdir = _mk_commit_tree(str(tmp_path))
+    mount = str(tmp_path)  # plays the role of the object store
+
+    # A subtree FS rooted at mount's PARENT: native paths come back as
+    # "<mountname>/key" — no scheme, no leading slash, != the URI path
+    # — exactly the s3/gs "bucket/key" shape.
+    class BucketFS:
+        @staticmethod
+        def from_uri(uri):
+            from urllib.parse import urlparse
+
+            u = urlparse(uri)
+            return (
+                pafs.SubTreeFileSystem(
+                    os.path.dirname(mount), pafs.LocalFileSystem()
+                ),
+                u.netloc + u.path,  # "bucket/key" — the s3 shape
+            )
+
+    monkeypatch.setattr(pafs, "FileSystem", BucketFS)
+    table_uri = "s3://" + os.path.basename(mount) + "/tbl"
+    cdir_uri = table_uri + f"/{COMMITS_DIR}/c1"
+    rows = sorted(commitlog._vacuum_walk_pyarrow(cdir_uri, table_uri))
+    rel_pq = f"{COMMITS_DIR}/c1/b0/part-0.parquet"
+    assert rows == [
+        (f"{table_uri}/{COMMITS_DIR}/c1/b0/.part-0.parquet.kbloom",
+         rel_pq, "kb"),
+        (f"{table_uri}/{rel_pq}", rel_pq, "pq"),
+    ]
+
+
+def test_vacuum_spool_cleaned_up_when_walk_raises(tmp_path):
+    """A raise mid-walk inside `_vacuum_listing_spool` must close the
+    spool stream and delete the spool file itself — the caller's
+    finally only ever sees spool_path AFTER a successful return (r13
+    advice: the refactor moved spool creation inside the helper and
+    dropped that coverage)."""
+    from types import SimpleNamespace
+
+    from quick_stream_spark.operators.commitlog import ManifestLog
+
+    class FakeStream:
+        closed = False
+
+        def write(self, b):  # pragma: no cover - walk raises first
+            pass
+
+        def close(self):
+            self.closed = True
+
+    class FakeFS:
+        def __init__(self):
+            self.stream = FakeStream()
+            self.deleted = []
+
+        def create(self, path, overwrite):
+            return self.stream
+
+        def listStatus(self, path):
+            raise RuntimeError("walk boom")
+
+        def delete(self, path, recursive):
+            self.deleted.append(str(path))
+
+    jvm = SimpleNamespace(
+        org=SimpleNamespace(
+            apache=SimpleNamespace(
+                hadoop=SimpleNamespace(fs=SimpleNamespace(Path=str))
+            )
+        )
+    )
+    fake_self = SimpleNamespace(dir=str(tmp_path))
+    fs = FakeFS()
+    with pytest.raises(RuntimeError, match="walk boom"):
+        ManifestLog._vacuum_listing_spool(
+            fake_self, fs, "croot", jvm, "/tbl"
+        )
+    assert fs.stream.closed
+    assert len(fs.deleted) == 1 and "vacuum-spool-" in fs.deleted[0]
