@@ -1168,6 +1168,55 @@ def r_stream_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read().select(*EVENT_COLS, "row_active")
 
 
+@register(
+    "r_stream_upsert_endstate_pointer",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "streaming", "manifest", "bounded"),
+)
+def r_stream_upsert_endstate_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+O5+O15 composed with the POINTER layout (r13 verdict ask #2):
+    the steady-state 100 TB storage configuration — bounded O(commit)
+    commits (``manifest_parquet_threshold=0``) under a checkpoint
+    cadence — driven by a REAL checkpointed Structured Streaming query,
+    not batch replay.  Four delivery files at one file per trigger make
+    four merge commits, so the stream CROSSES the cadence boundary
+    mid-flight (delta, delta, checkpoint, delta) and the
+    ``maybe_compact`` maintenance policy rides the stream cadence
+    (``auto_compact_every=2`` — its bounded worst-bucket probe runs
+    in-band twice; kill/resume and bounded-commit spies for this
+    composition are pinned in tests/test_stream_pointer.py).  The
+    newer-wins guard makes the end state independent of micro-batch
+    composition, so the oracle is the same global argmax as the inline
+    streaming leg's."""
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="qss-q-")
+    write_split_as_files(ev, F.col("event_id") % 4, 4, work + "/in")
+    target = _table(
+        spark,
+        commit_protocol="manifest",
+        manifest_checkpoint_interval=3,
+        manifest_parquet_threshold=0,
+    )
+    stream = stream_parquet_dir(
+        spark, work + "/in", ev.schema, max_files_per_trigger=1
+    )
+    cfg = QuickStreamConfig(
+        name="r-stream-upsert-pointer", checkpoint_dir=work + "/ckpt"
+    )
+    with _events_scope(spark, sf_dir):
+        UpsertQuickStream(
+            target, config=cfg, newer_wins=True, auto_compact_every=2
+        ).run(stream, available_now=True)
+    return target.read().select(*EVENT_COLS, "row_active")
+
+
 # --------------------------------------------------------------------------
 # CDC — change data feed between the two replay commits
 
