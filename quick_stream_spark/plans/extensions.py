@@ -203,7 +203,6 @@ def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentiles",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT o_orderpriority,
            round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
@@ -230,7 +229,6 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_partitioned_pruning",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     SELECT doc_id, n_chars, lang FROM documents WHERE lang IN ('en', 'fr')
     """,
@@ -293,7 +291,6 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_python_stream_datasource",
-    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=f"""
     WITH gen AS (
       SELECT i AS id,
@@ -349,7 +346,6 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "pandas_scalar_revenue_cents",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -449,7 +445,6 @@ BINFILE_DOCS = 50  # bounded fixture subset written as individual files
 
 @register(
     "source_binaryfile_metadata",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -497,7 +492,6 @@ def source_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_xml_roundtrip",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"SELECT 'xml' AS fmt, * FROM ({_CONNECTOR_ORACLE})",
     tags=("source", "xml"),  # exported r9 rotation (was pytest-tier while the window was full)
 )

@@ -85,6 +85,7 @@ _LATEST_PER_KEY_SQL = """
     SELECT 'agg' AS impl, * FROM ({_LATEST_PER_KEY_SQL})
     """,
     tags=("reference", "dedup"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 (lib.rs:12-16): one row per key, newest ``ts`` wins, equal-ts
@@ -112,7 +113,6 @@ def r_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_upsert_endstate",
-    pytest_only=True,  # r11 rotation out (driver-green r1-r10); still oracle-checked locally
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props, TRUE AS row_active
     FROM (
@@ -202,6 +202,7 @@ def r_upsert_endstate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "merge", "bounded"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_upsert_endstate_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r_upsert_endstate replayed on the POINTER layout (bounded
@@ -229,7 +230,6 @@ def r_upsert_endstate_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_incremental_read_zonemap",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     # end state = guarded (newer-wins) latest per key; the incremental
     # read returns exactly its rows with ts >= max(ts) - 30 days.  The
     # cut is computed from the same events table by both engines — no
@@ -267,7 +267,6 @@ def r_incremental_read_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_point_lookup_endstate",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     # batch-wins end state (odd batch second, unconditional DO UPDATE)
     # restricted to the looked-up key set
     oracle="""
@@ -306,7 +305,6 @@ def r_point_lookup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_lookup_composite_endstate",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     # guarded (newer-wins) end state per COMPOSITE key, restricted to
     # the looked-up key tuples
     oracle="""
@@ -360,7 +358,6 @@ def r_lookup_composite_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_read_where_clustered",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     # guarded end state, conjunctively sliced: last 30 days AND a
     # user-id band; the ts cut comes from the data in both engines
     oracle="""
@@ -632,6 +629,7 @@ _MAINT_CHECKS = (
     + ", ".join(f"('{c}')" for c in _MAINT_CHECKS)
     + ") AS t(check_name)",
     tags=("reference", "merge", "maintenance", "diagnostics"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_maintenance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance contract (r12 verdict ask #3): the table-maintenance
@@ -804,6 +802,7 @@ def r_maintenance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
     """,
     tags=("reference", "delete"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_delete_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 (delete.rs:251-285): upsert everything, then delete every key
@@ -870,6 +869,7 @@ def _build_router(spark: SparkSession, ev: DataFrame) -> MultiTableRouter:
     FROM latest
     """,
     tags=("reference", "routing", "delete"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_multi_table_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7-O10 (multi_table_upsert.rs:138-198, multi_table_delete.rs:
@@ -1053,6 +1053,7 @@ _WIDE_SELECT_SQL = ",\n".join(f"{sql} AS {name}" for name, sql in _WIDE_COLS)
     ) WHERE rn = 1
     """,
     tags=("reference", "merge", "wide-row", "schema-evolution", "delete"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_wide_row_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-row parity at the reference's flagship integration width
@@ -1143,6 +1144,7 @@ def r_split_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("reference", "streaming"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_stream_upsert_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4+O5+O15+O17 end-to-end: events split into four delivery files,
@@ -1259,6 +1261,7 @@ _CDC_S2_SQL = """
     WHERE s1.event_id <> s2.event_id
     """,
     tags=("reference", "merge", "manifest", "cdc"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed over the two-commit replay: commit 1 merges the
@@ -1296,6 +1299,7 @@ def r_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1 AND user_id % 7 <> 0
     """,
     tags=("reference", "manifest", "cdc", "replication"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replication end-to-end (operators/replicate.py): a second
@@ -1346,6 +1350,7 @@ def r_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("reference", "manifest", "cdc", "matview", "incremental"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-driven incremental view maintenance
@@ -1401,6 +1406,7 @@ def r_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE s1.event_id <> s2.event_id
     """,
     tags=("reference", "manifest", "cdc", "streaming", "python-datasource"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def r_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change feed consumed as a STRUCTURED STREAM

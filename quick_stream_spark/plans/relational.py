@@ -500,7 +500,6 @@ def subquery_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> Data
 
 @register(
     "agg_grouping_analytics",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            {sql_dsum("l_quantity", "sum_qty")},
@@ -535,7 +534,6 @@ def agg_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup_returns",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n, {sql_dsum("l_quantity", "sum_qty")}
@@ -554,7 +552,6 @@ def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_cube_orders",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n, {sql_dsum("o_totalprice", "sum_price")}
@@ -573,7 +570,6 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_events_by_type",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
@@ -641,6 +637,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     FROM events GROUP BY user_id, event_type
     """,
     tags=("agg", "pivot"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (long -> wide: one column per event type, explicit value
@@ -664,7 +661,6 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_users",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     # HLL sketch VALUES are engine-specific, so the oracle states the
     # sketch's ACCURACY CONTRACT instead: per group, the exact distinct
     # count plus the assertion that the Spark-side HLL estimate landed
@@ -1187,7 +1183,6 @@ def join_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_strategy_hints",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     SELECT 'merge' AS strategy, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -1234,7 +1229,6 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_twap_per_user",
-    pytest_only=True,  # displaced from the r13 window by the second
     # first-time entry (r_upsert_endstate_pointer) — leads the r14
     # queue (driver-green r10); still oracle-checked locally
     oracle="""
@@ -1318,6 +1312,7 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("diagnostics", "skew", "agg"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def diagnose_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis — the pre-flight a 100 TB join deserves:
@@ -1393,7 +1388,6 @@ def _corr_oracle() -> str:
 
 @register(
     "stats_lineitem_correlations",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (generated pairwise arms)
     tags=("agg", "statistics", "ml"),
     # r10: rotated INTO the driver window (first-time driver check)

@@ -198,6 +198,7 @@ ORDER_BUCKET_BITS = 6  # 64 range buckets over the hash's high bits
     FROM h
     """,
     tags=("sampling", "pipeline", "ordering"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle — every document gets
@@ -639,6 +640,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM stages
     """,
     tags=("analytics", "funnel"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (view -> click -> purchase): per user,
@@ -700,6 +702,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("analytics", "timeseries"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with gap filling: events aggregate to an
@@ -798,6 +801,7 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("analytics", "timeseries", "anomaly"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling anomaly score: each hour's event count against the
@@ -869,7 +873,6 @@ _MIX_FULL_HASH = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
 
 @register(
     "sample_domain_mixture",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH rated AS (
       SELECT doc_id, source,
@@ -941,6 +944,7 @@ _MIX_RATE_SQL = (
     FROM rep, UNNEST(range(repeats)) AS u(c)
     """,
     tags=("sampling", "pipeline", "mixture"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def sample_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture UPSAMPLING materializer — the other half of the training
@@ -1002,7 +1006,6 @@ _TIER_RATES = {"high": 100, "mid": 50, "low": 10}
 
 @register(
     "sample_quality_stratified",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, {_tx.quality_score_sql('text')} AS quality_score
@@ -1123,6 +1126,7 @@ _DSIR_BUCKETS = (
     FROM scored, thr
     """,
     tags=("sampling", "pipeline", "dsir", "ml"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
@@ -1226,7 +1230,6 @@ _PSI_SPLIT_H = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT %
 
 @register(
     "monitor_split_drift_psi",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH scored AS (
       SELECT doc_id,
@@ -1439,6 +1442,7 @@ EWMA_LAGS = 16  # truncated horizon; weight of lag k is 2^(15-k)
     """,
     tags=("analytics", "timeseries", "smoothing"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted smoothing per series — the classic

@@ -45,7 +45,6 @@ _COS = vec.cosine_sql("q.v", "c.v", DIM)
 
 @register(
     "emb_cosine_topk",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT * FROM e WHERE vec_id < {NUM_QUERIES}),
@@ -335,7 +334,6 @@ def _lloyd_rounds(spark: SparkSession, e: DataFrame, cents, to_lists):
 
 @register(
     "emb_centroids",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # set at module end (kmeans side is generated, unrolled)
     tags=("similarity", "agg", "ivf", "iterative", "ml"),
 )
@@ -445,6 +443,7 @@ def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list
     """,
     tags=("similarity", "ivf", "approx"),
     # (trained codebook, better recall) is the driver-checked one
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: vectors are inverted-file-indexed by their nearest
@@ -517,6 +516,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh"),
     # r10: rotated INTO the driver window (first-time driver check)
     # wider (24-plane) signature for retrieval
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def emb_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane sign-LSH signatures ({vec.NUM_PLANES} deterministic
@@ -1311,6 +1311,7 @@ _AUG_Q = "list_concat(q.v, [0.0])"
     """,
     tags=("similarity", "mips"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-inner-product search (the recommendation-scoring flavor
@@ -1413,6 +1414,7 @@ def _semdedup_oracle() -> str:
     oracle=None,  # set below: unrolled-k-means CTEs + within-cell verdicts
     tags=("similarity", "dedup", "ml", "iterative"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -1493,7 +1495,6 @@ _SIMREG["dedup_semantic_kmeans"].oracle = " ".join(_semdedup_oracle().split())
 
 @register(
     "emb_ann_quality_eval",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # composed below from the exact/LSH/IVF/PQ oracles
     tags=("similarity", "ann", "evaluation", "arrow"),
 )
@@ -1741,6 +1742,7 @@ _SIMREG["emb_matryoshka_eval"].oracle = " ".join(_mrl_oracle().split())
     # dedup_embedding_cosine's registered plan.
     tags=("similarity", "dedup", "evaluation", "arrow"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def dedup_embedding_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the LSH-blocked embedding near-dup detector

@@ -186,6 +186,7 @@ def _exact_q_case_sql(q_expr: str) -> str:
     FROM chosen ch JOIN cum c2 USING (b)
     """,
     tags=("sketch", "histogram", "quantile"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimation from a fixed-bin histogram — the mergeable
@@ -300,6 +301,7 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("sketch", "moments", "agg"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def agg_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution moments (mean / population variance / skewness) per
@@ -615,6 +617,7 @@ _SO_EST_SQL = "CAST(round(-{m} * ln(CAST({m} - {f} AS DOUBLE) / {m})) AS BIGINT)
            (e1 + e2 - eu) - (x1 + x2 - xu) FROM est
     """,
     tags=("sketch", "distinct", "set-ops"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def sketch_set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations on distinct-count sketches — the theta-sketch

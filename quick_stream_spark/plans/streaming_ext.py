@@ -204,6 +204,7 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE epoch_ms(window_start)/1000.0 + 3600 <= w
     """,
     tags=("streaming", "watermark"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics, oracle-pinned: batch 1 carries the newest
@@ -278,6 +279,7 @@ def _uncapped_lsh_pairs_sql() -> str:
     "stream_dedup_minhash_incremental",
     oracle=None,  # set below (generated from the minhash twins)
     tags=("streaming", "dedup", "lsh"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the duplicated corpus arrives as
@@ -320,7 +322,6 @@ def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "stream_dedup_clusters_incremental",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=None,  # set below: recursive CTE over the uncapped pair set
     tags=("streaming", "dedup", "lsh", "iterative"),  # the driver window is full; oracle-checked here
 )
@@ -477,7 +478,6 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_enrich",
-    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=f"""
     SELECT n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -605,6 +605,7 @@ def stream_matview_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("streaming", "matview", "distinct"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_matview_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matview's second monoid: mergeable DISTINCT counting per
@@ -665,6 +666,7 @@ STREAM_HLL_P = 10  # m=1024 registers per event_type
     "stream_distinct_hll",
     oracle=None,  # set below: shared HLL CTE stack + exact join
     tags=("streaming", "sketch", "distinct", "hll"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct counting with HyperLogLog register state
@@ -779,6 +781,7 @@ def _stream_cms_oracle() -> str:
     "stream_countmin_heavy_hitters",
     oracle=None,  # set below: identical to the batch CMS oracle
     tags=("streaming", "sketch", "countmin", "heavy-hitters"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters maintained over a STREAM — the
@@ -908,7 +911,6 @@ def _emb_dup_corpus_banded_sql() -> str:
 
 @register(
     "stream_emb_neardup_incremental",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=None,  # set below (generated from the similarity constants)
     tags=("streaming", "similarity", "dedup", "lsh"),  # the driver window is full; oracle-checked here
 )
@@ -968,6 +970,7 @@ def stream_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     "stream_emb_ann_topk",
     oracle=None,  # set below: identical contract to the batch banded LSH
     tags=("streaming", "similarity", "lsh", "ann"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval against the INCREMENTALLY built vector index: the
@@ -1047,6 +1050,7 @@ _wire_ann_stream_oracles()
     FROM sess GROUP BY user_id, seq
     """,
     tags=("streaming", "sessionization", "stateful"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATIVE streaming sessionization: Structured Streaming's
@@ -1093,6 +1097,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_quality_filter",
     oracle=None,  # set below from the classifier's shared CTE stack
     tags=("streaming", "text", "ml", "classifier"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEPLOY the trained quality classifier on a document stream —

@@ -230,7 +230,6 @@ def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH corpus AS (
       SELECT doc_id AS id, text FROM documents
@@ -343,7 +342,6 @@ def _verified_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH corpus AS ({DUP_CORPUS_SQL}),
     sh AS (SELECT id, {mh.hashed_shingles_sql('text')} AS sh FROM corpus),
@@ -415,6 +413,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # set below — generated SQL needs the vote expressions
     tags=("text", "dedup"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprints: 60-bit signatures from per-token
@@ -551,7 +550,6 @@ SIMHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 => >= 1 band equal
 
 @register(
     "dedup_simhash_pairs",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=None,  # set below (built from the simhash CTE)
     tags=("text", "dedup", "simhash"),
 )
@@ -790,7 +788,6 @@ _JPEG_HEAD = "FFD8FFE000104A4649460001"
 
 @register(
     "mm_image_header_parse",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH payloads AS (
       SELECT doc_id,
@@ -1059,6 +1056,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG (SOF2, T.81 Annex G) decode end-to-end:
@@ -1151,6 +1149,7 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h, nf
     """,
     tags=("multimodal", "binary", "decode", "video"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 container demux + per-frame JPEG decode end-to-end:
@@ -1253,6 +1252,7 @@ def mm_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dims d JOIN vid v USING (doc_id) JOIN aud a USING (doc_id)
     """,
     tags=("multimodal", "binary", "decode", "video", "audio"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio+video MP4 demux end-to-end: per document, mux a
@@ -1356,6 +1356,7 @@ def mm_mp4_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v GROUP BY doc_id, mode, w, h
     """,
     tags=("multimodal", "binary", "decode"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def mm_png_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL full-matrix PNG decode end-to-end: per document the layout
@@ -1461,6 +1462,7 @@ def mm_png_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sv GROUP BY doc_id, bits, channels, n
     """,
     tags=("multimodal", "binary", "decode", "audio"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-depth PCM decode end-to-end: per document, encode a
@@ -1524,7 +1526,6 @@ def mm_audio_pcm_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_decode",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1598,7 +1599,6 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_video_frames",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1735,6 +1735,7 @@ _URL_PARAMS_SQL = (
     FROM canon GROUP BY canonical_url HAVING count(*) > 1
     """,
     tags=("text", "dedup", "url"),  # exported r9 rotation (was pytest-tier while the window was full)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the first dedup tier of every
@@ -1825,7 +1826,6 @@ def _substr_fold_sql(th: str, i: str) -> str:
 
 @register(
     "dedup_substring_spans",
-    pytest_only=True,  # r12 rotation out (driver-green r11); still oracle-checked locally
     oracle=f"""
     WITH corpus AS ({{corpus}}),
     th AS (
@@ -1980,7 +1980,6 @@ _REG4["dedup_substring_spans"].oracle = " ".join(
 
 @register(
     "pipeline_multimodal_curation",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
@@ -2203,7 +2202,6 @@ def _pct_predict(cp: list[int], cn: list[int]):
 
 @register(
     "text_quality_classifier_train",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (generated)
     tags=("text", "ml", "classifier"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -2266,7 +2264,6 @@ _REG4["text_quality_classifier_train"].oracle = " ".join(_pct_oracle().split())
 
 @register(
     "text_bigram_lm_score",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle="""
     WITH toks AS (
       SELECT doc_id,
@@ -2373,7 +2370,6 @@ PACK_BUDGET = 512  # tokens per packed training sequence
 
 @register(
     "text_sequence_packing",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=f"""
     WITH sized AS (
       SELECT doc_id, md5(text) AS okey,
@@ -2518,7 +2514,6 @@ def _bm25_oracle() -> str:
 
 @register(
     "text_bm25_topk",
-    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=None,  # set below
     tags=("text", "retrieval", "bm25"),
 )
@@ -2734,7 +2729,6 @@ def _deduped_corpus_oracle() -> str:
 
 @register(
     "pipeline_deduped_corpus",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below (composes the CC oracle)
     tags=("text", "dedup", "pipeline"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -2785,7 +2779,6 @@ def _cooc_pairs_sql(k: int) -> str:
 
 @register(
     "text_cooccurrence_topk",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH pairs AS (
       {" UNION ALL ".join(_cooc_pairs_sql(k) for k in range(1, COOC_WINDOW + 1))}
@@ -2840,7 +2833,6 @@ def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_lexical_diversity",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(
@@ -2943,6 +2935,7 @@ _LINES_SQL = f"""
     GROUP BY l.doc_id
     """,
     tags=("text", "dedup", "boilerplate"),  # exported r9 rotation (was pytest-tier while the window was full)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (the C4 cleaning rule): any line
@@ -3022,7 +3015,6 @@ _DECON_SPLIT_SQL = "(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT %
 
 @register(
     "pipeline_ngram_decontamination",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH corpus AS ({DUP_CORPUS_SQL}),
     grams AS (
@@ -3098,6 +3090,7 @@ def pipeline_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=None,  # set below: composes the minhash + exact-jaccard oracles
     tags=("text", "dedup", "evaluation"),
     # r10: rotated INTO the driver window (first-time driver check)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine measuring its own approximation: precision/recall of
@@ -3170,7 +3163,6 @@ _REG2["dedup_lsh_quality_eval"].oracle = " ".join(_lsh_eval_oracle().split())
 
 @register(
     "sample_cluster_safe_split",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: composes the CC oracle with the hash split
     tags=("sampling", "dedup", "leakage"),
     # r10: rotated INTO the driver window (first-time driver check)
@@ -3396,7 +3388,6 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 
 @register(
     "text_bpe_tokenize",
-    pytest_only=True,  # r11 rotation out (driver-green r9-r10); still oracle-checked locally
     oracle=None,  # set below: the training CTE stack + the vocab join
     tags=("text", "tokenizer", "ml"),  # exported r9 rotation (was pytest-tier while the window was full)
 )
@@ -3479,7 +3470,6 @@ _REG4["text_bpe_tokenize"].oracle = " ".join(_bpe_tokenize_oracle().split())
 
 @register(
     "pipeline_curation_report",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=None,  # set below: composed from the member queries' oracles
     tags=("pipeline", "curation", "composition"),
     # r10: rotated INTO the driver window (first-time driver check)

@@ -455,6 +455,7 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs p JOIN totals t USING (src)
     """,
     tags=("warehouse", "markov", "journey"),  # exported r9 rotation (was pytest-tier while the window was full)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user journeys: for
@@ -566,7 +567,6 @@ _WREG["graph_triangles_dupgraph"].oracle = " ".join(_triangles_oracle().split())
 
 @register(
     "orders_rfm_segments",
-    pytest_only=True,  # r11 rotation out (driver-green r10); still oracle-checked locally
     oracle=f"""
     WITH per_cust AS (
       SELECT o_custkey,
@@ -661,7 +661,6 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_range_frame_rolling",
-    pytest_only=True,  # r11 rotation out (driver-green r8-r10); still oracle-checked locally
     oracle=f"""
     SELECT event_id, user_id, ts,
            CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
@@ -735,6 +734,7 @@ ATTR_WINDOW_MIN = 30
     FROM attributed GROUP BY channel
     """,
     tags=("warehouse", "attribution", "window"),  # exported r9 rotation (was pytest-tier while the window was full)
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase is credited to the SAME
@@ -971,6 +971,7 @@ def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
     """,
     tags=("warehouse", "join", "fuzzy", "entity-resolution"),
+    pytest_only=True,  # r14 rotation out (driver-green r13); still oracle-checked locally
 )
 def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string join (entity resolution): find name pairs within

@@ -1,7 +1,7 @@
-"""One-shot r13 window rotation: flip ``pytest_only`` flags in the plans
-sources so the exported corpus becomes the queued r13 re-verification
-window (COVERAGE.md). Idempotent; edit the two lists for the next
-rotation.
+"""One-shot r14 window rotation: flip ``pytest_only`` flags in the plans
+sources so the exported corpus becomes the queued r14 re-verification
+window (VERDICT.md r13 ask #1).  Idempotent; edit the two lists for the
+next rotation.
 """
 
 import sys
@@ -10,75 +10,75 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-# r12 window -> pytest tier (rotate OUT, add the flag)
+# r13 window -> pytest tier (rotate OUT, add the flag)
 OUT = [
-    "r_lookup_bloom_endstate",
-    "r_pruning_diagnostics",
-    "q2_min_cost_supplier", "recursive_cte_hierarchy",
-    "scalar_variant_props", "source_python_datasource",
-    "text_bpe_train", "udtf_chunk_docs",
-    "dedup_connected_components", "dedup_embedding_cosine",
-    "dedup_minhash_lsh", "emb_lsh_ann_topk", "events_sessionize",
-    "mm_image_decode", "pipeline_training_data", "q1_pricing_summary",
-    "q5_local_supplier_volume", "quality_constraint_report",
-    "r_split_size_classes", "sketch_countmin_heavy_hitters",
-    "stream_stateful_user_counter", "stream_stream_interval_join",
-    "text_metrics",
-    "emb_hard_negatives", "emb_matryoshka_eval", "events_scd2_intervals",
-    "join_bloom_pruned", "join_scd2_point_in_time",
-    "maintenance_zorder_stats", "orders_market_basket",
-    "profile_orders_columns", "q13_customer_distribution",
-    "q14_promo_revenue", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "sketch_hll_registers",
-    "sketch_linear_counting",
-    "graph_pagerank_dupgraph", "graph_triangles_dupgraph",
-    "mm_jpeg_decode", "privacy_k_anonymity_audit", "q11_important_parts",
-    "q12_priority_shipping", "q15_top_supplier",
-    "q16_parts_supplier_distribution", "q17_small_quantity_revenue",
-    "q19_discounted_revenue", "q20_excess_suppliers",
+    "agg_histogram_quantiles", "agg_moments_by_type",
+    "dedup_boilerplate_lines", "dedup_embedding_quality_eval",
+    "dedup_lsh_quality_eval", "dedup_semantic_kmeans",
+    "dedup_simhash", "dedup_url_canonical",
+    "diagnose_key_skew_events", "emb_ivf_ann_topk",
+    "emb_lsh_signatures", "emb_mips_topk",
+    "events_attribution_last_touch", "events_ewma_smooth",
+    "events_funnel_conversion", "events_markov_transitions",
+    "events_resample_hourly_ffill", "events_rolling_anomaly",
+    "join_fuzzy_part_names", "mm_audio_pcm_depths",
+    "mm_jpeg_progressive", "mm_mp4_av_demux",
+    "mm_mp4_mjpeg_frames", "mm_png_layout_matrix",
+    "pivot_unpivot_roundtrip", "q22_sales_opportunity",
+    "q4_order_priority", "r_cdc_changes",
+    "r_cdc_matview", "r_cdc_replication",
+    "r_cdc_stream_feed", "r_dedup_latest_per_key",
+    "r_delete_endstate", "r_maintenance_contract",
+    "r_multi_table_endstate", "r_stream_upsert_endstate",
+    "r_upsert_endstate_pointer", "r_wide_row_endstate",
+    "sample_importance_dsir", "sample_mixture_upsample",
+    "sample_training_order", "sketch_set_ops_distinct",
+    "stream_countmin_heavy_hitters", "stream_dedup_minhash_incremental",
+    "stream_distinct_hll", "stream_emb_ann_topk",
+    "stream_late_data_watermark", "stream_matview_distinct_users",
+    "stream_quality_filter", "stream_session_windows",
 ]
 
-# queued r13 window -> exported (rotate IN, drop the flag).  The TWO
-# new first-time entries (`r_maintenance_contract` and the benched
-# `r_upsert_endstate_pointer`) are registered exported at birth (no
-# flag to drop) and take the 49th/50th slots, displacing the 15th and
-# 16th alphabetical r10 entries (events_twap_per_user,
-# join_strategy_hints) to the r14 queue head — the same
-# first-time-priority precedent as r11/r12.
+# queued r14 window -> exported (rotate IN, drop the flag): all 36
+# entries last driver-checked r10 (events_twap_per_user and
+# join_strategy_hints, displaced from r13 by the two first-time
+# entries, at the head) + the alphabetically-first 13 of r11's 50.
+# The ONE new first-time entry (`r_stream_upsert_endstate_pointer`,
+# registered exported at birth — no flag to drop) takes the 50th slot,
+# displacing the 14th alphabetical r11 entry (emb_ivf_trained_topk) to
+# the r15 queue head — the standing first-time-priority policy.
 IN = [
-    # r8 leftovers (7; q4_order_priority displaced from r12 by the
-    # pruning flagship)
-    "q4_order_priority", "sample_mixture_upsample",
-    "sample_training_order", "sketch_set_ops_distinct",
-    "stream_countmin_heavy_hitters", "stream_distinct_hll",
-    "stream_matview_distinct_users",
-    # all 27 entries last driver-checked r9
-    "agg_histogram_quantiles", "dedup_simhash", "emb_ivf_ann_topk",
-    "events_funnel_conversion", "join_fuzzy_part_names",
-    "mm_audio_pcm_depths", "mm_jpeg_progressive", "mm_mp4_av_demux",
-    "mm_mp4_mjpeg_frames", "mm_png_layout_matrix",
-    "pivot_unpivot_roundtrip", "q22_sales_opportunity", "r_cdc_changes",
-    "r_cdc_matview", "r_cdc_replication", "r_cdc_stream_feed",
-    "r_dedup_latest_per_key", "r_delete_endstate",
-    "r_multi_table_endstate", "r_stream_upsert_endstate",
-    "r_wide_row_endstate", "sample_importance_dsir",
-    "stream_dedup_minhash_incremental", "stream_emb_ann_topk",
-    "stream_late_data_watermark", "stream_quality_filter",
-    "stream_session_windows",
-    # 14 alphabetically-first of r10's 50
-    "agg_moments_by_type", "dedup_boilerplate_lines",
-    "dedup_embedding_quality_eval", "dedup_lsh_quality_eval",
-    "dedup_semantic_kmeans", "dedup_url_canonical",
-    "diagnose_key_skew_events", "emb_lsh_signatures", "emb_mips_topk",
-    "events_attribution_last_touch", "events_ewma_smooth",
-    "events_markov_transitions", "events_resample_hourly_ffill",
-    "events_rolling_anomaly",
+    "events_twap_per_user", "join_strategy_hints",
+    "mm_audio_decode", "mm_image_header_parse",
+    "mm_video_frames", "monitor_split_drift_psi",
+    "orders_rfm_segments", "pandas_scalar_revenue_cents",
+    "pipeline_curation_report", "pipeline_deduped_corpus",
+    "pipeline_multimodal_curation", "pipeline_ngram_decontamination",
+    "r_incremental_read_zonemap", "r_lookup_composite_endstate",
+    "r_point_lookup_endstate", "r_read_where_clustered",
+    "r_upsert_endstate", "sample_cluster_safe_split",
+    "sample_domain_mixture", "sample_quality_stratified",
+    "source_binaryfile_metadata", "source_partitioned_pruning",
+    "source_python_stream_datasource", "source_xml_roundtrip",
+    "stats_lineitem_correlations", "stream_dedup_clusters_incremental",
+    "stream_emb_neardup_incremental", "stream_static_enrich",
+    "text_bigram_lm_score", "text_bm25_topk",
+    "text_bpe_tokenize", "text_cooccurrence_topk",
+    "text_lexical_diversity", "text_quality_classifier_train",
+    "text_sequence_packing", "window_range_frame_rolling",
+    "agg_approx_distinct_users", "agg_cube_orders",
+    "agg_events_by_type", "agg_grouping_analytics",
+    "agg_percentiles", "agg_rollup_returns",
+    "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_substring_spans",
+    "emb_ann_quality_eval", "emb_centroids",
+    "emb_cosine_topk",
 ]
 
 PLANS = list((ROOT / "quick_stream_spark" / "plans").glob("*.py"))
 
 FLAG = (
-    "    pytest_only=True,  # r13 rotation out (driver-green r12); "
+    "    pytest_only=True,  # r14 rotation out (driver-green r13); "
     "still oracle-checked locally\n"
 )
 
@@ -123,3 +123,4 @@ if __name__ == "__main__":
     print(f"exported: {len(exported)}")
     assert not missing, f"failed to rotate in: {missing}"
     assert not stale, f"failed to rotate out: {stale}"
+    assert len(exported) == 50, len(exported)
