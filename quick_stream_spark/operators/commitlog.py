@@ -2047,6 +2047,60 @@ class ManifestLog:
             out = out.unionByName(p)
         return out.distinct()
 
+    def snapshot_bytes(self) -> int | None:
+        """Total on-disk bytes of the LATEST snapshot's data files as
+        ONE executor job: referenced paths come from the same
+        distributed builder vacuum uses (:meth:`_kept_paths_df` — base
+        checkpoint rows + O(chain) delta replay, nothing table-sized on
+        the driver) and are statted per-partition with ``os.stat`` /
+        ``pyarrow.fs``; only per-partition subtotals return.  Backs
+        ``KeyedTable.total_bytes`` on the pointer layout, whose
+        previous shape — full mapping materialization plus one py4j
+        ``getFileStatus`` round-trip PER FILE — was an O(files) driver
+        term on every maintenance cadence (``maybe_rebucket`` rides
+        the streaming auto-compaction cadence).  ``None`` = caller
+        falls back to the driver loop (inline head, where the
+        materialized walk is bounded by the parquet threshold by
+        construction, or a filesystem only the driver's py4j handle
+        reaches)."""
+        from urllib.parse import unquote, urlparse
+
+        v = self.latest_version()
+        if v is None:
+            return 0
+        paths = self._kept_paths_df([v])
+        if paths is None:
+            return None
+        table_uri = _fs(self.spark, self.table_path)[1].toUri().toString()
+        u = urlparse(table_uri)
+        if u.scheme in ("", "file"):
+            base = unquote(u.path)
+
+            def stat_part(it):
+                total = 0
+                for r in it:
+                    total += os.path.getsize(os.path.join(base, r["path"]))
+                yield total
+
+        else:  # pragma: no cover - non-posix FS not in this env
+            try:
+                import pyarrow.fs as pafs
+
+                pafs.FileSystem.from_uri(table_uri)
+            except Exception:
+                return None
+
+            def stat_part(it):
+                import pyarrow.fs as pafs
+
+                pfs, root = pafs.FileSystem.from_uri(table_uri)
+                infos = pfs.get_file_info(
+                    [root + "/" + r["path"] for r in it]
+                )
+                yield sum(i.size for i in infos)
+
+        return int(sum(paths.rdd.mapPartitions(stat_part).collect()))
+
     def _vacuum_listing_spool(self, fs, croot, jvm, table_root: str):
         """Fallback listing walk for filesystems only the driver's py4j
         Hadoop handle can reach: a driver-side FS iteration STREAMING

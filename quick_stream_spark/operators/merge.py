@@ -2199,6 +2199,12 @@ class KeyedTable:
         fs, root, jvm = _hadoop_fs(self.spark, self.path)
         total = 0
         if self._log is not None:
+            # pointer layout: one executor stat job (O(1) driver);
+            # None = inline head (walk bounded by the threshold) or a
+            # py4j-only filesystem — fall back to the driver loop
+            dist = self._log.snapshot_bytes()
+            if dist is not None:
+                return dist
             for f in self._log.resolve(self._log.read()):
                 total += fs.getFileStatus(
                     jvm.org.apache.hadoop.fs.Path(f)

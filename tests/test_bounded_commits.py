@@ -30,13 +30,13 @@ def df(spark, rows):
 def mk(spark, root, name, **kw):
     kw.setdefault("manifest_checkpoint_interval", 3)
     kw.setdefault("manifest_parquet_threshold", 0)
+    kw.setdefault("num_buckets", 4)
     return KeyedTable(
         spark,
         os.path.join(root, name),
         keys=("pkey",),
         version_col="modified_date",
         arrival_col="arrival",
-        num_buckets=4,
         commit_protocol="manifest",
         zone_map_cols=("modified_date", "arrival"),
         **kw,
@@ -852,3 +852,83 @@ def test_maybe_compact_check_is_bounded_on_pointer_layout(
     # and the policy still fires through the bounded check
     assert fresh2.maybe_compact(max_files_per_bucket=want - 1) is True
     assert _state(fresh2) == _state(ti)
+
+
+def test_total_bytes_bounded_on_pointer_layout(
+    spark, tmp_table_dir, monkeypatch
+):
+    """`total_bytes` (the `maybe_rebucket` cadence probe, which rides a
+    long-lived stream's maintenance cadence) on the pointer layout is
+    ONE executor stat job — it materializes no mapping and makes no
+    per-file py4j round trips (the r14 fix: the old loop was
+    resolve(read()) + getFileStatus PER FILE, an O(files) driver term
+    per cadence).  Parity: equals the independently computed sum over
+    the snapshot's resolved files."""
+    t = mk(spark, tmp_table_dir, "tb")
+    _run_sequence(spark, t)
+    log = t._snapshot_log()
+    want = sum(os.path.getsize(f) for f in log.resolve(log.read()))
+
+    calls: list[str] = []
+    for name in (
+        "_snapshot", "_load_parquet_checkpoint", "_full_parts",
+        "read", "resolve",
+    ):
+        real = getattr(ManifestLog, name)
+
+        def spy(*a, _n=name, _r=real, **kw):
+            calls.append(_n)
+            return _r(*a, **kw)
+
+        monkeypatch.setattr(ManifestLog, name, spy)
+    fresh = mk(spark, tmp_table_dir, "tb")  # cold caches: honest pin
+    got = fresh.total_bytes()
+    assert calls == [], f"total_bytes materialized driver-side: {calls}"
+    # the rebucket cadence probe itself stays bounded (no-op branch)
+    assert fresh.maybe_rebucket(target_bucket_bytes=1 << 30) is False
+    assert calls == [], f"maybe_rebucket probe materialized: {calls}"
+    monkeypatch.undo()
+    assert got == want, (got, want)
+    # inline twin: the fallback loop still answers (bounded by the
+    # threshold there by construction) and the two layouts agree on
+    # identical content
+    ti = mk(spark, tmp_table_dir, "tbi", manifest_parquet_threshold=10**9)
+    _run_sequence(spark, ti)
+    li = ti._snapshot_log()
+    assert ti.total_bytes() == sum(
+        os.path.getsize(f) for f in li.resolve(li.read())
+    )
+
+
+def test_rebucket_on_pointer_layout(spark, tmp_table_dir):
+    """`rebucket` — the sanctioned resize for a growing table — composed
+    with bounded commits: the resize publishes one full checkpoint
+    (every bucket key changes, so a delta cannot express it), bounded
+    delta commits RESUME after it against the new assignment, time
+    travel across the resize still resolves the old layout, and a cold
+    reopen under the new count reads the merged end state."""
+    t = mk(spark, tmp_table_dir, "rb", num_buckets=2)
+    t.upsert(df(spark, SEED))                                        # v1
+    t.upsert(df(spark, [(1, datetime(2024, 1, 5), 10, "a2")]))       # v2
+    t.rebucket(4)                                                    # v3
+    log = t._snapshot_log()
+    assert "checkpoint_parquet" in log._read_doc(3)
+    # bounded commits resume post-resize (deltas, then the v6 cadence)
+    t.upsert(df(spark, [(9, datetime(2024, 2, 1), 11, "i1")]))       # v4
+    t.soft_delete(df(spark, [(2, datetime(2024, 2, 2), 12, "x")]))   # v5
+    t.upsert(df(spark, [(3, datetime(2024, 2, 3), 13, "c2")]))       # v6
+    assert "delta" in log._read_doc(4) and "delta" in log._read_doc(5)
+    assert "checkpoint_parquet" in log._read_doc(6)
+
+    reader = mk(spark, tmp_table_dir, "rb", num_buckets=4)
+    got = _state(reader)
+    assert got[1] == ("a2", True) and got[9] == ("i1", True)
+    assert got[2][1] is False and got[3] == ("c2", True)
+    assert len(got) == 9
+    # pre-resize version still reads under the OLD assignment
+    assert sorted(
+        r.pkey for r in reader.read(version=2).collect()
+    ) == list(range(1, 9))
+    # reopening with the stale count is a loud construction error
+    with pytest.raises(ValueError, match="rebucket"):
+        mk(spark, tmp_table_dir, "rb", num_buckets=2)

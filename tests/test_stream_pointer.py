@@ -37,13 +37,13 @@ def df(spark, rows):
 def mkp(spark, root, name, **kw):
     kw.setdefault("manifest_checkpoint_interval", 3)
     kw.setdefault("manifest_parquet_threshold", 0)
+    kw.setdefault("num_buckets", 4)
     return KeyedTable(
         spark,
         os.path.join(root, name),
         keys=("pkey",),
         version_col="modified_date",
         arrival_col="arrival",
-        num_buckets=4,
         commit_protocol="manifest",
         zone_map_cols=("modified_date",),
         **kw,
@@ -219,3 +219,52 @@ def test_stream_soft_delete_pointer_layout(spark, tmp_path):
     assert reader.snapshot_versions() == [1, 2, 3]
     assert "delta" in log._read_doc(2)
     assert "checkpoint_parquet" in log._read_doc(3)
+
+
+def test_stream_auto_rebucket_rides_pointer_cadence(spark, tmp_path):
+    """A long-lived ingest stream's table grows without bound, so
+    bucket count must grow with it (~1 GB/bucket at production scale):
+    `auto_rebucket_target_bytes` rides the maintenance cadence of a
+    pointer-layout stream — its `total_bytes` probe is the bounded
+    executor stat job (pinned in test_bounded_commits.py), the resize
+    publishes a full checkpoint mid-stream, and bounded delta commits
+    resume after it under the new assignment.  End state and a cold
+    reopen under the grown count stay correct."""
+    target = mkp(spark, str(tmp_path), "t", num_buckets=2)
+    src = str(tmp_path / "src")
+    deliveries = [
+        df(spark, [(b * 100 + k, datetime(2024, 1, 1 + b), b * 100 + k,
+                    "x" * 64) for k in range(40)])
+        for b in range(3)
+    ]
+    write_batches_as_files(deliveries, src)
+    stream = stream_parquet_dir(
+        spark, src, deliveries[0].schema, max_files_per_trigger=1
+    )
+    q = UpsertQuickStream(
+        target,
+        config=_cfg(tmp_path, "rebucket-ptr"),
+        auto_compact_every=1,                  # probe every batch
+        auto_compact_max_files=99,             # compaction never trips
+        # merges rewrite whole buckets, so live bytes stay ~data-sized
+        # (~4.5 KB here) rather than cumulative: the target must sit
+        # below live/num_buckets for the policy to trip mid-stream
+        auto_rebucket_target_bytes=1024,       # ...but the resize does
+    ).run(stream, available_now=True)
+    assert not q.isActive
+    grown = target.num_buckets
+    assert grown > 2, grown
+
+    reader = mkp(spark, str(tmp_path), "t", num_buckets=grown)
+    got = _state(reader)
+    assert len(got) == 120 and all(v == ("x" * 64, True) for v in got.values())
+    # log shape: merge deltas + at least one full checkpoint beyond the
+    # cadence positions (the mid-stream resize)
+    log = reader._snapshot_log()
+    docs = {v: log._read_doc(v) for v in reader.snapshot_versions()}
+    fulls = [v for v, d in docs.items() if "checkpoint_parquet" in d]
+    cadence = [v for v in docs if v % 3 == 0]
+    assert any(v not in cadence for v in fulls), (fulls, cadence)
+    # and the table keeps ingesting after the resize: one more batch
+    target.upsert(df(spark, [(9999, datetime(2024, 2, 1), 9999, "post")]))
+    assert _state(target)[9999] == ("post", True)
