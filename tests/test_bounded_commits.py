@@ -932,3 +932,39 @@ def test_rebucket_on_pointer_layout(spark, tmp_table_dir):
     # reopening with the stale count is a loud construction error
     with pytest.raises(ValueError, match="rebucket"):
         mk(spark, tmp_table_dir, "rb", num_buckets=2)
+
+
+def test_cdc_reads_on_pointer_layout(spark, tmp_table_dir):
+    """The CDC surface composed with bounded commits: `read_changes`
+    over a delta-document range answers exactly the inline twin's
+    change set (the semantics of record — a collapsed endpoint diff
+    tagged with the `to` version), and a `ChangeReplicator` follows a
+    pointer-layout source to convergence commit-by-commit, across the
+    cadence checkpoint and a compaction no-op delta."""
+    from quick_stream_spark.operators.replicate import ChangeReplicator
+
+    tp = mk(spark, tmp_table_dir, "src")
+    ti = mk(spark, tmp_table_dir, "twin", manifest_parquet_threshold=10**9)
+    rep = ChangeReplicator(
+        tp, mk(spark, tmp_table_dir, "rep", manifest_parquet_threshold=10**9)
+    )
+    ops = [
+        lambda t: t.upsert(df(spark, SEED)),                              # v1
+        lambda t: t.upsert(df(spark, [(1, datetime(2024, 1, 5), 10, "a2"),
+                                      (9, datetime(2024, 1, 6), 11, "i1")])),
+        lambda t: t.soft_delete(df(spark, [(2, datetime(2024, 2, 1), 12, "x")])),
+        lambda t: t.compact(),                                            # v4
+        lambda t: t.upsert(df(spark, [(3, datetime(2024, 2, 2), 13, "c2")])),
+    ]
+    for op in ops:
+        op(tp)
+        op(ti)
+        assert rep.sync() >= 0
+        assert _state(rep.replica) == _state(tp)
+    changes_p = sorted(
+        tuple(r) for r in tp.read_changes(1, 5).collect()
+    )
+    changes_i = sorted(
+        tuple(r) for r in ti.read_changes(1, 5).collect()
+    )
+    assert changes_p == changes_i and len(changes_p) > 0
