@@ -49,11 +49,20 @@ def min_label_components(
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .localCheckpoint(eager=True)
     )
+    # Initial labels = min(id, min neighbor) — exactly what round 1 of
+    # the loop would compute from identity labels (the pointer jump
+    # through identity labels is a no-op), folded into ONE aggregation
+    # over the edge list.  Replaces the identity-label distinct at the
+    # same cost and saves a full loop round (a join + groupBy + jump +
+    # checkpoint + fixpoint probe = two synchronization barriers); on
+    # near-dup graphs, where most components are single edges, the loop
+    # then usually terminates at its first (confirming) round.  Every
+    # edge vertex appears as ``u`` (edges carry both directions), so the
+    # labeled vertex set is unchanged.
     labels = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("nmin"))
+        .select("id", F.least(F.col("id"), F.col("nmin")).alias("component"))
         .localCheckpoint(eager=True)
     )
     for it in range(max_rounds):

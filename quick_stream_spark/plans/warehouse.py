@@ -850,7 +850,20 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
 
-    o_agg = o.agg(
+    # FK membership folded into the SAME orders pass: a broadcast LEFT
+    # OUTER probe against the (small) customer dimension marks each row,
+    # so ALL five orders metrics — incl. the referential check — cost
+    # ONE scan (was: three separate orders scans across o_agg, the
+    # semi-join flag pass, and the fk count).  Guide §2.4/§1.2: remove
+    # whole passes before tuning anything inside them.
+    o_marked = o.join(
+        F.broadcast(
+            c.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_fk_hit"))
+        ),
+        "o_custkey",
+        "left",
+    )
+    o_agg = o_marked.agg(
         F.count(F.lit(1)).alias("checked"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_unique"),
         (F.count(F.lit(1)) - F.count("o_custkey")).alias("v_null"),
@@ -858,6 +871,7 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias(
             "v_domain"
         ),
+        F.count(F.when(F.col("_fk_hit").isNull(), 1)).alias("v_fk"),
     )
     l_agg = li.agg(
         F.count(F.lit(1)).alias("checked"),
@@ -872,23 +886,29 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
         ).alias("v_disc"),
     )
-    # FK probe: flag then count in one pass — a broadcast semi-join
-    # membership test, no second orders scan
-    fk_flagged = o.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
-        "o_custkey",
-        "left_semi",
-    )
-    fk_agg = o.agg(F.count(F.lit(1)).alias("checked")).crossJoin(
-        fk_flagged.agg(F.count(F.lit(1)).alias("present"))
-    ).select("checked", (F.col("checked") - F.col("present")).alias("v"))
 
-    # each report row projects the SAME one-row aggregate; materialize the
-    # three tiny results once so the union does not re-run a table scan
-    # per constraint (a lazy union re-executes non-reused subplans)
-    o_agg = o_agg.localCheckpoint(eager=True)
-    l_agg = l_agg.localCheckpoint(eager=True)
-    fk_agg = fk_agg.localCheckpoint(eager=True)
+    # ONE eager job materializes every metric: the one-row aggregates
+    # cross-join into a single 1x10 row, so Spark schedules the orders
+    # and lineitem aggregation trees as parallel stages of one job
+    # instead of three sequential driver-blocking checkpoints (guide
+    # §2.6: overlap independent work; measured 3 jobs -> 1).
+    l_named = l_agg.select(
+        F.col("checked").alias("l_checked"),
+        F.col("v_unique").alias("l_v_unique"),
+        F.col("v_range").alias("l_v_range"),
+        F.col("v_disc").alias("l_v_disc"),
+    )
+    combined = o_agg.crossJoin(l_named).localCheckpoint(eager=True)
+    o_agg = combined.select(
+        "checked", "v_unique", "v_null", "v_range", "v_domain"
+    )
+    l_agg = combined.select(
+        F.col("l_checked").alias("checked"),
+        F.col("l_v_unique").alias("v_unique"),
+        F.col("l_v_range").alias("v_range"),
+        F.col("l_v_disc").alias("v_disc"),
+    )
+    fk_agg = combined.select("checked", F.col("v_fk").alias("v"))
 
     def row(name: str, src, vcol: str):
         return src.select(
