@@ -871,9 +871,7 @@ def _dup_vec_corpus(e: DataFrame) -> DataFrame:
     return e.unionByName(pert)
 
 
-def _band_explode(
-    df: DataFrame, planes: int, band_bits: int, repartition: bool = True
-) -> DataFrame:
+def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     """(vec_id, band, bits) rows of the banded sign-LSH signature —
     the candidate-generation primitive shared by the retrieval index,
     the near-dup detector and hard-negative mining (and mirrored by
@@ -881,10 +879,8 @@ def _band_explode(
     n_bands = planes // band_bits
     # Arrow-batched matmul signature (bit-identical to the fold form,
     # pinned by test) + core spread: the small-SF corpus is one input
-    # split and the signature is the CPU-heavy stage.  ``repartition=
-    # False`` when the caller already holds the frame spread+persisted.
-    if repartition:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # split and the signature is the CPU-heavy stage
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = vec.hyperplane_signature_fast(F.col("v"), planes)
     return df.select("vec_id", sig.alias("sig")).select(
         "vec_id",
@@ -899,37 +895,18 @@ def _band_explode(
     )
 
 
-# Doubled near-dup corpus + its banded signatures per (session, sf_dir),
-# persisted: the detector consumes the BANDS twice (both sides of the
-# band self-join) and the CORPUS twice more (the exact-verify vector
-# join-backs) — without a persist Catalyst duplicates the whole subtree
-# per consumer, so the Arrow signature pass (ArrowEvalPython) and the
-# parquet scan ran 2x/4x per query (guide §4.1: control how often data
-# crosses the Python boundary; §5: persist exactly the reused frame).
-_DUP_BANDS_CACHE: dict = shared_cache({})
-
-
-def _dup_banded(spark: SparkSession, sf_dir: str):
-    """``(corpus, bands)`` for the embedding near-dup detector, both
-    persisted; one eager pass fills both (the bands job scans corpus)."""
-    from quick_stream_spark.plans._util import session_cached
-
-    def build():
-        from pyspark.storagelevel import StorageLevel
-
-        e = _emb(spark, sf_dir).select("vec_id", "v")
-        corpus = (
-            _dup_vec_corpus(e)
-            .repartition(spark.sparkContext.defaultParallelism)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        bands = _band_explode(
-            corpus, DUP_PLANES, DUP_BAND_BITS, repartition=False
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        bands.count()
-        return corpus, bands
-
-    return session_cached(_DUP_BANDS_CACHE, spark, sf_dir, build)
+# NOTE (r14 optimization round): the band self-join below duplicates
+# the banded-signature subtree, so the ArrowEvalPython signature pass
+# runs once PER JOIN SIDE.  Two single-pass variants were built and
+# A/B-measured (persist corpus+bands with an eager fill; checkpoint
+# bands only): BOTH measured slower at bench scale (min 2.05–2.67 s vs
+# 1.75–2.45 s inline under matched load), because the duplicated
+# subtrees are scheduled as CONCURRENT stages of one job while a
+# cache/checkpoint fill serializes fill -> consume (one extra
+# synchronization barrier > one saved 4k-row Arrow pass).  At cluster
+# scale the duplication costs 2x signature compute but stays dominated
+# by the band-join exchange; revisit only with a measured cluster
+# profile (guide §1.1: the empirical loop decides, and it said no).
 
 
 @register(
@@ -978,7 +955,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide-band geometry works because dedup targets sit at ~0.997
     cosine where per-plane agreement is ~0.975 (see the constant
     block).  Zero false positives by construction (exact verify)."""
-    corpus, bands = _dup_banded(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    corpus = _dup_vec_corpus(e)
+    bands = _band_explode(corpus, DUP_PLANES, DUP_BAND_BITS)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bits"])

@@ -328,8 +328,13 @@ def _verified_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch: with prehashed integer shingles it is pure arithmetic
     # over the cached column (no md5 re-evaluation hazard), so the
     # former separate banded persist was one full extra cached pass
-    # for nothing.
-    corpus.count()
+    # for nothing.  The fill count also seeds the doc-count cache
+    # (corpus = originals + perturbed, exactly 2x the documents), so
+    # the shuffle-width sizing below needs no separate count job.
+    n_corpus = corpus.count()
+    _DOC_COUNT_CACHE.setdefault(
+        (spark.sparkContext.applicationId, sf_dir), n_corpus // 2
+    )
     cand = mh.candidate_pairs_lsh(corpus, "id", "sh", prehashed=True)
     j = mh.jaccard(F.col("shingles_a"), F.col("shingles_b"))
     pairs = (
