@@ -1,7 +1,13 @@
 """The local correctness gate: every registered query with an oracle
 must match DuckDB exactly at sf0.001 (the driver repeats this at
 sf0.01).  Queries without an oracle must at least run and return a
-stable schema."""
+stable schema.
+
+Two tiers (r14 verdict ask #1 — the full sweep outgrew the driver's
+default pytest window): the DEFAULT tier runs a representative smoke
+subset (every benched query + a deterministic cross-family sample);
+the FULL registry sweep carries ``@pytest.mark.slow`` and runs when
+``QSS_SLOW_TESTS=1`` (the local pre-commit ritual, see conftest)."""
 
 import pytest
 
@@ -14,6 +20,22 @@ queries()  # populate REGISTRY
 WITH_ORACLE = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
 ROWS_ONLY = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
 
+# Default-tier smoke subset: all benched queries plus every 10th of the
+# remaining oracle-backed names (sorted order — deterministic, spread
+# across the operator families by the registry's naming scheme), minus
+# the measured-heaviest non-bench entries (>12 s each at sf0.001 —
+# recursive-CTE CC dependents; CC itself stays in the default tier and
+# the dependents run in the slow tier).
+_SMOKE = {n for n, spec in REGISTRY.items() if spec.bench}
+_SMOKE.update(n for i, n in enumerate(sorted(set(WITH_ORACLE) - _SMOKE)) if i % 10 == 0)
+_SMOKE -= {"sample_cluster_safe_split", "pipeline_deduped_corpus", "graph_triangles_dupgraph"}
+
+
+def _tiered(names):
+    return [
+        n if n in _SMOKE else pytest.param(n, marks=pytest.mark.slow) for n in names
+    ]
+
 
 @pytest.fixture(scope="module")
 def oracle_con():
@@ -22,7 +44,7 @@ def oracle_con():
     con.close()
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+@pytest.mark.parametrize("name", _tiered(WITH_ORACLE))
 def test_query_matches_oracle(spark, oracle_con, name):
     spec = REGISTRY[name]
     result = spec.fn(spark, SF_SMOKE)
@@ -31,7 +53,7 @@ def test_query_matches_oracle(spark, oracle_con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", _tiered(ROWS_ONLY))
 def test_rows_only_query_runs(spark, name):
     spec = REGISTRY[name]
     result = spec.fn(spark, SF_SMOKE)
