@@ -193,6 +193,12 @@ _CORPUS_CACHE: dict = shared_cache({})
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
+    # INVARIANT: the corpus is EXACTLY 2x _docs (one original + one
+    # perturbed row per document, no filters).  _verified_pairs_impl
+    # seeds _DOC_COUNT_CACHE with ``corpus.count() // 2`` on the back of
+    # its eager cache fill; if this construction ever filters or adds
+    # rows, that seed (and the shuffle-width sizing derived from it)
+    # silently drifts — change the seed there in the same commit.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CORPUS_CACHE:
         d = _docs(spark, sf_dir)
@@ -329,8 +335,10 @@ def _verified_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the cached column (no md5 re-evaluation hazard), so the
     # former separate banded persist was one full extra cached pass
     # for nothing.  The fill count also seeds the doc-count cache
-    # (corpus = originals + perturbed, exactly 2x the documents), so
-    # the shuffle-width sizing below needs no separate count job.
+    # (corpus = originals + perturbed, exactly 2x the documents —
+    # the invariant is stated at _corpus; a corpus that filtered or
+    # added rows would make this seed, and the shuffle widths sized
+    # from it, drift), so sizing below needs no separate count job.
     n_corpus = corpus.count()
     _DOC_COUNT_CACHE.setdefault(
         (spark.sparkContext.applicationId, sf_dir), n_corpus // 2

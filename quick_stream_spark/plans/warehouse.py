@@ -841,10 +841,11 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation pass per table — eight constraints cost two scans plus
     one FK probe, not eight jobs, which is the difference between a
     nightly audit and an every-commit gate at 100 TB.  The FK check is
-    a broadcast LEFT SEMI membership count (the dimension is the small
-    side); every metric is an exact count, so the report hash-matches
-    the oracle.  Output: one row per constraint with checked/violation
-    counts."""
+    a broadcast LEFT OUTER ``_fk_hit`` marker against the DISTINCT
+    customer keys, folded into the orders aggregate (membership
+    semantics — a row is a violation iff its key is absent); every
+    metric is an exact count, so the report hash-matches the oracle.
+    Output: one row per constraint with checked/violation counts."""
     pin_session(spark)
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -856,9 +857,18 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan (was: three separate orders scans across o_agg, the
     # semi-join flag pass, and the fk count).  Guide §2.4/§1.2: remove
     # whole passes before tuning anything inside them.
+    # The broadcast side is DEDUPLICATED (r14 ADVICE): the left-outer
+    # mark is only membership-equivalent to the oracle's NOT IN when
+    # the dimension keys are unique — a duplicated c_custkey would fan
+    # out orders rows and corrupt ALL five orders metrics.  distinct()
+    # on the tiny dimension restores the duplicate-safety the replaced
+    # left_semi path had, at negligible cost (one agg on the broadcast
+    # side, still far under the broadcast threshold).
     o_marked = o.join(
         F.broadcast(
-            c.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_fk_hit"))
+            c.select(F.col("c_custkey").alias("o_custkey"))
+            .distinct()
+            .withColumn("_fk_hit", F.lit(1))
         ),
         "o_custkey",
         "left",
