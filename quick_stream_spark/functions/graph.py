@@ -25,48 +25,92 @@ def min_label_components(
     deep chains converge in O(log diameter) rounds instead of
     O(diameter).
 
-    Per-round plan (one eager job, two shuffles):
-      1. neighbor labels (edges join labels) UNION self labels, tagged;
-      2. ONE groupBy computing both the new min label and the previous
-         label (the self row carries it) — no separate old-label join;
-      3. pointer jump: shortcut each new label through the PREVIOUS
-         round's checkpointed labels (``labels[label]``), i.e. adopt
-         the grandparent when it is smaller — safe because labels are
-         always in-component vertex ids and only ever decrease;
-      4. ``localCheckpoint(eager=True)`` truncates lineage so round N's
-         plan does not contain rounds 1..N-1; the fixpoint probe is a
-         narrow ``limit(1).count`` over the CHECKPOINTED frame (cached
-         partitions, short-circuits on the first changed row).  An
-         ``Observation`` folded into the checkpoint job was measured
-         faster on average but occasionally blocked multi-seconds on a
-         lagging listener bus (``obs.get`` waits for the async
-         QueryExecution event), so the deterministic probe wins.
+    r15 structure (guide §2.3 shuffle fewer bytes, §2.4 remove passes):
+
+    1. **Degree-1 peeling.**  The setup job annotates every edge with
+       both endpoints' degree and min-neighbor (one aggregation over
+       the deduplicated edge list + two V-sized joins).  An edge whose
+       endpoints BOTH have degree 1 is an entire component — its two
+       vertices are labeled ``min(u, v)`` directly and never enter the
+       loop.  On near-dup graphs (components are mostly single
+       original/perturbed pairs) this removes ~90% of the edges from
+       every fixpoint round: the loop's join/aggregate shuffles scale
+       with the tangled CORE, not the full edge set.
+    2. **Two-hop init.**  Core labels start at
+       ``min(u, nmin(u), v, nmin(v))`` aggregated over the vertex's
+       edges — exactly the label state after one propagation round from
+       the one-hop init (the r14 fold), at no extra pass: the degree
+       annotation already carries both endpoints' min-neighbor.  Star
+       and diameter-≤2 components (the typical near-dup family) are
+       final immediately, so the loop usually runs ONE confirming
+       round.
+    3. Per-round plan (one eager job, two shuffles over the core):
+       neighbor labels (core edges join labels) UNION self labels →
+       ONE groupBy computing the new min label and the previous label
+       → pointer jump through the PREVIOUS round's checkpointed labels
+       (adopt the grandparent when smaller — safe because labels are
+       always in-component vertex ids and only ever decrease) →
+       ``localCheckpoint(eager=True)``; the fixpoint probe is a narrow
+       ``limit(1).count`` over the CHECKPOINTED frame.  (An
+       ``Observation`` folded into the checkpoint job was measured
+       faster on average but occasionally blocked multi-seconds on a
+       lagging listener bus, so the deterministic probe wins.)  An
+       empty core needs no special-case probe: round 0 over empty
+       cached frames is two near-free jobs and exits immediately.
+
+    The edge list is deduplicated in the setup checkpoint (one
+    E-sized exchange, once): callers may pass duplicate / reversed /
+    self-loop edges (the property tests do), and degree counting is
+    only meaningful over distinct neighbors.  Self-loop-only vertices
+    peel as degree-1 components of themselves.
 
     Only vertices that appear in an edge are labeled (singletons are
     trivially their own component and never enter the loop)."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    # Initial labels = min(id, min neighbor) — exactly what round 1 of
-    # the loop would compute from identity labels (the pointer jump
-    # through identity labels is a no-op), folded into ONE aggregation
-    # over the edge list.  Replaces the identity-label distinct at the
-    # same cost and saves a full loop round (a join + groupBy + jump +
-    # checkpoint + fixpoint probe = two synchronization barriers); on
-    # near-dup graphs, where most components are single edges, the loop
-    # then usually terminates at its first (confirming) round.  Every
-    # edge vertex appears as ``u`` (edges carry both directions), so the
-    # labeled vertex set is unchanged.
+    # Degree + min-neighbor per vertex, attached to BOTH edge endpoints
+    # (edges carry both directions, so every vertex appears as ``u``).
+    deg = edges.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("nmin"), F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(
+        F.col("id").alias("u"), F.col("nmin").alias("nmin_u"), F.col("d").alias("du")
+    )
+    dv = deg.select(
+        F.col("id").alias("v"), F.col("nmin").alias("nmin_v"), F.col("d").alias("dv")
+    )
+    ea = edges.join(du, "u").join(dv, "v").localCheckpoint(eager=True)
+    iso = (F.col("du") == 1) & (F.col("dv") == 1)
+    # Isolated edges ARE their component: one row per vertex (edges are
+    # distinct and bidirectional, so each degree-1 vertex of an
+    # isolated edge appears exactly once as ``u``).
+    solved = ea.filter(iso).select(
+        F.col("u").alias("id"), F.least("u", "v").alias("component")
+    )
+    core = ea.filter(~iso)
+    cedges = core.select("u", "v")
+    # Two-hop initial labels over the core: min over {u, min-neighbor
+    # of u, each neighbor v, v's min-neighbor} — the exact output of
+    # one propagation round from the one-hop init (pointer jump through
+    # one-hop labels of a min-chain is absorbed by the min), computed
+    # inside the SAME aggregation that would have built the one-hop
+    # init.  Any label state whose values are in-component vertex ids
+    # >= the component min is admissible for the loop below.
     labels = (
-        edges.groupBy(F.col("u").alias("id"))
-        .agg(F.min("v").alias("nmin"))
-        .select("id", F.least(F.col("id"), F.col("nmin")).alias("component"))
+        core.groupBy(F.col("u").alias("id"))
+        .agg(F.min(F.least("u", "nmin_u", "v", "nmin_v")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    # An empty tangled core (all components are isolated edges) needs
+    # no special probe: round 0 runs over empty cached frames (two
+    # near-free jobs), reports changed=0 and exits — cheaper in the
+    # common non-empty case than an always-paid emptiness probe.
     for it in range(max_rounds):
-        nbr = edges.join(labels, edges.v == labels.id).select(
+        nbr = cedges.join(labels, cedges.v == labels.id).select(
             F.col("u").alias("id"), "component", F.lit(0).alias(_SELF)
         )
         slf = labels.select("id", "component", F.lit(1).alias(_SELF))
@@ -103,4 +147,4 @@ def min_label_components(
         )
         if changed == 0:
             break
-    return labels.select("id", "component")
+    return labels.select("id", "component").unionByName(solved)

@@ -48,6 +48,43 @@ def test_components_match_union_find(spark, edges):
     assert got == _union_find(edges)
 
 
+def test_all_isolated_edges_peel_without_loop(spark):
+    # every component is a single degree-1/degree-1 edge: the r15 peel
+    # labels them directly and the fixpoint loop never runs (empty
+    # tangled core) — the result must still be the exact component map
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in min_label_components(spark, pairs).collect()}
+    assert got == {j: (j // 2) * 2 for j in range(40)}
+
+
+def test_peel_mixed_with_core_and_hanging_leaf(spark):
+    # isolated pairs + a star + a chain whose leaf is degree-1 but whose
+    # partner is NOT (the leaf must go to the core, not be peeled)
+    edges = [
+        (100, 101),  # isolated pair
+        (200, 201),  # isolated pair
+        (1, 2), (1, 3), (1, 4),  # star centered at 1
+        (10, 11), (11, 12), (12, 13),  # chain; 10 and 13 are degree-1
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in min_label_components(spark, pairs).collect()}
+    assert got == _union_find(edges)
+
+
+def test_duplicates_reversals_and_self_loops(spark):
+    # duplicate edges, reversed duplicates and self-loops must not
+    # corrupt degree counting (edges are deduplicated in setup) or
+    # produce duplicate result rows
+    edges = [(5, 6), (6, 5), (5, 6), (7, 7), (8, 9), (9, 8)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = min_label_components(spark, pairs).collect()
+    assert len(rows) == len({r.id for r in rows})  # one row per vertex
+    got = {r.id: r.component for r in rows}
+    assert got == _union_find(edges)
+
+
 def test_long_chain_exercises_pointer_jumping(spark):
     # plain one-hop propagation needs one round per hop, so a
     # 120-vertex chain cannot converge inside max_rounds=50 without
