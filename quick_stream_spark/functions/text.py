@@ -144,6 +144,63 @@ def lang_id_sql(expr: str) -> str:
     return out
 
 
+# --------------------------- shared-token-array variants (r15, §4.1)
+#
+# The enrich battery (lang_id + quality_score + token_count_ws over the
+# same column) builds an expression tree with ~40 copies of the
+# ``split(trim(text), '\s+')`` subtree (each lang score references the
+# token array, and the CASE ladder references every score multiple
+# times).  Whole-stage codegen's subexpression elimination recovers
+# some of it, but the robust fix is structural: project the token
+# array ONCE (Catalyst's CollapseProject keeps a multiply-referenced
+# non-cheap alias in its own projection, so the split really runs once
+# per row), then compute every signal from the attribute.  These
+# variants state the SAME formulas in the SAME operation order as
+# their column-input twins above — identical IEEE doubles, verified
+# against the DuckDB oracle twins.
+
+
+def token_count_from(toks: Column) -> Column:
+    return F.size(toks)
+
+
+def stopword_ratio_from(toks: Column) -> Column:
+    sw = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.round(F.size(sw) / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score_from(col: Column, toks: Column) -> Column:
+    """quality_score computed from a precomputed token array (term-for-
+    term the same formula/order as :func:`quality_score`)."""
+    n_tok = token_count_from(toks).cast("double")
+    length_term = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - punct_ratio(col)
+    stop_term = F.least(stopword_ratio_from(toks) * F.lit(4.0), F.lit(1.0))
+    return F.round(
+        length_term * F.lit(0.4) + punct_term * F.lit(0.3) + stop_term * F.lit(0.3), 6
+    )
+
+
+def lang_scores_from(toks: Column) -> dict:
+    """Per-language marker counts from a precomputed token array; feed
+    the aliased results to :func:`lang_id_from_scores` so each score
+    computes once."""
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+        for lang in LANG_ORDER
+    }
+
+
+def lang_id_from_scores(scores: dict) -> Column:
+    """The lang_id arg-max CASE ladder over ALREADY-PROJECTED score
+    columns (same precedence/tie-break as :func:`lang_id`)."""
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    out = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        out = F.when((scores[lang] == best) & (best > 0), lang).otherwise(out)
+    return out
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""

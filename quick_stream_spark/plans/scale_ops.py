@@ -274,12 +274,30 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
     drop = near_pairs.select(F.col("id_b").alias("id")).distinct()
     survivors = survivors.join(drop, "id", "left_anti")
-    # quality + language + token count
-    enriched = survivors.select(
+    # quality + language + token count, computed from ONE shared
+    # token-array projection (r15, guide §4.1/§2.3): the naive
+    # lang_id+quality+token_count select carries ~40 copies of the
+    # ``split(trim(text),'\s+')`` subtree; projecting the tokens and
+    # the five language scores once makes the regex split and each
+    # array filter run once per row (CollapseProject keeps multiply-
+    # referenced non-cheap aliases in their own projection).  Same
+    # formulas in the same operation order — identical IEEE doubles;
+    # oracle re-verified at sf0.001 + sf0.01.
+    toks = tx.ws_tokens(F.col("text"))
+    pre = survivors.select("id", "text", toks.alias("_toks"))
+    scores = tx.lang_scores_from(F.col("_toks"))
+    pre = pre.select(
         "id",
-        tx.lang_id(F.col("text")).alias("lang_pred"),
-        tx.quality_score(F.col("text")).alias("quality"),
-        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        "text",
+        "_toks",
+        *[scores[lang].alias(f"_s_{lang}") for lang in tx.LANG_ORDER],
+    )
+    score_cols = {lang: F.col(f"_s_{lang}") for lang in tx.LANG_ORDER}
+    enriched = pre.select(
+        "id",
+        tx.lang_id_from_scores(score_cols).alias("lang_pred"),
+        tx.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
+        tx.token_count_from(F.col("_toks")).alias("n_tokens"),
     ).filter(F.col("quality") >= 0.5)
     out = enriched.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
