@@ -56,6 +56,13 @@ def _kbloom_sidecar_path(data_file_path: str) -> str:
 _SRC = "__qss_src"
 _RN = "__qss_rn"
 
+# Ceiling for the Observation-based per-commit stats fast path (r15):
+# each bucket contributes two global-aggregate expressions to the write
+# job's CollectMetrics node, so enumerating stays cheap only while the
+# bucket count is modest; a maybe_rebucket'ed huge table falls back to
+# the bounded per-commit scan, which that scale amortizes anyway.
+_OBS_STATS_MAX_BUCKETS = 256
+
 
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -531,12 +538,57 @@ class KeyedTable:
         snapshot — hard-delete emptying needs no directory surgery.
 
         Each commit also records per-bucket ``[rows, active_rows]`` in
-        the manifest (the Delta add-file-stats analog): one
+        the manifest (the Delta add-file-stats analog).  When the table
+        tracks NO zone-map columns and the bucket count is small enough
+        to enumerate (r15, guide §2.4: remove whole passes), the stats
+        ride an ``Observation`` attached to the WRITE job itself —
+        per-bucket counts as 2x``num_buckets`` global aggregates
+        collected by the executors during the write, zero extra jobs
+        and zero re-reads of the fresh commit dir.  Otherwise (zone
+        maps need per-FILE min/max, unknowable before files exist; or
+        a rebucketed table with a huge bucket count) the previous
         footer-weight aggregation over ONLY the commit's new files
-        (untouched buckets carry their stats forward), collected as a
-        ``num_buckets``-bounded artifact — so ``count_fast`` answers
-        COUNT(*) from pure metadata at any scale."""
+        runs as before.  Either way the artifact is
+        ``num_buckets``-bounded — so ``count_fast`` answers COUNT(*)
+        from pure metadata at any scale."""
         commit_dir = self._log.new_commit_dir()
+        names = df.schema.fieldNames()
+        zcols = [c for c in self.zone_map_cols if c in names and c != BUCKET_COL]
+        obs = None
+        if (
+            self.soft_delete_col in names
+            and not zcols
+            and self.num_buckets <= _OBS_STATS_MAX_BUCKETS
+        ):
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = []
+            for b in range(self.num_buckets):
+                hit = F.col(BUCKET_COL) == b
+                aggs.append(F.count(F.when(hit, 1)).alias(f"r{b}"))
+                aggs.append(
+                    F.coalesce(
+                        F.sum(
+                            F.when(hit, F.col(self.soft_delete_col).cast("long"))
+                        ),
+                        F.lit(0),
+                    ).alias(f"a{b}")
+                )
+            # defensive: a bucket value outside [0, num_buckets) (no
+            # known writer produces one) falls back to the scan path
+            # below rather than publishing stats that miss rows
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.col(BUCKET_COL).isNull()
+                        | (F.col(BUCKET_COL) < 0)
+                        | (F.col(BUCKET_COL) >= self.num_buckets),
+                        1,
+                    )
+                ).alias("oob")
+            )
+            df = df.observe(obs, *aggs)
         writer = df.write.mode("overwrite")
         for key, val in (options or {}).items():
             writer = writer.option(key, val)
@@ -549,20 +601,36 @@ class KeyedTable:
         # version, or a writer publishing between the two reads would
         # make the re-point silently drop its files
         base_version = self._log.latest_version()
-        # fresh per-commit metadata: one footer-weight aggregation over
-        # ONLY this commit's files, bounded by the commit, never the
-        # table (shared by both commit layouts below)
+        # fresh per-commit metadata, bounded by the commit, never the
+        # table (shared by both commit layouts below): from the write
+        # job's Observation when armed, else one footer-weight
+        # aggregation over the commit's files
         new_stats, new_zones = (None, {})
         if new_files:
-            new_stats, new_zones = compute_commit_meta(
-                self.spark,
-                commit_dir,
-                df.schema,
-                BUCKET_COL,
-                self.soft_delete_col,
-                self.zone_map_cols,
-                table_path=self.path,
-            )
+            row = None
+            if obs is not None:
+                try:
+                    row = dict(obs.get)
+                except Exception:  # pragma: no cover - observation API
+                    row = None
+                if row is not None and int(row.get("oob") or 0) > 0:
+                    row = None  # impossible bucket value: trust the scan
+            if row is not None:
+                new_stats = {}
+                for b in range(self.num_buckets):
+                    r = int(row[f"r{b}"] or 0)
+                    if r:
+                        new_stats[b] = [r, int(row[f"a{b}"] or 0)]
+            else:
+                new_stats, new_zones = compute_commit_meta(
+                    self.spark,
+                    commit_dir,
+                    df.schema,
+                    BUCKET_COL,
+                    self.soft_delete_col,
+                    self.zone_map_cols,
+                    table_path=self.path,
+                )
         self._write_schema_sidecar(df.schema)
         touched = set(replaced_buckets) | set(new_files)
         # bounded path first (pointer-layout / big tables): publishes a
