@@ -895,18 +895,33 @@ def _band_explode(df: DataFrame, planes: int, band_bits: int) -> DataFrame:
     )
 
 
-# NOTE (r14 optimization round): the band self-join below duplicates
-# the banded-signature subtree, so the ArrowEvalPython signature pass
-# runs once PER JOIN SIDE.  Two single-pass variants were built and
-# A/B-measured (persist corpus+bands with an eager fill; checkpoint
-# bands only): BOTH measured slower at bench scale (min 2.05–2.67 s vs
-# 1.75–2.45 s inline under matched load), because the duplicated
-# subtrees are scheduled as CONCURRENT stages of one job while a
-# cache/checkpoint fill serializes fill -> consume (one extra
-# synchronization barrier > one saved 4k-row Arrow pass).  At cluster
-# scale the duplication costs 2x signature compute but stays dominated
-# by the band-join exchange; revisit only with a measured cluster
-# profile (guide §1.1: the empirical loop decides, and it said no).
+# NOTE (r14 optimization round): the band self-join below used to
+# duplicate the banded-signature subtree, so the ArrowEvalPython
+# signature pass ran once PER JOIN SIDE (the planner broadcast one
+# side, and a broadcast build side is a full independent subtree).
+# Two single-pass variants were built and A/B-measured in r14 (persist
+# corpus+bands with an eager fill; checkpoint bands only): BOTH
+# measured slower at bench scale (min 2.05–2.67 s vs 1.75–2.45 s
+# inline under matched load), because a cache/checkpoint fill
+# SERIALIZES fill -> consume (one extra synchronization barrier > one
+# saved 4k-row Arrow pass).
+#
+# r15 (verdict ask #6): the barrier-free shape — repartition the
+# banded frame by the JOIN key (band, bits) and self-join THAT.  Both
+# join children then require the exact same hash partitioning, the
+# planner keeps ONE Exchange and replaces the other side with a
+# ReusedExchange reading the same shuffle files, and the signature
+# subtree (Union -> repartition -> ArrowEvalPython -> Generate) runs
+# exactly ONCE with no fill barrier: the map stage materializes the
+# shuffle, both join sides consume it within the same job.  The join
+# becomes SortMergeJoin/ShuffledHashJoin over the shared exchange
+# instead of BroadcastHashJoin over a duplicated subtree — the
+# broadcast saved no shuffle anyway since the build side had to be
+# fully computed (incl. the second Arrow pass) before broadcasting.
+# At 100 TB this halves the signature compute (the dominant CPU term)
+# and the band shuffle replaces a broadcast whose build side grows
+# with the corpus (guide §3.1: broadcasting a corpus-sized side is the
+# wrong strategy at scale).  A/B evidence in OPTIMIZATION_r15.md.
 
 
 @register(
@@ -957,7 +972,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     block).  Zero false positives by construction (exact verify)."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
     corpus = _dup_vec_corpus(e)
-    bands = _band_explode(corpus, DUP_PLANES, DUP_BAND_BITS)
+    # one shuffle by the join key; the self-join consumes this single
+    # exchange from both sides (ReusedExchange) so the Arrow signature
+    # pass runs once — see the r15 note above _band_explode
+    bands = _band_explode(corpus, DUP_PLANES, DUP_BAND_BITS).repartition(
+        "band", "bits"
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bits"])
