@@ -1,5 +1,6 @@
 """Capture ``.explain("formatted")`` for the benched queries into
-``plans/r14/<query>_<tag>.txt`` (the optimization-round evidence files).
+``plans/$QSS_PLAN_ROUND/<query>_<tag>.txt`` (the optimization-round
+evidence files; QSS_PLAN_ROUND defaults to r15).
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
   tag      suffix for the output files (before/after)
@@ -21,7 +22,11 @@ def main() -> None:
     subset = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("QSS_PLAN_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = (
@@ -46,11 +51,20 @@ def main() -> None:
         n for n in ("r_upsert_endstate", "r_stream_upsert_endstate")
         if n not in {m for m, s in REGISTRY.items() if s.bench}
     ]
+    # QSS_CAPTURE_EXECUTED=1: run the query first so the capture shows
+    # the FINAL AQE plan (AQEShuffleRead / ReusedExchange / runtime join
+    # strategy changes), not the initial isFinalPlan=false plan
+    executed = os.environ.get("QSS_CAPTURE_EXECUTED") == "1"
     for name in names:
         clear_session_caches()
         spark.sparkContext.setJobDescription(f"plan-capture:{name}")
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
+            if executed:
+                # collect() (NOT count()) executes df's OWN QueryExecution,
+                # so the AQE final plan lands on the frame we explain;
+                # count() would build and execute a different plan on top
+                df.collect()
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
