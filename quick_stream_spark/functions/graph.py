@@ -64,6 +64,20 @@ def min_label_components(
     only meaningful over distinct neighbors.  Self-loop-only vertices
     peel as degree-1 components of themselves.
 
+    NOTE (r15 optimization round, measured and REJECTED): a variant
+    fusing the whole annotation into two window passes (count/min over
+    ``partitionBy(v)`` then ``partitionBy(u)``, two-hop init folded
+    into the u-window, no degree join-backs, ONE setup checkpoint
+    instead of two) cut the job count 39 -> 36 but measured ~5% SLOWER
+    at bench scale across six load-gated alternating A/B passes (both
+    orderings; OLD min-median 3.30 s vs NEW 3.48 s).  Root cause:
+    locally the V-sized degree table broadcast-joins back (AQE), while
+    unbounded-frame windows pay two full sorts of E.  At cluster scale
+    the join-backs become sort-merge joins paying the SAME sorts, so
+    the window shape's only real edge is one fewer barrier — not worth
+    a measured local regression (guide §1.1: the empirical loop
+    decides).  Revisit only with a cluster-scale profile.
+
     Only vertices that appear in an edge are labeled (singletons are
     trivially their own component and never enter the loop)."""
     edges = (

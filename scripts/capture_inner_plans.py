@@ -60,8 +60,16 @@ def main() -> None:
             )
         )
 
+    # Spark 4: concrete frames are pyspark.sql.classic.dataframe.DataFrame,
+    # which OVERRIDES localCheckpoint — patching the abstract parent
+    # (pyspark.sql.DataFrame) never fires
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # Spark 3.x
+        _CDF = DataFrame
+
     captured: list[str] = []
-    orig = DataFrame.localCheckpoint
+    orig = _CDF.localCheckpoint
 
     def spying(self, eager: bool = True, *a, **kw):  # noqa: ANN001
         try:
@@ -70,7 +78,7 @@ def main() -> None:
             captured.append(f"ERROR capturing inner plan: {exc}")
         return orig(self, eager, *a, **kw)
 
-    DataFrame.localCheckpoint = spying
+    _CDF.localCheckpoint = spying
     job_counts = {}
     try:
         for name in names:
@@ -90,7 +98,7 @@ def main() -> None:
                     fh.write(plan)
                 print(f"wrote {path} ({len(plan)} chars)")
     finally:
-        DataFrame.localCheckpoint = orig
+        _CDF.localCheckpoint = orig
     print("job counts:", json.dumps(job_counts))
     spark.stop()
 
