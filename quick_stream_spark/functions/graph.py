@@ -64,6 +64,23 @@ def min_label_components(
     only meaningful over distinct neighbors.  Self-loop-only vertices
     peel as degree-1 components of themselves.
 
+    NOTE (r15 optimization round, measured and REJECTED): skipping the
+    dedup exchange when the input is already canonical (DISTINCT with
+    ``id_a < id_b`` — candidate_pairs_lsh's contract, so forward and
+    reversed edges cannot collide and the mirrored union is distinct by
+    construction) measured ~25% SLOWER at bench scale (9 alternating
+    noop-timed passes over one checkpointed pair artifact: OLD min
+    1.722 s / NEW min 2.236 s, every adjacent pair ordered the same
+    way; jobs 28 vs 27).  The "redundant" exchange doubles as the
+    union's REBALANCE: AQE coalesces its output to size (1 partition
+    here), while the raw union checkpoints 2x the source's partitions
+    (64 tiny ones) and every downstream job and fixpoint round pays
+    their scheduling.  At cluster scale a mirrored union wants exactly
+    such a width-sizing exchange anyway, and map-side partial dedup
+    only shrinks its bytes — so the distinct is the right shape at
+    both scales, not an accidental shuffle (guide §2.4 checked, §1.1
+    empirical loop decides).
+
     NOTE (r15 optimization round, measured and REJECTED): a variant
     fusing the whole annotation into two window passes (count/min over
     ``partitionBy(v)`` then ``partitionBy(u)``, two-hop init folded
